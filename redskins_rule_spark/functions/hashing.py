@@ -1,0 +1,85 @@
+"""Hashing / fingerprinting expression builders.
+
+Two families:
+  * xxhash64-based (JVM-native, codegen'd) — the production/scale path
+    for MinHash, SimHash, bucketing. `xxhash64` is seeded by prefixing
+    a literal permutation index, giving k independent hash functions
+    without leaving the JVM.
+  * polynomial character hashes — slower (materializes a char array)
+    but defined purely in arithmetic both Spark AND other SQL engines
+    can evaluate identically, used where a cross-engine-deterministic
+    fingerprint is required (differential testing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_31 = 2147483647  # 2^31 - 1
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """All k-character shingles of a string as array<string>.
+
+    Built from sequence+transform — stays in codegen, no UDF. Empty /
+    short strings yield an empty array.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles (space-joined) from a whitespace-tokenized string."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def hashed(col: Column, seed: int) -> Column:
+    """One of a family of independent 64-bit hashes (JVM xxhash64,
+    'seeded' by a literal prefix column)."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+def minhash_signature(shingle_arr: Column, num_perm: int = 64) -> Column:
+    """MinHash signature: array of num_perm minima of per-permutation
+    shingle hashes. Entirely expression-level (transform + array_min
+    over the shingle array) — no UDF, no shuffle; evaluated row-local.
+
+    Empty shingle arrays yield nulls in every slot (callers filter).
+    """
+    return F.array(
+        *[F.array_min(F.transform(shingle_arr, lambda s, i=i: hashed(s, i)))
+          for i in range(num_perm)]
+    )
+
+
+def char_fingerprint(col: Column | str, modulus: int = MERSENNE_31) -> Column:
+    """Order-weighted character-sum fingerprint:
+
+        sum_i ascii(s[i]) * (1 + (i-1) % 64)   (mod modulus)
+
+    Pure arithmetic over (position, char-code) — any SQL engine
+    computes the identical value, so it serves as the cross-engine
+    document fingerprint in differential tests. For production-scale
+    fingerprinting prefer `hashed` (xxhash64).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    terms = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.ascii(F.substring(c, i, 1)).cast("long")
+        * (F.lit(1) + ((i - 1) % 64)),
+    )
+    return (
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x) % modulus
+    )

@@ -1,0 +1,161 @@
+"""Analytic core: deterministic argmax, top-k-per-group, lag,
+forward-fill (SURVEY.md §2.4 A1-A5, §2.5 W1-W3, §2.1 S3).
+
+Scale notes baked into each operator's plan shape:
+  * grouped argmax is a hash aggregate (map-side partial + final) —
+    one shuffle on the group keys, no sort, no window;
+  * top-k-per-group is a window only when k>1 or ranks are needed;
+    k=1 callers should prefer `arg_max` (avoids full partition sort);
+  * `lag`/`forward_fill` over a GLOBAL order (no partition keys) put
+    the whole dataset into one window partition — fine for per-election
+    grain (12 rows, reference W3), a hazard in general; these raise
+    unless `allow_global=True`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _cols(cols: Sequence[ColumnOrName]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def _ordering_struct(
+    order_by: ColumnOrName, tiebreak: Sequence[ColumnOrName]
+) -> Column:
+    """Total-order key: (order_by, *tiebreak) as a struct — structs
+    compare lexicographically, pinning argmax tie semantics
+    (reference W1 relies on non-deterministic MAX_BY ties,
+    nfl-elec-transform-v2.py:98-99; we refuse to).
+    """
+    return F.struct(*_cols([order_by, *tiebreak]))
+
+
+def arg_max(
+    df: DataFrame,
+    group_by: Sequence[ColumnOrName],
+    select: dict[str, ColumnOrName],
+    order_by: ColumnOrName,
+    tiebreak: Sequence[ColumnOrName] = (),
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-group argmax: for each group, the value(s) of `select`
+    columns on the row maximizing (order_by, *tiebreak).
+
+    Implements reference A1/W1 (`MAX_BY`) as ONE hash aggregate —
+    `max_by(x, struct(ord, tie...))` — with deterministic ties, instead
+    of a window + filter (which would shuffle AND sort every
+    partition). At 100 TB this is the difference between a map-side
+    combinable agg and a full-sort window.
+    """
+    key = _ordering_struct(order_by, tiebreak)
+    aggs = [
+        F.max_by(F.col(c) if isinstance(c, str) else c, key).alias(out)
+        for out, c in select.items()
+    ]
+    for out, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(out))
+    return df.groupBy(*_cols(group_by)).agg(*aggs)
+
+
+def arg_min(
+    df: DataFrame,
+    group_by: Sequence[ColumnOrName],
+    select: dict[str, ColumnOrName],
+    order_by: ColumnOrName,
+    tiebreak: Sequence[ColumnOrName] = (),
+) -> DataFrame:
+    """Per-group argmin with deterministic ties (see arg_max)."""
+    key = _ordering_struct(order_by, tiebreak)
+    aggs = [
+        F.min_by(F.col(c) if isinstance(c, str) else c, key).alias(out)
+        for out, c in select.items()
+    ]
+    return df.groupBy(*_cols(group_by)).agg(*aggs)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[ColumnOrName],
+    order_by: Sequence[Column],
+    k: int = 1,
+    method: str = "row_number",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group: window rank + filter (reference W2+P7
+    pattern, nfl-elec-transform-v2.py:236,254-255,279/290).
+
+    `method`: 'row_number' (exactly k rows, caller must make order_by a
+    total order for determinism), 'rank' or 'dense_rank' (keeps ties —
+    the reference's RANK()=1 semantics). If `rank_col` is given the
+    rank is kept in the output (reference keeps `diff_rank_asc`).
+    """
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    if method not in fns:
+        raise ValueError(f"method must be one of {sorted(fns)}")
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*order_by)
+    name = rank_col or "__rnk"
+    out = df.withColumn(name, fns[method]().over(w)).filter(F.col(name) <= k)
+    return out if rank_col else out.drop(name)
+
+
+def _window(
+    partition_by: Sequence[ColumnOrName],
+    order_by: Sequence[ColumnOrName],
+    allow_global: bool,
+    op: str,
+):
+    if not partition_by and not allow_global:
+        raise ValueError(
+            f"{op} with no partition keys funnels ALL rows through one "
+            "window partition — a single-task bottleneck at scale. Pass "
+            "partition_by, or allow_global=True for provably-tiny "
+            "relations (e.g. one row per election)."
+        )
+    w = Window.orderBy(*_cols(order_by))
+    if partition_by:
+        w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    return w
+
+
+def lag_over(
+    df: DataFrame,
+    col: ColumnOrName,
+    order_by: Sequence[ColumnOrName],
+    partition_by: Sequence[ColumnOrName] = (),
+    offset: int = 1,
+    out: str = "lag",
+    allow_global: bool = False,
+) -> DataFrame:
+    """LAG (reference W3, nfl-elec-transform-v2.py:197-198,240)."""
+    w = _window(partition_by, order_by, allow_global, "lag_over")
+    c = F.col(col) if isinstance(col, str) else col
+    return df.withColumn(out, F.lag(c, offset).over(w))
+
+
+def forward_fill(
+    df: DataFrame,
+    col: ColumnOrName,
+    order_by: Sequence[ColumnOrName],
+    partition_by: Sequence[ColumnOrName] = (),
+    out: str | None = None,
+    allow_global: bool = False,
+) -> DataFrame:
+    """Forward-fill nulls from the last non-null earlier row
+    (reference S3: election-year forward fill done row-at-a-time in
+    Python, jobs/ingest/elections.py:48-62 — here one window pass:
+    `last(col, ignorenulls=True)` over rowsBetween(unboundedPreceding,
+    current)).
+    """
+    w = _window(partition_by, order_by, allow_global, "forward_fill").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = F.col(col) if isinstance(col, str) else col
+    name = out or (col if isinstance(col, str) else "filled")
+    return df.withColumn(name, F.last(c, ignorenulls=True).over(w))

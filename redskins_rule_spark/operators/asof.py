@@ -1,0 +1,146 @@
+"""As-of (temporal nearest, with tolerance) join — reference J3.
+
+The reference expresses "nearest Washington home game ≤30 days before
+each election" as a theta LEFT JOIN with `DATEDIFF BETWEEN 0 AND 30`
+plus RANK()=1 (reference: jobs/transform/nfl-elec-transform-v2.py:
+274-292). A theta join physically executes as BroadcastNestedLoopJoin
+— O(|L|·|R|) when neither side broadcasts, a non-starter at 100 TB.
+
+This operator rewrites backward/forward as-of-with-tolerance into an
+EQUI-join on a time bucket of width = tolerance:
+
+    left bucket  b(t)   = floor(epoch(t) / tol)
+    right emits buckets b(t'), b(t')+1   (backward; -1 for forward)
+
+Every left row's admissible window [t - tol, t] spans at most two
+buckets, so the equi-join on (by_keys..., bucket) loses no matches;
+the exact tolerance predicate re-filters, and a per-left-row
+row_number over (|t - t'| asc, tiebreak...) keeps the nearest match.
+Physical plan: shuffle-hash/sort-merge join on real keys → scales
+linearly, partitions cleanly, AQE-skew-splittable. The right side is
+duplicated 2× (bucket and bucket+1) — a constant factor, vs. the
+quadratic BNLJ.
+
+For a small right side, `strategy='broadcast'` keeps the reference's
+theta shape but hints `broadcast(right)` so the BNLJ streams the big
+side exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_days(c: Column) -> Column:
+    # date or timestamp → days since epoch (timestamps truncate to day
+    # for day-granularity tolerance; callers needing finer grain pass
+    # unit='seconds').
+    return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+
+
+def _epoch_seconds(c: Column) -> Column:
+    return F.unix_timestamp(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: Sequence[str] = (),
+    tolerance: int | None = None,
+    unit: str = "days",
+    direction: str = "backward",
+    left_keys: Sequence[str] | None = None,
+    tiebreak: Sequence[str] = (),
+    how: str = "left",
+    strategy: str = "bucket",
+    diff_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (backward) / at-or-after (forward) its time, within `tolerance`.
+
+    by         : equality keys joined alongside time (asof "by" groups).
+    tolerance  : max |t_left - t_right| in `unit` ('days'|'seconds').
+                 Required for the bucket strategy (it is the bucket
+                 width).
+    left_keys  : columns that uniquely key a left row (used to pick the
+                 single nearest match). Defaults to by+[left_on] —
+                 callers with duplicate times per key should pass a
+                 real unique key.
+    tiebreak   : right-side columns breaking equal-distance ties
+                 deterministically (reference leaves this to RANK
+                 nondeterminism; we pin it).
+    strategy   : 'bucket' (equi-join rewrite, the scale path) or
+                 'broadcast' (theta join + broadcast(right), for small
+                 right sides — the reference's plan shape, made sane).
+    diff_col   : if set, keep |t_left - t_right| under this name
+                 (reference keeps `date_diff`).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance is None:
+        raise ValueError("tolerance is required (it is also the bucket width)")
+    epoch = _epoch_days if unit == "days" else _epoch_seconds
+
+    lkeys = list(left_keys) if left_keys else [*by, left_on]
+    by = list(by)
+
+    lt, rt = F.col(left_on), F.col(right_on)
+    # signed distance from right event to left anchor, in `unit`
+    signed = (
+        epoch(lt) - epoch(rt) if direction == "backward" else epoch(rt) - epoch(lt)
+    )
+    in_window = (signed >= 0) & (signed <= tolerance)
+
+    if left_on == right_on:
+        raise ValueError("left_on and right_on must have distinct names")
+
+    if strategy == "broadcast":
+        cond = in_window
+        for k in by:
+            cond = cond & (left[k] == right[f"__r_{k}"])
+        r = right
+        for k in by:
+            r = r.withColumnRenamed(k, f"__r_{k}")
+        joined = left.join(F.broadcast(r), cond, how).drop(*[f"__r_{k}" for k in by])
+    elif strategy == "bucket":
+        lb = F.floor(epoch(lt) / tolerance)
+        rb = F.floor(epoch(rt) / tolerance)
+        # right row can serve left buckets b(rt) and b(rt)+1 (backward)
+        offs = [0, 1] if direction == "backward" else [0, -1]
+        r2 = right.withColumn(
+            "__bucket", F.explode(F.array(*[rb + o for o in offs]))
+        )
+        l2 = left.withColumn("__bucket", lb)
+        on = [*by, "__bucket"]
+        joined = (
+            l2.alias("l")
+            .join(r2.alias("r"), on=on, how="inner")
+            .where(in_window)
+            .drop("__bucket")
+        )
+        if how == "left":
+            # restore unmatched left rows (equi-join was inner)
+            matched = joined
+            joined = matched.unionByName(
+                left.join(
+                    matched.select(*lkeys).distinct(), on=lkeys, how="left_anti"
+                ),
+                allowMissingColumns=True,
+            )
+    else:
+        raise ValueError("strategy must be 'bucket' or 'broadcast'")
+
+    dist = F.abs(epoch(F.col(left_on)) - epoch(F.col(right_on)))
+    w = Window.partitionBy(*lkeys).orderBy(
+        dist.asc_nulls_last(), *[F.col(t).asc_nulls_last() for t in tiebreak]
+    )
+    out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    out = out.drop("__rn")
+    if diff_col:
+        out = out.withColumn(diff_col, dist)
+    return out

@@ -1,0 +1,96 @@
+"""As-of join edge cases (SURVEY.md §5.2 #2: tie dates, tolerance miss
+→ null, multiple games in window) for both physical strategies."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from redskins_rule_spark.operators.asof import asof_join
+from redskins_rule_spark.plans.explain import formatted_plan
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [
+            ("e1", dt.date(2020, 11, 3)),   # nearest=g2 (2 days), g1 in window too
+            ("e2", dt.date(2020, 12, 25)),  # no game within 30d → null
+            ("e3", dt.date(2021, 1, 5)),    # exact tie distance handled by tiebreak
+        ],
+        "elec_id string, elec_date date",
+    )
+    right = spark.createDataFrame(
+        [
+            ("g1", dt.date(2020, 10, 20)),
+            ("g2", dt.date(2020, 11, 1)),
+            ("g3", dt.date(2021, 1, 3)),
+            ("g4", dt.date(2021, 1, 3)),   # same date as g3 → tiebreak on id
+            ("g5", dt.date(2021, 2, 1)),   # after e3 → excluded (backward)
+        ],
+        "game_id string, game_date date",
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("strategy", ["bucket", "broadcast"])
+def test_asof_backward_semantics(spark, strategy):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, "elec_date", "game_date",
+        tolerance=30, direction="backward",
+        left_keys=["elec_id"], tiebreak=["game_id"],
+        strategy=strategy, diff_col="dd",
+    )
+    got = {r.elec_id: (r.game_id, r.dd) for r in out.collect()}
+    assert got == {"e1": ("g2", 2), "e2": (None, None), "e3": ("g3", 2)}
+    assert out.count() == 3  # left-preserving: one row per left key
+
+
+@pytest.mark.parametrize("strategy", ["bucket", "broadcast"])
+def test_asof_forward(spark, strategy):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, "elec_date", "game_date",
+        tolerance=30, direction="forward",
+        left_keys=["elec_id"], tiebreak=["game_id"], strategy=strategy,
+    )
+    got = {r.elec_id: r.game_id for r in out.collect()}
+    # e1 2020-11-03 → next game ≤30d later: none until 2021-01-03 (61d) → null
+    assert got == {"e1": None, "e2": "g3", "e3": "g5"}
+
+
+def test_asof_by_keys(spark):
+    left = spark.createDataFrame(
+        [("u1", "p1", dt.date(2020, 1, 10)), ("u2", "p2", dt.date(2020, 1, 10))],
+        "user string, pid string, t date",
+    )
+    right = spark.createDataFrame(
+        [("u1", "v1", dt.date(2020, 1, 8)), ("u2", "v2", dt.date(2020, 1, 9))],
+        "user string, vid string, vt date",
+    )
+    out = asof_join(
+        left, right, "t", "vt", by=["user"], tolerance=30,
+        left_keys=["pid"], tiebreak=["vid"],
+    )
+    got = {r.pid: r.vid for r in out.collect()}
+    assert got == {"p1": "v1", "p2": "v2"}  # no cross-user bleed
+
+
+def test_asof_bucket_plan_is_not_nested_loop(spark):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, "elec_date", "game_date", tolerance=30,
+        left_keys=["elec_id"], tiebreak=["game_id"], strategy="bucket",
+    )
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(out)
+
+
+def test_asof_requires_tolerance_and_distinct_names(spark):
+    left, right = _dfs(spark)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, "elec_date", "game_date")
+    with pytest.raises(ValueError, match="distinct"):
+        asof_join(left.withColumnRenamed("elec_date", "d"),
+                  right.withColumnRenamed("game_date", "d"),
+                  "d", "d", tolerance=5)
