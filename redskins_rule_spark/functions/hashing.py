@@ -57,10 +57,53 @@ def minhash_signature(shingle_arr: Column, num_perm: int = 64) -> Column:
     over the shingle array) — no UDF, no shuffle; evaluated row-local.
 
     Empty shingle arrays yield nulls in every slot (callers filter).
+
+    NB: permutation index is bound via a closure factory — a
+    `lambda s, i=i:` would be arity-2 and PySpark would pass the ARRAY
+    INDEX as the second argument, silently breaking the hash family.
     """
+
+    def perm(i: int):
+        return lambda s: hashed(s, i)
+
     return F.array(
-        *[F.array_min(F.transform(shingle_arr, lambda s, i=i: hashed(s, i)))
-          for i in range(num_perm)]
+        *[F.array_min(F.transform(shingle_arr, perm(i))) for i in range(num_perm)]
+    )
+
+
+# affine permutation constants for the cross-engine MinHash family
+# h_i(x) = (a*x + b) mod MERSENNE_31 — any fixed a≠0 works (p prime)
+MINHASH_AFFINE: list[tuple[int, int]] = [
+    (3, 101), (5, 211), (7, 307), (11, 401),
+    (13, 503), (17, 601), (19, 701), (23, 809),
+]
+
+
+def poly_hash(col: Column, modulus: int = MERSENNE_31) -> Column:
+    """Cross-engine base hash of a string (see char_fingerprint)."""
+    return char_fingerprint(col, modulus)
+
+
+def minhash_signature_xengine(
+    shingle_arr: Column, num_perm: int = 8, modulus: int = MERSENNE_31
+) -> Column:
+    """MinHash signature computed ONLY from arithmetic any SQL engine
+    reproduces bit-for-bit: polynomial char hash per shingle, then
+    per-permutation affine maps, min over shingles. Slower than the
+    xxhash64 family (`minhash_signature`) — use for differential
+    testing, not the 100 TB path."""
+    if num_perm > len(MINHASH_AFFINE):
+        raise ValueError(f"num_perm ≤ {len(MINHASH_AFFINE)} for the x-engine family")
+    hs = F.transform(shingle_arr, lambda s: poly_hash(s, modulus))
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % modulus
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, affine(a, b)))
+            for a, b in MINHASH_AFFINE[:num_perm]
+        ]
     )
 
 

@@ -1,0 +1,381 @@
+"""Deduplication operators for large-scale document corpora.
+
+North-star extension (not in the reference, which only has full-row
+`dropDuplicates`, SURVEY.md §2.4 A4): the dedup family a 100 TB
+training-data pipeline needs.
+
+Scale design notes:
+  * Exact dedup = hash groupBy on a content key — one shuffle, map-side
+    partial agg, no sort.
+  * MinHash signatures are computed ROW-LOCALLY as Catalyst expressions
+    (transform + array_min over the shingle array) — no UDF, no Python.
+  * LSH banding turns candidate generation into an equi self-join on
+    (band, band_hash): shuffle-hash join with bounded bucket sizes
+    (bands shatter hot buckets; AQE skew-split covers residual skew).
+    Never an all-pairs cross join.
+  * SimHash is likewise expression-only (bit votes via filter/size over
+    the hashed token array) and candidates come from 16-bit chunk
+    matching (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.functions.hashing import (
+    hashed,
+    minhash_signature,
+    shingles,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup (hash aggregate). `subset=None` = full row."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def content_key(col: Column | str) -> Column:
+    """Stable content hash for exact text dedup (md5 hex — also
+    computable by any SQL oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def dedup_by_content(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one representative id per identical text; emits
+    (content_hash, keep_id, dup_count). One hash-agg shuffle."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(content_key(text_col).alias("content_hash"))
+        .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    out: str = "minhash",
+    shingle_out: str | None = None,
+) -> DataFrame:
+    """Attach a MinHash signature column (array<bigint>, row-local)."""
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+    if shingle_out:
+        df = df.withColumn(shingle_out, sh)
+        sh = F.col(shingle_out)
+    return df.withColumn(out, minhash_signature(sh, num_perm))
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    Signature is sliced into `bands` bands of num_perm/bands rows;
+    a pair collides if ANY band hashes equal. Plan: explode to one row
+    per (id, band, band_hash) → self equi-join on (band, band_hash)
+    → distinct pairs. Probability of catching a pair with Jaccard s is
+    1-(1-s^r)^b (r=rows/band).
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sig = F.col(sig_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[sig[b * r + i] for i in range(r)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact Jaccard
+    over the shingle sets. Output: (id_a, id_b, jaccard_sim)."""
+    base = with_minhash(
+        df.select(id_col, text_col), text_col, shingle_k, num_perm,
+        shingle_out="__sh",
+    ).select(id_col, "__sh", "minhash")
+    cands = lsh_candidates(base, id_col, "minhash", num_perm, bands)
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, with cheap blocking)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_perms: int = 2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity over candidate pairs.
+
+    Blocking: a pair is a candidate if it shares the MINIMUM shingle
+    hash under any of `block_perms` permutations (1-row MinHash bands)
+    — recall equals 1-(1-s)^p for Jaccard s, and each block key is a
+    single equi-join key (no cross join).
+    """
+    grams = F.array_distinct(word_shingles(text_col, n))
+    base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
+    def block_hash(p: int):
+        return lambda s: hashed(s, 1000 + p)
+
+    blocks = base.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("perm"),
+                    F.array_min(F.transform(F.col("__g"), block_hash(p))).alias("bkey"),
+                )
+                for p in range(block_perms)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.perm", "b.bkey")
+    a = blocks.select(F.col(id_col).alias("id_a"), "perm", "bkey")
+    b = blocks.select(F.col(id_col).alias("id_b"), "perm", "bkey")
+    cands = (
+        a.join(b, on=["perm", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs via an inverted gram index —
+    no false negatives (any pair with Jaccard > 0 shares ≥1 gram, so
+    the shared-gram equi-join enumerates a superset of qualifying
+    pairs; the exact Jaccard filter finishes the job).
+
+    Scale: the per-gram posting lists bound the join fan-out; hot
+    grams (stopword n-grams) are the skew hazard — at 100 TB apply a
+    document-frequency cut or prefix filtering before the join (the
+    lossy-but-cheaper `ngram_jaccard_pairs` is the other trade).
+    """
+    grams = F.array_distinct(word_shingles(text_col, n))
+    base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
+    inv = base.select(id_col, F.explode("__g").alias("gram"))
+    a = inv.select(F.col(id_col).alias("id_a"), "gram")
+    b = inv.select(F.col(id_col).alias("id_b"), "gram")
+    cands = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash of the whitespace-token set — expression-only.
+
+    Each token hashes to 64 bits; bit j of the SimHash is the majority
+    vote of bit j across token hashes. Row-local: no explode, no
+    shuffle. Bitwise-OR assembly avoids ANSI overflow on bit 63.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    hs = F.transform(toks, lambda t: hashed(t, 7))
+    n = F.size(hs)
+
+    def bit_set(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    terms = [
+        F.when(
+            F.size(F.filter(hs, bit_set(j))) * 2 > n,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    return reduce(lambda x, y: x.bitwiseOR(y), terms).alias("simhash")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 3).
+
+    Pigeonhole blocking: split the 64-bit signature into 4 16-bit
+    chunks; distance ≤ 3 ⇒ at least one chunk identical, so candidates
+    come from an equi self-join on (chunk_idx, chunk_value).
+    Output: (id_a, id_b, hamming).
+    """
+    base = df.select(F.col(id_col), simhash(text_col).alias("__sim"))
+    chunks = base.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("__sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "__sim", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "ci", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "ci", "cv")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidates: random-hyperplane LSH — sign bit per plane, bucket =
+    the n_planes-bit code; high-cosine pairs land in the same bucket
+    with probability (1 - θ/π)^n_planes. Hyperplane weights are
+    pseudo-random but DETERMINISTIC: w[p][d] = ±1 from xxhash64(p, d)
+    parity, applied as an expression (no UDF). Verification: exact
+    cosine on candidates.
+    """
+    from redskins_rule_spark.operators.similarity import cosine
+
+    dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+
+    def sign_bit(p: int) -> Column:
+        # deterministic ±1 per (plane, dim): parity of xxhash64(p, d)
+        terms = [
+            F.when(
+                F.lit((hash((p, d)) >> 1) & 1) == 1, v[d]
+            ).otherwise(-v[d])
+            for d in range(dim)
+        ]
+        dot = reduce(lambda x, y: x + y, terms)
+        return F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+
+    bucket = reduce(lambda x, y: x.bitwiseOR(y), [sign_bit(p) for p in range(n_planes)])
+    coded = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
+    a = coded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
+    b = coded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

@@ -1,0 +1,164 @@
+"""Multimodal (image/audio/video) column support.
+
+Design: media travel as opaque `binary` payload columns with typed
+metadata structs alongside. Decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched pandas functions over
+`mapInPandas` — per-partition batch iterators, so payload bytes never
+round-trip through the driver and each task touches only its split.
+
+The actual codec step is STUBBED in this environment (no PIL/ffmpeg in
+the container): `decode_backend='fake'` derives deterministic metadata
+from the payload bytes so the Spark-side plumbing — schemas, batch
+shapes, partitioning — is real and testable; `decode_backend='real'`
+raises NotImplementedError at the decode call site, clearly marking
+where a codec library plugs in.
+
+Scale notes: payloads are large → keep them OUT of shuffles (extract
+metadata first, shuffle the small columns, re-join by key only if
+needed); size `spark.sql.files.maxPartitionBytes` so one task's batch
+of payloads fits executor memory; mapInPandas streams Arrow batches,
+bounding peak memory at batch granularity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, src_col: str, out: str = "payload") -> DataFrame:
+    """Materialize a binary payload column (here: utf-8 bytes of a
+    source column — stands in for image/audio bytes read from an
+    object store)."""
+    return df.withColumn(out, F.encode(F.col(src_col), "UTF-8"))
+
+
+def _fake_decode(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic fake decode: metadata derived purely from byte
+    length, so oracles can reproduce it."""
+    blen = payload.map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "byte_len": blen,
+            "width": (blen % 640 + 1).astype("int32"),
+            "height": (blen % 480 + 1).astype("int32"),
+            "channels": pd.Series([3] * len(blen), index=blen.index, dtype="int32"),
+        }
+    )
+
+
+def decode_image_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Extract image metadata per payload via mapInPandas.
+
+    Output: (id_col, byte_len, width, height, channels). Arrow batches
+    stream through the decoder; payload bytes are dropped before any
+    downstream shuffle.
+    """
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(IMAGE_META_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "fake":
+                meta = _fake_decode(pdf[payload_col])
+            else:
+                raise NotImplementedError(
+                    "real image decode requires a codec library (PIL/opencv) "
+                    "not present in this environment; plug it in here"
+                )
+            meta.insert(0, id_col, pdf[id_col].values)
+            yield meta
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (224, 224),
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Resize stub: emits (id, payload, width, height) with the fake
+    backend passing bytes through and stamping the target dims; the
+    real backend decodes → resizes → re-encodes inside the batch."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend != "fake":
+                raise NotImplementedError("real resize needs a codec library")
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    payload_col: pdf[payload_col].values,
+                    "width": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "height": pd.Series([th] * len(pdf), dtype="int32"),
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Frame-sampling stub (video → frames). Fake backend emits one
+    row per `every_n_bytes` chunk with a frame index — exercising the
+    one-to-many mapInPandas shape real frame extraction has."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend != "fake":
+                raise NotImplementedError("real frame sampling needs ffmpeg")
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                data = row[payload_col]
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    frames.append(bytes(data[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_bytes": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

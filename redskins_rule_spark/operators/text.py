@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All heuristics are Catalyst expressions (no UDFs): tokenization via
+regex split, ratios via length arithmetic, language-ID via stopword
+hit counting with `filter`/`array_contains` — each row-local, fully
+codegen'd, and reproducible by a SQL oracle for differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = "[.,!?;:]"
+
+# tiny, order-significant stopword profiles; first match wins ties so
+# the precedence list is part of the contract
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit"],
+    "zh": ["de5", "shi4", "bu4", "wo3", "you3", "zai4", "ta1", "le5"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap estimator)."""
+    return F.size(tokens(col))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: alpha runs count ~len/4 (BPE
+    merges ~4 chars/token), digits and punctuation count 1 each.
+    Expression-only approximation of a real tokenizer's count."""
+    c = F.col(col) if isinstance(col, str) else col
+    alpha = F.split(c, r"[^A-Za-z]+")
+    alpha_tokens = F.aggregate(
+        alpha,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.when(F.length(w) > 0, F.ceil(F.length(w) / 4)).otherwise(0),
+    )
+    others = F.length(F.regexp_replace(c, r"[A-Za-z\s]", ""))
+    return (alpha_tokens + others).alias("subword_tokens")
+
+
+def punct_count(col: Column | str, punct_class: str = PUNCT_CLASS) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, punct_class, ""))
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    """Number of token OCCURRENCES that are stopwords (not distinct)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Raw quality signals (word count, mean word length, punctuation
+    ratio, stopword ratio) — compose into scores or filters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    return {
+        "n_chars": n_char,
+        "n_tokens": n_tok,
+        "mean_word_len": F.round(n_char / F.greatest(n_tok, F.lit(1)), 4),
+        "punct_ratio": F.round(punct_count(c) / F.greatest(n_char, F.lit(1)), 4),
+        "stopword_ratio": F.round(
+            stopword_hits(c, LANG_PROFILES["en"]) / F.greatest(n_tok, F.lit(1)), 4
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar quality score in [0,1]: penalize too-short docs, reward
+    normal word lengths and some stopword mass (C4-style heuristics,
+    expression-only)."""
+    f = quality_features(col)
+    length_ok = F.when(f["n_tokens"] >= 10, 1.0).otherwise(f["n_tokens"] / 10)
+    wordlen_ok = F.when(
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 12), 1.0
+    ).otherwise(0.5)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.05, 1.0).otherwise(0.6)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.5)
+    return F.round(
+        0.4 * length_ok + 0.2 * wordlen_ok + 0.2 * stop_ok + 0.2 * punct_ok, 4
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, LANG_PROFILES[lang]) for lang in LANG_ORDER}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language over stopword-hit scores; ties resolved by
+    LANG_ORDER precedence (deterministic, documented)."""
+    scores = lang_scores(col)
+    cols = [scores[lang] for lang in LANG_ORDER]
+    best = F.greatest(*cols)
+    expr = F.lit(LANG_ORDER[0])
+    # reverse precedence: earlier langs overwrite later on ties
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)

@@ -500,3 +500,383 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ===========================================================================
+# North-star extension queries (training-data pipeline operators)
+# ===========================================================================
+
+from redskins_rule_spark.functions.hashing import (  # noqa: E402
+    MINHASH_AFFINE,
+    minhash_signature_xengine,
+    word_shingles,
+)
+from redskins_rule_spark.operators.dedup import (  # noqa: E402
+    dedup_by_content,
+    jaccard,
+    ngram_jaccard_pairs_exact,
+    simhash_pairs,
+)
+from redskins_rule_spark.operators.multimodal import (  # noqa: E402
+    decode_image_meta,
+    with_binary_payload,
+)
+from redskins_rule_spark.operators.similarity import cosine, cosine_topk_for_id  # noqa: E402
+from redskins_rule_spark.operators.text import (  # noqa: E402
+    LANG_ORDER,
+    LANG_PROFILES,
+    lang_id,
+    lang_scores,
+    quality_features,
+    quality_score,
+    subword_token_count,
+    token_count,
+)
+
+# shared DuckDB fragments -----------------------------------------------------
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_GRAMS3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+_SQL_POLYHASH = (
+    "CAST(list_sum(list_transform(generate_series(1, greatest(length(s), 1)), "
+    "i -> ascii(substr(s, i, 1)) * (1 + (i - 1) % 64))) % 2147483647 AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + cross-engine fingerprint.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           length(text) AS n_chars_calc,
+           CAST(list_sum(list_transform(generate_series(1, greatest(length(text), 1)),
+                i -> ascii(substr(text, i, 1)) * (1 + (i - 1) % 64))) % 2147483647 AS BIGINT)
+               AS fingerprint
+    FROM documents
+    """,
+)
+def q15_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        char_fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality features + composite score (C4-style heuristics).
+# ---------------------------------------------------------------------------
+
+_SQL_EN_STOPS = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
+
+@query(
+    "q16_quality",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len({_SQL_TOKENS}) AS n_tokens,
+             ROUND(length(text) / greatest(len({_SQL_TOKENS}), 1), 4) AS mean_word_len,
+             ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter({_SQL_TOKENS}, t -> list_contains({_SQL_EN_STOPS}, lower(t))))
+                   / greatest(len({_SQL_TOKENS}), 1), 4) AS stopword_ratio
+      FROM documents)
+    SELECT doc_id, n_chars_calc, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+           ROUND(0.4 * (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE n_tokens / 10 END)
+               + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+               + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM f
+    """,
+)
+def q16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: n-gram-heuristic language ID (stopword-hit argmax with
+# pinned precedence).
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+    return (
+        f"len(list_filter({_SQL_TOKENS}, t -> list_contains({arr}, lower(t))))"
+    )
+
+_LANG_CASE = " ".join(
+    f"WHEN {lang}_hits = best THEN '{lang}'" for lang in LANG_ORDER
+)
+
+@query(
+    "q17_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {", ".join(f"{_lang_score_sql(lang)} AS {lang}_hits" for lang in LANG_ORDER)}
+      FROM documents),
+    b AS (SELECT s.*, greatest({", ".join(f"{lang}_hits" for lang in LANG_ORDER)}) AS best FROM s)
+    SELECT doc_id, {", ".join(f"{lang}_hits" for lang in LANG_ORDER)},
+           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred
+    FROM b
+    """,
+)
+def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_hits") for lang in LANG_ORDER],
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact content dedup (hash groupBy on md5 key). Corpus unioned
+# with itself so duplicate groups actually exist at every sf.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY 1
+    """,
+)
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup_by_content(docs.unionByName(docs), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: EXACT n-gram Jaccard near-dup pairs (inverted gram index —
+# lossless candidate generation, then exact verify).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b,
+                          len(list_intersect(sa.g, sb.g)) AS ninter,
+                          len(sa.g) AS na, len(sb.g) AS nb
+                   FROM cand
+                   JOIN gsets sa ON sa.doc_id = cand.id_a
+                   JOIN gsets sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, ROUND(ninter / (na + nb - ninter), 4) AS jaccard_sim
+    FROM pairs WHERE ninter / (na + nb - ninter) >= 0.8
+    """,
+)
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH with a cross-engine-deterministic hash family
+# (polynomial char hash + affine permutations, r=1 bands) so even the
+# LSH candidate set is oracle-checkable. Production path uses the
+# xxhash64 family (operators.dedup.minhash_dedup_pairs).
+# ---------------------------------------------------------------------------
+
+_SQL_SIG = "[" + ", ".join(
+    f"CAST(list_min(list_transform(hs, x -> ({a} * x + {b}) % 2147483647)) AS BIGINT)"
+    for a, b in MINHASH_AFFINE
+) + "]"
+
+@query(
+    "q20_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         hashed AS (SELECT doc_id, g, list_transform(g, s -> {_SQL_POLYHASH}) AS hs FROM gsets),
+         sigs AS (SELECT doc_id, g, {_SQL_SIG} AS sig FROM hashed),
+         bands AS (SELECT doc_id, i, sig[CAST(i + 1 AS INTEGER)] AS sv
+                   FROM sigs, (SELECT unnest(generate_series(0, 7)) AS i)),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b ON a.i = b.i AND a.sv = b.sv AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b,
+                          len(list_intersect(sa.g, sb.g)) AS ninter,
+                          len(sa.g) AS na, len(sb.g) AS nb
+                   FROM cand
+                   JOIN sigs sa ON sa.doc_id = cand.id_a
+                   JOIN sigs sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, ROUND(ninter / (na + nb - ninter), 4) AS jaccard_sim
+    FROM pairs WHERE ninter / (na + nb - ninter) >= 0.8
+    """,
+)
+def q20_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles("text", 3))
+    base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
+    sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), F.col("sig")[i].alias("sv")) for i in range(8)])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "i", "sv")
+    b = bands.select(F.col("doc_id").alias("id_b"), "i", "sv")
+    cand = (
+        a.join(b, on=["i", "sv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = base.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = base.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("ga"), F.col("gb")))
+        .where(F.col("jaccard_sim") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k for an in-table
+# query vector (baseline; the IVF variant is the scale path).
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(qv)), j -> av[j] * bv[j]), "
+    "(acc, x) -> acc + x)"
+)
+
+@query(
+    "q21_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT e.vec_id,
+                      ROUND(
+                        list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                    j -> CAST(e.embedding AS DOUBLE[])[j] * q.qv[j]),
+                                    (acc, x) -> acc + x)
+                        / (sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                    j -> CAST(e.embedding AS DOUBLE[])[j] * CAST(e.embedding AS DOUBLE[])[j]),
+                                    (acc, x) -> acc + x))
+                         * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                    j -> q.qv[j] * q.qv[j]),
+                                    (acc, x) -> acc + x))), 4) AS cos_sim
+               FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT vec_id, cos_sim
+    FROM (SELECT s.*, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+    WHERE rn <= 10
+    """,
+)
+def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_for_id(emb, 0, "vec_id", "embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-dup pairs, exact all-pairs baseline
+# (quadratic — LSH-bucketed variant in operators.dedup is the scale
+# path; this one is the oracle-checkable ground truth).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_embedding_dups",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ROUND(
+                        list_reduce(list_transform(generate_series(1, len(a.v)), j -> a.v[j] * b.v[j]), (acc, x) -> acc + x)
+                        / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), j -> a.v[j] * a.v[j]), (acc, x) -> acc + x))
+                         * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), j -> b.v[j] * b.v[j]), (acc, x) -> acc + x))), 4) AS cos_sim
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def q22_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched pandas decode (fake,
+# deterministic backend) — the oracle reproduces the fake's math, so
+# this differential-tests the mapInPandas plumbing itself.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q23_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def q23_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs, "text")
+    return decode_image_meta(payloads, "payload", "doc_id", decode_backend="fake")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: BPE-ish subword token-count estimate.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q24_subword_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split_regex(text, '[^A-Za-z]+'),
+                w -> CASE WHEN length(w) > 0 THEN CAST(ceil(length(w) / 4) AS BIGINT) ELSE 0 END))
+                + length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS BIGINT) AS subword_tokens
+    FROM documents
+    """,
+)
+def q24_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", subword_token_count("text").alias("subword_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash near-dup pairs — production xxhash64 family, not
+# reproducible in the oracle engine ⇒ rows-only check (the pytest suite
+# pins semantics against brute-force hamming instead).
+# ---------------------------------------------------------------------------
+
+@query("q25_simhash_pairs")
+def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.operators.dedup import (
+    dedup_by_content,
+    dedup_exact,
+    hamming64,
+    jaccard,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs_exact,
+    simhash,
+    simhash_pairs,
+)
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different words about spark engines and parquet columnar files"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_dedup_exact_and_content(spark):
+    df = _corpus(spark)
+    assert dedup_exact(df, ["text"]).count() == 3
+    groups = dedup_by_content(df, "text", "doc_id").collect()
+    dup = [g for g in groups if g.dup_count == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
+    assert abs(df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first().j - 0.5) < 1e-9
+
+
+def test_minhash_dedup_pairs_finds_near_dups(spark):
+    df = _corpus(spark)
+    pairs = minhash_dedup_pairs(
+        df, "doc_id", "text", shingle_k=5, num_perm=32, bands=16, threshold=0.6
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # identical pair always; near pair (1,3)/(2,3) should be caught at 0.6
+    assert (1, 2) in got
+    assert (1, 3) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_exact_is_lossless(spark):
+    df = _corpus(spark)
+    pairs = ngram_jaccard_pairs_exact(df, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_properties(spark):
+    df = _corpus(spark)
+    vals = {r.doc_id: r.s for r in df.select("doc_id", simhash("text").alias("s")).collect()}
+    assert vals[1] == vals[2]  # identical text ⇒ identical simhash
+    h13 = spark.createDataFrame([(vals[1], vals[3])], "a long, b long").select(
+        hamming64(F.col("a"), F.col("b")).alias("h")
+    ).first().h
+    h14 = spark.createDataFrame([(vals[1], vals[4])], "a long, b long").select(
+        hamming64(F.col("a"), F.col("b")).alias("h")
+    ).first().h
+    assert h13 < h14  # near-dup closer than unrelated doc
+
+
+def test_simhash_pairs_blocking_matches_brute_force(spark):
+    df = _corpus(spark)
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    # brute force over all 6 pairs
+    vals = {r.doc_id: r.s for r in df.select("doc_id", simhash("text").alias("s")).collect()}
+    expect = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(vals[a] ^ vals[b]).count("1") <= 3:
+                expect.add((a, b))
+    assert got == expect

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.operators.similarity import (
+    assign_ivf_cells,
+    cosine,
+    cosine_topk,
+    cosine_topk_for_id,
+    ivf_topk,
+)
+from redskins_rule_spark.operators.text import (
+    lang_id,
+    quality_score,
+    subword_token_count,
+    token_count,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    got = [r.c for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [0.0, 1.0]
+
+
+def test_cosine_topk_literal_query(spark):
+    out = cosine_topk(_vecs(spark), [1.0, 0.0, 0.0], "vec_id", "embedding", k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]
+
+
+def test_cosine_topk_for_id_excludes_self(spark):
+    out = cosine_topk_for_id(_vecs(spark), 0, "vec_id", "embedding", k=2).collect()
+    assert [r.vec_id for r in out] == [1, 4]
+
+
+def test_ivf_matches_brute_force_on_probed_space(spark):
+    df = _vecs(spark)
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    cells = {r.vec_id: r.cell for r in assign_ivf_cells(df, centroids, "embedding").collect()}
+    assert cells[0] == 0 and cells[2] == 1 and cells[3] == 2
+    out = ivf_topk(df, centroids, [1.0, 0.05, 0.0], "vec_id", "embedding", k=3, nprobe=2)
+    ids = [r.vec_id for r in out.collect()]
+    assert ids[0] == 0 and 3 not in ids  # cell 2 pruned
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a hat in the flat today ok",), ("x",)],
+        "text string",
+    )
+    rows = df.select(
+        token_count("text").alias("n"),
+        subword_token_count("text").alias("sw"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0].n == 14 and rows[1].n == 1
+    assert rows[0].sw >= 14 - 2  # short words ≈ 1 subword each
+    assert rows[0].q > rows[1].q  # long stopword-y text scores higher
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("el perro y la casa de un gato es",),
+            ("qqq zzz www",),
+        ],
+        "text string",
+    )
+    got = [r.lang for r in df.select(lang_id("text").alias("lang")).collect()]
+    assert got == ["en", "es", "und"]
