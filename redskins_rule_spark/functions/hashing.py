@@ -33,16 +33,26 @@ def shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles (space-joined) from a whitespace-tokenized string."""
+    """k-word shingles (space-joined) from a whitespace-tokenized string.
+
+    Implementation note: built as a zip_with chain over k SHIFTED
+    SLICES of the token array, not `transform(sequence(i), slice(toks,
+    i, k))`. Higher-order-function lambdas are interpreted per element,
+    so a lambda body that references `split(...)` re-tokenizes the
+    whole document once per shingle — O(L²). The slice form evaluates
+    the split k times total: O(k·L).
+    """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+
+    def shifted(j: int) -> Column:
+        return F.slice(toks, j + 1, n)
+
+    acc = shifted(0)
+    for j in range(1, k):
+        acc = F.zip_with(acc, shifted(j), lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(acc)
 
 
 def hashed(col: Column, seed: int) -> Column:
@@ -58,17 +68,24 @@ def minhash_signature(shingle_arr: Column, num_perm: int = 64) -> Column:
 
     Empty shingle arrays yield nulls in every slot (callers filter).
 
-    NB: permutation index is bound via a closure factory — a
-    `lambda s, i=i:` would be arity-2 and PySpark would pass the ARRAY
-    INDEX as the second argument, silently breaking the hash family.
+    Implementation note: ONE `aggregate` pass with an array<long>
+    accumulator (acc[i] = running min of hash_i), not num_perm
+    independent `array_min(transform(...))` subtrees — the latter
+    duplicates the shingle-array expression num_perm times and
+    CollapseProject re-inlines it even if the caller materialized it
+    as a column, turning O(|shingles|·k) into O(|shingles|·k²).
     """
-
-    def perm(i: int):
-        return lambda s: hashed(s, i)
-
-    return F.array(
-        *[F.array_min(F.transform(shingle_arr, perm(i))) for i in range(num_perm)]
+    max_long = (1 << 63) - 1
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_perm)
+    sig = F.aggregate(
+        shingle_arr,
+        init,
+        lambda acc, s: F.array(
+            *[F.least(acc[i], hashed(s, i)) for i in range(num_perm)]
+        ),
     )
+    nulls = F.array(*[F.lit(None).cast("long") for _ in range(num_perm)])
+    return F.when(F.size(shingle_arr) == 0, nulls).otherwise(sig)
 
 
 # affine permutation constants for the cross-engine MinHash family
@@ -94,17 +111,24 @@ def minhash_signature_xengine(
     testing, not the 100 TB path."""
     if num_perm > len(MINHASH_AFFINE):
         raise ValueError(f"num_perm ≤ {len(MINHASH_AFFINE)} for the x-engine family")
+    # one aggregate pass over the (once-evaluated) poly-hash array:
+    # the char-level hash runs once per shingle, the cheap affine maps
+    # run num_perm times per shingle (see minhash_signature note)
     hs = F.transform(shingle_arr, lambda s: poly_hash(s, modulus))
-
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % modulus
-
-    return F.array(
-        *[
-            F.array_min(F.transform(hs, affine(a, b)))
-            for a, b in MINHASH_AFFINE[:num_perm]
-        ]
+    max_long = (1 << 63) - 1
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_perm)
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(acc[i], (F.lit(a) * h + F.lit(b)) % modulus)
+                for i, (a, b) in enumerate(MINHASH_AFFINE[:num_perm])
+            ]
+        ),
     )
+    nulls = F.array(*[F.lit(None).cast("long") for _ in range(num_perm)])
+    return F.when(F.size(shingle_arr) == 0, nulls).otherwise(sig)
 
 
 def char_fingerprint(col: Column | str, modulus: int = MERSENNE_31) -> Column:

@@ -62,6 +62,64 @@ def dedup_by_content(
 
 
 # ---------------------------------------------------------------------------
+# shared candidate-generation primitive
+# ---------------------------------------------------------------------------
+
+
+def pairs_from_posting_lists(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs that share a bucket key — the candidate
+    step of every LSH/inverted-index dedup operator.
+
+    Instead of a self equi-join (which plans the bucket-computation
+    pipeline TWICE — broadcast joins have no exchange to reuse — and
+    shuffles both sides), group once per key into a sorted posting
+    list, then generate the within-list pairs expression-side
+    (two-arg `transform` + slice) and explode. One shuffle, the
+    upstream pipeline evaluated once.
+
+    Skew: a key with p postings emits p·(p-1)/2 pairs in one task —
+    at 100 TB cap hot buckets (document-frequency cut for gram
+    indexes; more bands/bits for LSH) or salt before this step.
+
+    With `payload_col`, each side's payload rides along as
+    `payload_a` / `payload_b` (for verify steps that need signatures
+    without another join).
+    """
+    if payload_col is None:
+        item = F.col(id_col).alias("id")
+        pair = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
+        out = ["p.id_a", "p.id_b"]
+    else:
+        item = F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("pl"))
+        pair = lambda x, y: F.struct(  # noqa: E731
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["pl"].alias("payload_a"),
+            y["pl"].alias("payload_b"),
+        )
+        out = ["p.id_a", "p.id_b", "p.payload_a", "p.payload_b"]
+    ids = F.array_sort(F.collect_list(item))
+    grouped = (
+        df.groupBy(*key_cols).agg(ids.alias("__ids")).where(F.size("__ids") > 1)
+    )
+    lst = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.size(lst)), lambda y: pair(x, y)
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select(*out)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -114,16 +172,8 @@ def lsh_candidates(
         df.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
-    )
     return (
-        a.join(b, on=["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        pairs_from_posting_lists(exploded, ["band", "band_hash"], id_col)
         .distinct()
     )
 
@@ -199,14 +249,7 @@ def ngram_jaccard_pairs(
             ])
         ).alias("b"),
     ).select(id_col, "b.perm", "b.bkey")
-    a = blocks.select(F.col(id_col).alias("id_a"), "perm", "bkey")
-    b = blocks.select(F.col(id_col).alias("id_b"), "perm", "bkey")
-    cands = (
-        a.join(b, on=["perm", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = pairs_from_posting_lists(blocks, ["perm", "bkey"], id_col).distinct()
     ga = base.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
     gb = base.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     return (
@@ -238,20 +281,26 @@ def ngram_jaccard_pairs_exact(
     grams = F.array_distinct(word_shingles(text_col, n))
     base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
     inv = base.select(id_col, F.explode("__g").alias("gram"))
-    a = inv.select(F.col(id_col).alias("id_a"), "gram")
-    b = inv.select(F.col(id_col).alias("id_b"), "gram")
-    cands = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Count-based verification: grams are distinct per doc, so the
+    # number of shared-gram co-occurrences per pair IS |A ∩ B| — no
+    # need to re-join the full gram arrays per candidate or run
+    # array_intersect. Candidates come from per-gram posting lists
+    # (one shuffle, gram pipeline evaluated once).
+    inter = (
+        pairs_from_posting_lists(inv, ["gram"], id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ninter"))
     )
-    ga = base.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    gb = base.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    sizes = base.select(F.col(id_col), F.size("__g").alias("__n"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    # no broadcast hint: sizes is one row per doc — tiny at test SF
+    # (AQE broadcasts it), shuffle-joined at 100 TB.
+    union_size = F.col("__na") + F.col("__nb") - F.col("__ninter")
     return (
-        cands.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", F.col("__ninter") / union_size)
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
@@ -319,12 +368,15 @@ def simhash_pairs(
             ])
         ).alias("c"),
     ).select(id_col, "__sim", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "ci", "cv")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "ci", "cv")
+    # posting-list pair generation with the signature riding along as
+    # payload: one shuffle, signatures computed once, no verify join
     return (
-        a.join(b, on=["ci", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"))
+        pairs_from_posting_lists(chunks, ["ci", "cv"], id_col, payload_col="__sim")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("payload_a"), F.col("payload_b")).alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

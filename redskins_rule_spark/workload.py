@@ -515,13 +515,17 @@ from redskins_rule_spark.operators.dedup import (  # noqa: E402
     dedup_by_content,
     jaccard,
     ngram_jaccard_pairs_exact,
+    pairs_from_posting_lists,
     simhash_pairs,
 )
 from redskins_rule_spark.operators.multimodal import (  # noqa: E402
     decode_image_meta,
     with_binary_payload,
 )
-from redskins_rule_spark.operators.similarity import cosine, cosine_topk_for_id  # noqa: E402
+from redskins_rule_spark.operators.similarity import (  # noqa: E402
+    cosine_pairs_blocked,
+    cosine_topk_for_id,
+)
 from redskins_rule_spark.operators.text import (  # noqa: E402
     LANG_ORDER,
     LANG_PROFILES,
@@ -743,14 +747,9 @@ def q20_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(i).alias("i"), F.col("sig")[i].alias("sv")) for i in range(8)])
         ).alias("b"),
     ).select("doc_id", F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
-    a = bands.select(F.col("doc_id").alias("id_a"), "i", "sv")
-    b = bands.select(F.col("doc_id").alias("id_b"), "i", "sv")
-    cand = (
-        a.join(b, on=["i", "sv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # posting-list pair generation: one shuffle, the x-engine signature
+    # pipeline evaluated once (a self-join would plan it per side)
+    cand = pairs_from_posting_lists(bands, ["i", "sv"], "doc_id").distinct()
     ga = base.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = base.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
     return (
@@ -819,13 +818,7 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
-    )
+    return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, num_blocks=16)
 
 
 # ---------------------------------------------------------------------------
