@@ -114,7 +114,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     for col in ("ts",):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: nanosecond epochs (~1.7e18)
+            # exceed double's 2^53 mantissa, so float division is off
+            # by ±1µs after floor
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df

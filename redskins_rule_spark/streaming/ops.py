@@ -1,0 +1,217 @@
+"""Streaming operators over event streams.
+
+Design rules (100 TB / always-on):
+  * every aggregation is watermarked — unbounded state is a leak, not
+    a feature; late rows beyond the watermark are dropped by contract;
+  * all transformations are the SAME DataFrame expressions as batch —
+    each operator here takes a DataFrame that may be batch or
+    streaming, so batch backfill and streaming serve one code path
+    (tested by the streaming/batch parity tests);
+  * stateful custom logic uses applyInPandasWithState (Arrow-batched,
+    explicit timeouts) — never driver-side accumulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def stream_from_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """File-source stream over a landing directory.
+
+    This is the reference's ingest loop (new parquet per season,
+    SURVEY.md §2.9) done right: the source tracks processed files in
+    the checkpoint, so each `Trigger.AvailableNow` run processes
+    exactly the new files. Schema is REQUIRED (streaming sources
+    don't infer).
+    """
+    reader = spark.readStream.format(fmt).schema(schema).options(**options)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_extra: list[str] | None = None,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling-window counts (+ optional value sum) per window and
+    extra keys. Works on batch and streaming frames identically —
+    watermark applies only when streaming.
+
+    Output: window_start, window_end timestamps + keys + n_events
+    [+ sum_value]. State per (window, keys) is dropped once the
+    watermark passes window_end — bounded state.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window).alias("w"), *(group_extra or [])]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    return (
+        df.groupBy(*keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(group_extra or []),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user sessions with an inactivity gap (session_window).
+
+    A session's state closes — and the row emits — once the watermark
+    passes last_event + gap; state is bounded by active sessions.
+    Output: user, session_start, session_end, n_events.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key stream: drop duplicate events by key
+    within the watermark horizon (`dropDuplicatesWithinWatermark`
+    keeps state bounded; plain dropDuplicates on a stream would grow
+    state forever)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
+_RUNNING_TOTAL_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_RUNNING_TOTAL_STATE = "n bigint, total double"
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count and
+    value total across micro-batches via applyInPandasWithState.
+
+    Demonstrates the arbitrary-stateful path for logic windows can't
+    express (cross-batch accumulators, custom eviction). State is one
+    (count, total) pair per user; with `timeout_ms` idle users are
+    evicted (emitting nothing) — the pattern for bounded state under
+    unbounded key cardinality.
+    """
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_TOTAL_SCHEMA,
+        stateStructType=_RUNNING_TOTAL_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    sink_table: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain everything currently available through the streaming
+    plan into an in-memory sink table, then stop (Trigger.AvailableNow
+    — the incremental-batch trigger). Checkpointed: a second call with
+    the same checkpoint processes only NEW files."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_files(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """File-sink variant of `run_available_now`. Unlike the memory
+    sink this one RECOVERS from its checkpoint, so repeated calls give
+    true incremental batch: run N processes only files that landed
+    since run N-1 (exactly-once via the sink's transaction log)."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -873,3 +873,74 @@ def q24_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Streaming operators, batch-checked: the SAME functions serve
+# readStream frames (tests/test_streaming.py pins streaming/batch
+# parity); here their batch output enters the DuckDB differential.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.streaming.ops import (  # noqa: E402
+    sessionized_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "q26_event_windows",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q26_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = tumbling_counts(ev, window="1 hour", group_extra=["event_type"])
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q27_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = sessionized_counts(ev, gap="30 minutes")
+    # explicit 6-digit fractional format: engines disagree on rendering
+    # trailing-zero microseconds in a bare timestamp→string cast
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )

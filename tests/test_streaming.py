@@ -1,0 +1,154 @@
+"""Structured Streaming tests.
+
+Core invariant: every streaming operator is the SAME expression as
+batch, so draining a file-source stream with Trigger.AvailableNow must
+produce exactly the batch result on the same files (streaming/batch
+parity). Also pins incremental pickup (second run with the same
+checkpoint sees only new files) and the applyInPandasWithState
+running-total operator.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.sources.io import table
+from redskins_rule_spark.streaming import (
+    run_available_now,
+    sessionized_counts,
+    stateful_running_totals,
+    stream_from_files,
+    streaming_dedup,
+    tumbling_counts,
+)
+from redskins_rule_spark.streaming.ops import run_available_now_to_files
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Events table re-written as a plain-timestamp parquet landing
+    dir (the raw testdata file carries TIMESTAMP(NANOS), which the
+    streaming source can't read without the session-level legacy
+    conf — `table()` normalizes it).
+
+    A far-future SENTINEL event (user_id/event_id = -1) is appended so
+    the watermark advances past every real window: append-mode
+    aggregations only emit windows the watermark has closed, so
+    without it the tail windows would sit in state forever and
+    streaming/batch parity could not be exact. The sentinel's own
+    (unclosed) window is the only row the stream withholds.
+    """
+    d = str(tmp_path / "landing")
+    ev = table(spark, SF_DIR, "events")
+    ev.write.parquet(d)
+    sentinel_ts = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    )
+    sentinel = sentinel_ts.select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _drain(spark, stream_df, tmp_path, mode="append"):
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    run_available_now(stream_df, str(tmp_path / f"ckpt_{name}"), name, mode)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, tmp_path, events_dir):
+    batch = table(spark, SF_DIR, "events")
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_from_files(spark, events_dir, schema)
+
+    # expected: batch result on the REAL events (sentinel's window is
+    # the one row append mode correctly withholds — never closed)
+    want = {
+        tuple(r)
+        for r in tumbling_counts(batch, group_extra=["event_type"]).collect()
+    }
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark, tumbling_counts(stream, group_extra=["event_type"]), tmp_path
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_sessionized_counts_stream_matches_batch(spark, tmp_path, events_dir):
+    batch = table(spark, SF_DIR, "events")
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_from_files(spark, events_dir, schema)
+    want = {tuple(r) for r in sessionized_counts(batch).collect()}
+    got = {
+        tuple(r)
+        for r in _drain(spark, sessionized_counts(stream), tmp_path).collect()
+        if r["user_id"] != -1
+    }
+    assert got == want and len(want) > 0
+
+
+def test_available_now_is_incremental(spark, tmp_path, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    ckpt = str(tmp_path / "ckpt_inc")
+    out = str(tmp_path / "out_inc")
+
+    stream = stream_from_files(spark, events_dir, schema)
+    run_available_now_to_files(stream.select("event_id"), ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    total = spark.read.parquet(events_dir).count()
+    assert n1 == total
+
+    # drop a NEW file into the landing dir; a second run with the same
+    # checkpoint must process only that file
+    extra = spark.range(5).select(
+        (F.col("id") + 10**9).alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    extra.coalesce(1).write.mode("append").parquet(events_dir)
+    stream2 = stream_from_files(spark, events_dir, schema)
+    run_available_now_to_files(stream2.select("event_id"), ckpt, out)
+    assert spark.read.parquet(out).count() == n1 + 5
+
+
+def test_streaming_dedup(spark, tmp_path, events_dir):
+    # duplicate every file's contents, then dedup by event_id
+    dup_dir = str(tmp_path / "dup_landing")
+    src = spark.read.parquet(events_dir)
+    src.unionByName(src).write.parquet(dup_dir)
+    schema = src.schema
+    stream = stream_from_files(spark, dup_dir, schema)
+    out = _drain(spark, streaming_dedup(stream, ["event_id"]), tmp_path)
+    assert out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    land = str(tmp_path / "state_landing")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id bigint, value double"
+    ).write.parquet(land)
+    schema = spark.read.parquet(land).schema
+    stream = stream_from_files(spark, land, schema)
+    out = _drain(spark, stateful_running_totals(stream), tmp_path, mode="update")
+    rows = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    assert rows == {1: (2, 15.0), 2: (1, 1.0)}
+
+    shutil.rmtree(str(tmp_path / "state_landing"), ignore_errors=True)
