@@ -1,0 +1,140 @@
+"""Tests: nested-explode operators (v1 ESPN path), ingest staging, and
+the custom Python DataSource."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redskins_rule_spark.operators.nested import (
+    explode_into,
+    flatten_arrays,
+    flatten_events_v1,
+)
+from redskins_rule_spark.sources.datasource import register
+from redskins_rule_spark.sources.ingest import (
+    fetch_schedule_rows,
+    forward_fill_year,
+    schedule_url_for,
+    stage_rows,
+)
+
+# --- nested (FIXTURES.md §5) -----------------------------------------------
+
+SCORE = T.StructType([T.StructField("value", T.DoubleType())])
+COMPETITOR = T.StructType(
+    [T.StructField("id", T.StringType()), T.StructField("score", SCORE)]
+)
+COMPETITION = T.StructType(
+    [T.StructField("competitors", T.ArrayType(COMPETITOR))]
+)
+EVENT = T.StructType(
+    [
+        T.StructField("date", T.StringType()),
+        T.StructField("competitions", T.ArrayType(COMPETITION)),
+    ]
+)
+PAYLOAD = T.StructType([T.StructField("events", T.ArrayType(EVENT))])
+
+
+def _payload():
+    def comp(cid, score):
+        return Row(id=cid, score=Row(value=score))
+
+    return Row(
+        events=[
+            Row(
+                date="2004-10-31T18:00Z",
+                competitions=[Row(competitors=[comp("28", 14.0), comp("9", 28.0)])],
+            ),
+            Row(
+                date="2004-11-07T18:00Z",
+                competitions=[Row(competitors=[comp("28", 17.0), comp("21", 10.0)])],
+            ),
+        ]
+    )
+
+
+def test_flatten_events_v1(spark):
+    df = spark.createDataFrame([_payload()], PAYLOAD)
+    out = flatten_events_v1(df).orderBy("game_date", "competitor_id")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("2004-10-31T18:00Z", "28", 14.0),
+        ("2004-10-31T18:00Z", "9", 28.0),
+        ("2004-11-07T18:00Z", "21", 10.0),
+        ("2004-11-07T18:00Z", "28", 17.0),
+    ]
+
+
+def test_flatten_arrays_drops_empty_by_default_keeps_with_outer(spark):
+    empty = Row(events=[])
+    df = spark.createDataFrame([_payload(), empty], PAYLOAD)
+    assert flatten_arrays(df, ["events"]).count() == 2
+    assert flatten_arrays(df, ["events"], outer=True).count() == 3
+
+
+def test_explode_into(spark):
+    df = spark.createDataFrame([Row(k=1, xs=[10, 20])])
+    out = explode_into(df, "xs", "x")
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (1, 20)]
+
+
+# --- ingest staging --------------------------------------------------------
+
+
+def test_schedule_url_eras():
+    assert "washington-redskins/results/2019" in schedule_url_for(2019)
+    assert "washington-football-team/results/2020" in schedule_url_for(2020)
+    assert "washington-commanders/results/2022" in schedule_url_for(2022)
+
+
+def test_stage_rows_materializes_index(spark):
+    rows = [(2004, "10/31", "Green Bay", "28"), (2004, "10/31", "Washington", "14")]
+    df = stage_rows(spark, rows, "year int, date string, team string, final string")
+    got = df.orderBy("").select("", "team").collect()
+    assert [(r[0], r[1]) for r in got] == [("0", "Green Bay"), ("1", "Washington")]
+
+
+def test_forward_fill_year(spark):
+    df = spark.createDataFrame(
+        [(0, "1972", "Nixon"), (1, "", "McGovern"), (2, "1976", "Carter"), (3, None, "Ford")],
+        "row_num long, year string, candidate string",
+    )
+    out = forward_fill_year(df).orderBy("row_num").collect()
+    assert [r["year"] for r in out] == ["1972", "1972", "1976", "1976"]
+
+
+def test_fetch_schedule_rows_deterministic_fake():
+    rows = fetch_schedule_rows(2004)
+    assert len(rows) == 2 and rows[1][2] == "Washington"
+    assert rows == fetch_schedule_rows(2004)
+
+
+def test_fetch_schedule_rows_injectable():
+    rows = fetch_schedule_rows(
+        2004,
+        fetch=lambda url: f"<html>{url}</html>",
+        parse=lambda html, year: [(year, "1/1", "X", "0")],
+    )
+    assert rows == [(2004, "1/1", "X", "0")]
+
+
+# --- custom DataSource -----------------------------------------------------
+
+
+def test_schedule_datasource_partitions_per_season(spark):
+    register(spark)
+    df = (
+        spark.read.format("schedule")
+        .option("start", 2000)
+        .option("end", 2004)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    pdf = df.toPandas()
+    assert len(pdf) == 10  # two rows per season
+    assert set(pdf["year"]) == set(range(2000, 2005))
+    assert (pdf.groupby("year")["team"].apply(lambda s: "Washington" in set(s))).all()
