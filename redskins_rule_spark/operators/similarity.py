@@ -129,6 +129,15 @@ def cosine_pairs_blocked(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("items"))
     )
+    # Upper-triangle theta self-join over the B packed block rows.
+    # This plans as a BroadcastNestedLoopJoin — DELIBERATE and NOT the
+    # quadratic-in-data anti-pattern: both sides are the B-row block
+    # index (B ≈ 16), so the loop is O(B²) block-pair emissions and
+    # each data vector is broadcast once inside its block row. That is
+    # the block-matrix-multiply layout. When blocks outgrow
+    # broadcastable size (≫ executor memory), switch to co-partitioned
+    # pair keys (explode each block to its B pair buckets — O(B·n)
+    # shuffle, the exact-all-pairs lower bound).
     pairs = (
         packed.alias("a")
         .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))

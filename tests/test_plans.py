@@ -1,0 +1,82 @@
+"""Physical-plan assertions — the 100 TB contract, checked in CI.
+
+Each test pins a plan property that correctness tests can't see but
+that decides whether the operator survives a 1000-executor scale-up:
+filters reaching the parquet scan, column pruning, broadcast joins on
+dims, no BroadcastNestedLoopJoin on any hot path, whole-stage codegen
+on the scan pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redskins_rule_spark.plans.explain import (
+    assert_no_bnlj,
+    codegen_stage_count,
+    formatted_plan,
+    has_pushed_filters,
+)
+from redskins_rule_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return formatted_plan(QUERIES[name](spark, SF))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_column_pruning_on_wide_fact(spark):
+    # q02 aggregates revenue: its lineitem scan must read only the
+    # join key + price + discount, not all 16 columns
+    plan = _plan(spark, "q02_top_orders")
+    scan_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "lineitem" not in line
+    ]
+    li_schema = next(s for s in scan_schemas if "l_orderkey" in s)
+    assert "l_extendedprice" in li_schema and "l_discount" in li_schema
+    assert "l_comment" not in li_schema and "l_shipmode" not in li_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q03_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q06_asof_purchase_view",
+        "q19_ngram_jaccard",
+        "q20_minhash_lsh",
+        "q25_simhash_pairs",
+    ],
+)
+def test_no_quadratic_joins_on_hot_paths(spark, name):
+    # the as-of join must be the equi-bucket rewrite, and every dedup/
+    # similarity candidate step must be posting-list/equi-join shaped —
+    # a BNLJ anywhere here is quadratic at scale.
+    # (q22_embedding_dups is exempt by design: its BNLJ iterates the
+    # B-row BLOCK INDEX of the blocked matmul, not data rows — see
+    # cosine_pairs_blocked.)
+    assert_no_bnlj(QUERIES[name](spark, SF))
+
+
+def test_whole_stage_codegen_on_scan_pipeline(spark):
+    assert codegen_stage_count(QUERIES["q01_pricing_summary"](spark, SF)) >= 1
+
+
+def test_exact_dedup_is_partial_aggregated(spark):
+    # map-side combine: HashAggregate below AND above the exchange
+    plan = _plan(spark, "q18_dedup_exact")
+    lines = plan.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert agg_idx and ex_idx
+    assert min(agg_idx) < max(ex_idx) < max(agg_idx)
