@@ -944,3 +944,74 @@ def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface completeness: ROLLUP hierarchy totals (grouping
+# sets family — not exercised by the reference, SURVEY §2.4 "not
+# present", exposed as first-class engine surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q28_rollup_totals",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q28_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-operation surface: INTERSECT / EXCEPT (distinct semantics) over
+# customer segments (SURVEY §2.7 "not present" — engine surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q29_set_ops",
+    oracle="""
+    WITH mach AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         bld  AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         both_n AS (SELECT c_nationkey FROM mach INTERSECT SELECT c_nationkey FROM bld),
+         only_m AS (SELECT c_nationkey FROM mach EXCEPT SELECT c_nationkey FROM bld)
+    SELECT 'both' AS tag, c_nationkey FROM both_n
+    UNION ALL
+    SELECT 'machinery_only' AS tag, c_nationkey FROM only_m
+    """,
+)
+def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    mach = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    both_n = mach.intersect(bld).select(F.lit("both").alias("tag"), "c_nationkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep keys that merely
+    # occur MORE OFTEN on the left — different semantics)
+    only_m = mach.subtract(bld).select(
+        F.lit("machinery_only").alias("tag"), "c_nationkey"
+    )
+    return both_n.unionByName(only_m)

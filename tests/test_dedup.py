@@ -82,3 +82,20 @@ def test_simhash_pairs_blocking_matches_brute_force(spark):
             if bin(vals[a] ^ vals[b]).count("1") <= 3:
                 expect.add((a, b))
     assert got == expect
+
+
+def test_prefix_filter_equals_exact(spark):
+    from redskins_rule_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+        ngram_jaccard_pairs_prefix,
+    )
+    from redskins_rule_spark.sources.io import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {tuple(r) for r in ngram_jaccard_pairs_exact(docs, "doc_id", "text", 3, 0.8).collect()}
+    pref = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.8).collect()}
+    assert pref == exact
+    # and at a lower threshold (longer prefixes, more candidates kept)
+    exact5 = {tuple(r) for r in ngram_jaccard_pairs_exact(docs, "doc_id", "text", 3, 0.5).collect()}
+    pref5 = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.5).collect()}
+    assert pref5 == exact5
