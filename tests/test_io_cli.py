@@ -1,0 +1,92 @@
+"""IO readers (CSV/JSON incl. nested), observe metrics, and the CLI."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.plans.metrics import observed
+from redskins_rule_spark.sources.io import read_csv, read_json, read_parquet, write_parquet
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    p = str(tmp_path / "games.csv")
+    with open(p, "w") as f:
+        f.write("year,date,team,final\n2004,10/31,Washington,14\n2004,10/31,Green Bay,28\n")
+    schema = "year int, date string, team string, final string"
+    df = read_csv(spark, p, schema=schema)
+    assert df.schema.simpleString() == "struct<year:int,date:string,team:string,final:string>"
+    assert df.count() == 2
+
+
+def test_json_nested_read(spark, tmp_path):
+    p = str(tmp_path / "espn.json")
+    payload = {
+        "events": [
+            {
+                "date": "2004-10-31",
+                "competitions": [
+                    {"competitors": [{"id": "28", "score": {"value": 14.0}}]}
+                ],
+            }
+        ]
+    }
+    with open(p, "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    schema = (
+        "events array<struct<date:string,"
+        "competitions:array<struct<competitors:array<struct<id:string,"
+        "score:struct<value:double>>>>>>>"
+    )
+    df = read_json(spark, p, schema=schema)
+    flat = df.select(F.explode("events").alias("e")).select(
+        F.col("e.date"), F.explode("e.competitions").alias("c")
+    )
+    assert flat.count() == 1
+
+
+def test_write_parquet_partitioned_prunes(spark, tmp_path):
+    out = str(tmp_path / "by_year")
+    df = spark.createDataFrame([(2019, "a"), (2020, "b")], "year int, v string")
+    write_parquet(df, out, partition_by=["year"])
+    one = read_parquet(spark, out).where(F.col("year") == 2020)
+    # partition pruning: only the year=2020 directory is scanned
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and one.count() == 1
+
+
+def test_observed_counts_on_same_pass(spark):
+    df = spark.range(100).where(F.col("id") % 2 == 0)
+    df2, obs = observed(df)
+    assert df2.count() == 50
+    assert obs.get["n_rows"] == 50
+
+
+def test_cli_runs_pipeline(spark, tmp_path, monkeypatch):
+    # reuse the golden fixtures via the pipeline test helpers
+    import pandas as pd
+
+    from redskins_rule_spark.__main__ import main
+    from tests.test_redskins_pipeline import (
+        ELEC_SCHEMA,
+        GOLDEN,
+        NFL_SCHEMA,
+        _elec_fixture_rows,
+        _nfl_fixture_rows,
+    )
+
+    golden = pd.read_parquet(GOLDEN)
+    for c in ("elec_date", "game_date", "p_elec_date"):
+        golden[c] = golden[c].astype(str)
+    nfl_dir = str(tmp_path / "nfl")
+    elec_dir = str(tmp_path / "elec")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(_nfl_fixture_rows(golden), NFL_SCHEMA).write.parquet(nfl_dir)
+    spark.createDataFrame(_elec_fixture_rows(golden), ELEC_SCHEMA).write.parquet(elec_dir)
+
+    rc = main(["redskins", "--nfl", nfl_dir, "--elections", elec_dir, "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 12
