@@ -1015,3 +1015,131 @@ def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("machinery_only").alias("tag"), "c_nationkey"
     )
     return both_n.unionByName(only_m)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search, scale path: IVF-pruned approximate top-k. Cells
+# are axis-aligned unit centroids (e_0..e_3) so the assignment and the
+# probe set are SQL-expressible and the WHOLE approximate pipeline —
+# assignment, nprobe pruning, in-cell exact top-k — is oracle-checked,
+# not just the exact baseline (q21).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.similarity import ivf_topk  # noqa: E402
+
+_IVF_DIM = 4  # centroids: e_0..e_3 in the embedding space
+
+
+def _ivf_centroids(dim: int = 64):
+    return [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(_IVF_DIM)]
+
+
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))"
+)
+# cell = argmax_i round(v[i]/|v|, 6), ties to the LARGER index
+# (Spark array_max over struct(sim, idx))
+_SQL_CELL_SIM = ", ".join(
+    f"ROUND(v[{i + 1}] / {_SQL_NORM}, 6) AS s{i}" for i in range(_IVF_DIM)
+)
+_SQL_CELL_PICK = "".join(
+    # iterate high→low index so earlier (higher-idx) wins exact ties
+    f" WHEN s{i} = best THEN {i}"
+    for i in reversed(range(_IVF_DIM))
+)
+
+
+@query(
+    "q30_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cells AS (
+           SELECT vec_id, v, {_SQL_CELL_SIM} FROM e),
+         assigned AS (
+           SELECT vec_id, v,
+                  CASE{_SQL_CELL_PICK} END AS cell
+           FROM (SELECT cells.*, greatest(s0, s1, s2, s3) AS best FROM cells)),
+         q AS (SELECT v AS qv, s0, s1, s2, s3
+               FROM cells WHERE vec_id = 0),
+         probe AS (  -- nprobe=2: the two cells whose centroids are
+                     -- closest to the query vector, ties to larger idx
+           SELECT CASE{_SQL_CELL_PICK.replace("best", "b1")} END AS c
+           FROM (SELECT *, greatest(s0, s1, s2, s3) AS b1 FROM q)
+           UNION ALL
+           SELECT CASE{_SQL_CELL_PICK.replace("best", "b2")} END
+           FROM (
+             SELECT q.*,
+                    max(CASE WHEN sv < greatest(s0, s1, s2, s3) THEN sv END) AS b2
+             FROM q, (SELECT unnest([s0, s1, s2, s3]) AS sv FROM q)
+             GROUP BY ALL)),
+         scored AS (
+           SELECT a.vec_id,
+                  ROUND(
+                    list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                j -> a.v[j] * q.qv[j]), (x, y) -> x + y)
+                    / ({_SQL_NORM.replace("v,", "a.v,").replace("(v", "(a.v")}
+                       * {_SQL_NORM.replace("v,", "q.qv,").replace("(v", "(q.qv")}), 4)
+                    AS cos_sim
+           FROM assigned a, q
+           WHERE a.cell IN (SELECT c FROM probe) AND a.vec_id <> 0)
+    SELECT vec_id, cos_sim
+    FROM (SELECT scored.*, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q30_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    centroids = _ivf_centroids(dim)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        centroids,
+        [float(x) for x in qvec],
+        "vec_id",
+        "embedding",
+        k=10,
+        nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window surface completeness: LEAD / DENSE_RANK / NTILE / running SUM
+# with explicit frames (SURVEY §2.5 lists these as absent from the
+# reference — engine surface, pinned by total ordering).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q31_window_suite",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(CAST(LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE)
+               AS VARCHAR) AS next_order_date,
+           DENSE_RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           NTILE(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def q31_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        _date_str(F.lead("o_orderdate").over(w_time)).alias("next_order_date"),
+        F.dense_rank().over(w_price).alias("price_rank"),
+        F.ntile(4).over(w_time).alias("quartile"),
+    )
