@@ -1,0 +1,90 @@
+"""Document chunking — LLM-training-pipeline operator.
+
+Splits documents into overlapping token windows (the shape LLM data
+pipelines feed to tokenizers/packers). Two implementations:
+
+  * `chunk_tokens` — pure Catalyst expression (sequence → slice →
+    concat_ws over a ONCE-evaluated token array): the 100 TB path,
+    row-local, no Python.
+  * `ChunkDocs` — a PySpark Python UDTF (one input row → N output
+    rows) demonstrating the UDTF surface for chunkers that need real
+    tokenizers; Arrow-batched but still Python — keep off hot paths.
+
+Both emit identical chunks for whitespace tokenization (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_tokens(
+    text_col: Column | str, window: int = 64, stride: int = 32
+) -> Column:
+    """array<struct<chunk_idx int, chunk_text string, n_tokens int>>
+    of overlapping token windows. Chunks start every `stride` tokens;
+    the last chunk may be short but is never empty; documents shorter
+    than one window yield exactly one chunk.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - window, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(window)).cast("int").alias("n_tokens"),
+        ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """One row per chunk: (id, chunk_idx, chunk_text, n_tokens).
+    Row-local explode — partition-preserving, no shuffle."""
+    chunks = chunk_tokens(text_col, window, stride)
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def make_chunk_udtf(window: int = 64, stride: int = 32):
+    """Python UDTF variant (PySpark 4 `udtf`): lateral-joinable,
+    for chunkers needing real tokenizers. Returns the UDTF class
+    ready for spark.udtf.register / direct call."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDocs:
+        def eval(self, text: str):  # noqa: D401 - UDTF contract
+            if text is None:
+                return
+            toks = text.strip().split()
+            n = len(toks)
+            starts = range(0, max(n - window, 0) + stride, stride) if n else [0]
+            emitted = 0
+            for i, s in enumerate(starts):
+                piece = toks[s : s + window]
+                if not piece and emitted:
+                    break
+                yield i, " ".join(piece), len(piece)
+                emitted += 1
+
+    return ChunkDocs

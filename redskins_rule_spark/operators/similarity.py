@@ -219,6 +219,58 @@ def assign_ivf_cells(
     return df.withColumn(out, F.array_max(sims)["i"])
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Spherical k-means for IVF cells, distributed per iteration.
+
+    Assignment is the row-local `assign_ivf_cells` expression; the
+    update step computes per-cell mean vectors with ONE numpy pass per
+    cell inside applyInPandas (k groups — bounded, tiny). Only the
+    k×dim centroid matrix ever reaches the driver (it must: the next
+    iteration's assignment expression embeds it as literals).
+
+    Deterministic: init = the k vectors with the smallest ids; no RNG.
+    """
+    import numpy as np
+
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    def cell_means(pdf):
+        import pandas as pd
+
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        mean = vecs.mean(axis=0)
+        norm = np.linalg.norm(mean)
+        if norm > 0:
+            mean = mean / norm
+        return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "centroid": [mean.tolist()]})
+
+    for _ in range(iters):
+        assigned = assign_ivf_cells(
+            df.select(F.col(vec_col).cast("array<double>").alias("v")),
+            centroids,
+            "v",
+            out="cell",
+        )
+        new = (
+            assigned.groupBy("cell")
+            .applyInPandas(cell_means, "cell int, centroid array<double>")
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["centroid"]) for r in new}
+        # empty cells keep their previous centroid
+        centroids = [by_cell.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1143,3 +1143,32 @@ def q31_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_price).alias("price_rank"),
         F.ntile(4).over(w_time).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: overlapping token-window chunking (the document →
+# training-sample shape). Expression-only fast path; the UDTF variant
+# is pytest-pinned equivalent (tests/test_chunking.py).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.chunking import chunk_documents  # noqa: E402
+
+
+@query(
+    "q32_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         sized AS (SELECT doc_id, t, len(t) AS n,
+                          1 + CAST(ceil(greatest(len(t) - 32, 0) / 16.0) AS INT) AS n_chunks
+                   FROM toks)
+    SELECT doc_id,
+           i AS chunk_idx,
+           array_to_string(list_slice(t, i * 16 + 1, i * 16 + 32), ' ') AS chunk_text,
+           least(n - i * 16, 32) AS n_tokens
+    FROM sized, (SELECT unnest(generate_series(0, 1000)) AS i) idx
+    WHERE i < n_chunks
+    """,
+)
+def q32_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=32, stride=16)

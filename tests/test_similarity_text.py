@@ -82,3 +82,30 @@ def test_lang_id_heuristic(spark):
     )
     got = [r.lang for r in df.select(lang_id("text").alias("lang")).collect()]
     assert got == ["en", "es", "und"]
+
+
+def test_train_ivf_centroids_and_full_probe_equals_brute_force(spark):
+    from redskins_rule_spark.operators.similarity import (
+        assign_ivf_cells,
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from redskins_rule_spark.sources.io import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 4
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", k=k, iters=3)
+    assert len(cents) == k and all(len(c) == 64 for c in cents)
+    # every vector lands in a valid cell
+    cells = assign_ivf_cells(emb, cents, "embedding").select("cell").distinct()
+    assert {r["cell"] for r in cells.collect()} <= set(range(k))
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    body = emb.where(F.col("vec_id") != 1)
+    # probing ALL cells must equal exact brute force (losslessness of
+    # the pruning mechanism itself)
+    approx = {tuple(r) for r in ivf_topk(body, cents, qvec, "vec_id", "embedding", k=5, nprobe=k).collect()}
+    exact = {tuple(r) for r in cosine_topk(body, qvec, "vec_id", "embedding", k=5).collect()}
+    assert approx == exact
