@@ -65,6 +65,64 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+    order_cols: list[str] | None = None,
+    num_groups: int = 64,
+    out: str = "pack_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign each chunk a (group, pack_id)
+    such that the token sum per pack never exceeds `budget`
+    (chunks longer than the budget get a pack of their own).
+
+    Packing is inherently sequential, so it runs greedily WITHIN
+    deterministic hash groups (`num_groups` controls parallelism and
+    pack locality; at 100 TB groups are the unit of parallelism and
+    each group streams once through one Arrow-batched task). Order
+    within a group is pinned by `order_cols` — same input, same packs,
+    every run.
+
+    Output: input columns + group + pack_id (pack ids are unique
+    within a group, 0-based).
+    """
+    import pandas as pd
+
+    order_cols = order_cols or [tokens_col]
+    if group_col is None:
+        df = df.withColumn(
+            "__pack_grp",
+            F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(num_groups)),
+        )
+        group_col = "__pack_grp"
+    in_cols = df.columns
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} int"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        ids, cur, used = [], 0, 0
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                cur += 1
+                used = 0
+            ids.append(cur)
+            used += n
+        pdf[out] = ids
+        return pdf
+
+    return (
+        df.groupBy(group_col)
+        .applyInPandas(pack, schema)
+        .select(*in_cols, out)
+    )
+
+
 def make_chunk_udtf(window: int = 64, stride: int = 32):
     """Python UDTF variant (PySpark 4 `udtf`): lateral-joinable,
     for chunkers needing real tokenizers. Returns the UDTF class

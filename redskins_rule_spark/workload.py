@@ -1172,3 +1172,60 @@ from redskins_rule_spark.operators.chunking import chunk_documents  # noqa: E402
 def q32_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", window=32, stride=16)
+
+
+# ---------------------------------------------------------------------------
+# Type-surface: DECIMAL money aggregation — exact cross-engine equality
+# with NO rounding (SURVEY §1.3 lists DecimalType as unexercised by the
+# reference; it is the correct type for money at scale, immune to the
+# IEEE-sum-order nondeterminism doubles need ROUND for).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q33_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS exact_base,
+           SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+               * CAST(l_discount AS DECIMAL(18, 2))) AS exact_disc_amount,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q33_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("exact_base"),
+        F.sum(price * disc).alias("exact_disc_amount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-surface: MapType — JSON props parsed to map<string,bigint>,
+# exploded to entries and re-aggregated (SURVEY §1.3: MapType
+# unexercised by the reference).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q34_map_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q34_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    entries = ev.select(
+        "event_type", F.explode(props_map).alias("key", "value")
+    ).where(F.col("key") == "k")
+    return entries.groupBy(
+        "event_type", (F.col("value") % 10).alias("k_mod")
+    ).agg(F.count(F.lit(1)).alias("n_events"))

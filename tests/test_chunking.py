@@ -44,3 +44,54 @@ def test_udtf_matches_expression(spark):
         ).collect()
     }
     assert got == expr and len(expr) > 50
+
+
+def test_pack_chunks_respects_budget_and_is_deterministic(spark):
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", window=16, stride=16)
+    from redskins_rule_spark.operators.chunking import pack_chunks
+
+    packed = pack_chunks(
+        chunks, "n_tokens", budget=64,
+        order_cols=["doc_id", "chunk_idx"], num_groups=8,
+    )
+    pdf = packed.toPandas()
+    assert len(pdf) == chunks.count()
+    # budget invariant: no pack exceeds 64 tokens unless it is a
+    # single over-budget chunk
+    sums = pdf.groupby(["__pack_grp", "pack_id"]).agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "count")
+    )
+    bad = sums[(sums["total"] > 64) & (sums["n"] > 1)]
+    assert bad.empty, bad
+    # packs are reasonably full (greedy fill, not one chunk per pack)
+    assert sums["total"].mean() > 32
+    # determinism: re-run gives identical assignment
+    pdf2 = pack_chunks(
+        chunks, "n_tokens", budget=64,
+        order_cols=["doc_id", "chunk_idx"], num_groups=8,
+    ).toPandas()
+    key = ["doc_id", "chunk_idx"]
+    a = pdf.sort_values(key).reset_index(drop=True)
+    b = pdf2.sort_values(key).reset_index(drop=True)
+    assert (a["pack_id"] == b["pack_id"]).all() and (a["__pack_grp"] == b["__pack_grp"]).all()
+
+
+def test_pack_chunks_python_oracle(spark):
+    rows = [(i, 1, (i * 7) % 13 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tokens int")
+    from redskins_rule_spark.operators.chunking import pack_chunks
+
+    out = pack_chunks(
+        df, "n_tokens", budget=20, order_cols=["doc_id"], num_groups=4
+    ).toPandas()
+    for grp, g in out.groupby("__pack_grp"):
+        g = g.sort_values("doc_id")
+        cur, used = 0, 0
+        for _, r in g.iterrows():
+            n = int(r["n_tokens"])
+            if used > 0 and used + n > 20:
+                cur += 1
+                used = 0
+            assert int(r["pack_id"]) == cur, (grp, r)
+            used += n
