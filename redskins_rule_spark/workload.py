@@ -1229,3 +1229,63 @@ def q34_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entries.groupBy(
         "event_type", (F.col("value") % 10).alias("k_mod")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface: exact interpolated percentiles (median/p90) —
+# both engines compute exact quantile interpolation, so values hash-
+# match without approximation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q35_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface: LEFT SEMI / LEFT ANTI (EXISTS / NOT EXISTS) — listed in
+# SURVEY §2.3 as free engine surface; pinned here.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q36_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS tag, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', COUNT(*), ROUND(SUM(c_acctbal), 2)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q36_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    on = cust.c_custkey == orders.o_custkey
+
+    def agg(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        ).select(F.lit(tag).alias("tag"), "n_customers", "total_bal")
+
+    return agg(cust.join(orders, on, "left_semi"), "with_orders").unionByName(
+        agg(cust.join(orders, on, "left_anti"), "without_orders")
+    )
