@@ -77,3 +77,41 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_subkeys == 8  # the single hot key now occupies 8 shuffle keys
     out = salted_join(large, small, ["k"], salt=8)
     assert out.count() == 1000
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE posture (skewJoin on) actually splits a hot
+    key at runtime: final plan shows SortMergeJoin(skew=true) with a
+    skewed AQEShuffleRead. Thresholds are lowered to make a ~10MB
+    fixture 'skewed'; production defaults scale the same mechanism."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = spark.range(400000).select(
+            F.when(F.col("id") < 380000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        small = spark.range(2000).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+        joined = big.join(small, "k")
+        joined.collect()  # finalize the adaptive plan
+        plan = formatted_plan(joined, "simple")
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
