@@ -14,7 +14,7 @@ JVM-side, codegen'd, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,22 +47,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
 
-    Ties pinned by (rounded cosine desc, id asc). The global top-k
-    window is fine: after the row-local cosine projection the sort key
-    is tiny, and Spark executes global row_number top-k as a per-
-    partition take + merge.
+    Ties pinned by (rounded cosine desc, id asc).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_dp).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # orderBy + limit plans as TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver — NOT the global-window
+    # row_number shape, which would single-partition-sort every
+    # scored row. Ties pinned by (cos desc, id asc).
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 def cosine_topk_for_id(
@@ -87,12 +83,8 @@ def cosine_topk_for_id(
             F.round(cosine(F.col(vec_col), F.col("__qv")), round_dp).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # TakeOrderedAndProject (see cosine_topk) — no global-window sort
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 def cosine_pairs_blocked(

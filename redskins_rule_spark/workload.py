@@ -123,12 +123,9 @@ def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", _date_str("o_orderdate").alias("order_date"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # orderBy+limit → TakeOrderedAndProject (per-partition top-k +
+    # k-row merge), not a single-partition global-window sort
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,12 @@ def test_exact_dedup_is_partial_aggregated(spark):
     ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l]
     assert agg_idx and ex_idx
     assert min(agg_idx) < max(ex_idx) < max(agg_idx)
+
+
+@pytest.mark.parametrize("name", ["q02_top_orders", "q21_cosine_topk"])
+def test_topk_is_take_ordered_not_global_window(spark, name):
+    # global top-k must plan as TakeOrderedAndProject (per-partition
+    # top-k + k-row merge), never a single-partition window sort
+    plan = formatted_plan(QUERIES[name](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
