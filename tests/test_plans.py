@@ -89,3 +89,13 @@ def test_topk_is_take_ordered_not_global_window(spark, name):
     plan = formatted_plan(QUERIES[name](spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_documents_scan_prunes_unused_columns(spark):
+    # documents carries (doc_id, text, lang, source, n_chars); text
+    # queries must scan only what they use
+    plan = _plan(spark, "q15_token_stats")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
