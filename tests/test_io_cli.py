@@ -90,3 +90,20 @@ def test_cli_runs_pipeline(spark, tmp_path, monkeypatch):
     rc = main(["redskins", "--nfl", nfl_dir, "--elections", elec_dir, "--out", out])
     assert rc == 0
     assert spark.read.parquet(out).count() == 12
+
+
+def test_glob_scan_is_one_filescan(spark, tmp_path):
+    # the S7 fix: N files must be ONE FileScan node, not an N-deep
+    # union of per-file scans (the reference's loop-union shape)
+    out = str(tmp_path / "many")
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(out)
+    df = read_parquet(spark, out)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan
+    assert df.count() == 80
