@@ -102,8 +102,8 @@ def test_glob_scan_is_one_filescan(spark, tmp_path):
         ).parquet(out)
     df = read_parquet(spark, out)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), "simple"
     )
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("FileScan") == 1, plan
     assert "Union" not in plan
     assert df.count() == 80
