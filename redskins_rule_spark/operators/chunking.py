@@ -60,9 +60,17 @@ def chunk_documents(
     Row-local explode — partition-preserving, no shuffle."""
     chunks = chunk_tokens(text_col, window, stride)
     return (
-        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        # null text would flow through as size(null) = -1 token counts;
+        # a document with no text has no chunks
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+# default group column pack_chunks creates when group_col is not given
+# (public: callers aggregate by it)
+PACK_GROUP_COL = "__pack_grp"
 
 
 def pack_chunks(
@@ -93,10 +101,10 @@ def pack_chunks(
     order_cols = order_cols or [tokens_col]
     if group_col is None:
         df = df.withColumn(
-            "__pack_grp",
+            PACK_GROUP_COL,
             F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(num_groups)),
         )
-        group_col = "__pack_grp"
+        group_col = PACK_GROUP_COL
     in_cols = df.columns
 
     schema = ", ".join(

@@ -1286,3 +1286,35 @@ def q36_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(cust.join(orders, on, "left_semi"), "with_orders").unionByName(
         agg(cust.join(orders, on, "left_anti"), "without_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: greedy sequence packing (rows-only check — the
+# greedy fold is inherently sequential per group, not SQL-expressible;
+# tests/test_chunking.py pins it against a row-by-row Python oracle).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.chunking import (  # noqa: E402
+    PACK_GROUP_COL,
+    pack_chunks,
+)
+
+
+@query("q37_packing")
+def q37_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", window=32, stride=32)
+    # project BEFORE packing: applyInPandas is opaque to Catalyst's
+    # column pruning, so chunk_text would otherwise ride the shuffle
+    # and the Arrow hop just to be dropped by the aggregate
+    packed = pack_chunks(
+        chunks.select("doc_id", "chunk_idx", "n_tokens"),
+        "n_tokens",
+        budget=256,
+        order_cols=["doc_id", "chunk_idx"],
+        num_groups=32,
+    )
+    return packed.groupBy(PACK_GROUP_COL, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
