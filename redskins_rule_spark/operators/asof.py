@@ -84,6 +84,12 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     if tolerance is None:
         raise ValueError("tolerance is required (it is also the bucket width)")
+    if unit not in ("days", "seconds"):
+        # a typo like 'day' silently reinterpreting tolerance as
+        # seconds is a correctness bug, not a preference
+        raise ValueError("unit must be 'days' or 'seconds'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
     epoch = _epoch_days if unit == "days" else _epoch_seconds
 
     lkeys = list(left_keys) if left_keys else [*by, left_on]
@@ -100,12 +106,15 @@ def asof_join(
         raise ValueError("left_on and right_on must have distinct names")
 
     if strategy == "broadcast":
-        cond = in_window
-        for k in by:
-            cond = cond & (left[k] == right[f"__r_{k}"])
+        # rename FIRST, then build the condition against the renamed
+        # frame (referencing right["__r_k"] before the rename would be
+        # an unresolved column)
         r = right
         for k in by:
             r = r.withColumnRenamed(k, f"__r_{k}")
+        cond = in_window
+        for k in by:
+            cond = cond & (left[k] == r[f"__r_{k}"])
         joined = left.join(F.broadcast(r), cond, how).drop(*[f"__r_{k}" for k in by])
     elif strategy == "bucket":
         lb = F.floor(epoch(lt) / tolerance)

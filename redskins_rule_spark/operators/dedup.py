@@ -53,10 +53,15 @@ def dedup_by_content(
     df: DataFrame, text_col: str, id_col: str, keep: str = "min"
 ) -> DataFrame:
     """Keep one representative id per identical text; emits
-    (content_hash, keep_id, dup_count). One hash-agg shuffle."""
+    (content_hash, keep_id, dup_count). One hash-agg shuffle.
+
+    Null-text rows are excluded: md5(null) is null, and grouping all
+    null-content rows as mutual "duplicates" would silently drop
+    unrelated documents."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
-        df.groupBy(content_key(text_col).alias("content_hash"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(content_key(text_col).alias("content_hash"))
         .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
     )
 
@@ -200,6 +205,10 @@ def minhash_dedup_pairs(
         df.select(id_col, text_col), text_col, shingle_k, num_perm,
         shingle_out="__sh",
     ).select(id_col, "__sh", "minhash")
+    # empty shingle sets (null/short text) carry all-null signatures —
+    # one shared band value that would pair every such doc with every
+    # other (O(p²) in one posting list). Same guard the n-gram ops use.
+    base = base.where(F.size("__sh") > 0)
     cands = lsh_candidates(base, id_col, "minhash", num_perm, bands)
     sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -393,7 +402,7 @@ def with_simhash(
     text_col: str,
     out: str = "__sim",
     bits: int = 64,
-) -> Column:
+) -> DataFrame:
     """SimHash per row via explode + grouped bit votes — the scale
     path. Produces bit-identical signatures to `simhash()` but runs
     the 64 per-bit majority votes as codegen'd SUM aggregates over
@@ -401,6 +410,11 @@ def with_simhash(
     filter passes per row (~4× on the sf0.1 corpus). One shuffle on
     id_col; rows whose id is required downstream ride the same
     partitioning.
+
+    Divergence from `simhash()`: null-text rows are DROPPED (explode
+    of a null token array emits nothing) rather than signed 0 —
+    correct for dedup (a null doc is not a near-duplicate of other
+    null docs).
     """
     c = F.col(text_col)
     toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
@@ -482,23 +496,37 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Candidates: random-hyperplane LSH — sign bit per plane, bucket =
     the n_planes-bit code; high-cosine pairs land in the same bucket
-    with probability (1 - θ/π)^n_planes. Hyperplane weights are
-    pseudo-random but DETERMINISTIC: w[p][d] = ±1 from xxhash64(p, d)
-    parity, applied as an expression (no UDF). Verification: exact
-    cosine on candidates.
+    with probability (1 - θ/π)^n_planes. Hyperplane weights are ±1
+    from Python's (deterministic-for-ints) tuple hash over (plane,
+    dim), baked into the plan as LITERALS at build time — rerun-stable
+    within CPython, but driver-supplied constants, not an
+    engine-recomputable expression. Verification: exact cosine on
+    candidates via one posting-list pass per bucket (signature/bucket
+    pipeline evaluated once; each doc has exactly one bucket, so pairs
+    are already unique).
+
+    `dim` may be passed explicitly; otherwise it is inferred from the
+    first row (one small eager job at plan-build time).
     """
     from redskins_rule_spark.operators.similarity import cosine
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head or head[0][0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from empty/null {vec_col!r}; "
+                "pass dim= explicitly"
+            )
+        dim = len(head[0][0])
     v = F.col(vec_col).cast("array<double>")
 
     def sign_bit(p: int) -> Column:
-        # deterministic ±1 per (plane, dim): parity of xxhash64(p, d)
         terms = [
             F.when(
                 F.lit((hash((p, d)) >> 1) & 1) == 1, v[d]
@@ -510,13 +538,14 @@ def embedding_dup_pairs(
 
     bucket = reduce(lambda x, y: x.bitwiseOR(y), [sign_bit(p) for p in range(n_planes)])
     coded = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
-    a = coded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
-    b = coded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    pairs = pairs_from_posting_lists(
+        coded, ["__bucket"], id_col, payload_col=vec_col
+    )
+    sim = cosine(F.col("payload_a"), F.col("payload_b"))
     return (
-        a.join(b, "__bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-        .distinct()
+        pairs.withColumn("__cos", sim)
+        # threshold on the UNROUNDED value (rounding first would admit
+        # below-threshold pairs, e.g. 0.94996 → 0.95)
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
     )

@@ -122,13 +122,18 @@ def washington_home_results(games: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def clean_elections(raw: DataFrame) -> DataFrame:
-    """Type year/popular_votes; keep 1972+ (the LAG incumbent
-    derivation needs one pre-1976 seed election — reference :143-149)."""
+def clean_elections(raw: DataFrame, seed_year: int = 1972) -> DataFrame:
+    """Type year/popular_votes; keep `seed_year`+ — one election cycle
+    BEFORE the first reported one, because the LAG incumbent
+    derivation needs a seed row (reference :143-149 hardcodes 1972
+    for start 1976). Callers must keep seed_year = start_year − 4:
+    any earlier elections would all get NULL elec_date and collapse
+    into one null-keyed pseudo-election in the per-election windows.
+    """
     return (
         raw.withColumn("year", F.to_date("year", "yyyy"))
         .withColumn("popular_votes", digits_to_long("popular_votes"))
-        .where(F.col("year") >= F.lit("1972-01-01").cast("date"))
+        .where(F.col("year") >= F.lit(f"{seed_year}-01-01").cast("date"))
     )
 
 
@@ -310,7 +315,9 @@ def run(
     golden relation (reference end-to-end, :36-351)."""
     games = washington_home_results(clean_nfl_games(nfl_raw))
     dates = election_days(spark, start_year, end_year)
-    cand = attach_election_dates(clean_elections(elections_raw), dates)
+    cand = attach_election_dates(
+        clean_elections(elections_raw, seed_year=start_year - 4), dates
+    )
     elections = election_winner_metrics(cand)
     joined = attach_last_home_game(elections, games)
     final = with_predictions(joined)

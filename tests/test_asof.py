@@ -7,6 +7,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from redskins_rule_spark.operators.asof import asof_join
 from redskins_rule_spark.plans.explain import formatted_plan
 
@@ -94,3 +96,33 @@ def test_asof_requires_tolerance_and_distinct_names(spark):
         asof_join(left.withColumnRenamed("elec_date", "d"),
                   right.withColumnRenamed("game_date", "d"),
                   "d", "d", tolerance=5)
+
+
+def test_asof_by_keys_broadcast_strategy(spark):
+    # regression: the broadcast path previously referenced the renamed
+    # by-columns before renaming them (unresolved column)
+    left = spark.createDataFrame(
+        [(1, "u1", "2020-01-10"), (2, "u2", "2020-01-10")],
+        "l_id int, user string, lt string",
+    ).withColumn("lt", F.to_date("lt"))
+    right = spark.createDataFrame(
+        [("u1", "2020-01-08"), ("u2", "2020-01-01"), ("u2", "2020-01-09")],
+        "user string, rt string",
+    ).withColumn("rt", F.to_date("rt"))
+    out = asof_join(
+        left, right, "lt", "rt", by=["user"], tolerance=7,
+        left_keys=["l_id"], strategy="broadcast", diff_col="diff",
+    ).orderBy("l_id").collect()
+    assert [(r["l_id"], str(r["rt"]), r["diff"]) for r in out] == [
+        (1, "2020-01-08", 2),
+        (2, "2020-01-09", 1),
+    ]
+
+
+def test_asof_rejects_bad_unit_and_how(spark):
+    left = spark.createDataFrame([(1, "2020-01-10")], "i int, lt string")
+    right = spark.createDataFrame([(1, "2020-01-08")], "j int, rt string")
+    with pytest.raises(ValueError, match="unit"):
+        asof_join(left, right, "lt", "rt", tolerance=7, unit="day")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, "lt", "rt", tolerance=7, how="full")

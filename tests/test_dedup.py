@@ -99,3 +99,44 @@ def test_prefix_filter_equals_exact(spark):
     exact5 = {tuple(r) for r in ngram_jaccard_pairs_exact(docs, "doc_id", "text", 3, 0.5).collect()}
     pref5 = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.5).collect()}
     assert pref5 == exact5
+
+
+def test_embedding_dup_pairs_threshold_not_inflated_by_rounding(spark):
+    import math
+
+    # two vectors with cosine just BELOW 0.95 that rounds to 0.95
+    a = [1.0, 0.0]
+    theta = math.acos(0.94996)
+    b = [math.cos(theta), math.sin(theta)]
+    from redskins_rule_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.95, dim=2)
+    assert out.count() == 0
+    # and a genuinely-above pair passes
+    out2 = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.9, dim=2)
+    assert out2.count() == 1
+
+
+def test_minhash_pairs_skip_empty_shingle_docs(spark):
+    from redskins_rule_spark.operators.dedup import minhash_dedup_pairs
+
+    # one-char docs have no 5-char shingles; they must not pair
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)] + [(10, "a" * 30), (11, "a" * 30)],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(10, 11)]
+
+
+def test_dedup_by_content_excludes_null_text(spark):
+    from redskins_rule_spark.operators.dedup import dedup_by_content
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], "id long, text string"
+    )
+    rows = dedup_by_content(df, "text", "id").collect()
+    assert len(rows) == 1 and rows[0]["dup_count"] == 2
