@@ -29,8 +29,14 @@ def chunk_tokens(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # gaps between chunks would also emit empty trailing chunks
+        # with negative token counts from the count formula
+        raise ValueError("stride must be <= window")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), r"\s+")
+    # drop empty tokens: split('') yields [''] for empty/whitespace
+    # text, which would count 1 token where the UDTF counts 0
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     # number of chunks: 1 + ceil(max(n - window, 0) / stride)
     n_chunks = F.lit(1) + F.ceil(
@@ -88,10 +94,13 @@ def pack_chunks(
 
     Packing is inherently sequential, so it runs greedily WITHIN
     deterministic hash groups (`num_groups` controls parallelism and
-    pack locality; at 100 TB groups are the unit of parallelism and
-    each group streams once through one Arrow-batched task). Order
-    within a group is pinned by `order_cols` — same input, same packs,
-    every run.
+    pack locality). Memory bound: grouped-map applyInPandas
+    MATERIALIZES each group as one pandas frame in one Python worker —
+    size num_groups so total/num_groups fits in worker memory. Order
+    within a group is pinned by sorting on `order_cols` plus every
+    remaining column as tiebreak; pass order_cols that form a total
+    order (e.g. (doc_id, chunk_idx)) for packs that are reproducible
+    AND meaningful.
 
     Output: input columns + group + pack_id (pack ids are unique
     within a group, 0-based).
@@ -100,9 +109,12 @@ def pack_chunks(
 
     order_cols = order_cols or [tokens_col]
     if group_col is None:
+        # hash over ALL columns, not order_cols: hashing the token
+        # count alone would send every equal-length chunk (the common
+        # case) to ONE group — catastrophic skew
         df = df.withColumn(
             PACK_GROUP_COL,
-            F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(num_groups)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_groups)),
         )
         group_col = PACK_GROUP_COL
     in_cols = df.columns
@@ -111,8 +123,15 @@ def pack_chunks(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out} int"
 
+    # order_cols first, every remaining column as tiebreak: rows that
+    # tie on order_cols would otherwise pack in arrival order
+    # (nondeterministic across runs)
+    sort_cols = list(order_cols) + [
+        c for c in in_cols if c not in order_cols and c != group_col
+    ]
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         ids, cur, used = [], 0, 0
         for n in pdf[tokens_col]:
             n = int(n)
@@ -135,6 +154,10 @@ def make_chunk_udtf(window: int = 64, stride: int = 32):
     """Python UDTF variant (PySpark 4 `udtf`): lateral-joinable,
     for chunkers needing real tokenizers. Returns the UDTF class
     ready for spark.udtf.register / direct call."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride must be <= window")
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")

@@ -71,10 +71,15 @@ def cosine_topk_for_id(
 ) -> DataFrame:
     """Top-k neighbors of an in-table vector (self excluded), without
     collecting the query vector to the driver: cross-join against the
-    single (broadcast) target row."""
+    single (broadcast) target row. `id_col` must be unique — duplicate
+    target ids would score every candidate once per duplicate."""
     target = df.where(F.col(id_col) == target_id).select(
         F.col(vec_col).cast("array<double>").alias("__qv")
     )
+    if not target.head(1):
+        # an absent id would otherwise return an empty frame,
+        # indistinguishable from "no neighbors"
+        raise ValueError(f"{id_col}={target_id!r} not found")
     scored = (
         df.where(F.col(id_col) != target_id)
         .crossJoin(F.broadcast(target))
@@ -140,7 +145,10 @@ def cosine_pairs_blocked(
             F.col("b.items").alias("items_b"),
         )
     )
-    margin = threshold - 10.0 ** (-round_dp) if round_dp else threshold
+    # prefilter must keep anything whose ROUNDED sim could pass the
+    # final filter: round(s, dp) >= t  ⟺  s >= t - 0.5·10^-dp
+    # (unconditional — `if round_dp` would break at round_dp=0)
+    margin = threshold - 0.5 * 10.0 ** (-round_dp)
 
     def block_cosine(batches):
         import numpy as np
@@ -233,6 +241,10 @@ def train_ivf_centroids(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k={k} exceeds the number of vectors ({len(init_rows)})"
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
     def cell_means(pdf):

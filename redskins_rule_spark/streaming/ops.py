@@ -183,9 +183,12 @@ def run_available_now(
     output_mode: str = "append",
 ) -> None:
     """Drain everything currently available through the streaming
-    plan into an in-memory sink table, then stop (Trigger.AvailableNow
-    — the incremental-batch trigger). Checkpointed: a second call with
-    the same checkpoint processes only NEW files."""
+    plan into an in-memory sink table, then stop (Trigger.AvailableNow).
+
+    ONE-SHOT: the memory sink cannot recover from an existing
+    checkpoint (append/update modes), so pass a fresh checkpoint per
+    call. For true incremental batch — second run picks up only new
+    files — use `run_available_now_to_files`."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
