@@ -1318,3 +1318,198 @@ def q37_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshape surface: PIVOT (wide) — groupBy().pivot() with the value set
+# pinned so Spark skips the extra distinct-values job (and the plan
+# stays a single hash aggregate; at 100 TB an unpinned pivot adds a
+# full scan just to discover the two statuses).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q38_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)             AS n_f,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)             AS n_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # Spark names multi-agg pivot columns {value}_{alias}
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshape surface: UNPIVOT / MELT (long) — native `unpivot`, the exact
+# inverse reshape; oracle is the canonical UNION ALL expansion.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q39_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_tax), 2)           AS sum_tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax', sum_tax FROM wide
+    """,
+)
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_tax"], "measure", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 statistical aggregates — corr / covariance / stddev / variance.
+# Single hash aggregate (all moments accumulate in one pass; ratios
+# rounded 4dp, absolute moments 2dp for cross-engine float agreement).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q40_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 2)            AS price_stddev,
+           ROUND(var_pop(l_discount), 4)                     AS disc_var,
+           COUNT(*)                                          AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q40_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_pop("l_discount"), 4).alias("disc_var"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F19/F20 explode with an oracle — closes the §8.1 "no nested testdata"
+# gap by BUILDING the nested column (split) and exploding it, checked
+# against DuckDB UNNEST(string_split(...)). Word histogram over p_name;
+# top-20 pinned by (count desc, word).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q41_word_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q41_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 band join — equi key (nation) carries the shuffle, the band
+# predicate |c_acctbal − s_acctbal| ≤ 100 rides along as a post-join
+# filter on the SAME hash join (no BNLJ: .explain shows one
+# SortMergeJoin/BHJ with the band as `joinCondition`); nation dim
+# broadcasts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q42_band_join",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*)                                   AS n_pairs,
+           ROUND(SUM(ABS(c.c_acctbal - s.s_acctbal)), 2) AS total_gap
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND ABS(c.c_acctbal - s.s_acctbal) <= 100
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q42_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    gap = F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    return (
+        cust.join(
+            supp,
+            (F.col("c_nationkey") == F.col("s_nationkey")) & (gap <= 100),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(gap), 2).alias("total_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 approximate aggregates (rows-only: HLL estimates are
+# algorithm-specific, never cross-engine hash-stable). At 100 TB this
+# is THE cardinality path — one pass, fixed memory per group, no
+# shuffle of distinct values. Exact distinct rides alongside so the
+# result itself witnesses the estimate quality (rsd 5% default).
+# ---------------------------------------------------------------------------
+
+@query("q43_approx_distinct")
+def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(
+            F.expr("approx_percentile(value, array(0.5, 0.99))")[0], 2
+        ).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -99,3 +99,30 @@ def test_documents_scan_prunes_unused_columns(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     ), schemas
+
+
+def test_band_join_is_hash_join_with_band_condition(spark):
+    # the band predicate must ride the equi hash join (post-join
+    # condition), never force a BroadcastNestedLoopJoin
+    plan = _plan(spark, "q42_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pivot_is_single_aggregate_no_extra_scan(spark):
+    # pinned pivot values => exactly one lineitem scan (no
+    # distinct-values discovery job) and a hash aggregate
+    plan = _plan(spark, "q38_pivot")
+    scans = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l and ")" in l.split()[0]
+    ]
+    assert len(scans) == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_word_explode_prunes_to_name_column(spark):
+    plan = _plan(spark, "q41_word_explode")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("p_retailprice" not in s for s in schemas), schemas
+    assert "Generate" in plan  # explode plans as Generate, not a UDF
