@@ -14,6 +14,7 @@ from redskins_rule_spark.streaming.ops import (
     run_available_now,
     sessionized_counts,
     stream_from_files,
+    stream_stream_join,
     streaming_dedup,
     stateful_running_totals,
     tumbling_counts,
@@ -23,6 +24,7 @@ __all__ = [
     "run_available_now",
     "sessionized_counts",
     "stream_from_files",
+    "stream_stream_join",
     "streaming_dedup",
     "stateful_running_totals",
     "tumbling_counts",

@@ -126,6 +126,57 @@ def streaming_dedup(
     return events.dropDuplicates(key_cols)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events for the same keys whose timestamp lands in
+    [left.ts, left.ts + `within`].
+
+    The event-time range condition is what makes this run with BOUNDED
+    state on two unbounded streams: Spark derives a state watermark
+    from it and evicts buffered rows older than `watermark` + `within`
+    on each side (without the range, stream-stream state grows
+    forever). Batch/stream parity: pass batch frames and the SAME
+    expressions run as a plain join — one code path for backfill and
+    live (watermarks are streaming-only).
+
+    Right columns come back `right_prefix`-renamed (keys keep one
+    copy). `how`: inner | leftOuter (outer needs both watermarks, and
+    streaming emits the unmatched-null rows only once the watermark
+    passes the join window — a final empty-ish micro-batch, not
+    instantly).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(ts_col, watermark)
+    right = right.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"{right_prefix}{k}"))
+    rts = f"{right_prefix}{ts_col}"
+    cond = (
+        cond
+        & (F.col(rts) >= F.col(ts_col))
+        & (F.col(rts) <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    joined = left.join(right, cond, how)
+    # one copy of the keys
+    return joined.drop(*[f"{right_prefix}{k}" for k in key_cols])
+
+
 _RUNNING_TOTAL_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _RUNNING_TOTAL_STATE = "n bigint, total double"
 

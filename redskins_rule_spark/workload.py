@@ -1513,3 +1513,37 @@ def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping sets, full CUBE — all four (returnflag × linestatus)
+# grouping combinations in ONE aggregate (Expand + single shuffle, not
+# four scans); q28 covers the ROLLUP subset.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q44_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*)                      AS n,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )

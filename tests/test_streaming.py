@@ -152,3 +152,54 @@ def test_stateful_running_totals(spark, tmp_path):
     assert rows == {1: (2, 15.0), 2: (1, 1.0)}
 
     shutil.rmtree(str(tmp_path / "state_landing"), ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, events_dir):
+    # click→purchase attribution: purchases within 30 min of a click
+    # by the same user. Inner stream-stream joins emit matches as they
+    # arrive (no window-close wait), so parity with batch is exact.
+    from redskins_rule_spark.streaming import stream_stream_join
+
+    batch = spark.read.parquet(events_dir)
+    bl = batch.where(F.col("event_type") == "click")
+    br = batch.where(F.col("event_type") == "purchase")
+    want = {
+        tuple(r)
+        for r in stream_stream_join(bl, br, within="30 minutes")
+        .select("event_id", "r_event_id")
+        .collect()
+    }
+
+    schema = batch.schema
+    sl = stream_from_files(spark, events_dir, schema).where(
+        F.col("event_type") == "click"
+    )
+    sr = stream_from_files(spark, events_dir, schema).where(
+        F.col("event_type") == "purchase"
+    )
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark,
+            stream_stream_join(sl, sr, within="30 minutes").select(
+                "event_id", "r_event_id"
+            ),
+            tmp_path,
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_left_outer_batch_path(spark, events_dir):
+    # leftOuter on batch frames: every click survives; unmatched ones
+    # carry null right columns (the one-code-path backfill contract)
+    from redskins_rule_spark.streaming import stream_stream_join
+
+    batch = spark.read.parquet(events_dir)
+    bl = batch.where(F.col("event_type") == "click")
+    br = batch.where(F.col("event_type") == "purchase")
+    out = stream_stream_join(bl, br, within="30 minutes", how="leftOuter")
+    assert out.count() >= bl.count()
+    n_unmatched = out.where(F.col("r_event_id").isNull()).count()
+    inner = stream_stream_join(bl, br, within="30 minutes")
+    assert out.count() == inner.count() + n_unmatched
