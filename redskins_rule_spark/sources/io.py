@@ -96,6 +96,47 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan — same single-scan contract as `read_parquet` (ORC
+    carries the same row-group statistics for predicate pushdown and
+    is the common interchange format for Hive-era warehouses)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(*_paths(path))
+
+
+_SINK_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options: str,
+) -> None:
+    """Distributed sink for any supported format (parquet | orc | csv
+    | json). CSV covers the reference's staging sink (S4) without the
+    driver-side pandas hop; `partition_by` gives every format the
+    partition-pruned directory layout. Executors write in parallel —
+    one file per partition, so `coalesce` first if a single file is
+    required."""
+    if fmt not in _SINK_FORMATS:
+        raise ValueError(f"unsupported sink format: {fmt!r} (use {_SINK_FORMATS})")
+    writer = df.write.mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", options.get("header", "true"))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 

@@ -4,10 +4,20 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redskins_rule_spark.plans.metrics import observed
-from redskins_rule_spark.sources.io import read_csv, read_json, read_parquet, write_parquet
+from redskins_rule_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    table,
+    write_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_csv_roundtrip_with_schema(spark, tmp_path):
@@ -107,3 +117,53 @@ def test_glob_scan_is_one_filescan(spark, tmp_path):
     assert plan.count("FileScan") == 1, plan
     assert "Union" not in plan
     assert df.count() == 80
+
+
+def test_orc_roundtrip_partitioned_prunes(spark, tmp_path):
+    from redskins_rule_spark.sources.io import read_orc, write_table
+
+    src = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    d = str(tmp_path / "orders_orc")
+    write_table(src, d, fmt="orc", partition_by=["o_orderpriority"])
+
+    back = read_orc(spark, d)
+    assert back.count() == src.count()
+    # partition pruning: a priority filter must reach the scan as a
+    # PartitionFilter, not a post-scan Filter over all files
+    pruned = back.where(back.o_orderpriority == "1-URGENT")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = src.where(src.o_orderpriority == "1-URGENT").count()
+    assert pruned.count() == want
+
+
+def test_write_table_csv_json_roundtrip(spark, tmp_path):
+    from redskins_rule_spark.sources.io import read_csv, read_json, write_table
+
+    src = table(spark, SF_DIR, "nation")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    src = src.select("n_nationkey", "n_name", "n_regionkey")
+
+    csv_d = str(tmp_path / "nation_csv")
+    write_table(src, csv_d, fmt="csv")
+    assert {tuple(r) for r in read_csv(spark, csv_d, schema).collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+    json_d = str(tmp_path / "nation_json")
+    write_table(src, json_d, fmt="json")
+    assert {tuple(r) for r in read_json(spark, json_d, schema).collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+
+def test_write_table_rejects_unknown_format(spark, tmp_path):
+    from redskins_rule_spark.sources.io import write_table
+
+    src = table(spark, SF_DIR, "nation")
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        write_table(src, str(tmp_path / "x"), fmt="avro")
