@@ -1547,3 +1547,62 @@ def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 O4 MERGE/upsert — the reference's yearly-catchup re-ingest done
+# as a relation: full-outer join on keys + column-wise COALESCE (one
+# shuffle; bucketing makes it zero). Source = 1% of orders repriced
+# +10% plus the same rows re-keyed as inserts; result aggregated per
+# priority so the check is compact but covers update+insert+untouched.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.merge import merge_upsert  # noqa: E402
+
+
+@query(
+    "q45_merge_upsert",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    s AS (
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM t WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 2000000000, 'NEW', 1000.0
+        FROM t WHERE o_orderkey % 100 = 0
+    ),
+    m AS (
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey)           AS o_orderkey,
+               COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority,
+               COALESCE(s.o_totalprice, t.o_totalprice)       AS o_totalprice
+        FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM m GROUP BY o_orderpriority
+    """,
+)
+def q45_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    hot = t.where(F.col("o_orderkey") % 100 == 0)
+    src = hot.withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    ).unionByName(
+        hot.select(
+            (F.col("o_orderkey") + 2000000000).alias("o_orderkey"),
+            F.lit("NEW").alias("o_orderpriority"),
+            F.lit(1000.0).alias("o_totalprice"),
+        )
+    )
+    return (
+        merge_upsert(t, src, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
