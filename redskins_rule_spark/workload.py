@@ -1606,3 +1606,64 @@ def q45_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: deterministic hash sampling — Knuth multiplicative
+# hash on the key, so the SAME rows are sampled on every engine and
+# every run (seeded `sample()` is engine-specific; this is the
+# reproducible-split idiom for train/eval carving at 100 TB: a map-side
+# filter, no shuffle, prunes with the scan).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q46_hash_sample",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                 AS n_sampled,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer
+    WHERE (c_custkey * 2654435761) % 4294967296 < 429496730
+    GROUP BY c_mktsegment
+    """,
+)
+def q46_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    # ~10% systematic sample: multiplicative hash into [0, 2^32)
+    keep = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+        429496730
+    )
+    return (
+        cust.where(keep)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 string similarity — edit distance (fuzzy matching, the
+# record-linkage primitive). Distance histogram vs a fixed probe key;
+# codegen'd JVM levenshtein, no UDF.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q47_edit_distance",
+    oracle="""
+    SELECT levenshtein(c_name, 'Customer#000000001') AS dist,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY dist
+    """,
+)
+def q47_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("dist")
+        )
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
