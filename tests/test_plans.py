@@ -126,3 +126,12 @@ def test_word_explode_prunes_to_name_column(spark):
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas and all("p_retailprice" not in s for s in schemas), schemas
     assert "Generate" in plan  # explode plans as Generate, not a UDF
+
+
+def test_merge_upsert_is_equi_join_not_bnlj(spark):
+    # null-safe key equality must rewrite to equi keys
+    # (coalesce+isnull) on a SortMergeJoin — a BNLJ here would make
+    # MERGE quadratic at scale
+    plan = _plan(spark, "q45_merge_upsert")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
