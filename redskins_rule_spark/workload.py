@@ -1667,3 +1667,68 @@ def q47_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 multi-DISTINCT aggregation — several COUNT(DISTINCT) over
+# different columns in ONE query. Spark plans this with one Expand
+# (row replicated per distinct group) + two-level aggregate — a single
+# pipeline, not one scan per distinct column.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q48_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_suppliers,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_quantity), 2)  AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q48_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 calendar functions — date_trunc / extract rollup to month grain
+# (the reference's only temporal math is year extraction, F9; this
+# pins the full calendar path both engines share).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q49_monthly_revenue",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+           EXTRACT(quarter FROM o_orderdate)::BIGINT AS quarter,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    GROUP BY 1, 2
+    """,
+)
+def q49_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("month"),
+            F.quarter("o_orderdate").cast("long").alias("quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
