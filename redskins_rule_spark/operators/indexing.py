@@ -1,0 +1,84 @@
+"""Deterministic global row indexing at scale.
+
+The naive global index — ``row_number().over(Window.orderBy(...))``
+with no PARTITION BY — collapses the whole relation into ONE partition
+(Spark even warns); at 100 TB that's a single-executor sort. The
+scalable idiom (TeraSort-style) implemented here:
+
+1. range-repartition on the order keys (sampled range exchange — the
+   same machinery as a distributed ORDER BY), sort within partitions;
+2. count rows per partition (tiny N-row job; the range shuffle is
+   reused across the two jobs, not recomputed);
+3. prefix-sum those counts on the driver (N integers, not data) and
+   ship the offsets back in the task closure;
+4. one Arrow-batched pass assigns idx = partition_offset + local_pos
+   via ``mapInPandas`` — partition-preserving, no further shuffle.
+
+Total cost: ONE data shuffle + one metadata job, vs the single-
+partition window's all-to-one collapse.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_global_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based global index following the total order of
+    `order_cols` — distributed, deterministic, dense (0..n-1).
+
+    `order_cols` must form a TOTAL order (e.g. include a unique key):
+    rows tying on all order columns would get arbitrary-but-dense
+    index assignment within the tie. Ascending order only (wrap a
+    column in a descending sort key expression upstream if needed).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if index_col in df.columns:
+        raise ValueError(f"column {index_col!r} already exists")
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+
+    # tiny metadata job: rows per physical partition (reuses the range
+    # shuffle output — Spark keeps shuffle files across jobs in-session)
+    counts = {
+        r["__pid"]: r["count"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    # fresh StructType — .add would MUTATE the frame's cached schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ranged.schema.fields) + [StructField(index_col, LongType(), False)]
+    )
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pos = offsets[TaskContext.get().partitionId()]
+        for pdf in batches:
+            pdf[index_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(assign, out_schema)

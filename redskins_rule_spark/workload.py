@@ -1732,3 +1732,32 @@ def q49_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale op: dense global row index WITHOUT the single-partition window
+# (operators/indexing.py: range exchange + partition-offset prefix
+# sums + one Arrow pass). Oracle is the semantic spec — ROW_NUMBER()
+# over the total order — which DuckDB runs single-node; the engine
+# side never collapses to one partition (pinned in test_indexing.py).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.indexing import with_global_index  # noqa: E402
+
+
+@query(
+    "q50_global_index",
+    oracle="""
+    SELECT s_suppkey,
+           ROW_NUMBER() OVER (ORDER BY s_nationkey, s_suppkey) - 1 AS idx,
+           ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def q50_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    return with_global_index(
+        supp, ["s_nationkey", "s_suppkey"], num_partitions=8
+    ).select(
+        "s_suppkey", "idx", F.round("s_acctbal", 2).alias("acctbal")
+    )

@@ -1,0 +1,55 @@
+"""Global index operator (operators/indexing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.operators.indexing import with_global_index
+from redskins_rule_spark.sources.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_matches_row_number_semantics(spark):
+    cust = table(spark, SF_DIR, "customer")
+    out = with_global_index(cust, ["c_custkey"], num_partitions=7)
+    got = [r["c_custkey"] for r in out.orderBy("idx").collect()]
+    want = [r["c_custkey"] for r in cust.orderBy("c_custkey").collect()]
+    assert got == want
+    idxs = sorted(r["idx"] for r in out.collect())
+    assert idxs == list(range(cust.count()))  # dense 0..n-1
+
+
+def test_deterministic_across_runs(spark):
+    cust = table(spark, SF_DIR, "customer")
+    a = {(r["c_custkey"], r["idx"]) for r in with_global_index(cust, ["c_custkey"], num_partitions=5).collect()}
+    b = {(r["c_custkey"], r["idx"]) for r in with_global_index(cust, ["c_custkey"], num_partitions=5).collect()}
+    assert a == b
+
+
+def test_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k int")
+    out = {(r["k"], r["idx"]) for r in with_global_index(df, ["k"], num_partitions=16).collect()}
+    assert out == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_no_single_partition_exchange(spark):
+    # the whole point: a range exchange, never an all-to-one collapse
+    cust = table(spark, SF_DIR, "customer")
+    plan = (
+        with_global_index(cust, ["c_custkey"], num_partitions=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_guards(spark):
+    cust = table(spark, SF_DIR, "customer")
+    with pytest.raises(ValueError, match="non-empty"):
+        with_global_index(cust, [])
+    with pytest.raises(ValueError, match="already exists"):
+        with_global_index(cust.withColumn("idx", F.lit(1)), ["c_custkey"])
