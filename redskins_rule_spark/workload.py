@@ -423,7 +423,9 @@ def q11_part_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- DuckDB SUM(BIGINT) widens to HUGEINT (renders as float in
+           -- pandas); pin BIGINT so both engines emit int64.
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -1182,21 +1184,27 @@ def q32_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_decimal_money",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS exact_base,
-           SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
-               * CAST(l_discount AS DECIMAL(18, 2))) AS exact_disc_amount,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS exact_base,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+               * CAST(l_discount AS DECIMAL(18, 2))) AS DOUBLE) AS exact_disc_amount,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q33_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The aggregation itself is exact decimal arithmetic (order-independent,
+    # no float drift); only the FINAL scalar is cast to double, because the
+    # two engines widen sum types to different decimal scales
+    # (Spark decimal(28,2)/decimal(38,4) vs DuckDB DECIMAL(38,2)/(38,4)) and
+    # render them differently under a value-hash. A correctly-rounded
+    # decimal->double cast is deterministic and identical on both sides.
     li = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("exact_base"),
-        F.sum(price * disc).alias("exact_disc_amount"),
+        F.sum(price).cast("double").alias("exact_base"),
+        F.sum(price * disc).cast("double").alias("exact_disc_amount"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1333,8 +1341,8 @@ def q37_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
            ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)             AS n_f,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)             AS n_o
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -1,9 +1,12 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every workload query on Spark AND its DuckDB oracle at a given
-sf dir, compares row count, column names, and (order-insensitively)
-values. Floats compared exactly after the workload's own rounding —
-if that flags diffs here, the driver's value-hash will too.
+sf dir, compares row count, column names, and values STRICTLY: columns
+sorted by name, rows sorted, then each scalar compared by repr — so an
+int64 12345 vs float64 12345.0, or Decimal('1.10') vs 1.1, FAILS here
+exactly as it fails the driver's value-hash. (Round 1 lesson: a
+float-normalizing local gate passed q12/q33/q38 while the driver's
+exact hash failed them.)
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -24,48 +27,50 @@ TABLES = [
 ]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith(("float", "Float")):
-            df[c] = df[c].astype("float64").round(6)
-        elif str(df[c].dtype) in ("object",):
-            df[c] = df[c].map(lambda v: float(v) if isinstance(v, (int,)) else v)
-        try:
-            import decimal
-            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
-                df[c] = df[c].astype("float64").round(6)
-        except Exception:
-            pass
-        if str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("float64")
-    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+def _canon(v) -> str:
+    """Canonical string for one scalar, NaN/None-stable, repr-strict."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<nan>"
+    try:
+        if v != v:  # pandas NaT / numpy nan in object columns
+            return "<nan>"
+    except Exception:
+        pass
+    return repr(v)
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_canon(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows)
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
-        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        problems.append(
+            f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+        )
         return problems
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
-    a, b = normalize(sdf), normalize(odf)
-    if len(a) == len(b):
-        for c in a.columns:
-            av, bv = a[c].tolist(), b[c].tolist()
-            bad = 0
-            for x, y in zip(av, bv):
-                if x is None and y is None:
-                    continue
-                if isinstance(x, float) and isinstance(y, float):
-                    if math.isnan(x) and math.isnan(y):
-                        continue
-                    if abs(x - y) > 1e-9 * max(1, abs(x), abs(y)):
-                        bad += 1
-                elif x != y:
-                    bad += 1
-            if bad:
-                problems.append(f"column {c}: {bad}/{len(av)} values differ")
+        return problems
+    a, b = _canon_frame(sdf), _canon_frame(odf)
+    cols = sorted(sdf.columns)
+    bad_by_col: dict[str, int] = {}
+    examples: list[str] = []
+    for ra, rb in zip(a, b):
+        for c, x, y in zip(cols, ra, rb):
+            if x != y:
+                bad_by_col[c] = bad_by_col.get(c, 0) + 1
+                if len(examples) < 3:
+                    examples.append(f"{c}: spark={x} oracle={y}")
+    for c, n in sorted(bad_by_col.items()):
+        problems.append(f"column {c}: {n}/{len(a)} values differ")
+    if examples:
+        problems.append("e.g. " + " | ".join(examples))
     return problems
 
 
