@@ -76,6 +76,7 @@ def pairs_from_posting_lists(
     key_cols: list[str],
     id_col: str,
     payload_col: str | None = None,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs that share a bucket key — the candidate
     step of every LSH/inverted-index dedup operator.
@@ -87,9 +88,16 @@ def pairs_from_posting_lists(
     (two-arg `transform` + slice) and explode. One shuffle, the
     upstream pipeline evaluated once.
 
-    Skew: a key with p postings emits p·(p-1)/2 pairs in one task —
-    at 100 TB cap hot buckets (document-frequency cut for gram
-    indexes; more bands/bits for LSH) or salt before this step.
+    Skew: a key with p postings emits p·(p-1)/2 pairs in ONE task.
+    `max_postings` is the hot-bucket cap (document-frequency cut):
+    buckets with more postings are dropped WHOLE before pair
+    generation — at 100 TB a stop-gram/hot-LSH bucket would otherwise
+    OOM its task. Recall contract: a pair is lost only if EVERY bucket
+    it shares is capped; callers with multiple buckets per item
+    (bands, chunks, grams) keep any pair that also shares a sub-cap
+    bucket. Capped buckets carry ~no similarity signal (a key shared
+    by thousands of items doesn't discriminate), which is why the cut
+    is the standard scale lever. Default None = exact (no cut).
 
     With `payload_col`, each side's payload rides along as
     `payload_a` / `payload_b` (for verify steps that need signatures
@@ -108,10 +116,14 @@ def pairs_from_posting_lists(
             y["pl"].alias("payload_b"),
         )
         out = ["p.id_a", "p.id_b", "p.payload_a", "p.payload_b"]
+    if max_postings is not None and max_postings < 2:
+        raise ValueError(f"max_postings must be >= 2, got {max_postings}")
     ids = F.array_sort(F.collect_list(item))
     grouped = (
         df.groupBy(*key_cols).agg(ids.alias("__ids")).where(F.size("__ids") > 1)
     )
+    if max_postings is not None:
+        grouped = grouped.where(F.size("__ids") <= max_postings)
     lst = F.col("__ids")
     pairs = F.flatten(
         F.transform(
@@ -151,6 +163,7 @@ def lsh_candidates(
     sig_col: str = "minhash",
     num_perm: int = 64,
     bands: int = 16,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding.
 
@@ -159,6 +172,10 @@ def lsh_candidates(
     per (id, band, band_hash) → self equi-join on (band, band_hash)
     → distinct pairs. Probability of catching a pair with Jaccard s is
     1-(1-s^r)^b (r=rows/band).
+
+    `max_postings` drops hot band-buckets whole (see
+    `pairs_from_posting_lists`); with b bands a true near-dup pair
+    survives unless all b of its shared buckets are hot.
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
@@ -178,7 +195,9 @@ def lsh_candidates(
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
     return (
-        pairs_from_posting_lists(exploded, ["band", "band_hash"], id_col)
+        pairs_from_posting_lists(
+            exploded, ["band", "band_hash"], id_col, max_postings=max_postings
+        )
         .distinct()
     )
 
@@ -198,6 +217,7 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact Jaccard
     over the shingle sets. Output: (id_a, id_b, jaccard_sim)."""
@@ -209,7 +229,7 @@ def minhash_dedup_pairs(
     # one shared band value that would pair every such doc with every
     # other (O(p²) in one posting list). Same guard the n-gram ops use.
     base = base.where(F.size("__sh") > 0)
-    cands = lsh_candidates(base, id_col, "minhash", num_perm, bands)
+    cands = lsh_candidates(base, id_col, "minhash", num_perm, bands, max_postings)
     sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -449,32 +469,57 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_postings: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 3).
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole blocking: split the 64-bit signature into 4 16-bit
-    chunks; distance ≤ 3 ⇒ at least one chunk identical, so candidates
-    come from an equi self-join on (chunk_idx, chunk_value).
+    Pigeonhole blocking: split the 64-bit signature into
+    `max_hamming + 1` near-equal chunks; distance ≤ max_hamming ⇒ at
+    least one chunk identical (a pair differing in ≤ k bits cannot
+    touch all k+1 chunks), so candidates come from an equi self-join
+    on (chunk_idx, chunk_value) — blocking is LOSSLESS for the
+    requested distance, for ANY max_hamming in [0, 15]. More chunks
+    mean narrower chunk values and hotter buckets (e.g. max_hamming=7
+    → 8-bit chunks → ≤256 distinct values), which is where
+    `max_postings` (see `pairs_from_posting_lists`) comes in; the
+    upper bound of 15 keeps chunks ≥ 4 bits.
     Output: (id_a, id_b, hamming).
     """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15] (chunks need >= 4 bits to "
+            f"block usefully), got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
+    # near-equal split of the 64 bits: first (64 % n_chunks) chunks get
+    # one extra bit
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk_val(i: int) -> Column:
+        if widths[i] == 64:
+            return F.col("__sim")
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("__sim"), starts[i]).bitwiseAND(F.lit(mask))
+
     base = with_simhash(df, id_col, text_col, out="__sim")
     chunks = base.select(
         id_col,
         "__sim",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("ci"),
-                    F.shiftright(F.col("__sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                )
-                for i in range(4)
+                F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv"))
+                for i in range(n_chunks)
             ])
         ).alias("c"),
     ).select(id_col, "__sim", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     # posting-list pair generation with the signature riding along as
     # payload: one shuffle, signatures computed once, no verify join
     return (
-        pairs_from_posting_lists(chunks, ["ci", "cv"], id_col, payload_col="__sim")
+        pairs_from_posting_lists(
+            chunks, ["ci", "cv"], id_col, payload_col="__sim",
+            max_postings=max_postings,
+        )
         .select(
             "id_a",
             "id_b",
@@ -497,6 +542,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int | None = None,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -538,8 +584,13 @@ def embedding_dup_pairs(
 
     bucket = reduce(lambda x, y: x.bitwiseOR(y), [sign_bit(p) for p in range(n_planes)])
     coded = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
+    # NOTE: each doc lives in exactly ONE bucket here, so a capped hot
+    # bucket loses ALL its pairs (no alternate bucket rescues them) —
+    # prefer raising n_planes to shatter hot buckets; use max_postings
+    # only as an OOM guard of last resort.
     pairs = pairs_from_posting_lists(
-        coded, ["__bucket"], id_col, payload_col=vec_col
+        coded, ["__bucket"], id_col, payload_col=vec_col,
+        max_postings=max_postings,
     )
     sim = cosine(F.col("payload_a"), F.col("payload_b"))
     return (

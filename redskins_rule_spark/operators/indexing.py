@@ -6,9 +6,13 @@ with no PARTITION BY — collapses the whole relation into ONE partition
 scalable idiom (TeraSort-style) implemented here:
 
 1. range-repartition on the order keys (sampled range exchange — the
-   same machinery as a distributed ORDER BY), sort within partitions;
-2. count rows per partition (tiny N-row job; the range shuffle is
-   reused across the two jobs, not recomputed);
+   same machinery as a distributed ORDER BY), sort within partitions,
+   and persist() the result: range-boundary sampling is re-seeded per
+   execution, so two independent runs of the exchange may place rows
+   in different partitions — both downstream jobs must read ONE
+   materialized partitioning;
+2. count rows per partition (tiny N-row job over the persisted
+   frame; this is also what materializes the cache);
 3. prefix-sum those counts on the driver (N integers, not data) and
    ship the offsets back in the task closure;
 4. one Arrow-batched pass assigns idx = partition_offset + local_pos
@@ -39,6 +43,15 @@ def with_global_index(
     rows tying on all order columns would get arbitrary-but-dense
     index assignment within the tie. Ascending order only (wrap a
     column in a descending sort key expression upstream if needed).
+
+    The range-partitioned intermediate is persisted (MEMORY_AND_DISK)
+    so the count job and the index-assignment job see the SAME
+    partitioning — without it, repartitionByRange's per-execution
+    boundary sampling can shift rows between partitions between the
+    two jobs, silently duplicating or skipping indices. The cache
+    belongs to this frame's lineage; release it after consuming the
+    result via ``spark.catalog.clearCache()`` or let session teardown
+    reclaim it.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
@@ -47,12 +60,17 @@ def with_global_index(
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
-        *order_cols
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # tiny metadata job: rows per physical partition (reuses the range
-    # shuffle output — Spark keeps shuffle files across jobs in-session)
+    # tiny metadata job: rows per physical partition. Runs over the
+    # persisted frame, materializing it, so the assignment job below is
+    # guaranteed the identical partitioning the offsets were computed on.
     counts = {
         r["__pid"]: r["count"]
         for r in ranged.groupBy(F.spark_partition_id().alias("__pid"))

@@ -44,6 +44,7 @@ def merge_upsert(
         raise ValueError(f"source lacks target columns: {missing}")
     s = source.select(
         [F.col(c).alias(f"__s_{c}") for c in target.columns]
+        + [F.lit(True).alias("__s_exists")]
         + ([F.col(delete_col).alias("__s_del")] if delete_col else [])
     )
     cond = reduce(
@@ -53,6 +54,14 @@ def merge_upsert(
     joined = target.join(s, cond, "full_outer")
     if delete_col:
         joined = joined.where(~F.coalesce(F.col("__s_del"), F.lit(False)))
+    # Row-presence flag, NOT coalesce: a matched source row carrying NULL
+    # in a non-key column must WRITE that NULL (SQL MERGE UPDATE SET
+    # semantics), not keep the stale target value.
     return joined.select(
-        [F.coalesce(F.col(f"__s_{c}"), target[c]).alias(c) for c in target.columns]
+        [
+            F.when(F.col("__s_exists"), F.col(f"__s_{c}"))
+            .otherwise(target[c])
+            .alias(c)
+            for c in target.columns
+        ]
     )

@@ -140,3 +140,63 @@ def test_dedup_by_content_excludes_null_text(spark):
     )
     rows = dedup_by_content(df, "text", "id").collect()
     assert len(rows) == 1 and rows[0]["dup_count"] == 2
+
+
+def test_max_postings_caps_only_hot_buckets(spark):
+    from redskins_rule_spark.operators.dedup import pairs_from_posting_lists
+
+    # hot bucket H holds ids 1..6 (15 pairs); small bucket S holds (1,2);
+    # small bucket T holds (5,6) — so (1,2)/(5,6) each ALSO share a
+    # capped bucket and must survive via their small one.
+    rows = [(i, "H") for i in range(1, 7)] + [(1, "S"), (2, "S"), (5, "T"), (6, "T")]
+    df = spark.createDataFrame(rows, "id long, key string")
+
+    uncapped = {(r.id_a, r.id_b) for r in
+                pairs_from_posting_lists(df, ["key"], "id").distinct().collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              pairs_from_posting_lists(df, ["key"], "id", max_postings=3)
+              .distinct().collect()}
+
+    assert capped == {(1, 2), (5, 6)}
+    # recall invariant: capped ⊆ uncapped, and every lost pair shared
+    # ONLY the hot bucket
+    assert capped <= uncapped
+    lost = uncapped - capped
+    assert lost == {(a, b) for a in range(1, 7) for b in range(a + 1, 7)} - {(1, 2), (5, 6)}
+
+
+def test_max_postings_validation(spark):
+    import pytest
+
+    from redskins_rule_spark.operators.dedup import pairs_from_posting_lists
+
+    df = spark.createDataFrame([(1, "k")], "id long, key string")
+    with pytest.raises(ValueError, match="max_postings"):
+        pairs_from_posting_lists(df, ["key"], "id", max_postings=1)
+
+
+def test_simhash_pairs_higher_hamming_lossless(spark):
+    # chunk count derives from max_hamming (k+1 pigeonhole) — blocking
+    # stays lossless for k > 3, which the old fixed-4-chunk split broke.
+    docs = _corpus(spark).union(
+        _corpus(spark).select(
+            (F.col("doc_id") + 10).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra suffix words here")).alias("text"),
+        )
+    )
+    for k in (0, 5, 7):
+        got = {(r.id_a, r.id_b) for r in
+               simhash_pairs(docs, "doc_id", "text", max_hamming=k).collect()}
+        vals = {r.doc_id: r.s for r in
+                docs.select("doc_id", simhash("text").alias("s")).collect()}
+        ids = sorted(vals)
+        expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if bin(vals[a] ^ vals[b]).count("1") <= k}
+        assert got == expect, f"max_hamming={k}"
+
+
+def test_simhash_pairs_max_hamming_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(_corpus(spark), "doc_id", "text", max_hamming=16)

@@ -52,6 +52,20 @@ def test_null_key_matches_null_key(spark):
     assert got == [(None, "N", 2.0)]
 
 
+def test_matched_source_null_overwrites_target(spark):
+    # SQL MERGE UPDATE SET semantics: a matched source row carrying NULL
+    # in a non-key column writes that NULL, never keeps the stale value.
+    src = spark.createDataFrame(
+        [(2, None, None)], "id bigint, tag string, val double"
+    )
+    got = {tuple(r) for r in merge_upsert(_t(spark), src, ["id"]).collect()}
+    assert got == {
+        (1, "a", 10.0),
+        (2, None, None),  # NULLs written, not coalesced away
+        (3, "c", 30.0),
+    }
+
+
 def test_missing_source_column_rejected(spark):
     src = spark.createDataFrame([(1, "a")], "id bigint, tag string")
     with pytest.raises(ValueError, match="source lacks"):
