@@ -422,6 +422,7 @@ def with_simhash(
     text_col: str,
     out: str = "__sim",
     bits: int = 64,
+    hash_expr=None,
 ) -> DataFrame:
     """SimHash per row via explode + grouped bit votes — the scale
     path. Produces bit-identical signatures to `simhash()` but runs
@@ -435,11 +436,18 @@ def with_simhash(
     of a null token array emits nothing) rather than signed 0 —
     correct for dedup (a null doc is not a near-duplicate of other
     null docs).
+
+    `hash_expr` maps a token Column to its hash Column (default: the
+    xxhash64 family). Pass a cross-engine-deterministic hash (e.g.
+    `functions.hashing.char_fingerprint`, 31 bits) with a matching
+    `bits` to make signatures reproducible by a SQL oracle.
     """
+    if hash_expr is None:
+        hash_expr = lambda t: hashed(t, 7)  # noqa: E731
     c = F.col(text_col)
     toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
     ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
-        id_col, hashed(F.col("__t"), 7).alias("__h")
+        id_col, hash_expr(F.col("__t")).alias("__h")
     )
     votes = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
@@ -470,30 +478,39 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_postings: int | None = None,
+    bits: int = 64,
+    hash_expr=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole blocking: split the 64-bit signature into
+    Pigeonhole blocking: split the `bits`-bit signature into
     `max_hamming + 1` near-equal chunks; distance ≤ max_hamming ⇒ at
     least one chunk identical (a pair differing in ≤ k bits cannot
     touch all k+1 chunks), so candidates come from an equi self-join
     on (chunk_idx, chunk_value) — blocking is LOSSLESS for the
-    requested distance, for ANY max_hamming in [0, 15]. More chunks
-    mean narrower chunk values and hotter buckets (e.g. max_hamming=7
-    → 8-bit chunks → ≤256 distinct values), which is where
-    `max_postings` (see `pairs_from_posting_lists`) comes in; the
-    upper bound of 15 keeps chunks ≥ 4 bits.
+    requested distance, for ANY max_hamming up to bits/4 - 1. More
+    chunks mean narrower chunk values and hotter buckets (e.g.
+    max_hamming=7 → 8-bit chunks → ≤256 distinct values), which is
+    where `max_postings` (see `pairs_from_posting_lists`) comes in;
+    the bound keeps chunks ≥ 4 bits.
+
+    `bits`/`hash_expr` select the signature family (see
+    `with_simhash`): default 64-bit xxhash64; pass 31 +
+    `char_fingerprint` for the cross-engine-deterministic variant.
     Output: (id_a, id_b, hamming).
     """
-    if not 0 <= max_hamming <= 15:
+    if not 0 <= max_hamming <= bits // 4 - 1:
         raise ValueError(
-            f"max_hamming must be in [0, 15] (chunks need >= 4 bits to "
-            f"block usefully), got {max_hamming}"
+            f"max_hamming must be in [0, {bits // 4 - 1}] for a {bits}-bit "
+            f"signature (chunks need >= 4 bits to block usefully), got "
+            f"{max_hamming}"
         )
     n_chunks = max_hamming + 1
-    # near-equal split of the 64 bits: first (64 % n_chunks) chunks get
+    # near-equal split of the bits: first (bits % n_chunks) chunks get
     # one extra bit
-    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    widths = [
+        bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)
+    ]
     starts = [sum(widths[:i]) for i in range(n_chunks)]
 
     def chunk_val(i: int) -> Column:
@@ -502,7 +519,7 @@ def simhash_pairs(
         mask = (1 << widths[i]) - 1
         return F.shiftright(F.col("__sim"), starts[i]).bitwiseAND(F.lit(mask))
 
-    base = with_simhash(df, id_col, text_col, out="__sim")
+    base = with_simhash(df, id_col, text_col, out="__sim", bits=bits, hash_expr=hash_expr)
     chunks = base.select(
         id_col,
         "__sim",

@@ -508,6 +508,7 @@ def oracles() -> dict[str, str]:
 from redskins_rule_spark.functions.hashing import (  # noqa: E402
     MINHASH_AFFINE,
     minhash_signature_xengine,
+    simhash_token_hash_xengine,
     word_shingles,
 )
 from redskins_rule_spark.operators.dedup import (  # noqa: E402
@@ -872,6 +873,59 @@ def q24_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash with the cross-engine hash family (two Rabin–Karp
+# rolling-hash families packed into a 62-bit signature) — same
+# operator machinery as q25 but every bit is reproducible in the
+# oracle engine, so the FULL near-dup pair set is value-hash-checked.
+# The oracle recomputes signatures with identical arithmetic and
+# brute-forces pairs (fine at oracle SF); the Spark side uses the
+# pigeonhole blocking, so this also differential-tests that the
+# blocking is lossless on real data.
+# ---------------------------------------------------------------------------
+
+_SQL_SIMHASH_BITS = 62
+
+def _sql_roll(base: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {base} + x) % 2147483647)"
+    )
+
+_SQL_SIM_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
+    for j in range(_SQL_SIMHASH_BITS)
+)
+_SQL_SIM_SIG = " + ".join(
+    f"(CASE WHEN b{j} * 2 > n THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_SQL_SIMHASH_BITS)
+)
+
+@query(
+    "q25b_simhash_xengine",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS t FROM documents),
+         ex AS (SELECT doc_id, unnest(t) AS s FROM toks),
+         h AS (SELECT doc_id,
+                 {_sql_roll(257)} + ({_sql_roll(131)} << 31) AS h
+               FROM ex),
+         v AS (SELECT doc_id, COUNT(*) AS n, {_SQL_SIM_VOTES} FROM h GROUP BY doc_id),
+         sigs AS (SELECT doc_id, {_SQL_SIM_SIG} AS sig FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def q25b_simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        bits=62, hash_expr=simhash_token_hash_xengine,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -1768,4 +1822,80 @@ def q50_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp, ["s_nationkey", "s_suppkey"], num_partitions=8
     ).select(
         "s_suppkey", "idx", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 family completion: arbitrary GROUPING SETS + grouping_id()
+# (rollup q28 and cube q44 are the fixed-shape members). Single Expand
+# node (plan-pinned in test_plans.py): Spark expands each input row
+# once per grouping set, then one hash aggregate — no per-set rescans.
+# gid bit i = 1 when grouping column i is rolled up; identical bitmask
+# semantics in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q51_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+    """,
+)
+def q51_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 higher-order array functions — transform / filter / aggregate
+# over a per-order quantity array. Everything stays expression-level
+# (plan-pinned UDF-free); the fold runs over the SORTED array so both
+# engines reduce in the same order (all values are integer-valued
+# doubles, so the sums are exact anyway).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q52_array_hof",
+    oracle="""
+    WITH arr AS (
+        SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys) AS n_items,
+           len(list_filter(qtys, q -> q > 25)) AS n_big,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_filter(qtys, q -> q > 25)),
+                             (acc, q) -> acc + q), 2) AS big_sum,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qtys, q -> q * q)),
+                             (acc, x) -> acc + x), 2) AS sum_sq
+    FROM arr
+    """,
+)
+def q52_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    big = F.filter(F.col("qtys"), lambda q: q > 25)
+    zero = F.lit(0.0)
+    return arr.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.size(big).cast("long").alias("n_big"),
+        F.round(F.aggregate(big, zero, lambda acc, q: acc + q), 2).alias("big_sum"),
+        F.round(
+            F.aggregate(F.col("qtys"), zero, lambda acc, q: acc + q * q), 2
+        ).alias("sum_sq"),
     )

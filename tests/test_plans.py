@@ -135,3 +135,27 @@ def test_merge_upsert_is_equi_join_not_bnlj(spark):
     plan = _plan(spark, "q45_merge_upsert")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_grouping_sets_is_single_expand(spark):
+    # one Expand node feeding one aggregation chain — GROUPING SETS
+    # must not rescan the input per grouping set
+    plan = _plan(spark, "q51_grouping_sets")
+    expands = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Expand" in l
+    ]
+    assert len(expands) == 1, plan
+    scans = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l and ")" in l.split()[0]
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_array_hof_is_udf_free(spark):
+    # transform/filter/aggregate must plan as Catalyst expressions —
+    # no Python evaluation node anywhere
+    plan = _plan(spark, "q52_array_hof")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
