@@ -6,12 +6,15 @@ frame-sampling run as Arrow-batched pandas functions over
 `mapInPandas` — per-partition batch iterators, so payload bytes never
 round-trip through the driver and each task touches only its split.
 
-The actual codec step is STUBBED in this environment (no PIL/ffmpeg in
-the container): `decode_backend='fake'` derives deterministic metadata
-from the payload bytes so the Spark-side plumbing — schemas, batch
-shapes, partitioning — is real and testable; `decode_backend='real'`
-raises NotImplementedError at the decode call site, clearly marking
-where a codec library plugs in.
+Backends: `decode_backend='bmp'` is a REAL decode path — a pure-Python
+24-bit BMP codec (`functions/bmp.py`), no codec library needed — used
+for decode, resize (nearest-neighbor over numpy), and payload
+generation. `decode_backend='fake'` derives deterministic metadata
+from byte length alone (any payload, oracle-reproducible by
+arithmetic). Other codecs (JPEG/PNG/ffmpeg) need libraries absent
+from this container: `decode_backend='real'` raises
+NotImplementedError at the decode call site, clearly marking where
+PIL/opencv plugs in.
 
 Scale notes: payloads are large → keep them OUT of shuffles (extract
 metadata first, shuffle the small columns, re-join by key only if
@@ -44,6 +47,40 @@ def with_binary_payload(df: DataFrame, src_col: str, out: str = "payload") -> Da
     source column — stands in for image/audio bytes read from an
     object store)."""
     return df.withColumn(out, F.encode(F.col(src_col), "UTF-8"))
+
+
+def with_bmp_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL image payload column: a valid 24-bit BMP per
+    row, dimensions and pixels derived deterministically from the
+    source column's utf-8 byte length (w = len % 31 + 1,
+    h = len % 17 + 1, pixel[y,x,c] = (x + y + c + len) % 256) — so an
+    arithmetic oracle can predict exact metadata while the decode side
+    parses actual image bytes. Arrow-batched; payloads never touch the
+    driver."""
+    from redskins_rule_spark.functions.bmp import encode_bmp
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                blen = len(str(text).encode("utf-8"))
+                w, h = blen % 31 + 1, blen % 17 + 1
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                px = ((xs + ys + cs + blen) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
 
 
 def _fake_decode(payload: pd.Series) -> pd.DataFrame:
@@ -80,10 +117,23 @@ def decode_image_meta(
         for pdf in batches:
             if decode_backend == "fake":
                 meta = _fake_decode(pdf[payload_col])
+            elif decode_backend == "bmp":
+                from redskins_rule_spark.functions.bmp import decode_bmp_meta
+
+                parsed = [decode_bmp_meta(bytes(b)) for b in pdf[payload_col]]
+                meta = pd.DataFrame(
+                    {
+                        "byte_len": pdf[payload_col].map(len).astype("int64").values,
+                        "width": pd.array([p[0] for p in parsed], dtype="int32"),
+                        "height": pd.array([p[1] for p in parsed], dtype="int32"),
+                        "channels": pd.array([p[2] for p in parsed], dtype="int32"),
+                    }
+                )
             else:
                 raise NotImplementedError(
-                    "real image decode requires a codec library (PIL/opencv) "
-                    "not present in this environment; plug it in here"
+                    "decode for codecs beyond BMP requires a codec library "
+                    "(PIL/opencv) not present in this environment; plug it "
+                    "in here (see decode_backend='bmp' for the shape)"
                 )
             meta.insert(0, id_col, pdf[id_col].values)
             yield meta
@@ -98,9 +148,10 @@ def resize_images(
     target: tuple[int, int] = (224, 224),
     decode_backend: str = "fake",
 ) -> DataFrame:
-    """Resize stub: emits (id, payload, width, height) with the fake
-    backend passing bytes through and stamping the target dims; the
-    real backend decodes → resizes → re-encodes inside the batch."""
+    """Resize: emits (id, payload, width, height). The fake backend
+    passes bytes through and stamps the target dims; the 'bmp' backend
+    REALLY decodes → nearest-neighbor-resizes → re-encodes inside the
+    batch (numpy row ops, no per-pixel Python)."""
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -113,12 +164,27 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend != "fake":
-                raise NotImplementedError("real resize needs a codec library")
+            if decode_backend == "fake":
+                payloads = pdf[payload_col].values
+            elif decode_backend == "bmp":
+                from redskins_rule_spark.functions.bmp import (
+                    decode_bmp,
+                    encode_bmp,
+                    resize_nearest,
+                )
+
+                payloads = [
+                    encode_bmp(resize_nearest(decode_bmp(bytes(b)), tw, th))
+                    for b in pdf[payload_col]
+                ]
+            else:
+                raise NotImplementedError(
+                    "resize for codecs beyond BMP needs a codec library"
+                )
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    payload_col: pdf[payload_col].values,
+                    payload_col: payloads,
                     "width": pd.Series([tw] * len(pdf), dtype="int32"),
                     "height": pd.Series([th] * len(pdf), dtype="int32"),
                 }

@@ -110,7 +110,7 @@ def read_orc(
     return reader.orc(*_paths(path))
 
 
-_SINK_FORMATS = ("parquet", "orc", "csv", "json")
+_SINK_FORMATS = ("parquet", "orc", "csv", "json", "jdbc")
 
 
 def write_table(
@@ -122,19 +122,101 @@ def write_table(
     **options: str,
 ) -> None:
     """Distributed sink for any supported format (parquet | orc | csv
-    | json). CSV covers the reference's staging sink (S4) without the
-    driver-side pandas hop; `partition_by` gives every format the
-    partition-pruned directory layout. Executors write in parallel —
-    one file per partition, so `coalesce` first if a single file is
-    required."""
+    | json | jdbc). CSV covers the reference's staging sink (S4)
+    without the driver-side pandas hop; `partition_by` gives every
+    file format the partition-pruned directory layout. Executors write
+    in parallel — one file per partition, so `coalesce` first if a
+    single file is required.
+
+    ``fmt="jdbc"`` is the warehouse load step (SURVEY §2.1 S12 — the
+    reference instead issues BigQuery external-table DDL,
+    dags/redskins-rule-dag.py:263-278): `path` is the destination
+    TABLE name and `options` must carry `url` (plus any driver/auth
+    options); delegates to `write_jdbc`.
+    """
     if fmt not in _SINK_FORMATS:
         raise ValueError(f"unsupported sink format: {fmt!r} (use {_SINK_FORMATS})")
+    if fmt == "jdbc":
+        opts = dict(options)
+        url = opts.pop("url", None)
+        if not url:
+            raise ValueError("jdbc sink requires url=... option")
+        if partition_by:
+            raise ValueError("jdbc sink has no directory layout; drop partition_by")
+        write_jdbc(df, url, path, mode=mode, **opts)
+        return
     writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", options.get("header", "true"))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """Warehouse sink over JDBC (S12). Executors open parallel
+    connections (one per partition) and stream batched INSERTs —
+    `coalesce`/`repartition` upstream controls the connection count;
+    `batchsize` trades round-trips for memory. For a 100 TB engine the
+    warehouse load is the LAST hop of a reduced result, not the data
+    path — keep the heavy lifting in parquet and ship aggregates.
+
+    Works against any driver on the classpath (Derby embedded is
+    bundled with Spark and exercised in tests; swap `url` for
+    Postgres/BigQuery-JDBC/... in production).
+    """
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan. Without partitioning options this is ONE connection
+    on one executor — fine for dimension-sized tables, wrong for big
+    ones: pass (partition_column, lower_bound, upper_bound,
+    num_partitions) to split the read into range-predicate queries
+    executed in parallel. Catalyst pushes filters/column pruning into
+    the generated SQL (`PushedFilters` in `.explain`), so
+    `read_jdbc(...).where(...)` filters warehouse-side."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    )
+    part_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(o is not None for o in part_opts):
+        if any(o is None for o in part_opts):
+            raise ValueError(
+                "partitioned jdbc read needs ALL of partition_column, "
+                "lower_bound, upper_bound, num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.options(**options).load()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

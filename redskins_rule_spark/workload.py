@@ -521,6 +521,7 @@ from redskins_rule_spark.operators.dedup import (  # noqa: E402
 from redskins_rule_spark.operators.multimodal import (  # noqa: E402
     decode_image_meta,
     with_binary_payload,
+    with_bmp_payload,
 )
 from redskins_rule_spark.operators.similarity import (  # noqa: E402
     cosine_pairs_blocked,
@@ -842,6 +843,34 @@ def q23_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs, "text")
     return decode_image_meta(payloads, "payload", "doc_id", decode_backend="fake")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal, REAL decode path: generate a valid 24-bit BMP per doc
+# (dims derived from the text's byte length) and parse actual image
+# bytes back out with the pure-Python codec (functions/bmp.py) — no
+# codec library, no fake. The oracle predicts the header fields and
+# exact file size arithmetically.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q23b_bmp_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(54 + ((3 * w + 3) // 4 * 4) * h AS BIGINT) AS byte_len,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM (SELECT doc_id,
+                 octet_length(encode(text)) % 31 + 1 AS w,
+                 octet_length(encode(text)) % 17 + 1 AS h
+          FROM documents)
+    """,
+)
+def q23b_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = with_bmp_payload(docs, "text", "doc_id")
+    return decode_image_meta(payloads, "payload", "doc_id", decode_backend="bmp")
 
 
 # ---------------------------------------------------------------------------

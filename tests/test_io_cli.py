@@ -167,3 +167,42 @@ def test_write_table_rejects_unknown_format(spark, tmp_path):
     src = table(spark, SF_DIR, "nation")
     with pytest.raises(ValueError, match="unsupported sink format"):
         write_table(src, str(tmp_path / "x"), fmt="avro")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    # S12 warehouse load step: write through the JDBC sink into an
+    # embedded Derby DB (driver bundled with Spark), read back through
+    # the partitioned JDBC scan, require exact equality.
+    from redskins_rule_spark.sources.io import read_jdbc, write_table
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, None, None)],
+        "id bigint, tag string, val double",
+    )
+    write_table(df, "results", fmt="jdbc", url=url)
+
+    back = read_jdbc(
+        spark, url, "results",
+        partition_column="id", lower_bound=1, upper_bound=4, num_partitions=2,
+    )
+    assert back.rdd.getNumPartitions() == 2  # parallel range scan
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # mode=append doubles the rows; overwrite resets
+    write_table(df, "results", fmt="jdbc", mode="append", url=url)
+    assert read_jdbc(spark, url, "results").count() == 6
+    write_table(df, "results", fmt="jdbc", mode="overwrite", url=url)
+    assert read_jdbc(spark, url, "results").count() == 3
+
+
+def test_jdbc_sink_validation(spark):
+    import pytest as _pytest
+
+    from redskins_rule_spark.sources.io import write_table
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="url"):
+        write_table(df, "t", fmt="jdbc")
+    with _pytest.raises(ValueError, match="partition_by"):
+        write_table(df, "t", fmt="jdbc", partition_by=["id"], url="jdbc:derby:x")

@@ -47,3 +47,76 @@ def test_sample_frames_one_to_many(spark):
     assert len(by_doc[1]) == 2  # 100 bytes → 2 chunks of ≤64
     assert len(by_doc[2]) == 11  # 700 bytes → 11 chunks
     assert by_doc[1][0].frame_idx == 0 and len(by_doc[1][0].frame_bytes) == 64
+
+
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import (
+        bmp_size,
+        decode_bmp,
+        decode_bmp_meta,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (31, 17), (13, 5)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        data = encode_bmp(px)
+        assert len(data) == bmp_size(w, h)
+        assert decode_bmp_meta(data) == (w, h, 3)
+        assert (decode_bmp(data) == px).all()
+
+
+def test_bmp_resize_nearest_known_values():
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import resize_nearest
+
+    # 2x2 → 4x4 nearest-neighbor: each source pixel becomes a 2x2 block
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    out = resize_nearest(px, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert (out[:2, :2] == px[0, 0]).all()
+    assert (out[2:, 2:] == px[1, 1]).all()
+
+
+def test_decode_image_meta_bmp_backend(spark):
+    from redskins_rule_spark.functions.bmp import bmp_size
+    from redskins_rule_spark.operators.multimodal import (
+        decode_image_meta,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_image_meta(
+            with_bmp_payload(docs, "text", "doc_id"),
+            "payload", "doc_id", decode_backend="bmp",
+        ).collect()
+    }
+    for doc_id, blen in [(1, 11), (2, 100)]:
+        w, h = blen % 31 + 1, blen % 17 + 1
+        r = rows[doc_id]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.byte_len == bmp_size(w, h)
+
+
+def test_resize_images_bmp_backend(spark):
+    from redskins_rule_spark.functions.bmp import decode_bmp
+    from redskins_rule_spark.operators.multimodal import (
+        resize_images,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "some doc text")], "doc_id long, text string")
+    out = resize_images(
+        with_bmp_payload(docs, "text", "doc_id"),
+        "payload", "doc_id", target=(8, 6), decode_backend="bmp",
+    ).collect()[0]
+    assert (out.width, out.height) == (8, 6)
+    px = decode_bmp(bytes(out.payload))
+    assert px.shape == (6, 8, 3)
