@@ -54,6 +54,7 @@ def asof_join(
     tolerance: int | None = None,
     unit: str = "days",
     direction: str = "backward",
+    allow_exact_match: bool = True,
     left_keys: Sequence[str] | None = None,
     tiebreak: Sequence[str] = (),
     how: str = "left",
@@ -61,27 +62,35 @@ def asof_join(
     diff_col: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
-    (backward) / at-or-after (forward) its time, within `tolerance`.
+    (backward) / at-or-after (forward) / on-either-side (nearest) its
+    time, within `tolerance` — the full pandas `merge_asof` direction
+    surface (the reference only needs backward).
 
     by         : equality keys joined alongside time (asof "by" groups).
     tolerance  : max |t_left - t_right| in `unit` ('days'|'seconds').
                  Required for the bucket strategy (it is the bucket
                  width).
+    allow_exact_match : False excludes right rows at exactly the left
+                 time (pandas semantics: strictly before / strictly
+                 after / strictly different). Equality is at `unit`
+                 granularity, matching the distance computation.
     left_keys  : columns that uniquely key a left row (used to pick the
                  single nearest match). Defaults to by+[left_on] —
                  callers with duplicate times per key should pass a
                  real unique key.
     tiebreak   : right-side columns breaking equal-distance ties
                  deterministically (reference leaves this to RANK
-                 nondeterminism; we pin it).
+                 nondeterminism; we pin it). For 'nearest', an
+                 equal-distance before/after pair is resolved to the
+                 BEFORE row first (pandas' tie rule), then `tiebreak`.
     strategy   : 'bucket' (equi-join rewrite, the scale path) or
                  'broadcast' (theta join + broadcast(right), for small
                  right sides — the reference's plan shape, made sane).
     diff_col   : if set, keep |t_left - t_right| under this name
                  (reference keeps `date_diff`).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     if tolerance is None:
         raise ValueError("tolerance is required (it is also the bucket width)")
     if unit not in ("days", "seconds"):
@@ -96,11 +105,19 @@ def asof_join(
     by = list(by)
 
     lt, rt = F.col(left_on), F.col(right_on)
-    # signed distance from right event to left anchor, in `unit`
-    signed = (
-        epoch(lt) - epoch(rt) if direction == "backward" else epoch(rt) - epoch(lt)
-    )
-    in_window = (signed >= 0) & (signed <= tolerance)
+    # admissible window, in `unit`-granularity distance
+    if direction == "nearest":
+        in_window = F.abs(epoch(lt) - epoch(rt)) <= tolerance
+    else:
+        # signed distance from right event to left anchor
+        signed = (
+            epoch(lt) - epoch(rt)
+            if direction == "backward"
+            else epoch(rt) - epoch(lt)
+        )
+        in_window = (signed >= 0) & (signed <= tolerance)
+    if not allow_exact_match:
+        in_window = in_window & (epoch(lt) != epoch(rt))
 
     if left_on == right_on:
         raise ValueError("left_on and right_on must have distinct names")
@@ -119,8 +136,14 @@ def asof_join(
     elif strategy == "bucket":
         lb = F.floor(epoch(lt) / tolerance)
         rb = F.floor(epoch(rt) / tolerance)
-        # right row can serve left buckets b(rt) and b(rt)+1 (backward)
-        offs = [0, 1] if direction == "backward" else [0, -1]
+        # right row can serve left buckets b(rt) and b(rt)+1 (backward);
+        # nearest spans both sides → three buckets (still a constant
+        # duplication factor vs. the quadratic BNLJ)
+        offs = {
+            "backward": [0, 1],
+            "forward": [0, -1],
+            "nearest": [-1, 0, 1],
+        }[direction]
         r2 = right.withColumn(
             "__bucket", F.explode(F.array(*[rb + o for o in offs]))
         )
@@ -145,9 +168,13 @@ def asof_join(
         raise ValueError("strategy must be 'bucket' or 'broadcast'")
 
     dist = F.abs(epoch(F.col(left_on)) - epoch(F.col(right_on)))
-    w = Window.partitionBy(*lkeys).orderBy(
-        dist.asc_nulls_last(), *[F.col(t).asc_nulls_last() for t in tiebreak]
-    )
+    order = [dist.asc_nulls_last()]
+    if direction == "nearest":
+        # equal-distance before/after pair → prefer the BEFORE row
+        # (earlier right time), pandas' nearest tie rule
+        order.append(epoch(F.col(right_on)).asc_nulls_last())
+    order += [F.col(t).asc_nulls_last() for t in tiebreak]
+    w = Window.partitionBy(*lkeys).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
     out = out.drop("__rn")
     if diff_col:

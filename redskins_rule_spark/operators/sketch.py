@@ -1,0 +1,99 @@
+"""Cardinality sketches — distinct-count estimation beyond the
+built-in HLL (`approx_count_distinct`, workload q43).
+
+KMV (k-minimum-values): keep the k smallest distinct hash values of a
+column; with U(k) = h_k / M (the k-th minimum as a fraction of the
+hash space), D̂ = (k-1) / U(k). Unlike Spark's HLL sketch — whose
+register layout is engine-specific and therefore only rows-checkable
+in a differential harness — KMV over the cross-engine rolling hash
+(`functions.hashing.rolling_hash`, pure integer arithmetic) produces
+the IDENTICAL estimate in any SQL engine, so the whole sketch is
+value-hash-testable (workload q43b).
+
+Scale shape (100 TB): one shuffle for the (group, hash) distinct
+(map-side combine), then a LOCAL per-partition top-k (bounded memory:
+k rows per group per partition, no sort of the full distinct set)
+before the final per-group merge, whose input is ≤ partitions·k rows
+per group. The window-sort alternative (row_number over all distinct
+hashes) would sort the entire distinct set per group; the local
+combine keeps the big sort out of the plan entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redskins_rule_spark.functions.hashing import MERSENNE_31, rolling_hash
+
+# multiply-mod-prime universal-hash scramble. The raw rolling hash of
+# SHORT strings occupies only the low end of [0, M) (a 4-char string
+# rolls to < 257³·128), which wrecks the KMV estimator — it reads
+# h_k/M as a uniform fraction. (a·h + b) mod p scatters distinct
+# values ~uniformly; a·h < 2^61 stays overflow-safe in BIGINT.
+_SCRAMBLE_A = 1103515245
+_SCRAMBLE_B = 12345
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    hash_expr: Column | None = None,
+    modulus: int = MERSENNE_31,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate of `value_col`.
+
+    hash_expr : hash of one value row → [0, modulus). Defaults to the
+                cross-engine rolling hash of CAST(value AS STRING).
+    Returns one row per group: group_cols + `out_col` (bigint).
+    Exact when a group has < k distinct hashes (the sketch IS the
+    distinct set); otherwise floor((k-1)·M / h_k) — computed in double
+    then floored, bit-identical across engines.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = list(group_cols)
+    if hash_expr is not None:
+        h = hash_expr
+    else:
+        roll = rolling_hash(F.col(value_col).cast("string"), modulus=modulus)
+        h = (F.lit(_SCRAMBLE_A) * roll + F.lit(_SCRAMBLE_B)) % modulus
+    distinct = df.select(*groups, h.alias("__h")).distinct()
+
+    # local combine: k smallest hashes per group per partition.
+    # Accumulate the whole partition (batch iterator) before emitting —
+    # output is bounded at k rows per group, independent of input size.
+    fields = [distinct.schema[g] for g in groups]
+    out_schema = T.StructType([*fields, T.StructField("__h", T.LongType())])
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                both.sort_values("__h", kind="mergesort")
+                .groupby(groups, sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    local = distinct.mapInPandas(local_topk, out_schema)
+
+    # global merge: ≤ partitions·k rows per group reach this aggregate
+    mins = F.slice(F.sort_array(F.collect_list("__h")), 1, k)
+    agg = local.groupBy(*groups).agg(mins.alias("__mins"))
+    n = F.size("__mins")
+    hk = F.element_at("__mins", k).cast("double")
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(float(modulus)) / hk).cast("long")
+    )
+    return agg.select(*groups, est.alias(out_col))

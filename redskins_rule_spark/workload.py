@@ -1928,3 +1928,118 @@ def q52_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("qtys"), zero, lambda acc, q: acc + q * q), 2
         ).alias("sum_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 J3 extension — as-of join, 'nearest' direction (full pandas
+# merge_asof surface; the reference only needs backward). For every
+# purchase, the closest view by the SAME user on either side, within
+# the tolerance. Tie rule pinned on both engines: equal distance →
+# earlier view (backward preference, pandas' rule), then view id.
+# Distances are computed at second granularity (unix-epoch truncate)
+# on both engines — date_diff('second', ...) counts boundary
+# crossings, which is exactly trunc(b) - trunc(a).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q53_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (
+            SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+                   abs(date_diff('second', v.ts, p.ts)) AS secs_diff,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY abs(date_diff('second', v.ts, p.ts)),
+                                date_diff('second', TIMESTAMP '1970-01-01 00:00:00', v.ts),
+                                v.event_id) AS rn
+            FROM p JOIN v ON p.user_id = v.user_id
+            WHERE abs(date_diff('second', v.ts, p.ts)) <= {_ASOF_TOL_S}
+         )
+    SELECT p.event_id, p.user_id, j.view_event_id, j.secs_diff
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+    """,
+)
+def q53_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        left_on="ts",
+        right_on="view_ts",
+        by=["user_id"],
+        tolerance=_ASOF_TOL_S,
+        unit="seconds",
+        direction="nearest",
+        left_keys=["event_id"],
+        tiebreak=["view_event_id"],
+        diff_col="secs_diff",
+    )
+    return joined.select("event_id", "user_id", "view_event_id", "secs_diff")
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct, deterministic x-engine variant: a KMV
+# (k-minimum-values) sketch over the cross-engine rolling hash.
+# q43's HLL is engine-specific (rows-only check); this one computes
+# the IDENTICAL estimate in both engines — the whole sketch is
+# value-hash-tested. Operator: operators/sketch.py (local per-
+# partition top-k combine → tiny merge; no full-distinct sort).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import kmv_distinct  # noqa: E402
+
+_KMV_K = 64
+
+
+def _sql_roll_of(expr: str, base: int = 257) -> str:
+    """DuckDB rendering of functions.hashing.rolling_hash(expr)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {base} + x) % 2147483647)"
+    )
+
+
+@query(
+    "q43b_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               (1103515245 * {_sql_roll_of("CAST(user_id AS VARCHAR)")}
+                + 12345) % 2147483647 AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ),
+    a AS (
+        SELECT event_type, MAX(rn) AS n,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+        FROM r WHERE rn <= {_KMV_K}
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN n < {_KMV_K} THEN CAST(n AS BIGINT)
+                ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE) * 2147483647
+                                / CAST(hk AS DOUBLE)) AS BIGINT)
+           END AS approx_users
+    FROM a
+    """,
+)
+def q43b_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(
+        ev, ["event_type"], "user_id", k=_KMV_K, out_col="approx_users"
+    )

@@ -126,3 +126,66 @@ def test_asof_rejects_bad_unit_and_how(spark):
         asof_join(left, right, "lt", "rt", tolerance=7, unit="day")
     with pytest.raises(ValueError, match="how"):
         asof_join(left, right, "lt", "rt", tolerance=7, how="full")
+
+
+@pytest.mark.parametrize("strategy", ["bucket", "broadcast"])
+def test_asof_nearest(spark, strategy):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, "elec_date", "game_date",
+        tolerance=30, direction="nearest",
+        left_keys=["elec_id"], tiebreak=["game_id"],
+        strategy=strategy, diff_col="dd",
+    )
+    got = {r.elec_id: (r.game_id, r.dd) for r in out.collect()}
+    # e1 2020-11-03: g2 is 2d before, nothing closer after → g2
+    # e2 2020-12-25: g3/g4 are 9d AFTER (backward missed them) → g3 (tiebreak)
+    # e3 2021-01-05: g3/g4 2d before → g3
+    assert got == {"e1": ("g2", 2), "e2": ("g3", 9), "e3": ("g3", 2)}
+
+
+@pytest.mark.parametrize("strategy", ["bucket", "broadcast"])
+def test_asof_nearest_tie_prefers_backward(spark, strategy):
+    left = spark.createDataFrame(
+        [("e", dt.date(2020, 6, 10))], "eid string, lt date"
+    )
+    right = spark.createDataFrame(
+        [("before", dt.date(2020, 6, 8)), ("after", dt.date(2020, 6, 12))],
+        "rid string, rt date",
+    )
+    out = asof_join(
+        left, right, "lt", "rt", tolerance=7, direction="nearest",
+        left_keys=["eid"], tiebreak=["rid"], strategy=strategy,
+    ).collect()
+    assert out[0]["rid"] == "before"  # equal 2d distance → pandas tie rule
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_allow_exact_match_false(spark, direction):
+    left = spark.createDataFrame(
+        [("e", dt.date(2020, 6, 10))], "eid string, lt date"
+    )
+    right = spark.createDataFrame(
+        [("same_day", dt.date(2020, 6, 10)),
+         ("day_before", dt.date(2020, 6, 9)),
+         ("day_after", dt.date(2020, 6, 11))],
+        "rid string, rt date",
+    )
+    kw = dict(tolerance=7, direction=direction, left_keys=["eid"],
+              tiebreak=["rid"])
+    exact = asof_join(left, right, "lt", "rt", **kw).collect()[0]["rid"]
+    assert exact == "same_day"
+    strict = asof_join(
+        left, right, "lt", "rt", allow_exact_match=False, **kw
+    ).collect()[0]["rid"]
+    assert strict == {
+        "backward": "day_before", "forward": "day_after",
+        "nearest": "day_before",  # 1d tie before/after → backward
+    }[direction]
+
+
+def test_asof_rejects_bad_direction(spark):
+    left = spark.createDataFrame([(1, "2020-01-10")], "i int, lt string")
+    right = spark.createDataFrame([(1, "2020-01-08")], "j int, rt string")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "lt", "rt", tolerance=7, direction="sideways")

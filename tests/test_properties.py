@@ -32,31 +32,44 @@ layout = st.tuples(
 )
 
 
-def _oracle(left_days, right_days, tol):
-    """Brute-force backward as-of: nearest right ≤ left within tol;
-    ties (same distance) broken by smaller right id (the tiebreak
-    column the Spark call pins)."""
+def _oracle(left_days, right_days, tol, direction="backward", allow_exact=True):
+    """Brute-force as-of for all three directions: nearest admissible
+    right row within tol; equal-distance ties for 'nearest' prefer the
+    earlier (backward) right time, then smaller right id — the laws
+    the Spark operator pins."""
     out = {}
     for ld in left_days:
         best = None
         for rid, rd in enumerate(right_days):
-            diff = ld - rd
-            if 0 <= diff <= tol:
-                key = (diff, rid)
+            if direction == "backward":
+                ok = 0 <= ld - rd <= tol
+            elif direction == "forward":
+                ok = 0 <= rd - ld <= tol
+            else:
+                ok = abs(ld - rd) <= tol
+            if not allow_exact and ld == rd:
+                ok = False
+            if ok:
+                dist = abs(ld - rd)
+                key = (dist, rd, rid) if direction == "nearest" else (dist, rid)
                 if best is None or key < best:
                     best = key
-        out[ld] = best  # None or (diff, rid)
+        out[ld] = (best[0], best[-1]) if best else None  # (diff, rid)
     return out
 
 
 @pytest.mark.parametrize("strategy", ["bucket", "broadcast"])
 @settings(
-    max_examples=12,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(data=layout)
-def test_asof_join_matches_brute_force(spark, strategy, data):
+@given(
+    data=layout,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    allow_exact=st.booleans(),
+)
+def test_asof_join_matches_brute_force(spark, strategy, data, direction, allow_exact):
     left_days, right_days = data
     tol = 7
     left = spark.createDataFrame(
@@ -73,14 +86,15 @@ def test_asof_join_matches_brute_force(spark, strategy, data):
         left_on="l_time",
         right_on="r_time",
         tolerance=tol,
-        direction="backward",
+        direction=direction,
+        allow_exact_match=allow_exact,
         left_keys=["l_id"],
         tiebreak=["r_id"],
         strategy=strategy,
         diff_col="diff",
     ).collect()
 
-    want = _oracle(left_days, right_days, tol)
+    want = _oracle(left_days, right_days, tol, direction, allow_exact)
     assert len(got) == len(left_days)  # left rows preserved exactly once
     for row in got:
         expect = want[row["l_id"]]
