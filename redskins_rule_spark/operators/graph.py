@@ -1,0 +1,118 @@
+"""Distributed connected components — the clustering step of a
+near-dup pipeline. Pair generators (`operators.dedup`:
+minhash/simhash/jaccard `*_pairs`) emit near-dup EDGES; grouping a
+corpus into duplicate clusters and electing one canonical document
+per cluster requires the transitive closure of those edges, which no
+single join can express.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(path halving). Each round:
+
+  1. neighbor min — every node adopts the smallest label among itself
+     and its neighbors (one shuffle join + one hash agg);
+  2. pointer jump — every node adopts its LABEL's label
+     (labels self-join), halving the depth of label-reference chains.
+
+Step 1 alone converges in O(diameter) rounds (a 100 TB-scale chain
+of near-dup shards can be long); the jump in step 2 compounds labels
+geometrically, giving O(log n) rounds — the classic Shiloach–Vishkin
+/ MapReduce "pointer jumping" bound, same asymptotics as the
+large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).
+
+Scale notes:
+  * Every round is a fixed number of key-partitioned shuffles on the
+    label frame (|V| rows) — no step ever materializes the closure.
+  * `localCheckpoint` after each round truncates lineage: without it
+    round k re-plans (and can re-execute) all k-1 predecessors, and
+    the plan tree grows exponentially. On a real cluster prefer
+    `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+    executor-loss resilience; local mode has no such loss model.
+  * Convergence check is a metadata-sized action (count of changed
+    labels), not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+    component_col: str = "component",
+) -> DataFrame:
+    """Label every node of the undirected graph `edges` with the
+    minimum node id of its connected component.
+
+    edges : two-column (src, dst) frame; direction ignored; self-loops
+            and duplicate edges tolerated (distinct-ed once).
+    Returns DataFrame[id, component] for every node incident to at
+    least one edge. Raises RuntimeError if not converged within
+    `max_rounds` (log₂-ish bound: 25 rounds covers graphs far beyond
+    any real corpus).
+    """
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        .where(F.col("id") != F.col("nbr"))
+        .distinct()
+    )
+    labels = (
+        sym.select("id")
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # 1. neighbor min: candidates flow along edges, keyed agg takes
+        #    the min of (own label, every neighbor's label)
+        nbr_lbl = sym.join(labels, on="id").select(
+            F.col("nbr").alias("id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr_lbl)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # 2. pointer jump: lbl(v) := lbl(lbl(v)) — labels frame joined
+        #    to itself (label values ARE node ids, min-closed, so every
+        #    label has a row)
+        jump = labels.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            new_labels.join(jump, on="lbl", how="left")
+            .select("id", F.least("lbl", "lbl2").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), on="id")
+            .where(F.col("o.lbl") != F.col("n.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias(component_col))
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: DataFrame[id, cluster_id]
+    with cluster_id = min member id (the canonical survivor a dedup
+    pass would keep). Singleton documents (no near-dup edge) are not
+    emitted — callers left-join and coalesce to self."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(F.col("id").alias(id_col), F.col("component").alias(cluster_col))

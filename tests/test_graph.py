@@ -1,0 +1,85 @@
+"""Connected components: known graphs, a randomized union-find
+differential, and convergence/lineage behavior."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from redskins_rule_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    got = connected_components(edges, **kw).collect()
+    return {r.id: r.component for r in got}
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 and triangle 10-11-12
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_direction_self_loops_duplicates_ignored(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 2), (2, 3), (5, 5)])
+    # 5's only edge is a self-loop → not incident to a real edge → absent
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_fast(spark):
+    # pointer jumping: a 64-node chain must close in far fewer than
+    # 64 rounds (O(log n), not O(diameter))
+    n = 64
+    got = _cc(spark, [(i, i + 1) for i in range(n)], max_rounds=10)
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(edges)
+    got = _cc(spark, edges)
+    assert got == want
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_rounds=1)
+
+
+def test_dedup_clusters_column_contract(spark):
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 12)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(
+            pairs, id_col="doc_id", cluster_col="cluster_id"
+        ).collect()
+    }
+    assert got == {(3, 3), (9, 3), (12, 3)}
