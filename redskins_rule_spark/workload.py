@@ -2043,3 +2043,65 @@ def q43b_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         ev, ["event_type"], "user_id", k=_KMV_K, out_col="approx_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs -> duplicate clusters via distributed
+# connected components (operators.graph). The reference's dedup surface
+# stops at pair emission; a real dedup pass must take the transitive
+# closure of those pairs to elect one canonical survivor per cluster.
+# Edges come from the oracle-validated n-gram Jaccard generator (q19);
+# the DuckDB oracle re-derives the same pairs and closes them with a
+# recursive reachability CTE (fine at oracle scale; the Spark side is
+# the O(log n)-round pointer-jumping path that scales).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.graph import dedup_clusters  # noqa: E402
+
+@query(
+    "q54_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+         toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM cand
+                   JOIN gsets sa ON sa.doc_id = cand.id_a
+                   JOIN gsets sb ON sb.doc_id = cand.id_b
+                   WHERE len(list_intersect(sa.g, sb.g))
+                         / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL
+                   SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         ),
+         cc AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(cc.lbl, d.doc_id) AS BIGINT) AS cluster_id,
+           COALESCE(cc.lbl, d.doc_id) = d.doc_id      AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    """,
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    cl = dedup_clusters(pairs.select("id_a", "id_b"))
+    # clusters frame is tiny vs the corpus (only docs with >=1 near-dup
+    # edge) -> auto-broadcast left join; singletons are their own cluster
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .join(cl.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
