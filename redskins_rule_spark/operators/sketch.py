@@ -97,3 +97,77 @@ def kmv_distinct(
         F.floor(F.lit(float(k - 1)) * F.lit(float(modulus)) / hk).cast("long")
     )
     return agg.select(*groups, est.alias(out_col))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold_frac: float,
+    k: int | None = None,
+    total: int | None = None,
+    count_col: str = "item_count",
+) -> DataFrame:
+    """EXACT frequent items at scale: every `item_col` value occurring
+    in ≥ `threshold_frac` of rows, with its exact count — without ever
+    shuffling the full key space.
+
+    The naive plan (groupBy(item).count().filter) shuffles one row per
+    DISTINCT key; at 100 TB with, say, 10^10 distinct tokens that
+    shuffle dwarfs the answer (a handful of rows). Classic two-pass
+    scheme instead:
+
+      pass 1 — per-partition Misra–Gries summaries (`mapInPandas`,
+        state bounded at k entries regardless of partition size).
+        Guarantee: MG(k) error on a partition of n_p rows is
+        ≤ n_p/(k+1), so any item with partition count > n_p/(k+1)
+        survives; a globally-heavy item (count ≥ θ·n = Σθ·n_p) must by
+        pigeonhole exceed θ·n_p ≥ n_p/(k+1) in some partition
+        (requires k+1 > 1/θ, validated). Candidates ≤ k·partitions.
+      pass 2 — exact recount of candidates only: broadcast-semi-join
+        the scan against the tiny candidate set, then an ordinary hash
+        agg whose key space is ≤ k·partitions.
+
+    The result is EXACT (pass 2 counts, pass 1 only prunes), hence
+    oracle-checkable with GROUP BY/HAVING (workload q57).
+
+    total : row count if the caller already knows it (skips one
+            metadata-sized count job).
+    """
+    if not 0 < threshold_frac < 1:
+        raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
+    if k is None:
+        k = int(2.0 / threshold_frac) + 1
+    if k + 1 <= 1.0 / threshold_frac:
+        raise ValueError(
+            f"k={k} too small for threshold {threshold_frac}: need k+1 > 1/θ "
+            f"= {1.0 / threshold_frac:.1f} for the survival guarantee"
+        )
+
+    items = df.select(item_col)
+    field = items.schema[item_col]
+    cand_schema = T.StructType([field])
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # merge the batch's exact counts into the MG summary, then
+            # restore |summary| ≤ k by subtracting the (k+1)-th largest
+            # weight from all (the mergeable-summaries combine rule)
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame({item_col: list(counters.keys())})
+
+    candidates = items.mapInPandas(mg_partition, cand_schema).distinct()
+
+    n_rows = total if total is not None else df.count()
+    min_count = int(n_rows * threshold_frac)
+    return (
+        df.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .where(F.col(count_col) >= F.lit(min_count))
+    )

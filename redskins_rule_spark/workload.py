@@ -2105,3 +2105,87 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact frequent-item counts via two-pass Misra–Gries
+# (per-partition bounded-state candidates, broadcast-semi recount) —
+# never a full-key-space shuffle. Oracle is the naive GROUP BY/HAVING.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import heavy_hitters  # noqa: E402
+
+@query(
+    "q57_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS item_count
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= FLOOR((SELECT COUNT(*) FROM events) * 0.008)
+    """,
+)
+def q57_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 0.008, count_col="item_count")
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (SQL surface): Catalyst decorrelates EXISTS to a
+# left-semi join and a correlated scalar aggregate to a grouped join —
+# no per-row re-execution. TPC-H Q4/Q17 shapes adapted to the testdata
+# schema (no commit/receipt dates; return flag stands in).
+# ---------------------------------------------------------------------------
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for t in names:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q55_exists_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q55_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "q56_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q56_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql("""
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """)

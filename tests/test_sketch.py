@@ -43,3 +43,63 @@ def test_kmv_rejects_bad_k(spark):
     df = spark.range(1).select(F.lit("g").alias("g"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, ["g"], "v", k=1)
+
+
+# -- heavy hitters -----------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import heavy_hitters  # noqa: E402
+from redskins_rule_spark.plans.explain import formatted_plan  # noqa: E402
+
+
+def _zipf_df(spark, parts=8):
+    # 3 heavy items (>= 10% each) drowned in a uniform tail
+    rows = (
+        [("hot1",)] * 300 + [("hot2",)] * 250 + [("hot3",)] * 200
+        + [(f"tail{i % 400}",) for i in range(1250)]
+    )
+    return spark.createDataFrame(rows, "item string").repartition(parts)
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    df = _zipf_df(spark)
+    n = df.count()
+    theta = 0.05
+    naive = {
+        (r.item, r["count"])
+        for r in df.groupBy("item").count().where(F.col("count") >= int(n * theta)).collect()
+    }
+    got = {
+        (r.item, r.item_count)
+        for r in heavy_hitters(df, "item", theta, count_col="item_count").collect()
+    }
+    assert got == {(i, c) for i, c in naive}
+    assert {i for i, _ in got} == {"hot1", "hot2", "hot3"}
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    df = _zipf_df(spark)
+    one = heavy_hitters(df.coalesce(1), "item", 0.08).collect()
+    many = heavy_hitters(df.repartition(16), "item", 0.08).collect()
+    assert {tuple(r) for r in one} == {tuple(r) for r in many}
+
+
+def test_heavy_hitters_total_shortcut_and_counts_exact(spark):
+    df = _zipf_df(spark)
+    n = df.count()
+    got = {r.item: r.item_count for r in heavy_hitters(df, "item", 0.1, total=n).collect()}
+    assert got == {"hot1": 300, "hot2": 250, "hot3": 200}  # hot3 == the 0.1*2000 cutoff exactly
+
+
+def test_heavy_hitters_validation(spark):
+    df = _zipf_df(spark, parts=2)
+    with pytest.raises(ValueError, match="threshold_frac"):
+        heavy_hitters(df, "item", 0.0)
+    with pytest.raises(ValueError, match="too small"):
+        heavy_hitters(df, "item", 0.01, k=5)
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    # pass 2 must broadcast the candidate set, not shuffle the data side
+    df = _zipf_df(spark)
+    plan = formatted_plan(heavy_hitters(df, "item", 0.1, total=2000))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
