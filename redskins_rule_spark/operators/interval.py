@@ -1,0 +1,124 @@
+"""Interval-overlap join: pairs of rows whose [start, end] intervals
+intersect — the genomics / incident-correlation / ad-attribution join
+Spark has no native operator for.
+
+The naive formulation `a.start <= b.end AND b.start <= a.end` is a
+pure theta join: Spark can only BroadcastNestedLoop it, which is
+O(|A|·|B|) and a non-starter at scale. This module uses temporal
+bucketing to turn it into an equi join:
+
+  1. choose a bucket width W (microseconds);
+  2. explode each interval into the buckets it covers
+     (`sequence(floor(s/W), floor(e/W))`);
+  3. equi-join on bucket id (plus any caller equi keys);
+  4. keep pairs that truly overlap;
+  5. emit each pair exactly once — only from the FIRST bucket both
+     intervals share, `floor(max(s_a, s_b)/W)` — so no global
+     DISTINCT shuffle is ever needed.
+
+At 100 TB this is one shuffle of each side, keyed by (bucket, keys),
+with per-task work proportional to genuine temporal co-location.
+Pick W near the typical interval length: too small explodes long
+intervals into many buckets (blow-up guarded by `max_buckets`), too
+large degrades toward all-pairs within a bucket. Long-tail intervals
+are the skew hazard — cap them upstream or raise W.
+
+No counterpart in the reference (its only join is an equi year join,
+jobs/transform/nfl_elections.py); this is north-star surface for
+event-stream correlation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    on: Sequence[str] = (),
+    bucket_width_us: int = 3_600_000_000,
+    max_buckets: int = 1_000,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Join rows whose time intervals overlap (closed bounds,
+    `s_a <= e_b AND s_b <= e_a`).
+
+    left_bounds / right_bounds : (start_col, end_col) timestamp columns.
+    on              : optional extra equi-key columns (same name both
+                      sides) — e.g. user_id for per-entity correlation.
+    bucket_width_us : temporal bucket width in microseconds.
+    max_buckets     : hard cap on buckets one interval may span; an
+                      interval longer than max_buckets*W raises at plan
+                      execution (guards the explode blow-up a stray
+                      open-ended interval would cause).
+    suffixes        : appended to every non-`on` column of each side.
+
+    Output: all `on` columns once, then left columns suffixed, then
+    right columns suffixed. Rows with NULL bounds or end < start are
+    dropped (no interval to speak of).
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    sa, sb = suffixes
+    if sa == sb:
+        raise ValueError("suffixes must differ")
+
+    def floor_bucket(x):  # exact integer floor-div (pmod keeps it sign-safe)
+        return ((x - F.pmod(x, F.lit(bucket_width_us))) / bucket_width_us).cast(
+            "long"
+        )
+
+    def prep(df: DataFrame, s: str, e: str, suf: str) -> DataFrame:
+        start_us = F.unix_micros(F.col(s))
+        end_us = F.unix_micros(F.col(e))
+        b_start, b_end = floor_bucket(start_us), floor_bucket(end_us)
+        guarded = F.when(
+            b_end - b_start < F.lit(max_buckets),
+            F.sequence(b_start, b_end),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"interval spans more than max_buckets={max_buckets} "
+                    f"buckets of {bucket_width_us}us; raise bucket_width_us "
+                    "or cap interval lengths upstream"
+                )
+            )
+        )
+        out = (
+            df.where(F.col(s).isNotNull() & F.col(e).isNotNull())
+            .where(end_us >= start_us)
+            .select(
+                *[F.col(k) for k in on],
+                *[
+                    F.col(c).alias(f"{c}{suf}")
+                    for c in df.columns
+                    if c not in on
+                ],
+                start_us.alias(f"__s{suf}"),
+                end_us.alias(f"__e{suf}"),
+                F.explode(guarded).alias("__bucket"),
+            )
+        )
+        return out
+
+    l = prep(left, ls, le, sa)
+    r = prep(right, rs, re_, sb)
+    join_keys = ["__bucket", *on]
+    joined = l.join(r, join_keys, "inner")
+    overlap = (F.col(f"__s{sa}") <= F.col(f"__e{sb}")) & (
+        F.col(f"__s{sb}") <= F.col(f"__e{sa}")
+    )
+    # claim each pair in the first shared bucket only: no DISTINCT pass
+    lo = F.greatest(F.col(f"__s{sa}"), F.col(f"__s{sb}"))
+    first_shared = ((lo - F.pmod(lo, F.lit(bucket_width_us))) / bucket_width_us).cast(
+        "long"
+    )
+    return joined.where(overlap & (F.col("__bucket") == first_shared)).drop(
+        "__bucket", f"__s{sa}", f"__e{sa}", f"__s{sb}", f"__e{sb}"
+    )

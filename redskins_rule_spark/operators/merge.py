@@ -65,3 +65,85 @@ def merge_upsert(
             for c in target.columns
         ]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same logical
+    table: one row per key whose state changed, labeled
+    'insert' / 'update' / 'delete' in `change_col`.
+
+    Inserts and updates carry the NEW values; deletes carry the OLD
+    values (there are no new ones). Unchanged keys are dropped. All
+    value comparisons are null-safe (NULL -> 'x' and 'x' -> NULL are
+    both updates; NULL -> NULL is unchanged).
+
+    This is the incremental-dataset-versioning primitive a training-data
+    pipeline needs between crawl snapshots: feed the output to
+    `merge_upsert` (with `delete_col`) to roll a serving copy forward,
+    or aggregate it for drift monitoring.
+
+    At 100 TB: exactly one shuffle of each snapshot on the keys (a
+    sort-merge join; AQE splits skewed keys); the change filter is
+    evaluated in the join's projection, so unchanged rows — the vast
+    majority between adjacent snapshots — never reach a second stage.
+    Contract: both snapshots share a schema and are unique per key.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(set(old.columns) ^ set(new.columns))}"
+        )
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        [F.col(c).alias(f"__o_{c}") for c in old.columns]
+        + [F.lit(True).alias("__o_exists")]
+    )
+    n = new.select(
+        [F.col(c).alias(f"__n_{c}") for c in new.columns]
+        + [F.lit(True).alias("__n_exists")]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in keys],
+    )
+    j = n.join(o, cond, "full_outer")
+    # presence flags, not key-null checks: NULL is a legal key value
+    # under eqNullSafe matching
+    o_exists = F.coalesce(F.col("__o_exists"), F.lit(False))
+    n_exists = F.coalesce(F.col("__n_exists"), F.lit(False))
+    changed = (
+        reduce(
+            lambda a, b: a | b,
+            [~F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}")) for c in value_cols],
+        )
+        if value_cols
+        else F.lit(False)
+    )
+    change = (
+        F.when(~o_exists, F.lit("insert"))
+        .when(~n_exists, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn(change_col, change)
+        .where(F.col(change_col).isNotNull())
+        .select(
+            [
+                F.when(n_exists, F.col(f"__n_{k}"))
+                .otherwise(F.col(f"__o_{k}"))
+                .alias(k)
+                for k in keys
+            ]
+            + [
+                F.when(F.col(change_col) != "delete", F.col(f"__n_{c}"))
+                .otherwise(F.col(f"__o_{c}"))
+                .alias(c)
+                for c in value_cols
+            ]
+            + [F.col(change_col)]
+        )
+    )

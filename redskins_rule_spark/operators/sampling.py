@@ -1,0 +1,153 @@
+"""Deterministic sampling operators for train/eval splits.
+
+Two tiers, matching how much exactness costs at scale:
+
+* proportional hash split (workload q46): a map-side Knuth
+  multiplicative-hash filter — zero shuffles, reproducible across
+  engines and runs, but per-stratum sizes are only *expected*
+  frac·n. The 100 TB default.
+* `stratified_sample_exact` (here): EXACTLY ceil(frac·n_s) rows per
+  stratum, still deterministic, via distributed order-statistic
+  selection — never a per-stratum global sort and never a window over
+  a stratum partition (a handful of giant strata would serialize one).
+
+Selection scheme (per stratum s, k_s = ceil(frac·n_s)):
+  1. metadata pass: per-stratum counts (tiny agg; strata count is
+     validated small);
+  2. candidate pass: every task keeps its k_s smallest (hash, id)
+     pairs per stratum — bounded state, Arrow-batched `mapInPandas` —
+     and ships only those: shuffle volume ≤ tasks·Σk_s, independent
+     of data size;
+  3. the k_s-th smallest candidate overall is the stratum's exact
+     selection threshold (any row below it beats k_s-1 others in its
+     own task's candidates or was itself shipped — the standard
+     distributed top-k argument);
+  4. map-side filter of the base data against the broadcast
+     per-stratum thresholds.
+
+The sort key is (knuth_hash(id), id): the id tiebreak makes it a
+total order even on hash collisions, so "exactly k_s" is exact, and
+the same ORDER BY is expressible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Knuth's multiplicative constant; (id * A) mod 2^32 is a bijection of
+#: [0, 2^32) for odd A, and plain BIGINT arithmetic in any SQL engine.
+KNUTH_A = 2654435761
+KNUTH_MOD = 4294967296
+
+
+def knuth_hash(col: F.Column | str) -> F.Column:
+    """Cross-engine deterministic spreading hash of an integer key."""
+    return (F.col(col) if isinstance(col, str) else col) * F.lit(KNUTH_A) % F.lit(
+        KNUTH_MOD
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    frac: float,
+    max_strata: int = 10_000,
+    max_k: int = 10_000_000,
+) -> DataFrame:
+    """Exactly ceil(frac * n_s) rows from every stratum, chosen as the
+    smallest (knuth_hash(id), id) keys — deterministic, rerun-stable,
+    and equal to the SQL `ROW_NUMBER() OVER (PARTITION BY stratum
+    ORDER BY hash, id) <= CEIL(frac * n_s)` specification.
+
+    Requires an integer `id_col`. `max_strata` bounds the metadata
+    collect; `max_k` bounds per-task candidate state (a stratum
+    needing more than max_k rows should use the proportional hash
+    split instead — at that size the ±sqrt(k) binomial wobble is
+    negligible anyway).
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if frac == 0.0:
+        return df.limit(0)
+
+    counts = df.groupBy(stratum_col).count().collect()
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"{len(counts)} strata exceeds max_strata={max_strata}; "
+            "stratified selection assumes a modest stratum count"
+        )
+    k_by_stratum = {
+        r[stratum_col]: math.ceil(frac * r["count"]) for r in counts
+    }
+    biggest = max(k_by_stratum.values())
+    if biggest > max_k:
+        raise ValueError(
+            f"largest stratum needs k={biggest} > max_k={max_k}; use the "
+            "proportional hash split (workload q46) at this size"
+        )
+
+    keyed = df.select(
+        F.col(stratum_col), knuth_hash(id_col).alias("__h"), F.col(id_col)
+    )
+    cand_schema = T.StructType(
+        [
+            keyed.schema[stratum_col],
+            T.StructField("__h", T.LongType()),
+            keyed.schema[id_col],
+        ]
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        state: dict = {}  # stratum -> (h array, id array), each <= k_s
+        for pdf in batches:
+            for s, grp in pdf.groupby(stratum_col, sort=False):
+                k = k_by_stratum.get(s)
+                if not k:
+                    continue
+                h = grp["__h"].to_numpy(dtype="int64")
+                i = grp[id_col].to_numpy(dtype="int64")
+                if s in state:
+                    h = np.concatenate([state[s][0], h])
+                    i = np.concatenate([state[s][1], i])
+                if len(h) > k:
+                    keep = np.lexsort((i, h))[:k]
+                    h, i = h[keep], i[keep]
+                state[s] = (h, i)
+        for s, (h, i) in state.items():
+            yield pd.DataFrame({stratum_col: s, "__h": h, id_col: i})
+
+    candidates = keyed.mapInPandas(local_topk, cand_schema)
+
+    k_df = df.sparkSession.createDataFrame(
+        [(s, k) for s, k in k_by_stratum.items() if k > 0],
+        T.StructType(
+            [keyed.schema[stratum_col], T.StructField("__k", T.LongType())]
+        ),
+    )
+    thresholds = (
+        candidates.groupBy(stratum_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__h", id_col))).alias("__cand"))
+        .join(k_df, stratum_col)
+        .select(
+            stratum_col,
+            F.element_at(
+                "__cand", F.least(F.col("__k"), F.size("__cand")).cast("int")
+            ).alias("__thr"),
+        )
+    )
+
+    row_key = F.struct(knuth_hash(id_col).alias("__h"), F.col(id_col).alias(id_col))
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .where(row_key <= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -112,3 +112,44 @@ def lang_id(col: Column | str) -> Column:
     for lang in reversed(LANG_ORDER):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def build_inverted_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+):
+    """Distributed inverted index: one row per surviving token with its
+    document frequency and the sorted, deduplicated posting list.
+
+    Tokenization is the lowercase alpha-run split (regex, expression
+    only). `min_df` drops hapax noise; `max_df` drops stop tokens —
+    and is also the SCALE guard: an uncapped `collect_set` on a stop
+    token ('the' posting = every document) is unbounded aggregation
+    state. With the document-frequency window enforced IN THE SAME
+    hash aggregate that builds the set, Spark's partial (map-side)
+    aggregation still bounds per-task state at distinct-tokens ×
+    max-postings-seen-locally; the final filter discards oversized
+    sets before they are ever materialized downstream. For web-scale
+    stop-token handling, run a df-count pre-pass and anti-join the
+    stop list before the set aggregation (same pattern as
+    `dedup.pairs_from_posting_lists`' hot-bucket cut).
+
+    Output: (token, df, postings array<id>). The posting list is
+    sorted, so downstream intersection (conjunctive query evaluation)
+    is a linear merge.
+    """
+    token = F.explode(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    ).alias("token")
+    exploded = df.select(F.col(id_col), token).where(F.col("token") != "")
+    agg = exploded.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("df"),
+        F.array_sort(F.collect_set(id_col)).alias("postings"),
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    return agg.where(cond)

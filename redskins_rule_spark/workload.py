@@ -2189,3 +2189,198 @@ def q56_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                               FROM lineitem l2
                               WHERE l2.l_partkey = l.l_partkey)
     """)
+
+
+# ---------------------------------------------------------------------------
+# Change-data-capture between snapshots: full-outer key join, null-safe
+# column compare, insert/update/delete labels — the incremental-crawl
+# versioning primitive. Oracle is the textbook FULL OUTER JOIN shape.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.merge import snapshot_diff  # noqa: E402
+
+
+@query(
+    "q58_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 8
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 >= 2
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey ELSE o.o_custkey END AS o_custkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice ELSE o.o_totalprice END AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def q58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = base.where(F.col("o_orderkey") % 10 < 8)
+    new = base.where(F.col("o_orderkey") % 10 >= 2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: view intervals [ts, ts+value sec] x sampled
+# error windows [ts, ts+600 sec], bucketized to an equi join with
+# first-shared-bucket claiming (no theta-join BNLJ, no DISTINCT).
+# Oracle is the naive range-predicate join.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.interval import interval_join  # noqa: E402
+
+
+@query(
+    "q59_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS view_id, ts AS v_start,
+             ts + to_seconds(CAST(FLOOR(value) AS BIGINT)) AS v_end
+      FROM events WHERE event_type = 'view'
+    ), b AS (
+      SELECT event_id AS err_id, ts AS w_start, ts + to_seconds(600) AS w_end
+      FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+    )
+    SELECT a.view_id, b.err_id,
+           CAST(epoch_us(least(a.v_end, b.w_end)) - epoch_us(greatest(a.v_start, b.w_start)) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON a.v_start <= b.w_end AND b.w_start <= a.v_end
+    """,
+)
+def q59_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor("value").cast("long") * 1_000_000
+        ).alias("v_end"),
+    )
+    errors = ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000).alias("w_end"),
+    )
+    pairs = interval_join(
+        views,
+        errors,
+        ("v_start", "v_end"),
+        ("w_start", "w_end"),
+        bucket_width_us=600_000_000,
+    )
+    return pairs.select(
+        F.col("view_id_a").alias("view_id"),
+        F.col("err_id_b").alias("err_id"),
+        (
+            F.unix_micros(F.least("v_end_a", "w_end_b"))
+            - F.unix_micros(F.greatest("v_start_a", "w_start_b"))
+        ).alias("overlap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling: ceil(frac*n) rows per language stratum by
+# smallest (knuth_hash, id) — distributed order-statistic selection
+# (bounded per-task candidate state), never a per-stratum window sort.
+# Oracle is the ROW_NUMBER specification it implements.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import stratified_sample_exact  # noqa: E402
+
+
+@query(
+    "q60_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents) t
+    WHERE rn <= CEIL(0.2 * n)
+    """,
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_exact(docs, "lang", "doc_id", 0.2).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-model-fit aggregates: per-group OLS slope/intercept/R² as
+# single-pass regr_* aggregates (one hash agg, no iteration).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q61_regression_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q61_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index with a document-frequency window (drops hapax noise
+# AND all-document stop tokens — the unbounded-posting-list guard).
+# Posting lists emitted as canonical '|'-joined strings so the value
+# hash is representation-stable across engines.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import build_inverted_index  # noqa: E402
+
+
+@query(
+    "q62_inverted_index",
+    oracle="""
+    SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           string_agg(DISTINCT doc_id, '|' ORDER BY doc_id) AS postings
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+          FROM documents)
+    WHERE length(token) > 0
+    GROUP BY token
+    HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 450
+    """,
+)
+def q62_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text", min_df=2, max_df=450)
+    return idx.select(
+        "token",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), "|"
+        ).alias("postings"),
+    )

@@ -77,3 +77,68 @@ def test_update_only_columns_preserved_via_join_shape(spark):
     src = _t(spark).withColumn("val", F.col("val") * 2)
     out = merge_upsert(_t(spark), src, ["id"])
     assert out.columns == ["id", "tag", "val"]
+
+
+# -- snapshot_diff (CDC) -----------------------------------------------------
+
+from redskins_rule_spark.operators.merge import snapshot_diff  # noqa: E402
+
+
+def test_snapshot_diff_labels(spark):
+    old = _t(spark)  # ids 1,2,3
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+        "id bigint, tag string, val double",
+    )
+    got = {tuple(r) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        (1, "a", 10.0, "delete"),  # old values on delete
+        (3, "c", 99.0, "update"),  # new values on update
+        (4, "d", 40.0, "insert"),
+    }  # id 2 unchanged -> dropped
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "id bigint, tag string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "id bigint, tag string")
+    got = {tuple(r) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {(1, "y", "update"), (2, None, "update")}
+
+
+def test_snapshot_diff_null_null_unchanged(spark):
+    old = spark.createDataFrame([(1, None)], "id bigint, tag string")
+    new = spark.createDataFrame([(1, None)], "id bigint, tag string")
+    assert snapshot_diff(old, new, ["id"]).count() == 0
+
+
+def test_snapshot_diff_null_key_matches_nullsafe(spark):
+    old = spark.createDataFrame([(None, "x")], "id bigint, tag string")
+    new = spark.createDataFrame([(None, "z")], "id bigint, tag string")
+    got = [tuple(r) for r in snapshot_diff(old, new, ["id"]).collect()]
+    assert got == [(None, "z", "update")]
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark):
+    old = _t(spark)
+    new = old.withColumnRenamed("val", "other")
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new, ["id"])
+
+
+def test_snapshot_diff_roundtrip_with_merge(spark):
+    """Applying the diff to the old snapshot via merge_upsert
+    reproduces the new snapshot exactly."""
+    old = _t(spark)
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (3, "C", 31.0), (5, "e", 50.0)],
+        "id bigint, tag string, val double",
+    )
+    diff = snapshot_diff(old, new, ["id"]).withColumn(
+        "is_delete", F.col("change_type") == "delete"
+    )
+    rolled = merge_upsert(
+        old, diff.drop("change_type"), ["id"], delete_col="is_delete"
+    )
+    assert {tuple(r) for r in rolled.collect()} == {
+        tuple(r) for r in new.collect()
+    }

@@ -1,0 +1,80 @@
+"""Exact stratified sampling (operators/sampling.py): distributed
+order-statistic selection vs the ROW_NUMBER specification."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redskins_rule_spark.operators.sampling import (
+    KNUTH_A,
+    KNUTH_MOD,
+    stratified_sample_exact,
+)
+
+
+def _docs(spark, n=400, parts=8):
+    strata = ["a", "b", "c", "d"]
+    rows = [(i * 3 + 1, strata[i % 7 % 4]) for i in range(n)]  # skewed sizes
+    return spark.createDataFrame(rows, "id bigint, s string").repartition(parts)
+
+
+def _spec(rows, frac):
+    """The ROW_NUMBER() OVER (PARTITION BY s ORDER BY hash, id) spec,
+    computed in plain Python."""
+    by_s: dict = {}
+    for i, s in rows:
+        by_s.setdefault(s, []).append((i * KNUTH_A % KNUTH_MOD, i))
+    keep = set()
+    for s, members in by_s.items():
+        members.sort()
+        k = math.ceil(frac * len(members))
+        keep.update((i, s) for _, i in members[:k])
+    return keep
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.33, 1.0])
+def test_matches_row_number_spec(spark, frac):
+    df = _docs(spark)
+    rows = [(r["id"], r["s"]) for r in df.collect()]
+    got = {
+        (r["id"], r["s"])
+        for r in stratified_sample_exact(df, "s", "id", frac).collect()
+    }
+    assert got == _spec(rows, frac)
+
+
+def test_exact_sizes_per_stratum(spark):
+    df = _docs(spark)
+    sizes = {
+        r["s"]: r["count"] for r in df.groupBy("s").count().collect()
+    }
+    got = stratified_sample_exact(df, "s", "id", 0.25)
+    out = {r["s"]: r["count"] for r in got.groupBy("s").count().collect()}
+    assert out == {s: math.ceil(0.25 * n) for s, n in sizes.items()}
+
+
+def test_partition_invariance(spark):
+    df = _docs(spark)
+    one = stratified_sample_exact(df.coalesce(1), "s", "id", 0.2).collect()
+    many = stratified_sample_exact(df.repartition(16), "s", "id", 0.2).collect()
+    assert {tuple(r) for r in one} == {tuple(r) for r in many}
+
+
+def test_frac_zero_and_validation(spark):
+    df = _docs(spark)
+    assert stratified_sample_exact(df, "s", "id", 0.0).count() == 0
+    with pytest.raises(ValueError, match="frac"):
+        stratified_sample_exact(df, "s", "id", 1.5)
+    with pytest.raises(ValueError, match="max_k"):
+        stratified_sample_exact(df, "s", "id", 0.5, max_k=10)
+
+
+def test_threshold_filter_is_broadcast(spark):
+    from redskins_rule_spark.plans.explain import formatted_plan
+
+    df = _docs(spark)
+    plan = formatted_plan(stratified_sample_exact(df, "s", "id", 0.2))
+    assert "BroadcastHashJoin" in plan

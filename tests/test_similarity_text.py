@@ -109,3 +109,37 @@ def test_train_ivf_centroids_and_full_probe_equals_brute_force(spark):
     approx = {tuple(r) for r in ivf_topk(body, cents, qvec, "vec_id", "embedding", k=5, nprobe=k).collect()}
     exact = {tuple(r) for r in cosine_topk(body, qvec, "vec_id", "embedding", k=5).collect()}
     assert approx == exact
+
+
+# -- inverted index ----------------------------------------------------------
+
+from redskins_rule_spark.operators.text import build_inverted_index  # noqa: E402
+
+
+def test_inverted_index_postings_sorted_dedup_and_df_window(spark):
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "banana! only-here cherry"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = {
+        r["token"]: (r["df"], list(r["postings"]))
+        for r in build_inverted_index(docs, min_df=2, max_df=2).collect()
+    }
+    # 'banana' df=3 exceeds max_df (stop-token cut); 'only'/'here'/'apple'
+    # df=1 below min_df; duplicates within a doc collapse
+    assert idx == {"cherry": (2, [1, 2])}
+
+
+def test_inverted_index_df_counts_distinct_docs_not_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "x")], "doc_id bigint, text string"
+    )
+    [(df_, postings)] = [
+        (r["df"], list(r["postings"]))
+        for r in build_inverted_index(docs, min_df=2).collect()
+    ]
+    assert (df_, postings) == (2, [1, 2])
