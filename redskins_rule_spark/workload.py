@@ -2384,3 +2384,96 @@ def q62_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("postings", lambda x: x.cast("string")), "|"
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop star join (TPC-H Q7 "volume shipping" shape): 5-way join
+# across supplier/lineitem/orders/customer with nation on BOTH ends,
+# nation-pair filter, per-year conditional revenue rollup. Exercises
+# Catalyst join reordering + double broadcast of the same dim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q63_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_3')
+      AND n2.n_name IN ('NATION_1', 'NATION_3')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q63_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_3"]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap fill: per-customer month spine from first to last
+# order month (sequence + explode — bounded by the span, never a
+# cross join with a global calendar), left join actuals, zero-fill.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q64_gap_fill",
+    oracle="""
+    WITH m AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+                      SUM(o_totalprice) AS rev
+               FROM orders GROUP BY 1, 2),
+         b AS (SELECT o_custkey, MIN(mon) AS mn, MAX(mon) AS mx FROM m GROUP BY 1),
+         spine AS (SELECT o_custkey, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mon
+                   FROM b)
+    SELECT s.o_custkey, strftime(s.mon, '%Y-%m') AS mon,
+           COALESCE(ROUND(m.rev, 2), 0.0) AS rev
+    FROM spine s LEFT JOIN m ON m.o_custkey = s.o_custkey AND m.mon = s.mon
+    """,
+)
+def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    bounds = m.groupBy("o_custkey").agg(
+        F.min("mon").alias("mn"), F.max("mon").alias("mx")
+    )
+    spine = bounds.select(
+        "o_custkey",
+        F.explode(F.expr("sequence(mn, mx, interval 1 month)")).alias("mon"),
+    )
+    return spine.join(m, ["o_custkey", "mon"], "left").select(
+        "o_custkey",
+        F.date_format("mon", "yyyy-MM").alias("mon"),
+        F.coalesce(F.round("rev", 2), F.lit(0.0)).alias("rev"),
+    )

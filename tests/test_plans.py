@@ -159,3 +159,26 @@ def test_array_hof_is_udf_free(spark):
     plan = _plan(spark, "q52_array_hof")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    # 5-way star join: every dim side (supplier/customer/nation x2) is
+    # broadcast; the only shuffle join permitted is fact-to-fact
+    # (lineitem-orders). A shuffled dim or a cartesian here multiplies
+    # cost 100x at cluster scale.
+    plan = formatted_plan(QUERIES["q63_nation_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    assert_no_bnlj(QUERIES["q59_interval_overlap"](spark, SF))
+
+
+def test_gap_fill_spine_has_no_cartesian(spark):
+    # the month spine comes from per-customer sequence+explode, never a
+    # cross join against a global calendar relation
+    plan = formatted_plan(QUERIES["q64_gap_fill"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # explode of the per-customer sequence
