@@ -55,11 +55,17 @@ def connected_components(
     `max_rounds` (log₂-ish bound: 25 rounds covers graphs far beyond
     any real corpus).
     """
+    # Materialize the symmetrized edge list ONCE. Without this, every
+    # round's `sym.join(labels)` is a fresh query execution that replans
+    # and re-runs the whole upstream edge producer (for dedup clustering
+    # that's the entire candidate-pair pipeline — measured 3-4x the total
+    # runtime at sf0.1); shuffle reuse does not span separate actions.
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .where(F.col("id") != F.col("nbr"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select("id")
