@@ -153,3 +153,76 @@ def build_inverted_index(
     if max_df is not None:
         cond = cond & (F.col("df") <= max_df)
     return agg.where(cond)
+
+
+def repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Gopher-style within-document repetition signal: the fraction of
+    duplicate k-word shingles per document (1 - distinct/total). High
+    values mark boilerplate / generated spam for quality filtering.
+
+    Expression-only (shifted-slice zip_with shingles, array_distinct),
+    row-local, fully codegen'd — the cheapest possible scan shape at
+    any scale. Documents too short for one shingle are dropped.
+    """
+    from redskins_rule_spark.functions.hashing import word_shingles
+
+    g = word_shingles(text_col, k)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(g).cast("long").alias("n_grams"),
+            F.round(
+                1 - F.size(F.array_distinct(g)) / F.size(g), 4
+            ).alias("dup_frac"),
+        )
+        .where(F.col("n_grams") > 0)
+    )
+
+
+def contamination_pairs(
+    corpus,
+    benchmark,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 3,
+):
+    """Benchmark decontamination: (corpus doc, benchmark doc) pairs
+    sharing >= `min_shared` distinct k-word shingles — the overlap
+    check run before training to drop eval-set leakage.
+
+    Shape: distinct shingles per doc -> explode -> equi join on the
+    shingle -> count per pair (counts distinct shared shingles because
+    both sides are deduplicated first). This is the posting-list join,
+    never an all-pairs document comparison; the benchmark side is
+    typically tiny (eval sets), so its exploded index broadcasts.
+
+    At 100 TB the hazard is a hot shingle (boilerplate phrase) fanning
+    out; apply a document-frequency cut to the corpus side first
+    (`dedup.pairs_from_posting_lists`' max_postings pattern) when the
+    corpus vocabulary is open-domain.
+    """
+    from redskins_rule_spark.functions.hashing import word_shingles
+
+    def inv(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_shingles(text_col, k))).alias(
+                "gram"
+            ),
+        )
+
+    pairs = inv(corpus, id_col).join(
+        F.broadcast(inv(benchmark, bench_id_col)), "gram"
+    )
+    return (
+        pairs.groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

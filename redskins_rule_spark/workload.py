@@ -2477,3 +2477,56 @@ def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("mon", "yyyy-MM").alias("mon"),
         F.coalesce(F.round("rev", 2), F.lit(0.0)).alias("rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality: within-document repetition (duplicate k-gram fraction, the
+# Gopher boilerplate signal) — expression-only scan.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import contamination_pairs, repetition_stats  # noqa: E402
+
+
+@query(
+    "q65_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                             i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS grams
+               FROM toks)
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           ROUND(1 - len(list_distinct(grams)) / len(grams), 4) AS dup_frac
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def q65_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: corpus docs sharing >= 3 distinct 3-word shingles
+# with any "benchmark" doc (stand-in: doc_id % 20 == 0) — posting-list
+# join with a broadcast benchmark index, never doc-vs-doc pairs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q66_decontamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams FROM toks),
+         inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         bench AS (SELECT doc_id AS bench_id, gram FROM inv WHERE doc_id % 20 = 0),
+         corp AS (SELECT doc_id, gram FROM inv WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM corp c JOIN bench b USING (gram)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(corpus, bench).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )

@@ -143,3 +143,51 @@ def test_inverted_index_df_counts_distinct_docs_not_occurrences(spark):
         for r in build_inverted_index(docs, min_df=2).collect()
     ]
     assert (df_, postings) == (2, [1, 2])
+
+
+# -- repetition + decontamination -------------------------------------------
+
+from redskins_rule_spark.operators.text import (  # noqa: E402
+    contamination_pairs,
+    repetition_stats,
+)
+
+
+def test_repetition_dup_fraction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            (2, "one two three four"),  # 2 trigrams, all distinct
+            (3, "too short"),  # no trigram -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["dup_frac"]) for r in repetition_stats(docs).collect()}
+    assert got == {1: (7, round(1 - 3 / 7, 4)), 2: (2, 0.0)}
+
+
+def test_contamination_counts_distinct_shared_shingles(spark):
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over"), (11, "totally unrelated words here now")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in contamination_pairs(corpus, bench, min_shared=2).collect()
+    ]
+    # shared trigrams: 'quick brown fox', 'brown fox jumps', 'fox jumps over'
+    assert got == [(10, 1, 3)]
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    from redskins_rule_spark.plans.explain import formatted_plan
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    bench = spark.createDataFrame([(2, "b c d e")], "doc_id bigint, text string")
+    assert "BroadcastHashJoin" in formatted_plan(
+        contamination_pairs(corpus, bench)
+    )
