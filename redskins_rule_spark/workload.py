@@ -2530,3 +2530,97 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(corpus, bench).select(
         "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered signup -> view (24h) -> purchase (24h)
+# conversion as sequential conditional-min aggregations — each stage is
+# one groupBy over a stage-filtered join, no window over full event
+# history, no per-user event collection.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q67_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events WHERE event_type='signup' GROUP BY 1),
+         v AS (SELECT e.user_id, MIN(e.ts) AS v_ts FROM events e JOIN s USING (user_id)
+               WHERE e.event_type='view' AND e.ts > s.s_ts AND e.ts <= s.s_ts + to_seconds(86400) GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN v USING (user_id)
+               WHERE e.event_type='purchase' AND e.ts > v.v_ts AND e.ts <= v.v_ts + to_seconds(86400) GROUP BY 1)
+    SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+    UNION ALL SELECT 'view_24h', CAST(COUNT(*) AS BIGINT) FROM v
+    UNION ALL SELECT 'purchase_24h', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+
+    def next_stage(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_ts))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros(prev_ts) + F.lit(day_us)
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = next_stage(s, "s_ts", "view", "v_ts")
+    p = next_stage(v, "v_ts", "purchase", "p_ts")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        stage(s, "signup")
+        .unionByName(stage(v, "view_24h"))
+        .unionByName(stage(p, "purchase_24h"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: first-activity-day cohort x days-since activity
+# matrix — two aggs and one shuffle join on user_id, never a per-user
+# event array.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q68_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort, d) AS BIGINT) AS days_since,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM act JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+)
+def q68_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "cohort").cast("long").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

@@ -182,3 +182,52 @@ def test_gap_fill_spine_has_no_cartesian(spark):
     plan = formatted_plan(QUERIES["q64_gap_fill"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # explode of the per-customer sequence
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # a partitioned fact joined to a filtered dim must get a runtime
+    # partition-pruning subquery on the partition column — at 100 TB
+    # this is the difference between scanning one partition and all
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    fact_dir = str(tmp_path / "orders_part")
+    orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+        "yr"
+    ).mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        orders.where(F.col("o_orderkey") % 999 == 0)
+        .select(F.year("o_orderdate").alias("yr2"))
+        .distinct()
+    )
+    plan = formatted_plan(fact.join(dim, fact.yr == dim.yr2))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
+    # with broadcast off (both sides 'big'), a selective build side must
+    # inject a bloom filter into the probe side's scan stage so most
+    # rows die before the shuffle
+    import pyspark.sql.functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        sel = (
+            spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+            .where(F.col("o_totalprice") > 500000)
+            .select("o_orderkey")
+        )
+        plan = formatted_plan(li.join(sel, li.l_orderkey == sel.o_orderkey))
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
