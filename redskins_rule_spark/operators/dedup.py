@@ -617,3 +617,43 @@ def embedding_dup_pairs(
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
     )
+
+
+def fuzzy_pairs_edit1(df: DataFrame, col: str) -> DataFrame:
+    """Record-linkage fuzzy join: all pairs of DISTINCT `col` values at
+    Levenshtein distance exactly 1, via the FastSS deletion
+    neighborhood — never an all-pairs comparison.
+
+    Candidate key set per string = {itself} ∪ {every 1-deletion}. Two
+    strings at distance 1 always share a key (a deletion equals the
+    other string, or substitution at i makes their i-deletions equal),
+    so the equi join on keys is a LOSSLESS candidate generator; the
+    codegen'd `levenshtein` verify then keeps true positives only.
+
+    At scale: candidate volume is Σ(len+1) keys — one shuffle keyed by
+    short strings; for corpora with heavy-tailed key collisions (very
+    short strings), apply the posting-list frequency cut first
+    (`pairs_from_posting_lists` pattern).
+
+    Output: (name_a, name_b), name_a < name_b, deduplicated.
+    """
+    s = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    keys = F.array_distinct(
+        F.array_union(
+            F.array(F.col("s")),
+            F.expr(
+                "transform(sequence(1, length(s)), "
+                "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s))))"
+            ),
+        )
+    )
+    inv = s.select("s", F.explode(keys).alias("k"))
+    a = inv.select(F.col("s").alias("name_a"), "k")
+    b = inv.select(F.col("s").alias("name_b"), "k")
+    return (
+        a.join(b, "k")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") == 1)
+    )

@@ -2624,3 +2624,96 @@ def q68_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join: distinct part names at Levenshtein distance exactly 1 via
+# the FastSS deletion-neighborhood equi join (lossless candidates +
+# codegen'd verify, never all-pairs). Oracle brute-forces the tiny
+# distinct-name set.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.dedup import fuzzy_pairs_edit1  # noqa: E402
+
+
+@query(
+    "q69_fuzzy_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) = 1
+    """,
+)
+def q69_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_pairs_edit1(table(spark, sf_dir, "part"), "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Feature normalization: per-nation z-score of account balance via a
+# grouped-stats broadcast join (tiny stats side), not a window over
+# nation partitions (25 giant partitions at scale).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q70_group_zscore",
+    oracle="""
+    WITH st AS (SELECT c_nationkey, AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sd
+                FROM customer GROUP BY 1)
+    SELECT c_custkey, ROUND((c_acctbal - mu) / sd, 4) AS z
+    FROM customer JOIN st USING (c_nationkey)
+    """,
+)
+def q70_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    st = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sd")
+    )
+    return cust.join(F.broadcast(st), "c_nationkey").select(
+        "c_custkey",
+        F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: per-vector scale + floor-quantized
+# checksum, all higher-order array expressions (no UDF). floor (not
+# round) keeps the quantization bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q71_quantize",
+    oracle="""
+    WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
+           ROUND(127.0 / list_max(list_transform(e, x -> abs(x))), 4) AS scale,
+           CAST(list_sum(list_transform(e, x ->
+                CAST(FLOOR(x * 127.0 / list_max(list_transform(e, y -> abs(y)))) AS BIGINT)))
+             AS BIGINT) AS q_checksum
+    FROM d
+    """,
+)
+def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", e.alias("e"))
+    zero = F.lit(0.0)
+    max_abs = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    return d.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(F.col("e"), zero, lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+        F.round(scale, 4).alias("scale"),
+        # (x * 127.0) / max, NOT x * (127.0/max): float non-associativity
+        # flips floor() near integers, so both engines must share the
+        # exact evaluation order
+        F.aggregate(
+            F.col("e"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(127.0) / max_abs).cast("long"),
+        ).alias("q_checksum"),
+    )

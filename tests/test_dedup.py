@@ -200,3 +200,44 @@ def test_simhash_pairs_max_hamming_validation(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(_corpus(spark), "doc_id", "text", max_hamming=16)
+
+
+# -- FastSS edit-distance-1 fuzzy join --------------------------------------
+
+from redskins_rule_spark.operators.dedup import fuzzy_pairs_edit1  # noqa: E402
+
+
+def test_fuzzy_edit1_matches_brute_force(spark):
+    names = [
+        "cold ring", "old ring", "bold ring", "cold rings", "cord ring",
+        "totally different", "ab", "ba", "a", "",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs_edit1(df, "p_name").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        tuple(sorted([a, b]))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if a != b and lev(a, b) == 1
+    }
+    assert got == want
+
+
+def test_fuzzy_edit1_dedups_and_excludes_duplicates_of_same_string(spark):
+    df = spark.createDataFrame(
+        [("aa",), ("aa",), ("ab",)], "p_name string"
+    )
+    got = [tuple(r) for r in fuzzy_pairs_edit1(df, "p_name").collect()]
+    assert got == [("aa", "ab")]
