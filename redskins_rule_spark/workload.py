@@ -2717,3 +2717,66 @@ def q71_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.floor(x * F.lit(127.0) / max_abs).cast("long"),
         ).alias("q_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series rolling aggregate with a RANGE (value-based) frame: 30-day
+# rolling revenue per customer over a daily pre-aggregate. RANGE frames
+# handle irregular time series correctly (gaps don't shrink the
+# window), unlike ROWS frames; partitioning is per-customer (millions
+# of small partitions at scale, no giant-partition hazard).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q72_rolling_revenue",
+    oracle="""
+    WITH daily AS (SELECT o_custkey,
+                          CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+                          SUM(o_totalprice) AS rev
+                   FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, d,
+           ROUND(SUM(rev) OVER (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+    FROM daily
+    """,
+)
+def q72_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-29, 0)
+    return daily.select(
+        "o_custkey", "d", F.round(F.sum("rev").over(w), 2).alias("rev_30d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive search over the inverted index: docs containing BOTH
+# terms via posting-list intersection (array_intersect of two sorted
+# posting arrays — a 1x1 join of index rows, never a rescan of the
+# corpus).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q73_conjunctive_search",
+    oracle="""
+    WITH inv AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '[^a-z]+'))) AS token
+                 FROM documents)
+    SELECT a.doc_id FROM inv a JOIN inv b USING (doc_id)
+    WHERE a.token = 'dup' AND b.token = 'the'
+    """,
+)
+def q73_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text", min_df=1, max_df=None)
+    a = idx.where(F.col("token") == "dup").select(F.col("postings").alias("pa"))
+    b = idx.where(F.col("token") == "the").select(F.col("postings").alias("pb"))
+    return a.crossJoin(b).select(
+        F.explode(F.array_intersect("pa", "pb")).alias("doc_id")
+    )
