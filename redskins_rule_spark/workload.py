@@ -2774,7 +2774,9 @@ def q72_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    idx = build_inverted_index(docs, "doc_id", "text", min_df=1, max_df=None)
+    idx = build_inverted_index(
+        docs, "doc_id", "text", min_df=1, vocabulary=["dup", "the"]
+    )
     a = idx.where(F.col("token") == "dup").select(F.col("postings").alias("pa"))
     b = idx.where(F.col("token") == "the").select(F.col("postings").alias("pb"))
     return a.crossJoin(b).select(

@@ -191,3 +191,31 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in formatted_plan(
         contamination_pairs(corpus, bench)
     )
+
+
+def test_inverted_index_vocabulary_pushdown(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry")], "doc_id bigint, text string"
+    )
+    got = {
+        r["token"]: (r["df"], list(r["postings"]))
+        for r in build_inverted_index(
+            docs, min_df=1, vocabulary=["apple"]
+        ).collect()
+    }
+    assert got == {"apple": (2, [1, 2])}
+
+
+def test_inverted_index_prepass_path_equals_single_agg(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} shared") for i in range(9)], "doc_id bigint, text string"
+    )
+    pre = {
+        (r["token"], r["df"], tuple(r["postings"]))
+        for r in build_inverted_index(docs, min_df=1, max_df=100).collect()
+    }
+    single = {
+        (r["token"], r["df"], tuple(r["postings"]))
+        for r in build_inverted_index(docs, min_df=1).collect()
+    }
+    assert pre == single
