@@ -2782,3 +2782,99 @@ def q73_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         F.explode(F.array_intersect("pa", "pb")).alias("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized-prefix sequence packing: bin = floor(exclusive-prefix-sum /
+# budget) per hash group — the fully SQL-expressible packing policy
+# (bins may overflow by < 1 chunk), complementing q37's exact greedy
+# packer whose sequential fold is rows-only-checkable. One window over
+# hash-group partitions, deterministic order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q74_packing_quantized",
+    oracle="""
+    WITH t AS (SELECT doc_id, doc_id % 8 AS grp,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+               FROM documents)
+    SELECT doc_id, grp,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def q74_packing_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from redskins_rule_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("grp"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "grp",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document: tf and df aggregates + a broadcast
+# corpus-size join, argmax pinned on (rounded score, token) so the
+# cross-engine ordering is exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q75_tfidf_top_term",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+                 FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+         dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok WHERE length(token) > 0 GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, token, ROUND(tf * ln(n_docs / dfreq), 4) AS tfidf
+                    FROM tf JOIN dfq USING (token) CROSS JOIN n)
+    SELECT doc_id, token AS top_token, tfidf
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token DESC) = 1
+    """,
+)
+def q75_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 4
+            ).alias("tfidf"),
+        )
+    )
+    # argmax via one hash agg (max_by on a struct), not a window sort
+    return scored.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(F.col("token").alias("top_token"), F.col("tfidf")),
+            F.struct("tfidf", "token"),
+        ).alias("m")
+    ).select("doc_id", "m.top_token", "m.tfidf")
