@@ -122,3 +122,68 @@ def dedup_clusters(
     emitted — callers left-join and coalesce to self."""
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.select(F.col("id").alias(id_col), F.col("component").alias(cluster_col))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u), r_0 = 1/N.
+
+    Each iteration is one edge-keyed join + one hash agg — the standard
+    scale shape (contributions flow along edges; no adjacency lists are
+    ever collected). Edges and the node set are materialized once
+    (localCheckpoint) so iterations never re-run the upstream edge
+    producer; fixed `iterations` keeps the loop free of per-round
+    convergence actions (callers wanting convergence can compare
+    successive frames themselves).
+
+    Simplification, documented: dangling-node mass is NOT redistributed
+    (a sink keeps receiving rank but contributes none), which matches
+    the plain chained-aggregate formulation a SQL oracle can mirror
+    exactly. N is a metadata-sized count.
+
+    Returns DataFrame[id, rank_col] over every node incident to an edge.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(outd, "src")
+            .select(F.col("dst").alias("id"), (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias(rank_col))

@@ -2878,3 +2878,48 @@ def q75_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("tfidf", "token"),
         ).alias("m")
     ).select("doc_id", "m.top_token", "m.tfidf")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 fixed iterations) over the customer->supplier purchase
+# graph. The oracle unrolls the same three iterations as chained
+# aggregate CTEs — bit-compatible arithmetic: (1.0-0.85) is written
+# identically on both sides because the IEEE double of the literal
+# 0.15 differs from 1.0-0.85 in the last ulp.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.graph import pagerank  # noqa: E402
+
+_PR_ORACLE = """
+    WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+         {iters}
+    SELECT id, ROUND(r, 8) AS rank FROM r{k}
+"""
+
+def _pr_iter(t: int) -> str:
+    return (
+        f"c{t} AS (SELECT e.dst AS id, SUM(r{t-1}.r / outd.od) AS s "
+        f"FROM e JOIN r{t-1} ON r{t-1}.id = e.src JOIN outd ON outd.src = e.src GROUP BY 1), "
+        f"r{t} AS (SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * COALESCE(c{t}.s, 0.0) AS r "
+        f"FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON c{t}.id = nodes.id)"
+    )
+
+
+@query(
+    "q76_pagerank",
+    oracle=_PR_ORACLE.format(iters=", ".join(_pr_iter(t) for t in (1, 2, 3)), k=3),
+)
+def q76_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("id", F.round("rank", 8).alias("rank"))

@@ -83,3 +83,49 @@ def test_dedup_clusters_column_contract(spark):
         ).collect()
     }
     assert got == {(3, 3), (9, 3), (12, 3)}
+
+
+# -- pagerank ----------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from redskins_rule_spark.operators.graph import pagerank  # noqa: E402
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    import random
+
+    rng = random.Random(7)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in edges:
+        outdeg[a] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(3):
+        nxt = np.full(N, 0.15 / N)
+        for a, b in edges:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / outdeg[a]
+        r = nxt
+
+    got = {row["id"]: row["rank"] for row in pagerank(df, iterations=3).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9)
+
+
+def test_pagerank_mass_and_validation(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint")
+    ranks = {r["id"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    # symmetric cycle, no dangling loss: uniform 1/3 and mass conserved
+    for v in ranks.values():
+        assert v == pytest.approx(1 / 3, rel=1e-12)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=-1)
