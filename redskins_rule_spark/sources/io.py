@@ -242,3 +242,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # by ±1µs after floor
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files and return that count.
+
+    The small-files problem is the classic lakehouse failure mode —
+    streaming sinks and over-parallel writers leave thousands of
+    KB-sized files, and every downstream scan pays per-file open/
+    footer-read/task-schedule cost. Compaction = one read + one
+    repartition + one write; sizing comes from the source's actual
+    on-disk bytes (Hadoop FileSystem metadata — works for local paths
+    and HDFS/object stores alike, no driver-side directory walk).
+
+    Writes to a NEW directory (atomic swap is the caller's move/rename;
+    overwriting in place would destroy the source on job failure).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("error").parquet(out_dir)
+    return n_files

@@ -206,3 +206,36 @@ def test_jdbc_sink_validation(spark):
         write_table(df, "t", fmt="jdbc")
     with _pytest.raises(ValueError, match="partition_by"):
         write_table(df, "t", fmt="jdbc", partition_by=["id"], url="jdbc:derby:x")
+
+
+# -- compaction --------------------------------------------------------------
+
+from redskins_rule_spark.sources.io import compact_parquet  # noqa: E402
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        32
+    ).write.parquet(src)
+    n_before = len(list((tmp_path / "frag").glob("part-*.parquet")))
+    n_target = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    n_after = len(list((tmp_path / "compact").glob("part-*.parquet")))
+    assert n_before == 32 and n_target == 1 and n_after == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_compact_parquet_refuses_overwrite(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    out = str(tmp_path / "out")
+    compact_parquet(spark, src, out)
+    with _pytest.raises(Exception):
+        compact_parquet(spark, src, out)  # mode("error") protects the target
