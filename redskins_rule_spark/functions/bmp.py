@@ -66,15 +66,23 @@ def decode_bmp_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode a 24-bit BMP into an (h, w, 3) uint8 RGB array."""
+    """Decode a 24-bit BMP into an (h, w, 3) uint8 RGB array.
+
+    Honors the sign of biHeight: positive = bottom-up rows (the
+    common case, flipped on read), negative = top-down (stored in
+    display order, no flip) — mirroring top-down files would silently
+    invert every downstream resize/feature."""
     w, h, ch = decode_bmp_meta(data)
+    raw_h = struct.unpack_from("<Iii", data, _FILE_HEADER.size)[2]
     if ch != 3:
         raise ValueError(f"only 24-bit BMPs supported, got {ch * 8} bpp")
     offset = _FILE_HEADER.unpack_from(data, 0)[4]
     rsz = row_size(w)
     rows = np.frombuffer(data, dtype=np.uint8, count=rsz * h, offset=offset)
     bgr = rows.reshape(h, rsz)[:, : 3 * w].reshape(h, w, 3)
-    return bgr[::-1, :, ::-1].copy()
+    if raw_h > 0:  # bottom-up storage -> flip to display order
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
 
 
 def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

@@ -71,6 +71,11 @@ def with_bmp_payload(
         for pdf in batches:
             payloads = []
             for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    # NULL text -> NULL payload (str(None) would fabricate
+                    # an image from the 4 bytes of "None")
+                    payloads.append(None)
+                    continue
                 blen = len(str(text).encode("utf-8"))
                 w, h = blen % 31 + 1, blen % 17 + 1
                 ys = np.arange(h)[:, None, None]
@@ -85,14 +90,19 @@ def with_bmp_payload(
 
 def _fake_decode(payload: pd.Series) -> pd.DataFrame:
     """Deterministic fake decode: metadata derived purely from byte
-    length, so oracles can reproduce it."""
-    blen = payload.map(len).astype("int64")
+    length, so oracles can reproduce it. NULL payloads yield NULL
+    metadata (matching `octet_length(NULL)` oracle semantics)."""
+    blen = pd.array(
+        [len(b) if b is not None else None for b in payload], dtype="Int64"
+    )
     return pd.DataFrame(
         {
             "byte_len": blen,
-            "width": (blen % 640 + 1).astype("int32"),
-            "height": (blen % 480 + 1).astype("int32"),
-            "channels": pd.Series([3] * len(blen), index=blen.index, dtype="int32"),
+            "width": pd.array(blen % 640 + 1, dtype="Int32"),
+            "height": pd.array(blen % 480 + 1, dtype="Int32"),
+            "channels": pd.array(
+                [3 if b is not None else None for b in payload], dtype="Int32"
+            ),
         }
     )
 
@@ -120,13 +130,19 @@ def decode_image_meta(
             elif decode_backend == "bmp":
                 from redskins_rule_spark.functions.bmp import decode_bmp_meta
 
-                parsed = [decode_bmp_meta(bytes(b)) for b in pdf[payload_col]]
+                parsed = [
+                    decode_bmp_meta(bytes(b)) if b is not None else (None,) * 3
+                    for b in pdf[payload_col]
+                ]
                 meta = pd.DataFrame(
                     {
-                        "byte_len": pdf[payload_col].map(len).astype("int64").values,
-                        "width": pd.array([p[0] for p in parsed], dtype="int32"),
-                        "height": pd.array([p[1] for p in parsed], dtype="int32"),
-                        "channels": pd.array([p[2] for p in parsed], dtype="int32"),
+                        "byte_len": pd.array(
+                            [len(b) if b is not None else None for b in pdf[payload_col]],
+                            dtype="Int64",
+                        ),
+                        "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                        "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                        "channels": pd.array([p[2] for p in parsed], dtype="Int32"),
                     }
                 )
             else:

@@ -47,10 +47,18 @@ KNUTH_MOD = 4294967296
 
 
 def knuth_hash(col: F.Column | str) -> F.Column:
-    """Cross-engine deterministic spreading hash of an integer key."""
-    return (F.col(col) if isinstance(col, str) else col) * F.lit(KNUTH_A) % F.lit(
-        KNUTH_MOD
-    )
+    """Cross-engine deterministic spreading hash of an integer key.
+
+    The multiply runs in DECIMAL(38,0): id * A overflows int64 for
+    id >= ~3.5e9 (ANSI mode would throw, non-ANSI would silently wrap
+    while a BIGINT oracle errors). Decimal keeps the arithmetic exact
+    for the full bigint id range; an oracle handling ids that large
+    must CAST to HUGEINT/DECIMAL the same way.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.cast("decimal(38,0)") * F.lit(KNUTH_A) % F.lit(KNUTH_MOD)
+    ).cast("long")
 
 
 def stratified_sample_exact(
@@ -109,7 +117,11 @@ def stratified_sample_exact(
 
         state: dict = {}  # stratum -> (h array, id array), each <= k_s
         for pdf in batches:
-            for s, grp in pdf.groupby(stratum_col, sort=False):
+            # dropna=False: a NULL stratum is a real stratum (matches
+            # Spark groupBy and the SQL PARTITION BY specification)
+            for s, grp in pdf.groupby(stratum_col, sort=False, dropna=False):
+                if pd.isna(s):
+                    s = None
                 k = k_by_stratum.get(s)
                 if not k:
                     continue
@@ -133,10 +145,15 @@ def stratified_sample_exact(
             [keyed.schema[stratum_col], T.StructField("__k", T.LongType())]
         ),
     )
+    cand_agg = candidates.groupBy(stratum_col).agg(
+        F.array_sort(F.collect_list(F.struct("__h", id_col))).alias("__cand")
+    )
+    # eqNullSafe joins throughout: a NULL stratum must keep matching
     thresholds = (
-        candidates.groupBy(stratum_col)
-        .agg(F.array_sort(F.collect_list(F.struct("__h", id_col))).alias("__cand"))
-        .join(k_df, stratum_col)
+        cand_agg.join(
+            k_df.withColumnRenamed(stratum_col, "__ks"),
+            cand_agg[stratum_col].eqNullSafe(F.col("__ks")),
+        )
         .select(
             stratum_col,
             F.element_at(
@@ -146,8 +163,9 @@ def stratified_sample_exact(
     )
 
     row_key = F.struct(knuth_hash(id_col).alias("__h"), F.col(id_col).alias(id_col))
+    thr = thresholds.withColumnRenamed(stratum_col, "__ts")
     return (
-        df.join(F.broadcast(thresholds), stratum_col)
+        df.join(F.broadcast(thr), F.col(stratum_col).eqNullSafe(F.col("__ts")))
         .where(row_key <= F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__ts")
     )

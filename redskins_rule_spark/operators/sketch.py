@@ -21,6 +21,8 @@ combine keeps the big sort out of the plan entirely.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -80,7 +82,7 @@ def kmv_distinct(
             both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
             acc = (
                 both.sort_values("__h", kind="mergesort")
-                .groupby(groups, sort=False)
+                .groupby(groups, sort=False, dropna=False)  # NULL is a real group
                 .head(k)
             )
         if acc is not None and len(acc):
@@ -131,7 +133,10 @@ def heavy_hitters(
     oracle-checkable with GROUP BY/HAVING (workload q57).
 
     total : row count if the caller already knows it (skips one
-            metadata-sized count job).
+            metadata-sized count job). NULL items are EXCLUDED by
+            contract (filtered before both passes): NaN keys don't
+            survive pandas value_counts / equi semi-joins coherently,
+            so silent partial handling would be worse than none.
     """
     if not 0 < threshold_frac < 1:
         raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
@@ -143,6 +148,7 @@ def heavy_hitters(
             f"= {1.0 / threshold_frac:.1f} for the survival guarantee"
         )
 
+    df = df.where(F.col(item_col).isNotNull())
     items = df.select(item_col)
     field = items.schema[item_col]
     cand_schema = T.StructType([field])
@@ -164,7 +170,11 @@ def heavy_hitters(
     candidates = items.mapInPandas(mg_partition, cand_schema).distinct()
 
     n_rows = total if total is not None else df.count()
-    min_count = int(n_rows * threshold_frac)
+    # ceil, NOT floor: the Misra-Gries survival guarantee only covers
+    # items with count >= theta*n, so a floor threshold would admit items
+    # (count in [floor(theta*n), theta*n)) that pass 1 may have pruned --
+    # partition-dependent output. The oracle must use CEIL identically.
+    min_count = math.ceil(n_rows * threshold_frac)
     return (
         df.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)

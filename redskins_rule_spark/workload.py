@@ -917,12 +917,19 @@ def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SIMHASH_BITS = 62
 
-def _sql_roll(base: int) -> str:
+def _sql_roll_of(expr: str, base: int = 257) -> str:
+    """DuckDB rendering of functions.hashing.rolling_hash(expr) — the
+    single source of truth (q25b's and q43b's oracles both build on
+    it, so they can never desynchronize)."""
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(acc, x) -> (acc * {base} + x) % 2147483647)"
     )
+
+
+def _sql_roll(base: int) -> str:
+    return _sql_roll_of("s", base)
 
 _SQL_SIM_VOTES = ", ".join(
     f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
@@ -2001,13 +2008,7 @@ from redskins_rule_spark.operators.sketch import kmv_distinct  # noqa: E402
 _KMV_K = 64
 
 
-def _sql_roll_of(expr: str, base: int = 257) -> str:
-    """DuckDB rendering of functions.hashing.rolling_hash(expr)."""
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * {base} + x) % 2147483647)"
-    )
+# (_sql_roll_of is defined once, next to _sql_roll, earlier in this module)
 
 
 @query(
@@ -2120,8 +2121,9 @@ from redskins_rule_spark.operators.sketch import heavy_hitters  # noqa: E402
     oracle="""
     SELECT user_id, COUNT(*) AS item_count
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
-    HAVING COUNT(*) >= FLOOR((SELECT COUNT(*) FROM events) * 0.008)
+    HAVING COUNT(*) >= CEIL((SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL) * 0.008)
     """,
 )
 def q57_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

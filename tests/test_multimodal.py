@@ -120,3 +120,44 @@ def test_resize_images_bmp_backend(spark):
     assert (out.width, out.height) == (8, 6)
     px = decode_bmp(bytes(out.payload))
     assert px.shape == (6, 8, 3)
+
+
+def test_null_text_propagates_null_metadata(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_image_meta,
+        with_binary_payload,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id bigint, text string"
+    )
+    for payloads, backend in [
+        (with_bmp_payload(docs, "text"), "bmp"),
+        (with_binary_payload(docs, "text"), "fake"),
+    ]:
+        meta = {
+            r["doc_id"]: (r["byte_len"], r["width"], r["height"], r["channels"])
+            for r in decode_image_meta(payloads, decode_backend=backend).collect()
+        }
+        assert meta[2] == (None, None, None, None), backend
+        assert all(v is not None for v in meta[1]), backend
+
+
+def test_decode_bmp_honors_topdown_negative_height():
+    import struct
+
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import decode_bmp, encode_bmp
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(px))
+    # flip to top-down: negate biHeight and reorder the pixel rows
+    w, h = 3, 2
+    struct.pack_into("<i", data, 14 + 8, -h)
+    rsz = (3 * w + 3) // 4 * 4
+    rows = bytes(data[54:])
+    data[54:] = rows[rsz:] + rows[:rsz]
+    got = decode_bmp(bytes(data))
+    assert np.array_equal(got, px)

@@ -78,3 +78,14 @@ def test_threshold_filter_is_broadcast(spark):
     df = _docs(spark)
     plan = formatted_plan(stratified_sample_exact(df, "s", "id", 0.2))
     assert "BroadcastHashJoin" in plan
+
+
+def test_null_stratum_is_sampled(spark):
+    rows = [(i, None if i % 2 else "a") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = stratified_sample_exact(df, "s", "id", 0.3)
+    out = {
+        r["s"]: r["count"]
+        for r in got.groupBy("s").count().collect()
+    }
+    assert out == {"a": 15, None: 15}

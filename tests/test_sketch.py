@@ -103,3 +103,11 @@ def test_heavy_hitters_recount_is_broadcast_semi(spark):
     df = _zipf_df(spark)
     plan = formatted_plan(heavy_hitters(df, "item", 0.1, total=2000))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_heavy_hitters_excludes_null_items_by_contract(spark):
+    rows = [("x",)] * 50 + [(None,)] * 50
+    df = spark.createDataFrame(rows, "item string")
+    got = {r["item"]: r["item_count"] for r in heavy_hitters(df, "item", 0.3).collect()}
+    # threshold is over the 50 non-null rows; NULL never appears
+    assert got == {"x": 50}

@@ -59,7 +59,15 @@ LOWER = string.ascii_lowercase
 
 
 def _rotated(i: int) -> str:
-    return LOWER[i % 26:] + LOWER[: i % 26]
+    """Per-replica alphabet substitution. Replica 0 is the identity;
+    others use a seeded random permutation — a rotation (i % 26) would
+    repeat at factor > 26, making replicas 0 and 26 byte-identical and
+    blowing up near-dup pair counts quadratically."""
+    if i == 0:
+        return LOWER
+    letters = list(LOWER)
+    random.Random(i).shuffle(letters)
+    return "".join(letters)
 
 
 def _perm(dim: int, seed: int) -> list[int]:
