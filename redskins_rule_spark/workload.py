@@ -2925,3 +2925,65 @@ def q76_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("id", F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations: INTERSECT ALL / EXCEPT ALL keep duplicate
+# cardinality (bag semantics) — one tagged union exercising both.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q77_multiset_ops",
+    oracle="""
+    SELECT 'both' AS tag, l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag='R'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag='A')
+    UNION ALL
+    SELECT 'only_r', l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag='R'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag='A')
+    """,
+)
+def q77_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_suppkey")
+    return (
+        r.intersectAll(a)
+        .select(F.lit("both").alias("tag"), "l_suppkey")
+        .unionByName(
+            r.exceptAll(a).select(F.lit("only_r").alias("tag"), "l_suppkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode: token position (ordinality) survives the explode — the
+# order-preserving flatten a chunker/aligner needs. Oracle enumerates
+# via a lateral generate_series index.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q78_posexplode",
+    oracle="""
+    SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, d.toks[t.i] AS token
+    FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS toks
+          FROM documents WHERE doc_id % 50 = 0) d,
+         UNNEST(generate_series(1, len(d.toks))) AS t(i)
+    WHERE length(d.toks[t.i]) > 0
+    """,
+)
+def q78_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias(
+                "pos", "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+    )
