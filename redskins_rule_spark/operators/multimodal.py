@@ -191,6 +191,8 @@ def resize_images(
 
                 payloads = [
                     encode_bmp(resize_nearest(decode_bmp(bytes(b)), tw, th))
+                    if b is not None
+                    else None
                     for b in pdf[payload_col]
                 ]
             else:
@@ -201,8 +203,14 @@ def resize_images(
                 {
                     id_col: pdf[id_col].values,
                     payload_col: payloads,
-                    "width": pd.Series([tw] * len(pdf), dtype="int32"),
-                    "height": pd.Series([th] * len(pdf), dtype="int32"),
+                    "width": pd.array(
+                        [tw if p is not None else None for p in payloads],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [th if p is not None else None for p in payloads],
+                        dtype="Int32",
+                    ),
                 }
             )
             yield out
@@ -235,6 +243,8 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
                 data = row[payload_col]
+                if data is None:  # NULL payload -> zero frames
+                    continue
                 for i, off in enumerate(range(0, len(data), every_n_bytes)):
                     ids.append(row[id_col])
                     idxs.append(i)

@@ -68,7 +68,14 @@ def kmv_distinct(
     else:
         roll = rolling_hash(F.col(value_col).cast("string"), modulus=modulus)
         h = (F.lit(_SCRAMBLE_A) * roll + F.lit(_SCRAMBLE_B)) % modulus
-    distinct = df.select(*groups, h.alias("__h")).distinct()
+    # NULL values are excluded, matching COUNT(DISTINCT)'s NULL
+    # semantics (a NULL hash would otherwise float through pandas sorts
+    # and collect_list inconsistently)
+    distinct = (
+        df.select(*groups, h.alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
 
     # local combine: k smallest hashes per group per partition.
     # Accumulate the whole partition (batch iterator) before emitting —
@@ -132,8 +139,9 @@ def heavy_hitters(
     The result is EXACT (pass 2 counts, pass 1 only prunes), hence
     oracle-checkable with GROUP BY/HAVING (workload q57).
 
-    total : row count if the caller already knows it (skips one
-            metadata-sized count job). NULL items are EXCLUDED by
+    total : count of NON-NULL item rows if the caller already knows
+            it (skips one metadata-sized count job) — the threshold is
+            relative to non-null rows. NULL items are EXCLUDED by
             contract (filtered before both passes): NaN keys don't
             survive pandas value_counts / equi semi-joins coherently,
             so silent partial handling would be worse than none.

@@ -835,7 +835,7 @@ def q22_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
            CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INTEGER) AS channels
     FROM documents
     """,
 )
@@ -860,7 +860,7 @@ def q23_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(54 + ((3 * w + 3) // 4 * 4) * h AS BIGINT) AS byte_len,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels
+           CAST(CASE WHEN w IS NULL THEN NULL ELSE 3 END AS INTEGER) AS channels
     FROM (SELECT doc_id,
                  octet_length(encode(text)) % 31 + 1 AS w,
                  octet_length(encode(text)) % 17 + 1 AS h
@@ -2019,6 +2019,7 @@ _KMV_K = 64
                (1103515245 * {_sql_roll_of("CAST(user_id AS VARCHAR)")}
                 + 12345) % 2147483647 AS h
         FROM events
+        WHERE user_id IS NOT NULL
     ),
     r AS (
         SELECT event_type, h,

@@ -161,3 +161,27 @@ def test_decode_bmp_honors_topdown_negative_height():
     data[54:] = rows[rsz:] + rows[:rsz]
     got = decode_bmp(bytes(data))
     assert np.array_equal(got, px)
+
+
+def test_resize_and_frames_handle_null_payloads(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id bigint, text string"
+    )
+    payloads = with_bmp_payload(docs, "text")
+    resized = {
+        r["doc_id"]: (r["payload"], r["width"], r["height"])
+        for r in resize_images(
+            payloads, target=(4, 4), decode_backend="bmp"
+        ).collect()
+    }
+    assert resized[2] == (None, None, None)
+    assert resized[1][0] is not None and resized[1][1:] == (4, 4)
+    frames = sample_frames(payloads, every_n_bytes=64)
+    assert frames.where("doc_id = 2").count() == 0
+    assert frames.where("doc_id = 1").count() > 0

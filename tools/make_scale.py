@@ -10,7 +10,8 @@ they do not scale).
 
 Content columns are scrambled PER REPLICA so similarity structure
 scales linearly:
-  * documents.text: per-replica letter rotation (translate a-z).
+  * documents.text: per-replica alphabet substitution (seeded random
+    permutation; replica 0 is the identity).
     Verbatim copies would give every doc `factor` exact duplicates and
     grow near-dup PAIR counts ~factor² — measuring data blow-up, not
     engine scaling. Rotation keeps intra-replica near-dup structure
