@@ -35,21 +35,30 @@ def main() -> None:
     qs["q01_pricing_summary"](spark, WARMUP_SF).count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+        except Exception as e:  # noqa: BLE001 — one bad query must not void the bench
+            errors[name] = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
-        del n
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "workload_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

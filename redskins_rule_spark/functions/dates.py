@@ -46,3 +46,18 @@ def election_days_py(start: int = 1976, end: int | None = None, step: int = 4) -
         first_monday = d + _dt.timedelta(days=(7 - d.weekday()) % 7)
         out.append(first_monday + _dt.timedelta(days=1))
     return out
+
+
+def epoch_us(col) -> F.Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    `F.unix_micros` rejects TIMESTAMP_NTZ (the type Spark infers for
+    parquet written with isAdjustedToUTC=false, e.g. the driver's
+    events.ts). Casting NTZ -> TIMESTAMP first is wall-clock identity
+    under the engine's pinned UTC session timezone (session.py), and a
+    no-op for LTZ input, so this is safe for both. Interval arithmetic
+    built on it (differences of epoch_us) is timezone-invariant even
+    off-UTC because the session offset cancels.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

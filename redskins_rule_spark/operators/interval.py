@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from redskins_rule_spark.functions.dates import epoch_us
+
 
 def interval_join(
     left: DataFrame,
@@ -75,8 +77,8 @@ def interval_join(
         )
 
     def prep(df: DataFrame, s: str, e: str, suf: str) -> DataFrame:
-        start_us = F.unix_micros(F.col(s))
-        end_us = F.unix_micros(F.col(e))
+        start_us = epoch_us(s)
+        end_us = epoch_us(e)
         b_start, b_end = floor_bucket(start_us), floor_bucket(end_us)
         guarded = F.when(
             b_end - b_start < F.lit(max_buckets),

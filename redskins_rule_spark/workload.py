@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from redskins_rule_spark.functions.dates import election_days
+from redskins_rule_spark.functions.dates import election_days, epoch_us
 from redskins_rule_spark.functions.hashing import char_fingerprint
 from redskins_rule_spark.operators.analytic import arg_max, forward_fill, lag_over
 from redskins_rule_spark.operators.asof import asof_join
@@ -493,12 +493,47 @@ def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate records the FIRST 50 entries of
+# queries() only (CORRECTNESS_r01/r02 each hold exactly 50 rows;
+# q49/q50 dropped out of r02 when q23b/q25b were registered above
+# them). Registration order is file layout, so the dict is re-ordered
+# here: queries a driver round has never hash-checked come first, then
+# the cross-engine-sensitive sentinels (the round-1 hash-fail family),
+# then everything else. Rounds 1+2 cumulatively verified every query
+# NOT in this list; keep it updated as rounds verify more.
+_DRIVER_PRIORITY: list[str] = [
+    # --- never driver-verified (registered after the round-2 cutoff) ---
+    "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
+    "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
+    "q55_exists_priority", "q56_small_qty_revenue", "q58_snapshot_diff",
+    "q59_interval_overlap", "q60_stratified_sample", "q61_regression_agg",
+    "q62_inverted_index", "q63_nation_volume", "q64_gap_fill",
+    "q65_repetition", "q66_decontamination", "q67_funnel", "q68_retention",
+    "q69_fuzzy_pairs", "q70_group_zscore", "q71_quantize",
+    "q72_rolling_revenue", "q73_conjunctive_search", "q74_packing_quantized",
+    "q75_tfidf_top_term", "q76_pagerank", "q77_multiset_ops",
+    "q78_posexplode",
+    # --- verified in round 1 only (displaced from round 2's window) ---
+    "q49_monthly_revenue", "q50_global_index",
+    # --- representation-sensitive sentinels (round-1 hash-fails, fixed r2) ---
+    "q12_json_props", "q33_decimal_money", "q38_pivot",
+    # --- flagship §2 / scale operators, kept under continuous check ---
+    "q01_pricing_summary", "q06_asof_purchase_view",
+    "q19_ngram_jaccard", "q20_minhash_lsh",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    head = {k: reg[k] for k in _DRIVER_PRIORITY if k in reg}
+    return head | {k: v for k, v in reg.items() if k not in head}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(ORACLES)
 
 
 # ===========================================================================
@@ -2271,7 +2306,7 @@ def q59_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("v_start"),
         F.timestamp_micros(
-            F.unix_micros("ts") + F.floor("value").cast("long") * 1_000_000
+            epoch_us("ts") + F.floor("value").cast("long") * 1_000_000
         ).alias("v_end"),
     )
     errors = ev.where(
@@ -2279,7 +2314,7 @@ def q59_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("event_id").alias("err_id"),
         F.col("ts").alias("w_start"),
-        F.timestamp_micros(F.unix_micros("ts") + 600_000_000).alias("w_end"),
+        F.timestamp_micros(epoch_us("ts") + 600_000_000).alias("w_end"),
     )
     pairs = interval_join(
         views,
@@ -2292,8 +2327,8 @@ def q59_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_id_a").alias("view_id"),
         F.col("err_id_b").alias("err_id"),
         (
-            F.unix_micros(F.least("v_end_a", "w_end_b"))
-            - F.unix_micros(F.greatest("v_start_a", "w_start_b"))
+            epoch_us(F.least("v_end_a", "w_end_b"))
+            - epoch_us(F.greatest("v_start_a", "w_start_b"))
         ).alias("overlap_us"),
     )
 
@@ -2566,8 +2601,8 @@ def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(
                 (F.col("ts") > F.col(prev_ts))
                 & (
-                    F.unix_micros("ts")
-                    <= F.unix_micros(prev_ts) + F.lit(day_us)
+                    epoch_us("ts")
+                    <= epoch_us(prev_ts) + F.lit(day_us)
                 )
             )
             .groupBy("user_id")

@@ -1,0 +1,47 @@
+"""Every declared query must analyze against the REAL driver testdata.
+
+Round-2 lesson: the driver's parquet stores events.ts as TIMESTAMP_NTZ
+(isAdjustedToUTC=false), while locally-generated scale fixtures carried
+TIMESTAMP_LTZ — so q59/q67 passed every local run and then blew up the
+driver's sf0.1 bench with DATATYPE_MISMATCH on `unix_micros(ts)`
+(BENCH_r02 rc=1, zero numbers recorded). Catalyst analysis (schema
+resolution) is enough to catch that class of bug and costs milliseconds
+per query, so this test analyzes the entire workload against
+/root/testdata/sf0.001 — the same files, same types, the driver reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from redskins_rule_spark import workload
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def test_all_queries_analyze_on_driver_testdata(spark):
+    failures = {}
+    for name, fn in workload.queries().items():
+        try:
+            fn(spark, SF_DIR).schema  # noqa: B018 — forces Catalyst analysis
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e).splitlines()[0][:200]
+    assert not failures, f"queries failing analysis on driver testdata: {failures}"
+
+
+def test_oracles_subset_of_queries():
+    q, o = workload.queries(), workload.oracles()
+    assert set(o) <= set(q)
+    missing = sorted(set(q) - set(o))
+    # rows-only by design (non-SQL-expressible); keep this list deliberate.
+    assert missing == [
+        "q25_simhash_pairs",
+        "q37_packing",
+        "q43_approx_distinct",
+    ], f"unexpected oracle-less queries: {missing}"
