@@ -245,3 +245,53 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def vocab_prune(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.7,
+    min_count: int = 3,
+):
+    """Corpus-level vocabulary pruning (C4/CCNet-style boilerplate and
+    noise removal): drop tokens that appear in more than
+    ``max_df_ratio`` of documents (boilerplate) or fewer than
+    ``min_count`` times corpus-wide (noise), preserving each
+    document's surviving token order.
+
+    Returns (id_col, kept: array<string>) for docs with >=1 survivor.
+
+    Scale shape: one explode + two hash aggregations + one join. The
+    token-stats side is |vocab| rows — orders of magnitude smaller
+    than the corpus — so AQE broadcast-converts the keep-list join at
+    any realistic vocabulary size; the order-restoring re-agg groups
+    by doc id, the same key the explode already carries, and the
+    corpus-size scalar rides in as a broadcast single row rather than
+    a driver collect.
+    """
+    toks = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count_distinct(F.col(id_col)).alias("df"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    ndocs = docs.select(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+    keep = (
+        stats.crossJoin(F.broadcast(ndocs))
+        .where(
+            (F.col("cnt") >= min_count)
+            & (F.col("df") <= max_df_ratio * F.col("__ndocs"))
+        )
+        .select("tok")
+    )
+    kept = toks.join(keep, "tok")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt"))
+        .select(
+            id_col,
+            F.transform("pt", lambda x: x["tok"]).alias("kept"),
+        )
+    )

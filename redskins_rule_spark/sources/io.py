@@ -235,12 +235,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    from pyspark.sql.types import TimestampNTZType
+
     for col in ("ts",):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        if isinstance(df.schema[col].dataType, LongType):
             # integer `div`, NOT `/`: nanosecond epochs (~1.7e18)
             # exceed double's 2^53 mantissa, so float division is off
             # by ±1µs after floor
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(df.schema[col].dataType, TimestampNTZType):
+            # parquet TIMESTAMP(isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ, which watermarks/unix_micros reject; the
+            # cast is wall-clock identity under the pinned UTC session
+            # tz and restores the TIMESTAMP type every operator (and
+            # the DuckDB differential, which treats naive ts as UTC)
+            # was validated against
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

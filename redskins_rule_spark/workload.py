@@ -502,6 +502,10 @@ def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then everything else. Rounds 1+2 cumulatively verified every query
 # NOT in this list; keep it updated as rounds verify more.
 _DRIVER_PRIORITY: list[str] = [
+    # --- new this round ---
+    "q79_vocab_prune", "q80_transitive_closure", "q81_lateral_topn",
+    "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
+    "q85_scd2_build", "q86_weighted_sample",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3022,4 +3026,395 @@ def q78_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.length("token") > 0)
+    )
+
+
+# ===========================================================================
+# Round-3 additions
+# ===========================================================================
+
+from redskins_rule_spark.functions.dates import epoch_us as _epoch_us  # noqa: E402, F401
+from redskins_rule_spark.operators.multimodal import (  # noqa: E402
+    decode_audio_meta,
+    with_wav_payload,
+)
+from redskins_rule_spark.operators.text import vocab_prune  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level vocabulary pruning (C4/CCNet-style boilerplate + noise
+# removal): drop tokens with document-frequency > 70% (boilerplate) or
+# corpus count < 3 (noise), keep per-doc token order, fingerprint the
+# survivor sequence so the oracle checks content, not just counts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q79_vocab_prune",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+         toks AS (SELECT doc_id,
+                         unnest(generate_series(1, len(ts))) AS pos,
+                         unnest(ts) AS tok
+                  FROM base),
+         stats AS (SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cnt
+                   FROM toks GROUP BY tok),
+         keep AS (SELECT tok FROM stats
+                  WHERE cnt >= 3
+                    AND df <= 0.7 * (SELECT COUNT(DISTINCT doc_id) FROM documents)),
+         kept AS (SELECT doc_id, list(tok ORDER BY pos) AS kt
+                  FROM toks JOIN keep USING (tok) GROUP BY doc_id),
+         strs AS (SELECT doc_id, CAST(len(kt) AS BIGINT) AS n_kept,
+                         array_to_string(kt, ' ') AS s
+                  FROM kept)
+    SELECT doc_id, n_kept, {_SQL_POLYHASH} AS kept_fp FROM strs
+    """,
+)
+def q79_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pruned = vocab_prune(docs, "text", "doc_id", max_df_ratio=0.7, min_count=3)
+    return pruned.select(
+        "doc_id",
+        F.size("kept").cast("long").alias("n_kept"),
+        char_fingerprint(F.concat_ws(" ", F.col("kept"))).alias("kept_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): ancestor closure over a
+# synthetic bill-of-materials DAG (child -> child div 10, strictly
+# decreasing, guaranteed acyclic). Recursion happens INSIDE Catalyst —
+# a UnionLoop plan, not a driver-side iteration like q76's PageRank.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q80_transitive_closure",
+    oracle="""
+    WITH RECURSIVE chain(node, up, depth) AS (
+        SELECT p_partkey, p_partkey // 10, 1 FROM part WHERE p_partkey >= 10
+        UNION ALL
+        SELECT c.node, e.parent, c.depth + 1
+        FROM chain c
+        JOIN (SELECT p_partkey AS child, p_partkey // 10 AS parent
+              FROM part WHERE p_partkey >= 10) e
+          ON c.up = e.child
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(up AS BIGINT) AS ancestor,
+           CAST(depth AS BIGINT) AS depth
+    FROM chain
+    """,
+)
+def q80_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("__q80_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(node, up, depth) AS (
+            SELECT p_partkey, p_partkey DIV 10, 1 FROM __q80_part WHERE p_partkey >= 10
+            UNION ALL
+            SELECT c.node, e.parent, c.depth + 1
+            FROM chain c
+            JOIN (SELECT p_partkey AS child, p_partkey DIV 10 AS parent
+                  FROM __q80_part WHERE p_partkey >= 10) e
+              ON c.up = e.child
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(up AS BIGINT) AS ancestor,
+               CAST(depth AS BIGINT) AS depth
+        FROM chain
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery with ORDER BY + LIMIT (top-n per outer
+# row expressed the SQL-standard way; same text runs on DuckDB).
+# ---------------------------------------------------------------------------
+
+_Q81_SQL = """
+    SELECT n.n_name AS nation, t.c_name AS customer,
+           ROUND(t.c_acctbal, 2) AS acctbal
+    FROM {nation} n, LATERAL (
+        SELECT c_name, c_acctbal FROM {customer} c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+@query(
+    "q81_lateral_topn",
+    oracle=_Q81_SQL.format(nation="nation", customer="customer"),
+)
+def q81_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__q81_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__q81_customer")
+    return spark.sql(
+        _Q81_SQL.format(nation="__q81_nation", customer="__q81_customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: corpus bigram PMI (pointwise mutual information)
+# with a count floor — the classic phrase-detection pass before
+# tokenizer training. Unigram/bigram totals ride as broadcast 1-row
+# aggregates; the per-word count join is vocabulary-sized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q82_bigram_pmi",
+    oracle=f"""
+    WITH base AS (SELECT {_SQL_TOKENS} AS t FROM documents
+                  WHERE len({_SQL_TOKENS}) > 1),
+         uni AS (SELECT unnest(t) AS tok FROM base),
+         unic AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+         n1 AS (SELECT COUNT(*) AS n FROM uni),
+         bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1]))) AS bg FROM base),
+         bic AS (SELECT bg, COUNT(*) AS cab FROM bi GROUP BY bg HAVING COUNT(*) >= 5),
+         n2 AS (SELECT COUNT(*) AS n FROM bi),
+         scored AS (
+           SELECT bg, cab,
+                  ROUND(ln((CAST(cab AS DOUBLE) / n2.n) /
+                           ((CAST(ca.c AS DOUBLE) / n1.n) * (CAST(cb.c AS DOUBLE) / n1.n))), 4) AS pmi
+           FROM bic, n1, n2
+           JOIN unic ca ON ca.tok = string_split(bg, ' ')[1]
+           JOIN unic cb ON cb.tok = string_split(bg, ' ')[2])
+    SELECT bg, cab, pmi
+    FROM (SELECT scored.*, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rn FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def q82_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(t.alias("t")).where(F.size("t") > 1)
+    uni = base.select(F.explode("t").alias("tok"))
+    unic = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n1"))
+    bi = base.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+    )
+    bic = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    n2 = bi.agg(F.count(F.lit(1)).alias("n2"))
+    ca = unic.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    cb = unic.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bic.withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "bg",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n1"))
+                        * (F.col("cb").cast("double") / F.col("n1"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy audit: signature-estimated Jaccard vs exact Jaccard
+# per LSH candidate pair — the quality-control query run before
+# trusting signatures at 100 TB (where exact Jaccard is unaffordable
+# corpus-wide but spot-checkable on the candidate set).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q83_minhash_estimate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         hashed AS (SELECT doc_id, g, list_transform(g, s -> {_SQL_POLYHASH}) AS hs FROM gsets),
+         sigs AS (SELECT doc_id, g, {_SQL_SIG} AS sig FROM hashed),
+         bands AS (SELECT doc_id, i, sig[CAST(i + 1 AS INTEGER)] AS sv
+                   FROM sigs, (SELECT unnest(generate_series(0, 7)) AS i)),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b ON a.i = b.i AND a.sv = b.sv AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b,
+                          ROUND(list_sum(list_transform(generate_series(1, 8),
+                                i -> CAST(sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)] AS INT))) / 8.0, 4) AS est_jac,
+                          len(list_intersect(sa.g, sb.g)) AS ninter,
+                          len(sa.g) AS na, len(sb.g) AS nb
+                   FROM cand
+                   JOIN sigs sa ON sa.doc_id = cand.id_a
+                   JOIN sigs sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, est_jac,
+           ROUND(ninter / (na + nb - ninter), 4) AS exact_jac
+    FROM pairs WHERE ninter / (na + nb - ninter) >= 0.5
+    """,
+)
+def q83_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles("text", 3))
+    base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
+    sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), F.col("sig")[i].alias("sv")) for i in range(8)])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
+    cand = pairs_from_posting_lists(bands, ["i", "sv"], "doc_id").distinct()
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("g").alias("ga"), F.col("sig").alias("siga")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("g").alias("gb"), F.col("sig").alias("sigb")
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(8.0),
+        4,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("exact", jaccard(F.col("ga"), F.col("gb")))
+        .where(F.col("exact") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jac"),
+            F.round("exact", 4).alias("exact_jac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio: REAL RIFF/PCM16 WAV decode (pure-Python codec,
+# functions/wav.py) over Arrow-batched mapInPandas — payload generated
+# deterministically from text length so integer arithmetic predicts
+# every metadata field exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q84_wav_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT)  AS byte_len,
+           CAST(8000 AS INTEGER)       AS sample_rate,
+           CAST(1 AS INTEGER)          AS n_channels,
+           CAST(n AS BIGINT)           AS n_samples,
+           CAST(n // 8 AS BIGINT)      AS duration_ms
+    FROM (SELECT doc_id, length(text) % 97 + 8 AS n
+          FROM documents WHERE text IS NOT NULL)
+    """,
+)
+def q84_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wav = with_wav_payload(docs, "text", "doc_id")
+    return decode_audio_meta(wav, "payload", "doc_id", decode_backend="wav")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) build: compress each user's
+# event-type history into validity intervals [valid_from, valid_to)
+# with an is_current flag — two windows over one user_id shuffle, no
+# per-user arrays. Epoch-µs longs sidestep cross-engine timestamp
+# rendering.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q85_scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS attr,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q85_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        epoch_us("ts").alias("valid_from_us"),
+        epoch_us(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
+# per-language top-3 docs by ln(u)/w where u is a deterministic
+# Knuth-hash uniform and w = n_chars — one window per stratum, fully
+# reproducible, the standard trick for weighted corpus subsampling.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q86_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0)
+               / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang
+    FROM (SELECT keyed.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 3
+    """,
+)
+def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * 2654435761) % 4294967296 + 1) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "lang", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "lang")
     )

@@ -185,3 +185,67 @@ def test_resize_and_frames_handle_null_payloads(spark):
     frames = sample_frames(payloads, every_n_bytes=64)
     assert frames.where("doc_id = 2").count() == 0
     assert frames.where("doc_id = 1").count() > 0
+
+
+# --- audio (WAV) ---------------------------------------------------------
+
+def test_wav_codec_roundtrip():
+    from redskins_rule_spark.functions.wav import decode_wav, encode_wav, synth_samples
+
+    s = synth_samples(157, 25)
+    meta, back = decode_wav(encode_wav(s, 8000, 1))
+    assert back == s
+    assert (meta.sample_rate, meta.n_channels, meta.n_samples) == (8000, 1, 25)
+    assert meta.duration_ms == 25 * 1000 // 8000
+    # stereo frames interleave; frame count halves
+    meta2, back2 = decode_wav(encode_wav(s[:24], 16000, 2))
+    assert meta2.n_channels == 2 and meta2.n_samples == 12 and back2 == s[:24]
+
+
+def test_wav_codec_rejects_garbage():
+    from redskins_rule_spark.functions.wav import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_wav_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_audio_meta,
+        with_wav_payload,
+    )
+
+    df = with_wav_payload(_docs(spark), "text")
+    assert dict(df.dtypes)["payload"] == "binary"
+    meta = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    # blen=100 -> n = 100 % 97 + 8 = 11; blen=700 -> n = 700 % 97 + 8 = 29
+    assert meta[1].n_samples == 11 and meta[1].byte_len == 44 + 22
+    assert meta[2].n_samples == 29 and meta[2].duration_ms == 29 * 1000 // 8000
+    assert all(r.sample_rate == 8000 and r.n_channels == 1 for r in meta.values())
+
+
+def test_wav_null_text_null_meta(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_audio_meta,
+        with_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decode_audio_meta(with_wav_payload(df, "text")).collect()}
+    assert out[2].byte_len is None and out[2].sample_rate is None
+    assert out[1].n_samples == 3 % 97 + 8
+
+
+def test_audio_non_wav_backend_is_explicit_stub(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_audio_meta,
+        with_wav_payload,
+    )
+
+    df = with_wav_payload(_docs(spark), "text")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio_meta(df, decode_backend="mp3").collect()

@@ -219,3 +219,30 @@ def test_inverted_index_prepass_path_equals_single_agg(spark):
         for r in build_inverted_index(docs, min_df=1).collect()
     }
     assert pre == single
+
+
+# --- vocab_prune ---------------------------------------------------------
+
+def test_vocab_prune_semantics(spark):
+    from redskins_rule_spark.operators.text import vocab_prune
+
+    # 10 docs all containing 'common'; 'rare' appears twice; 'mid' in 3 docs
+    rows = [(i, "common mid keepme" if i < 3 else "common keepme") for i in range(10)]
+    rows[0] = (0, "common rare mid keepme")
+    rows[1] = (1, "rare common mid keepme")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.kept for r in vocab_prune(df, max_df_ratio=0.7, min_count=3).collect()}
+    # 'common' df=10 > 7 -> dropped; 'rare' cnt=2 < 3 -> dropped;
+    # 'mid' df=3 cnt=3 -> kept; 'keepme' df=10 -> dropped (boilerplate)
+    assert out[0] == ["mid"] and out[1] == ["mid"] and out[2] == ["mid"]
+    assert set(out) == {0, 1, 2}  # docs with no survivors drop out
+
+
+def test_vocab_prune_preserves_order(spark):
+    from redskins_rule_spark.operators.text import vocab_prune
+
+    df = spark.createDataFrame(
+        [(i, "b a b c a") for i in range(3)], "doc_id long, text string"
+    )
+    out = vocab_prune(df, max_df_ratio=1.0, min_count=3).collect()
+    assert all(r.kept == ["b", "a", "b", "c", "a"] for r in out)
