@@ -505,7 +505,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new this round ---
     "q79_vocab_prune", "q80_transitive_closure", "q81_lateral_topn",
     "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
-    "q85_scd2_build", "q86_weighted_sample",
+    "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
+    "q88_rank_suite", "q89_regex_extract", "q90_listagg",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3229,12 +3230,9 @@ def q82_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # global top-20 via orderBy+limit -> TakeOrderedAndProject (partial
+    # per-partition top-k, no single-partition window sort)
+    return scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -3417,4 +3415,141 @@ def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+# each other — the join shape MERGE/CDC pipelines need for nullable
+# business keys. NULLs are derived (testdata has none) to exercise it.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q87_nullsafe_join",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_orderkey % 5, 0) AS nk FROM orders),
+         r AS (SELECT DISTINCT NULLIF(r_regionkey % 5, 0) AS nk,
+                      NULLIF(r_regionkey % 5, 0) * 100 AS tag
+               FROM region)
+    SELECT l.nk, r.tag, COUNT(*) AS cnt
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    GROUP BY l.nk, r.tag
+    """,
+)
+def q87_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    region = table(spark, sf_dir, "region")
+    l = orders.select(
+        "o_orderkey", F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("nk")
+    )
+    r = region.select(
+        F.nullif(F.col("r_regionkey") % 5, F.lit(0)).alias("nk"),
+        (F.nullif(F.col("r_regionkey") % 5, F.lit(0)) * 100).alias("tag"),
+    ).distinct()
+    return (
+        l.join(F.broadcast(r), l["nk"].eqNullSafe(r["nk"]))
+        .groupBy(l["nk"], r["tag"])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(l["nk"].alias("nk"), "tag", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window suite: PERCENT_RANK / CUME_DIST / NTILE —
+# value-determined ranks (tie-independent), completing q31's
+# offset/rank coverage.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q88_rank_suite",
+    oracle="""
+    SELECT c_custkey, n_name,
+           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume, tile
+    FROM (
+      SELECT c.c_custkey, n.n_name,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST()    OVER w AS cd,
+             NTILE(4)       OVER w AS tile
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal, c.c_custkey)
+    ) WHERE c_custkey % 20 = 0
+    """,
+)
+def q88_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("tile"),
+        )
+        .where(F.col("c_custkey") % 20 == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction suite: regexp_extract (single group) +
+# regexp_extract_all (joined) + rlike filter — the scrubbing/parsing
+# primitives for raw-text ingestion, all codegen'd JVM-side.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q89_regex_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), '-') AS all_nums,
+           length(regexp_replace(props, '[0-9]+', '#', 'g')) AS masked_len
+    FROM events
+    WHERE event_id % 20 = 0 AND regexp_matches(props, '"k"')
+    """,
+)
+def q89_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("event_id") % 20 == 0) & F.col("props").rlike('"k"'))
+        .select(
+            "event_id",
+            F.regexp_extract("props", r"([0-9]+)", 1).cast("long").alias("k_val"),
+            F.array_join(
+                F.regexp_extract_all("props", F.lit(r"[0-9]+"), 0), "-"
+            ).alias("all_nums"),
+            F.length(F.regexp_replace("props", r"[0-9]+", "#")).alias("masked_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP): the
+# classic reshape for exporting grouped values as delimited text.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q90_listagg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS members,
+           COUNT(*) AS n_members
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 50 = 0
+    GROUP BY n.n_name
+    """,
+)
+def q90_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__q90_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__q90_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               listagg(c.c_name, ',') WITHIN GROUP (ORDER BY c.c_name) AS members,
+               COUNT(*) AS n_members
+        FROM __q90_customer c JOIN __q90_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey % 50 = 0
+        GROUP BY n.n_name
+        """
     )
