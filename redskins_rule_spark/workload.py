@@ -507,6 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
     "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
+    "q91_incremental_view",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3552,4 +3553,82 @@ def q90_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 50 = 0
         GROUP BY n.n_name
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: fold the q58-shaped CDC
+# change set into a per-customer SUM/COUNT view without rescanning the
+# base snapshot. The oracle is the definitional statement: maintained
+# view == full recompute over the new snapshot.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.merge import incremental_agg_update  # noqa: E402
+
+
+@query(
+    "q91_incremental_view",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                          ELSE o_totalprice END), 2) AS total,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderkey % 10 >= 2
+    GROUP BY o_custkey
+    """,
+)
+def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 10 >= 2).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    base = old.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    # signed contributions from the CDC images (old row -> negative,
+    # new row -> positive; unchanged keys contribute nothing)
+    o = old.alias("o")
+    nw = new.alias("nw")
+    j = o.join(nw, F.col("o.o_orderkey") == F.col("nw.o_orderkey"), "full_outer")
+    changed = j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("nw.o_orderkey").isNull()
+        | ~(F.col("o.o_totalprice").eqNullSafe(F.col("nw.o_totalprice")))
+        | ~(F.col("o.o_custkey").eqNullSafe(F.col("nw.o_custkey")))
+    )
+    contrib = F.array(
+        F.when(
+            F.col("o.o_orderkey").isNotNull(),
+            F.struct(
+                F.col("o.o_custkey").alias("o_custkey"),
+                (-F.col("o.o_totalprice")).alias("total"),
+                F.lit(-1).cast("long").alias("n"),
+            ),
+        ),
+        F.when(
+            F.col("nw.o_orderkey").isNotNull(),
+            F.struct(
+                F.col("nw.o_custkey").alias("o_custkey"),
+                F.col("nw.o_totalprice").alias("total"),
+                F.lit(1).cast("long").alias("n"),
+            ),
+        ),
+    )
+    deltas = (
+        changed.select(F.explode(contrib).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select("c.o_custkey", "c.total", "c.n")
+    )
+    maintained = incremental_agg_update(
+        base, deltas, ["o_custkey"], ["total"], "n"
+    )
+    return maintained.select(
+        "o_custkey", F.round("total", 2).alias("total"), "n"
     )

@@ -142,3 +142,33 @@ def test_snapshot_diff_roundtrip_with_merge(spark):
     assert {tuple(r) for r in rolled.collect()} == {
         tuple(r) for r in new.collect()
     }
+
+
+# --- incremental_agg_update ----------------------------------------------
+
+def test_incremental_agg_update_matches_recompute(spark):
+    from redskins_rule_spark.operators.merge import incremental_agg_update
+
+    base_rows = [(1, 10.0, 2), (2, 5.0, 1), (3, 7.0, 3)]
+    base = spark.createDataFrame(base_rows, "k long, total double, n long")
+    # insert into k=1 (+4), delete the only row of k=2 (-5), update in
+    # k=3 (old 2 -> new 6 as a -2/+6 pair)
+    deltas = spark.createDataFrame(
+        [(1, 4.0, 1), (2, -5.0, -1), (3, -2.0, -1), (3, 6.0, 1)],
+        "k long, total double, n long",
+    )
+    out = {
+        r.k: (r.total, r.n)
+        for r in incremental_agg_update(base, deltas, ["k"], ["total"], "n").collect()
+    }
+    assert out == {1: (14.0, 3), 3: (11.0, 3)}  # k=2 dropped at count 0
+
+
+def test_incremental_agg_update_validates_schema(spark):
+    import pytest as _pytest
+
+    from redskins_rule_spark.operators.merge import incremental_agg_update
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, total double")
+    with _pytest.raises(ValueError, match="missing columns"):
+        incremental_agg_update(base, base, ["k"], ["total"], "n")
