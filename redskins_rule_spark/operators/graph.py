@@ -91,19 +91,19 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        # carry the pre-round label through so convergence is a filter
+        # over the (already checkpointed) result — no extra join job
         new_labels = (
-            new_labels.join(jump, on="lbl", how="left")
-            .select("id", F.least("lbl", "lbl2").alias("lbl"))
+            new_labels.join(
+                labels.select("id", F.col("lbl").alias("prev")), on="id"
+            )
+            .join(jump, on="lbl", how="left")
+            .select("id", F.least("lbl", "lbl2").alias("lbl"), "prev")
             .localCheckpoint(eager=True)
         )
 
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), on="id")
-            .where(F.col("o.lbl") != F.col("n.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             return labels.select("id", F.col("lbl").alias(component_col))
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

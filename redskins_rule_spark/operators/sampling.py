@@ -169,3 +169,38 @@ def stratified_sample_exact(
         .where(row_key <= F.col("__thr"))
         .drop("__thr", "__ts")
     )
+
+
+def source_mix(
+    df,
+    source_col: str,
+    weight_col: str,
+    id_col: str,
+):
+    """Deterministic data-mixture rebalancing: subsample each source so
+    retained counts are proportional to `weight_col` (a per-row weight
+    constant within a source), at the largest feasible total corpus
+    without oversampling any source.
+
+    rate_s = weight_s · unit / count_s, where
+    unit = min_s(count_s / weight_s) — so rate ≤ 1 everywhere and the
+    most-constrained source is kept whole. Row selection is the Knuth
+    multiplicative hash on `id_col`: reproducible across engines and
+    runs, stable under repartitioning (no `rand()`).
+
+    Scale shape: one count aggregation (|sources| rows), a broadcast
+    1-row min, a broadcast rates join, and a map-side filter — the
+    fact table is scanned once and never shuffled.
+    """
+    counts = df.groupBy(source_col, weight_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    unit = counts.agg(
+        F.min(F.col("__cnt") / F.col(weight_col)).alias("__unit")
+    )
+    rates = counts.crossJoin(F.broadcast(unit)).select(
+        source_col,
+        (F.col(weight_col) * F.col("__unit") / F.col("__cnt")).alias("__rate"),
+    )
+    u = knuth_hash(id_col) / F.lit(float(KNUTH_MOD))
+    return df.join(F.broadcast(rates), source_col).where(u < F.col("__rate"))

@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
     "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
-    "q91_incremental_view",
+    "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3632,3 +3632,91 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "o_custkey", F.round("total", 2).alias("total"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document duplicate-span removal (Gopher "repeated paragraph"
+# cut applied at 3-gram granularity): keep only each document's FIRST
+# occurrence of every 3-gram, fingerprint the surviving sequence. One
+# explode + one (doc, gram) window + one order-restoring re-agg.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q92_intradoc_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         grams AS (SELECT doc_id,
+                          unnest(generate_series(1, len(t) - 2)) AS pos,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+                   FROM base WHERE len(t) >= 3),
+         firsts AS (SELECT doc_id, pos, g,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn
+                    FROM grams),
+         kept AS (SELECT doc_id, list(g ORDER BY pos) AS kg
+                  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+         strs AS (SELECT doc_id, CAST(len(kg) AS BIGINT) AS n_unique_grams,
+                         array_to_string(kg, ' | ') AS s
+                  FROM kept)
+    SELECT doc_id, n_unique_grams, {_SQL_POLYHASH} AS kept_fp FROM strs
+    """,
+)
+def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = word_shingles("text", 3)
+    base = docs.select("doc_id", grams.alias("gs")).where(F.size("gs") >= 1)
+    exploded = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
+    w = Window.partitionBy("doc_id", "g").orderBy("pos")
+    firsts = exploded.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "g"))).alias("pg"))
+        .select(
+            "doc_id",
+            F.size("pg").cast("long").alias("n_unique_grams"),
+            char_fingerprint(
+                F.concat_ws(" | ", F.transform("pg", lambda x: x["g"]))
+            ).alias("kept_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture rebalancing: deterministic per-source subsampling to
+# target weights (even-numbered sources get 2x the share of odd ones),
+# at the largest feasible corpus that oversamples nothing.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import source_mix  # noqa: E402
+
+
+@query(
+    "q93_source_mix",
+    oracle="""
+    WITH docs AS (SELECT doc_id, source,
+                         CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 2 = 0
+                              THEN 2.0 ELSE 1.0 END AS w
+                  FROM documents),
+         counts AS (SELECT source, w, COUNT(*) AS cnt FROM docs GROUP BY source, w),
+         unit AS (SELECT MIN(cnt / w) AS u FROM counts),
+         rates AS (SELECT source, w * u / cnt AS rate FROM counts, unit),
+         kept AS (SELECT d.doc_id, d.source FROM docs d JOIN rates r USING (source)
+                  WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.rate)
+    SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def q93_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 2 == 0,
+            F.lit(2.0),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    mixed = source_mix(docs, "source", "w", "doc_id")
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

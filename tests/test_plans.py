@@ -231,3 +231,39 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    # Catalyst must rewrite the correlated LATERAL (ORDER BY .. LIMIT k)
+    # into a rank-based WindowGroupLimit + equi join; a per-outer-row
+    # re-execution (nested loop) would be quadratic at scale.
+    plan = _plan(spark, "q81_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_is_union_loop(spark):
+    # WITH RECURSIVE must run as Catalyst's UnionLoop (in-engine
+    # recursion), not an unrolled/driver-side expansion.
+    plan = _plan(spark, "q80_transitive_closure")
+    assert "UnionLoop" in plan
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    # `<=>` keys must still hash-partition (Spark coalesces the key for
+    # hashing); falling back to a nested loop would be quadratic.
+    plan = _plan(spark, "q87_nullsafe_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bigram_pmi_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q82_bigram_pmi")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_view_is_partial_aggregated(spark):
+    # the maintenance union must partial-aggregate map-side (two
+    # HashAggregate layers), not ship raw contributions
+    plan = _plan(spark, "q91_incremental_view")
+    assert plan.count("HashAggregate") >= 2

@@ -89,3 +89,25 @@ def test_null_stratum_is_sampled(spark):
         for r in got.groupBy("s").count().collect()
     }
     assert out == {"a": 15, None: 15}
+
+
+# --- source_mix ----------------------------------------------------------
+
+def test_source_mix_rates_and_determinism(spark):
+    from redskins_rule_spark.operators.sampling import source_mix
+    import pyspark.sql.functions as F
+
+    # source a: 1000 rows weight 1; source b: 1000 rows weight 3
+    # unit = min(1000/1, 1000/3) = 333.33 -> rate_a = 1/3, rate_b = 1.0
+    rows = [(i, "a", 1.0) for i in range(1000)] + [
+        (i + 1000, "b", 3.0) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, w double")
+    out = source_mix(df, "source", "w", "id")
+    counts = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["b"] == 1000  # most-constrained source kept whole
+    assert 250 <= counts["a"] <= 420  # ~1/3 of 1000, hash-deterministic
+    # deterministic: same input -> identical selection
+    ids1 = sorted(r.id for r in out.select("id").collect())
+    ids2 = sorted(r.id for r in source_mix(df, "source", "w", "id").select("id").collect())
+    assert ids1 == ids2
