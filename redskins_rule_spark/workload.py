@@ -508,6 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
     "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
+    "q94_ewma", "q95_logsumexp", "q96_skew_distinct",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3720,3 +3721,111 @@ def q93_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mixed = source_mix(docs, "source", "w", "doc_id")
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponentially-weighted moving average) per user — a sequential
+# fold expressed relationally: collect each user's bounded event
+# sequence once, fold with a higher-order aggregate (identical
+# left-to-right order in both engines; no UDF, no driver loop).
+# Per-key state is the user's own history — bounded, never corpus-wide.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q94_ewma",
+    oracle="""
+    SELECT user_id,
+           ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+                   (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE)),
+                 6) AS ewma,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q94_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    vals = F.transform("s", lambda x: x["value"].cast("double"))
+    ewma = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, v: acc * F.lit(0.7) + v * F.lit(0.3),
+    )
+    return seq.select("user_id", F.round(ewma, 6).alias("ewma"), "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Log-sum-exp per group (the numerically-stable reduction behind
+# softmax/partition-function aggregation): max-shift then sum —
+# two aggregations over the same key, broadcast max join, no window
+# over a skewed partition.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q95_logsumexp",
+    oracle="""
+    WITH m AS (SELECT event_type, MAX(value) AS mx FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(m.mx + ln(SUM(exp(e.value - m.mx))), 4) AS lse,
+           COUNT(*) AS n
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.mx
+    """,
+)
+def q95_logsumexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.max("value").alias("mx"))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "mx")
+        .agg(
+            F.round(
+                F.col("mx") + F.log(F.sum(F.exp(F.col("value") - F.col("mx")))),
+                4,
+            ).alias("lse"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "lse", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe distinct aggregation: COUNT(DISTINCT user) per event_type
+# (4 hot keys over the whole fact) via two-stage dedup-then-count —
+# stage 1 shuffles on the HIGH-cardinality (type, user) pair so no
+# task owns a hot key's full traffic; stage 2 counts tiny groups.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q96_skew_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS u_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q96_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    users = (
+        ev.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("u_users"))
+    )
+    vals = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return users.join(vals, "event_type").select(
+        "event_type", "u_users", "total_value"
+    )
