@@ -16,7 +16,12 @@ are the real, tested surface.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from redskins_rule_spark.sources.ingest import fetch_schedule_rows
 
@@ -55,6 +60,40 @@ class ScheduleDataSource(DataSource):
 
     def reader(self, schema) -> ScheduleReader:
         return ScheduleReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "ScheduleStreamReader":
+        return ScheduleStreamReader(self.options)
+
+
+class ScheduleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offset = season year, one
+    season per micro-batch — the reference's *yearly catch-up* DAG
+    (dags/redskins-rule-dag.py:150-160, max_active_runs-throttled
+    Airflow backfill) re-expressed as a replayable Structured
+    Streaming source. Offsets are checkpointable dicts, so a restarted
+    query resumes at the next un-ingested season, and
+    `readBetweenOffsets` replays any committed span verbatim for
+    recovery."""
+
+    def __init__(self, options: dict):
+        self.start = int(options.get("start", 1976))
+        self.end = int(options.get("end", self.start))
+
+    def initialOffset(self) -> dict:
+        return {"year": self.start}
+
+    def read(self, start: dict):
+        y = int(start["year"])
+        if y > self.end:
+            return iter([]), start
+        rows = [tuple(r) for r in fetch_schedule_rows(y)]
+        return iter(rows), {"year": y + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for y in range(int(start["year"]), int(end["year"])):
+            rows.extend(tuple(r) for r in fetch_schedule_rows(y))
+        return iter(rows)
 
 
 def register(spark) -> None:

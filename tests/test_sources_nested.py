@@ -138,3 +138,53 @@ def test_schedule_datasource_partitions_per_season(spark):
     assert len(pdf) == 10  # two rows per season
     assert set(pdf["year"]) == set(range(2000, 2005))
     assert (pdf.groupby("year")["team"].apply(lambda s: "Washington" in set(s))).all()
+
+
+# --- streaming face of the schedule DataSource ---------------------------
+
+def test_schedule_stream_matches_batch_across_restarts(spark, tmp_path):
+    """One season per micro-batch, offsets checkpointed: five
+    Trigger.Once runs over the same checkpoint must ingest exactly the
+    batch-read rows (4 seasons + one empty tail batch), proving both
+    the offset advance and restart-resume semantics."""
+    from redskins_rule_spark.sources import datasource
+
+    datasource.register(spark)
+    batch = (
+        spark.read.format("schedule").option("start", 1976).option("end", 1979).load()
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    for _ in range(5):
+        stream = (
+            spark.readStream.format("schedule")
+            .option("start", 1976)
+            .option("end", 1979)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want
+
+
+def test_schedule_stream_replays_committed_span(spark):
+    from redskins_rule_spark.sources.datasource import ScheduleStreamReader
+
+    r = ScheduleStreamReader({"start": "1976", "end": "1980"})
+    assert r.initialOffset() == {"year": 1976}
+    rows, nxt = r.read({"year": 1976})
+    rows = list(rows)
+    assert nxt == {"year": 1977} and rows
+    # recovery replay returns the identical span
+    assert list(r.readBetweenOffsets({"year": 1976}, {"year": 1977})) == rows
+    # past the end: empty batch, offset parked
+    empty, parked = r.read({"year": 1981})
+    assert list(empty) == [] and parked == {"year": 1981}
