@@ -307,3 +307,168 @@ def ivf_topk(
         cell_col = "__cell"
     pruned = df.where(F.col(cell_col).isin(probed))
     return cosine_topk(pruned.drop("__cell"), query_vec, id_col, vec_col, k)
+
+
+# --- product quantization (PQ) -------------------------------------------
+
+
+def _l2_sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _sub(vec_col: str, start: int, width: int) -> F.Column:
+    return F.slice(F.col(vec_col).cast("array<double>"), start + 1, width)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each vector into `m`
+    contiguous subspaces and run a deterministic L2 k-means in each
+    (init = the k subvectors with smallest ids, no RNG; update = plain
+    per-cell numpy means inside applyInPandas, k bounded groups).
+
+    Returns m codebooks of k centroids each. Only the m·k·(dim/m) =
+    k·dim floats of codebook ever reach the driver — they must, since
+    the encode expression embeds them as literals.
+
+    PQ vs IVF (`train_ivf_centroids`): IVF prunes WHICH rows are
+    scanned; PQ compresses WHAT is scanned (dim floats → m bytes per
+    row, ~dim·4/m× smaller) with distances estimated from an m×k
+    lookup table. At 100 TB the two compose: IVF partition pruning
+    first, ADC scan over PQ codes second, exact re-rank of the short
+    candidate list last.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    def cell_means(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        return pd.DataFrame(
+            {
+                "s": [int(pdf["s"].iloc[0])],
+                "cell": [int(pdf["cell"].iloc[0])],
+                "centroid": [vecs.mean(axis=0).tolist()],
+            }
+        )
+
+    init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds vector count {len(init_rows)}")
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r[vec_col][s * w : (s + 1) * w]] for r in init_rows]
+        for s in range(m)
+    ]
+
+    # all m subspaces assigned in ONE job per iteration: each row emits
+    # m (subspace, subvector, nearest-cell) structs, one explode, then
+    # per-(subspace, cell) means — m·k bounded groups, one collect
+    for _ in range(iters):
+        entries = []
+        for s in range(m):
+            sub = _sub(vec_col, s * w, w)
+            dists = F.array(*[
+                F.struct(
+                    F.round(
+                        _l2_sq(sub, F.array(*[F.lit(c) for c in cent])), 9
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, cent in enumerate(books[s])
+            ])
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    sub.alias("v"),
+                    F.array_min(dists)["i"].alias("cell"),
+                )
+            )
+        exploded = df.select(F.explode(F.array(*entries)).alias("e")).select(
+            "e.s", "e.v", "e.cell"
+        )
+        new = (
+            exploded.groupBy("s", "cell")
+            .applyInPandas(cell_means, "s int, cell int, centroid array<double>")
+            .collect()
+        )
+        got = {(r["s"], r["cell"]): [float(x) for x in r["centroid"]] for r in new}
+        books = [
+            [got.get((s, i), books[s][i]) for i in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    out: str = "code",
+) -> DataFrame:
+    """Encode each vector as m codebook indices (row-local expression,
+    partition-preserving; the compressed column is what a 100 TB
+    deployment persists and scans)."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    parts = []
+    for s, book in enumerate(codebooks):
+        dists = F.array(*[
+            F.struct(
+                F.round(
+                    _l2_sq(_sub(vec_col, s * w, w), F.array(*[F.lit(c) for c in cent])),
+                    9,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, cent in enumerate(book)
+        ])
+        parts.append(F.array_min(dists)["i"])
+    return df.withColumn(out, F.array(*parts))
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str,
+    k: int = 10,
+    code_col: str = "code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the m×k lookup table of
+    (query-subvector → centroid) squared distances is computed
+    driver-side (tiny), shipped as literals, and each row's estimated
+    distance is m array lookups — no vector arithmetic on the scan."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    lut = []
+    for s, book in enumerate(codebooks):
+        q = query_vec[s * w : (s + 1) * w]
+        lut.append(
+            [sum((x - y) ** 2 for x, y in zip(q, cent)) for cent in book]
+        )
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(d)) for d in lut[s]]),
+            F.col(code_col)[s] + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        df.select(id_col, F.round(score, 6).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -508,7 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
     "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
-    "q94_ewma", "q95_logsumexp", "q96_skew_distinct",
+    "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3829,3 +3829,33 @@ def q96_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.join(vals, "event_type").select(
         "event_type", "u_users", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN: train per-subspace codebooks (deterministic
+# L2 k-means), encode 64-dim vectors to 4 bytes, ADC top-10 for an
+# in-table query vector. Rows-only driver check (k-means training is
+# not SQL-expressible); exactness + recall pinned in
+# tests/test_similarity_text.py.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.similarity import (  # noqa: E402
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+
+@query("q97_pq_ann")
+def q97_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # codebooks train on a deterministic 25% hash-sample (the 100 TB
+    # recipe: sample-train, full-corpus encode), then every vector is
+    # encoded row-locally
+    train = emb.where(F.col("vec_id") % 4 == 0)
+    books = train_pq_codebooks(train, "vec_id", "embedding", m=4, k=16, iters=3)
+    coded = pq_encode(emb, books, "embedding")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(coded, books, q, "vec_id", k=10)

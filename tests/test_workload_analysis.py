@@ -44,4 +44,5 @@ def test_oracles_subset_of_queries():
         "q25_simhash_pairs",
         "q37_packing",
         "q43_approx_distinct",
+        "q97_pq_ann",
     ], f"unexpected oracle-less queries: {missing}"
