@@ -509,6 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
     "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
     "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
+    "q98_gif_meta", "q99_gif_frames",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3859,3 +3860,64 @@ def q97_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = pq_encode(emb, books, "embedding")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(coded, books, q, "vec_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal video: REAL animated-GIF (GIF89a) parse. q98 is the cheap
+# header walk (no LZW touched); q99 LZW-decodes every 2nd frame and
+# checksums its pixels — both predicted exactly by integer arithmetic
+# on the oracle side because the payload generator derives geometry
+# and pixels from text length.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.multimodal import (  # noqa: E402
+    decode_video_meta,
+    sample_gif_frames,
+    with_gif_payload,
+)
+
+
+@query(
+    "q98_gif_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(blen % 16 + 2 AS INTEGER)       AS width,
+           CAST(blen % 11 + 2 AS INTEGER)       AS height,
+           CAST(blen % 5 + 1 AS INTEGER)        AS n_frames,
+           CAST((blen % 5 + 1) * 4 AS BIGINT)   AS duration_cs
+    FROM (SELECT doc_id, length(text) AS blen FROM documents
+          WHERE text IS NOT NULL)
+    """,
+)
+def q98_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    gif = with_gif_payload(docs, "text", "doc_id")
+    return decode_video_meta(gif, "payload", "doc_id").select(
+        "doc_id", "width", "height", "n_frames", "duration_cs"
+    )
+
+
+@query(
+    "q99_gif_frames",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS blen,
+                      length(text) % 16 + 2 AS w,
+                      length(text) % 11 + 2 AS h,
+                      length(text) % 5 + 1  AS nf
+               FROM documents WHERE text IS NOT NULL),
+         fr AS (SELECT doc_id, blen, w, h,
+                       unnest(generate_series(0, nf - 1)) AS f
+                FROM g)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(list_sum(flatten(
+                 list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                     (blen + 7 * f + 3 * y + x) % 256)))) AS BIGINT) AS pixel_sum
+    FROM fr WHERE f % 2 = 0
+    """,
+)
+def q99_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    gif = with_gif_payload(docs, "text", "doc_id")
+    return sample_gif_frames(gif, "payload", "doc_id", stride=2)

@@ -249,3 +249,73 @@ def test_audio_non_wav_backend_is_explicit_stub(spark):
     df = with_wav_payload(_docs(spark), "text")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_audio_meta(df, decode_backend="mp3").collect()
+
+
+# --- video (animated GIF) ------------------------------------------------
+
+def test_gif_codec_roundtrip():
+    from redskins_rule_spark.functions.gif import (
+        decode_gif,
+        decode_gif_meta,
+        encode_gif,
+        synth_frames,
+    )
+
+    frames = synth_frames(157, 3, 5, 4)
+    b = encode_gif(frames, 5, 4, delay_cs=6)
+    meta = decode_gif_meta(b)
+    assert (meta.width, meta.height, meta.n_frames) == (5, 4, 3)
+    assert meta.delays_cs == (6, 6, 6) and meta.duration_cs == 18
+    _, decoded = decode_gif(b)
+    assert decoded == frames
+    # crosses the 255-byte sub-block and periodic-CLEAR boundaries
+    big = synth_frames(9, 2, 40, 30)
+    m2, d2 = decode_gif(encode_gif(big, 40, 30))
+    assert d2 == big and m2.n_frames == 2
+
+
+def test_gif_codec_rejects_garbage():
+    from redskins_rule_spark.functions.gif import decode_gif_meta
+
+    with pytest.raises(ValueError):
+        decode_gif_meta(b"definitely not a gif")
+
+
+def test_gif_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_video_meta,
+        with_gif_payload,
+    )
+
+    df = with_gif_payload(_docs(spark), "text")
+    meta = {r.doc_id: r for r in decode_video_meta(df).collect()}
+    # blen=100: w=100%16+2=6, h=100%11+2=3, nf=100%5+1=1
+    assert (meta[1].width, meta[1].height, meta[1].n_frames) == (6, 3, 1)
+    # blen=700: w=700%16+2=14, h=700%11+2=9, nf=700%5+1=1
+    assert (meta[2].width, meta[2].height, meta[2].n_frames) == (14, 9, 1)
+    assert all(r.duration_cs == r.n_frames * 4 for r in meta.values())
+
+
+def test_gif_frame_sampling_matches_arithmetic(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        sample_gif_frames,
+        with_gif_payload,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 123)], "doc_id long, text string")
+    # blen=123: w=13, h=4, nf=4 -> sampled frames 0, 2
+    out = {r.frame_idx: r.pixel_sum for r in sample_gif_frames(with_gif_payload(df, "text")).collect()}
+    def psum(f, blen=123, w=13, h=4):
+        return sum((blen + 7 * f + 3 * y + x) % 256 for y in range(h) for x in range(w))
+    assert out == {0: psum(0), 2: psum(2)}
+
+
+def test_video_non_gif_backend_is_explicit_stub(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_video_meta,
+        with_gif_payload,
+    )
+
+    df = with_gif_payload(_docs(spark), "text")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_video_meta(df, decode_backend="mp4").collect()
