@@ -509,7 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q88_rank_suite", "q89_regex_extract", "q90_listagg",
     "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
     "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
-    "q98_gif_meta", "q99_gif_frames",
+    "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
     # --- never driver-verified (registered after the round-2 cutoff) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
@@ -3921,3 +3921,43 @@ def q99_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     gif = with_gif_payload(docs, "text", "doc_id")
     return sample_gif_frames(gif, "payload", "doc_id", stride=2)
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows in batch: F.window(width=1h, slide=30m) —
+# every event lands in exactly width/slide = 2 windows; the same
+# expression runs unchanged on a stream (q26's tumbling counterpart).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q100_hopping_windows",
+    oracle="""
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q100_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
