@@ -349,23 +349,15 @@ def train_pq_codebooks(
     first, ADC scan over PQ codes second, exact re-rank of the short
     candidate list last.
     """
-    import numpy as np
-    import pandas as pd
-
+    # materialize the training projection once: every iteration (and
+    # the init collect) otherwise re-runs the upstream scan + cast.
+    # Contract: the caller passes a SAMPLE for large corpora (codebooks
+    # need thousands of vectors, not billions), so this is bounded.
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m
-
-    def cell_means(pdf: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        return pd.DataFrame(
-            {
-                "s": [int(pdf["s"].iloc[0])],
-                "cell": [int(pdf["cell"].iloc[0])],
-                "centroid": [vecs.mean(axis=0).tolist()],
-            }
-        )
 
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
@@ -375,38 +367,55 @@ def train_pq_codebooks(
         for s in range(m)
     ]
 
-    # all m subspaces assigned in ONE job per iteration: each row emits
-    # m (subspace, subvector, nearest-cell) structs, one explode, then
-    # per-(subspace, cell) means — m·k bounded groups, one collect
-    for _ in range(iters):
-        entries = []
-        for s in range(m):
-            sub = _sub(vec_col, s * w, w)
-            dists = F.array(*[
-                F.struct(
-                    F.round(
-                        _l2_sq(sub, F.array(*[F.lit(c) for c in cent])), 9
-                    ).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, cent in enumerate(books[s])
-            ])
-            entries.append(
+    # Assignment runs as a broadcast JOIN against the m·k-row codebook
+    # frame, not as a k-way literal expression: embedding m·k centroid
+    # arrays as literals re-plans a thousands-of-nodes interpreted HOF
+    # tree every iteration (measured: plan+eval dominated training 5x
+    # over the actual arithmetic). The join keeps the plan tiny and
+    # IDENTICAL in shape across iterations; the explode side is also
+    # built once. min_by picks the nearest cell per (vector, subspace);
+    # per-(subspace, cell) means are w native sum aggregations — the
+    # whole loop is JVM-side, no Python workers, no literal blow-up.
+    spark = df.sparkSession
+    sub_exploded = df.select(
+        F.explode(
+            F.array(*[
                 F.struct(
                     F.lit(s).alias("s"),
-                    sub.alias("v"),
-                    F.array_min(dists)["i"].alias("cell"),
+                    F.col(id_col).alias("id"),
+                    _sub(vec_col, s * w, w).alias("v"),
                 )
+                for s in range(m)
+            ])
+        ).alias("e")
+    ).select("e.s", "e.id", "e.v").localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        bdf = spark.createDataFrame(
+            [(s, i, books[s][i]) for s in range(m) for i in range(k)],
+            "s int, i int, cent array<double>",
+        )
+        dist = F.round(_l2_sq(F.col("v"), F.col("cent")), 9)
+        assigned = (
+            sub_exploded.join(F.broadcast(bdf), "s")
+            .groupBy("s", "id")
+            .agg(
+                F.min_by(F.col("i"), F.struct(dist.alias("d"), F.col("i"))).alias("cell"),
+                F.any_value(F.col("v")).alias("v"),
             )
-        exploded = df.select(F.explode(F.array(*entries)).alias("e")).select(
-            "e.s", "e.v", "e.cell"
         )
         new = (
-            exploded.groupBy("s", "cell")
-            .applyInPandas(cell_means, "s int, cell int, centroid array<double>")
+            assigned.groupBy("s", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[i]).alias(f"c{i}") for i in range(w)],
+            )
             .collect()
         )
-        got = {(r["s"], r["cell"]): [float(x) for x in r["centroid"]] for r in new}
+        got = {
+            (r["s"], r["cell"]): [float(r[f"c{i}"]) / r["n"] for i in range(w)]
+            for r in new
+        }
         books = [
             [got.get((s, i), books[s][i]) for i in range(k)] for s in range(m)
         ]
