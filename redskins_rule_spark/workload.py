@@ -502,15 +502,7 @@ def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then everything else. Rounds 1+2 cumulatively verified every query
 # NOT in this list; keep it updated as rounds verify more.
 _DRIVER_PRIORITY: list[str] = [
-    # --- new this round ---
-    "q79_vocab_prune", "q80_transitive_closure", "q81_lateral_topn",
-    "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
-    "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
-    "q88_rank_suite", "q89_regex_extract", "q90_listagg",
-    "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
-    "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
-    "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
-    # --- never driver-verified (registered after the round-2 cutoff) ---
+    # --- never driver-verified, registered in round 2 (waited longest) ---
     "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
     "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
     "q55_exists_priority", "q56_small_qty_revenue", "q58_snapshot_diff",
@@ -521,11 +513,18 @@ _DRIVER_PRIORITY: list[str] = [
     "q72_rolling_revenue", "q73_conjunctive_search", "q74_packing_quantized",
     "q75_tfidf_top_term", "q76_pagerank", "q77_multiset_ops",
     "q78_posexplode",
-    # --- verified in round 1 only (displaced from round 2's window) ---
+    # --- never driver-verified, registered in round 3 ---
+    "q79_vocab_prune", "q80_transitive_closure", "q81_lateral_topn",
+    "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
+    "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
+    "q88_rank_suite", "q89_regex_extract", "q90_listagg",
+    "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
+    "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
+    "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
+    "q101_checksums", "q102_bitwise_flags",
+    # --- previously hash-verified (r01/r02); regression sentinels ---
     "q49_monthly_revenue", "q50_global_index",
-    # --- representation-sensitive sentinels (round-1 hash-fails, fixed r2) ---
     "q12_json_props", "q33_decimal_money", "q38_pivot",
-    # --- flagship §2 / scale operators, kept under continuous check ---
     "q01_pricing_summary", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh",
 ]
@@ -3960,4 +3959,65 @@ def q100_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content checksums + encodings: md5 / sha256 / base64 / hex — the
+# integrity-fingerprint surface of a data-lake ingestion pipeline
+# (all codegen'd JVM builtins; DuckDB computes the same digests).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q101_checksums",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           substr(sha256(text), 1, 16) AS sha_prefix,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64,
+           lower(hex(CAST(substr(text, 1, 6) AS BLOB))) AS head_hex
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q101_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("sha_prefix"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("head_b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 6), "UTF-8"))).alias("head_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise / boolean aggregates: per-user capability mask (BIT_OR over
+# event-type flag bits) + BOOL_AND/BOOL_OR predicates — the compact
+# flag-rollup idiom for billions of rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q102_bitwise_flags",
+    oracle="""
+    SELECT user_id,
+           bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END) AS mask,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(event_type = 'purchase') AS ever_bought
+    FROM events GROUP BY user_id
+    """,
+)
+def q102_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    return ev.groupBy("user_id").agg(
+        F.bit_or(flag).alias("mask"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_bought"),
     )
