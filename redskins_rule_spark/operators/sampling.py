@@ -192,15 +192,21 @@ def source_mix(
     1-row min, a broadcast rates join, and a map-side filter — the
     fact table is scanned once and never shuffled.
     """
-    counts = df.groupBy(source_col, weight_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
+    # exactly ONE (count, weight) row per source: weight is meant to be
+    # constant within a source, but aggregating with max() guarantees a
+    # single rate row even on contract-violating input — a per-(source,
+    # weight) grouping would emit several rate rows and the rates join
+    # below would then DUPLICATE fact rows (found by hypothesis)
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(weight_col).alias("__w"),
     )
     unit = counts.agg(
-        F.min(F.col("__cnt") / F.col(weight_col)).alias("__unit")
+        F.min(F.col("__cnt") / F.col("__w")).alias("__unit")
     )
     rates = counts.crossJoin(F.broadcast(unit)).select(
         source_col,
-        (F.col(weight_col) * F.col("__unit") / F.col("__cnt")).alias("__rate"),
+        (F.col("__w") * F.col("__unit") / F.col("__cnt")).alias("__rate"),
     )
     u = knuth_hash(id_col) / F.lit(float(KNUTH_MOD))
     return df.join(F.broadcast(rates), source_col).where(u < F.col("__rate"))

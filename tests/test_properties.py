@@ -132,3 +132,105 @@ def test_arg_max_deterministic_tiebreak(spark, rows):
         members = [(s, i) for (gg, s, i) in rows if gg == g]
         best = max(members)  # (score, id) lexicographic == pinned law
         assert got[g] == best[1], (rows, g)
+
+
+# --- round-3 operator invariants -----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8
+    )
+)
+def test_intradoc_dedup_idempotent(spark, texts):
+    """First-occurrence gram dedup is idempotent: re-deduping the kept
+    sequence changes nothing."""
+    import pyspark.sql.functions as F
+
+    def dedup_tokens(toks):
+        seen, out = set(), []
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = df.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    ).where(F.length("tok") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    firsts = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt"))
+        .select("doc_id", F.transform("pt", lambda x: x["tok"]).alias("kept"))
+    )
+    got = {r.doc_id: list(r.kept) for r in firsts.collect()}
+    for i, t in enumerate(texts):
+        toks_py = [x for x in t.strip().split() if x]
+        if toks_py:
+            once = dedup_tokens(toks_py)
+            assert got.get(i, []) == once == dedup_tokens(once)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([1.0, 2.0, 4.0]),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_source_mix_invariants(spark, rows):
+    """source_mix output is a subset of its input; the most-constrained
+    source is kept whole; no source is oversampled past its count."""
+    from redskins_rule_spark.operators.sampling import source_mix
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "id long, source string, w double")
+    out = source_mix(df, "source", "w", "id").select("id", "source", "w").collect()
+    in_ids = {r[0] for r in rows}
+    assert all(r.id in in_ids for r in out)
+    counts: dict[str, int] = {}
+    weights: dict[str, float] = {}
+    for i, s, w_ in rows:
+        counts[s] = counts.get(s, 0) + 1
+        # operator policy on mixed per-row weights: max wins
+        weights[s] = max(weights.get(s, 0.0), w_)
+    unit = min(counts[s] / weights[s] for s in counts)
+    kept: dict[str, int] = {}
+    for r in out:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    for s in counts:
+        assert kept.get(s, 0) <= counts[s]
+    # the argmin source has rate exactly 1.0 -> kept whole
+    s_min = min(counts, key=lambda s: counts[s] / weights[s])
+    assert kept.get(s_min, 0) == counts[s_min]
+
+
+def test_incremental_agg_update_empty_delta_is_identity(spark):
+    from redskins_rule_spark.operators.merge import incremental_agg_update
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 2), (2, 5.0, 1)], "k long, total double, n long"
+    )
+    empty = spark.createDataFrame([], "k long, total double, n long")
+    out = sorted(
+        tuple(r) for r in incremental_agg_update(base, empty, ["k"], ["total"], "n").collect()
+    )
+    assert out == [(1, 10.0, 2), (2, 5.0, 1)]
