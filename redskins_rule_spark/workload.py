@@ -521,7 +521,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
     "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
     "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
-    "q101_checksums", "q102_bitwise_flags",
+    "q101_checksums", "q102_bitwise_flags", "q103_relational_division",
     # --- previously hash-verified (r01/r02); regression sentinels ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
@@ -4020,4 +4020,35 @@ def q102_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(flag).alias("mask"),
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("event_type") == "purchase").alias("ever_bought"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational division ("FOR ALL"): customers with at least one order in
+# EVERY order-priority class — the classic division pattern, expressed
+# as distinct-pair counting against a broadcast universe count (never a
+# nested NOT EXISTS double negation, which Catalyst can't decorrelate
+# as cheaply).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q103_relational_division",
+    oracle="""
+    WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS total FROM orders),
+         per AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS np
+                 FROM orders GROUP BY o_custkey)
+    SELECT p.o_custkey, CAST(p.np AS BIGINT) AS n_priorities
+    FROM per p, u WHERE p.np = u.total
+    """,
+)
+def q103_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    u = orders.agg(F.count_distinct("o_orderpriority").alias("total"))
+    per = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("np")
+    )
+    return (
+        per.crossJoin(F.broadcast(u))
+        .where(F.col("np") == F.col("total"))
+        .select("o_custkey", F.col("np").cast("long").alias("n_priorities"))
     )
