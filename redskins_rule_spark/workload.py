@@ -522,6 +522,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
     "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
     "q101_checksums", "q102_bitwise_flags", "q103_relational_division",
+    "q104_bpe_segment",
     # --- previously hash-verified (r01/r02); regression sentinels ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
@@ -4051,4 +4052,29 @@ def q103_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(u))
         .where(F.col("np") == F.col("total"))
         .select("o_custkey", F.col("np").cast("long").alias("n_priorities"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + segmentation (Sennrich-style corpus BPE):
+# merge statistics run on the WORD-FREQUENCY table (vocabulary-sized,
+# not corpus-sized — the one corpus pass is the word count), each
+# round is one top-1 pair argmax to the driver, and merges apply as
+# row-local folds. Rows-only driver check (iterative training is not
+# SQL-expressible); exact parity with a pure-Python reference is
+# pinned in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.bpe import bpe_segment, bpe_train  # noqa: E402
+
+
+@query("q104_bpe_segment")
+def q104_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=6)
+    seg = bpe_segment(docs, merges, "text", "doc_id")
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_bpe_tokens"),
+        char_fingerprint(F.concat_ws(" ", F.col("tokens"))).alias("tokens_fp"),
     )

@@ -45,4 +45,5 @@ def test_oracles_subset_of_queries():
         "q37_packing",
         "q43_approx_distinct",
         "q97_pq_ann",
+        "q104_bpe_segment",
     ], f"unexpected oracle-less queries: {missing}"
