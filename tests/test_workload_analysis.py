@@ -41,9 +41,9 @@ def test_oracles_subset_of_queries():
     missing = sorted(set(q) - set(o))
     # rows-only by design (non-SQL-expressible); keep this list deliberate.
     assert missing == [
+        "q104_bpe_segment",
         "q25_simhash_pairs",
         "q37_packing",
         "q43_approx_distinct",
         "q97_pq_ann",
-        "q104_bpe_segment",
     ], f"unexpected oracle-less queries: {missing}"
