@@ -522,7 +522,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
     "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
     "q101_checksums", "q102_bitwise_flags", "q103_relational_division",
-    "q104_bpe_segment",
+    "q104_bpe_segment", "q105_array_setops", "q106_ignore_nulls",
     # --- previously hash-verified (r01/r02); regression sentinels ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
@@ -4077,4 +4077,73 @@ def q104_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("tokens").cast("long").alias("n_bpe_tokens"),
         char_fingerprint(F.concat_ws(" ", F.col("tokens"))).alias("tokens_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array set algebra: intersect / except / union sizes + containment
+# against a constant vocabulary (stopword-profile overlap — the
+# row-local set operations behind lang-ID and stopword filters),
+# all codegen'd array builtins.
+# ---------------------------------------------------------------------------
+
+_Q105_STOPS = ["the", "and", "a", "key", "table", "value", "row", "fast"]
+
+@query(
+    "q105_array_setops",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct({_SQL_TOKENS}) AS toks,
+                      {str(_Q105_STOPS).replace("'", chr(39))} AS stops
+               FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id,
+           len(list_intersect(toks, stops))                          AS n_common,
+           len(list_filter(toks, x -> NOT list_contains(stops, x)))  AS n_only_doc,
+           len(list_distinct(list_concat(toks, stops)))              AS n_union,
+           list_contains(toks, 'table')                              AS has_table
+    FROM t
+    """,
+)
+def q105_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _Q105_STOPS])
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stops)).alias("n_common"),
+        F.size(F.array_except(toks, stops)).alias("n_only_doc"),
+        F.size(F.array_union(toks, stops)).alias("n_union"),
+        F.array_contains(toks, "table").alias("has_table"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window navigation: last non-null purchase amount as-of
+# each event per user (the ANSI LAST_VALUE ... IGNORE NULLS face of
+# q07's forward-fill operator).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q106_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+    FROM events
+    """,
+)
+def q106_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase"),
     )
