@@ -47,16 +47,44 @@ def main() -> None:
             continue
         times[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "workload_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # detail file is best-effort; the stdout line is the contract
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
+
+    # The driver captures only the last ~2000 bytes of stdout; the final
+    # line must stay well under that, so print only the slowest queries
+    # inline and point at BENCH_DETAIL.json for the full per-query dict.
+    top = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
+    out = {
+        "metric": "workload_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "sf": sf_val,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    while len(line) > 1500 and out["queries"]:
+        out["queries"].pop(next(reversed(out["queries"])))
+        line = json.dumps(out)
+    print(line)
     spark.stop()
     sys.exit(1 if errors else 0)
 

@@ -158,6 +158,15 @@ def encode_gif(
 def _walk(payload: bytes, want_pixels: bool):
     if len(payload) < 13 or payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _walk_inner(payload, want_pixels)
+    except (struct.error, IndexError) as e:
+        # A truncated extension/descriptor/sub-block must surface as the
+        # documented ValueError, not kill the task with struct.error.
+        raise ValueError(f"truncated GIF payload: {e}") from e
+
+
+def _walk_inner(payload: bytes, want_pixels: bool):
     width, height, flags = struct.unpack_from("<HHB", payload, 6)
     pos = 13
     if flags & 0x80:  # global color table
@@ -165,9 +174,11 @@ def _walk(payload: bytes, want_pixels: bool):
     delays: list[int] = []
     frames: list[bytes] = []
     pending_delay = 0
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b == 0x21:  # extension
             label = payload[pos + 1]
@@ -197,6 +208,10 @@ def _walk(payload: bytes, want_pixels: bool):
                 frames.append(b"")
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    if not saw_trailer:
+        # Payload ended before the 0x3B trailer — a mid-color-table or
+        # mid-stream cut would otherwise read as a valid 0-frame GIF.
+        raise ValueError("truncated GIF payload: missing trailer")
     meta = GifMeta(width, height, len(frames), tuple(delays))
     return meta, frames
 

@@ -271,11 +271,12 @@ def with_wav_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:
     """Materialize a REAL audio payload column: a valid PCM16 mono WAV
-    per row, derived deterministically from the source column's utf-8
-    byte length (n_samples = blen % 97 + 8, sample_rate = 8000,
-    samples[i] = ((blen + 31*i) % 65536) - 32768) — so an arithmetic
-    oracle predicts exact metadata while the decode side parses actual
-    RIFF bytes. Arrow-batched; payloads never touch the driver."""
+    per row, derived deterministically from the source column's
+    CHARACTER length (n_samples = clen % 97 + 8, sample_rate = 8000,
+    samples[i] = ((clen + 31*i) % 65536) - 32768) — so an arithmetic
+    oracle (SQL ``length(text)``, which counts characters) predicts
+    exact metadata while the decode side parses actual RIFF bytes.
+    Arrow-batched; payloads never touch the driver."""
     from redskins_rule_spark.functions.wav import encode_wav, synth_samples
 
     out_schema = T.StructType(
@@ -289,9 +290,9 @@ def with_wav_payload(
                 if text is None or (isinstance(text, float) and pd.isna(text)):
                     payloads.append(None)
                     continue
-                blen = len(str(text).encode("utf-8"))
-                n = blen % 97 + 8
-                payloads.append(encode_wav(synth_samples(blen, n), 8000, 1))
+                clen = len(str(text))
+                n = clen % 97 + 8
+                payloads.append(encode_wav(synth_samples(clen, n), 8000, 1))
             yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
 
     return df.select(id_col, src_col).mapInPandas(run, out_schema)
@@ -365,11 +366,12 @@ def with_gif_payload(
 ) -> DataFrame:
     """Materialize a REAL video payload column: a valid animated
     GIF89a per row (functions/gif.py), geometry and pixels derived
-    deterministically from the source column's utf-8 byte length
-    (w = blen % 16 + 2, h = blen % 11 + 2, n_frames = blen % 5 + 1,
-    delay 4 cs, frame f pixel (y,x) = (blen + 7f + 3y + x) % 256) — so
-    integer arithmetic predicts metadata AND per-frame pixel sums
-    while the decode side parses real LZW-coded frames."""
+    deterministically from the source column's CHARACTER length
+    (w = clen % 16 + 2, h = clen % 11 + 2, n_frames = clen % 5 + 1,
+    delay 4 cs, frame f pixel (y,x) = (clen + 7f + 3y + x) % 256) — so
+    an integer-arithmetic oracle (SQL ``length(text)``, character
+    count) predicts metadata AND per-frame pixel sums while the decode
+    side parses real LZW-coded frames."""
     from redskins_rule_spark.functions.gif import encode_gif, synth_frames
 
     out_schema = T.StructType(
@@ -383,10 +385,10 @@ def with_gif_payload(
                 if text is None or (isinstance(text, float) and pd.isna(text)):
                     payloads.append(None)
                     continue
-                blen = len(str(text).encode("utf-8"))
-                w, h, nf = blen % 16 + 2, blen % 11 + 2, blen % 5 + 1
+                clen = len(str(text))
+                w, h, nf = clen % 16 + 2, clen % 11 + 2, clen % 5 + 1
                 payloads.append(
-                    encode_gif(synth_frames(blen, nf, w, h), w, h, delay_cs=4)
+                    encode_gif(synth_frames(clen, nf, w, h), w, h, delay_cs=4)
                 )
             yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
 

@@ -502,32 +502,30 @@ def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then everything else. Rounds 1+2 cumulatively verified every query
 # NOT in this list; keep it updated as rounds verify more.
 _DRIVER_PRIORITY: list[str] = [
-    # --- never driver-verified, registered in round 2 (waited longest) ---
-    "q51_grouping_sets", "q52_array_hof", "q53_asof_nearest",
-    "q43b_kmv_distinct", "q54_dedup_clusters", "q57_heavy_hitters",
-    "q55_exists_priority", "q56_small_qty_revenue", "q58_snapshot_diff",
-    "q59_interval_overlap", "q60_stratified_sample", "q61_regression_agg",
-    "q62_inverted_index", "q63_nation_volume", "q64_gap_fill",
-    "q65_repetition", "q66_decontamination", "q67_funnel", "q68_retention",
-    "q69_fuzzy_pairs", "q70_group_zscore", "q71_quantize",
-    "q72_rolling_revenue", "q73_conjunctive_search", "q74_packing_quantized",
-    "q75_tfidf_top_term", "q76_pagerank", "q77_multiset_ops",
-    "q78_posexplode",
-    # --- never driver-verified, registered in round 3 ---
-    "q79_vocab_prune", "q80_transitive_closure", "q81_lateral_topn",
-    "q82_bigram_pmi", "q83_minhash_estimate", "q84_wav_meta",
-    "q85_scd2_build", "q86_weighted_sample", "q87_nullsafe_join",
-    "q88_rank_suite", "q89_regex_extract", "q90_listagg",
-    "q91_incremental_view", "q92_intradoc_dedup", "q93_source_mix",
-    "q94_ewma", "q95_logsumexp", "q96_skew_distinct", "q97_pq_ann",
-    "q98_gif_meta", "q99_gif_frames", "q100_hopping_windows",
-    "q101_checksums", "q102_bitwise_flags", "q103_relational_division",
-    "q104_bpe_segment", "q105_array_setops", "q106_ignore_nulls",
-    # --- previously hash-verified (r01/r02); regression sentinels ---
+    # The driver's correctness gate records only the FIRST 50 entries of
+    # queries(); this list keeps never-driver-verified queries at the head
+    # and rotates hash-green ones to the tail each round.
+    # --- never driver-verified (registered round 3, past r03's 50-cap) ---
+    "q100_hopping_windows", "q101_checksums", "q102_bitwise_flags",
+    "q103_relational_division", "q104_bpe_segment", "q105_array_setops",
+    "q106_ignore_nulls",
+    # --- never driver-verified, registered in round 4 ---
+    "q107_redskins_golden",
+    "q108_sessionize", "q109_jaccard_capped", "q110_cdc_merge",
+    "q111_doc_embed_join", "q112_url_parse", "q113_percentile_suite",
+    "q114_cooccurrence_topk", "q115_paragraph_dedup", "q116_range_bin_join",
+    "q117_ip_geolocate", "q118_entropy_quality", "q119_anchor_text",
+    "q120_crosslingual_mix",
+    # --- previously hash-verified; regression sentinels (rounds 1-3) ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
     "q01_pricing_summary", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh",
+    "q51_grouping_sets", "q53_asof_nearest", "q54_dedup_clusters",
+    "q57_heavy_hitters", "q64_gap_fill", "q69_fuzzy_pairs",
+    "q76_pagerank", "q83_minhash_estimate", "q85_scd2_build",
+    "q91_incremental_view", "q92_intradoc_dedup", "q96_skew_distinct",
+    "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
 
 
@@ -3350,12 +3348,12 @@ def q84_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q85_scd2_build",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
-      SELECT user_id, event_type, ts FROM ordered
+      SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev IS NULL OR prev <> event_type
     )
     SELECT user_id, event_type AS attr,
@@ -3363,7 +3361,7 @@ def q84_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(LEAD(ts) OVER w) AS valid_to_us,
            (LEAD(ts) OVER w IS NULL) AS is_current
     FROM changes
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q85_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3372,9 +3370,11 @@ def q85_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         ev.withColumn("prev", F.lag("event_type").over(w))
         .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: two change rows with identical ts would otherwise
+    # make LEAD order engine-dependent and the cross-engine hash flaky.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return changes.select(
         "user_id",

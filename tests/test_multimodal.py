@@ -319,3 +319,53 @@ def test_video_non_gif_backend_is_explicit_stub(spark):
     df = with_gif_payload(_docs(spark), "text")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_video_meta(df, decode_backend="mp4").collect()
+
+
+# --- ADVICE round-3 contracts -------------------------------------------
+
+def test_wav_gif_payload_use_character_length(spark):
+    """The q84/q98/q99 oracles use SQL length(text) = CHARACTER count;
+    the generators must agree on non-ASCII text (1 char, 2+ utf-8
+    bytes per char here)."""
+    from redskins_rule_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_video_meta,
+        with_gif_payload,
+        with_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "é" * 100)], "doc_id long, text string"  # 100 chars, 200 bytes
+    )
+    wav = decode_audio_meta(with_wav_payload(df, "text")).collect()[0]
+    assert wav.n_samples == 100 % 97 + 8  # char length, not 200 % 97 + 8
+    gif = decode_video_meta(with_gif_payload(df, "text")).collect()[0]
+    assert (gif.width, gif.height, gif.n_frames) == (
+        100 % 16 + 2, 100 % 11 + 2, 100 % 5 + 1
+    )
+
+
+def test_truncated_wav_raises_valueerror():
+    from redskins_rule_spark.functions.wav import decode_wav, encode_wav, synth_samples
+
+    full = encode_wav(synth_samples(7, 20), 8000, 1)
+    # cut mid-fmt-chunk: the struct under-read must surface as ValueError
+    for cut in (14, 20, 30):
+        with pytest.raises(ValueError):
+            decode_wav(full[:cut])
+
+
+def test_truncated_gif_raises_valueerror():
+    from redskins_rule_spark.functions.gif import (
+        decode_gif,
+        decode_gif_meta,
+        encode_gif,
+        synth_frames,
+    )
+
+    full = encode_gif(synth_frames(5, 2, 6, 4), 6, 4, delay_cs=3)
+    for cut in (14, len(full) // 2, len(full) - 2):
+        with pytest.raises(ValueError):
+            decode_gif_meta(full[:cut])
+        with pytest.raises(ValueError):
+            decode_gif(full[:cut])
