@@ -124,6 +124,12 @@ def pairs_from_posting_lists(
     )
     if max_postings is not None:
         grouped = grouped.where(F.size("__ids") <= max_postings)
+    return _pairs_within_lists(grouped, pair, out)
+
+
+def _pairs_within_lists(grouped: DataFrame, pair, out: list[str]) -> DataFrame:
+    """Explode all (i < j) pairs from each row's sorted `__ids` array,
+    expression-side (two-arg transform + shifted slice) — no join."""
     lst = F.col("__ids")
     pairs = F.flatten(
         F.transform(
@@ -296,6 +302,7 @@ def ngram_jaccard_pairs_exact(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard pairs via an inverted gram index —
     no false negatives (any pair with Jaccard > 0 shares ≥1 gram, so
@@ -303,9 +310,15 @@ def ngram_jaccard_pairs_exact(
     pairs; the exact Jaccard filter finishes the job).
 
     Scale: the per-gram posting lists bound the join fan-out; hot
-    grams (stopword n-grams) are the skew hazard — at 100 TB apply a
-    document-frequency cut or prefix filtering before the join (the
-    lossy-but-cheaper `ngram_jaccard_pairs` is the other trade).
+    grams (stopword n-grams) are the skew hazard. `max_df` is the
+    document-frequency cut: grams appearing in more than `max_df`
+    docs are removed from the gram UNIVERSE (posting lists, pair
+    counts, AND set sizes), so the result is exact Jaccard over the
+    df-filtered gram space — the standard stop-gram semantic, not a
+    lossy candidate cap. A df-cut gram carries ~no similarity signal
+    (shared by construction), while bounding the hottest posting
+    list — and with it the worst single-task pair fan-out — to
+    max_df·(max_df−1)/2. Default None = full gram space.
     """
     grams = F.array_distinct(word_shingles(text_col, n))
     base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
@@ -315,12 +328,38 @@ def ngram_jaccard_pairs_exact(
     # need to re-join the full gram arrays per candidate or run
     # array_intersect. Candidates come from per-gram posting lists
     # (one shuffle, gram pipeline evaluated once).
-    inter = (
-        pairs_from_posting_lists(inv, ["gram"], id_col)
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__ninter"))
-    )
-    sizes = base.select(F.col(id_col), F.size("__g").alias("__n"))
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        # fold the df-cut INTO the posting-list grouping (list length IS
+        # document frequency) — no separate df agg + gram join; doc set
+        # sizes over the filtered universe come from re-exploding the
+        # kept lists (an identical grouped subtree Catalyst reuses)
+        posts = (
+            inv.groupBy("gram")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+            .where(F.size("__ids") <= max_df)
+        )
+        sizes = (
+            posts.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        pair = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
+        inter = (
+            _pairs_within_lists(
+                posts.where(F.size("__ids") > 1), pair, ["p.id_a", "p.id_b"]
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__ninter"))
+        )
+    else:
+        sizes = base.select(F.col(id_col), F.size("__g").alias("__n"))
+        inter = (
+            pairs_from_posting_lists(inv, ["gram"], id_col)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__ninter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     # no broadcast hint: sizes is one row per doc — tiny at test SF

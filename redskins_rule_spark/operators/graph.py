@@ -23,11 +23,12 @@ Components in MapReduce and Beyond", SoCC'14).
 Scale notes:
   * Every round is a fixed number of key-partitioned shuffles on the
     label frame (|V| rows) — no step ever materializes the closure.
-  * `localCheckpoint` after each round truncates lineage: without it
-    round k re-plans (and can re-execute) all k-1 predecessors, and
-    the plan tree grows exponentially. On a real cluster prefer
-    `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
-    executor-loss resilience; local mode has no such loss model.
+  * Lineage is truncated after each round: without it round k
+    re-plans (and can re-execute) all k-1 predecessors, and the plan
+    tree grows exponentially. Default is `localCheckpoint` (fast,
+    executor-local blocks); pass `checkpoint_dir=` for a RELIABLE
+    checkpoint on a shared filesystem that survives executor loss on
+    a real/preemptible cluster (see `_materialize`).
   * Convergence check is a metadata-sized action (count of changed
     labels), not a data collect.
 """
@@ -38,12 +39,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut lineage between iterations.
+
+    Default `localCheckpoint` writes blocks to executor local storage —
+    fastest, but an executor loss on a real cluster discards the blocks
+    and the (truncated!) lineage cannot recompute them. Passing
+    `checkpoint_dir` switches to a RELIABLE checkpoint on the shared
+    filesystem (HDFS/object store), which survives executor loss — the
+    right choice for long multi-round jobs on preemptible fleets.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
     component_col: str = "component",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph `edges` with the
     minimum node id of its connected component.
@@ -65,13 +85,11 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .where(F.col("id") != F.col("nbr"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select("id")
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
+    sym = _materialize(sym, checkpoint_dir)
+    labels = _materialize(
+        sym.select("id").distinct().withColumn("lbl", F.col("id")),
+        checkpoint_dir,
     )
 
     for _ in range(max_rounds):
@@ -99,8 +117,8 @@ def connected_components(
             )
             .join(jump, on="lbl", how="left")
             .select("id", F.least("lbl", "lbl2").alias("lbl"), "prev")
-            .localCheckpoint(eager=True)
         )
+        new_labels = _materialize(new_labels, checkpoint_dir)
 
         changed = new_labels.where(F.col("lbl") != F.col("prev")).count()
         labels = new_labels.drop("prev")
@@ -115,12 +133,13 @@ def dedup_clusters(
     id_b: str = "id_b",
     id_col: str = "id",
     cluster_col: str = "cluster_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs → duplicate clusters: DataFrame[id, cluster_id]
     with cluster_id = min member id (the canonical survivor a dedup
     pass would keep). Singleton documents (no near-dup edge) are not
     emitted — callers left-join and coalesce to self."""
-    cc = connected_components(pairs, src=id_a, dst=id_b)
+    cc = connected_components(pairs, src=id_a, dst=id_b, checkpoint_dir=checkpoint_dir)
     return cc.select(F.col("id").alias(id_col), F.col("component").alias(cluster_col))
 
 
@@ -131,6 +150,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     rank_col: str = "rank",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u), r_0 = 1/N.
@@ -152,16 +172,15 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = _materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = _materialize(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     n = nodes.count()
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
@@ -184,6 +203,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = _materialize(ranks, checkpoint_dir)
     return ranks.select("id", F.col("r").alias(rank_col))

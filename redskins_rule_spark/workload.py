@@ -725,23 +725,29 @@ def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
          gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
-         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         -- df-cut mirror (max_df=64): drop stop-grams from the universe
+         keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
+         inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
                   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b,
-                          len(list_intersect(sa.g, sb.g)) AS ninter,
-                          len(sa.g) AS na, len(sb.g) AS nb
+         pairs AS (SELECT id_a, id_b, ninter, sa.n AS na, sb.n AS nb
                    FROM cand
-                   JOIN gsets sa ON sa.doc_id = cand.id_a
-                   JOIN gsets sb ON sb.doc_id = cand.id_b)
+                   JOIN sizes sa ON sa.doc_id = cand.id_a
+                   JOIN sizes sb ON sb.doc_id = cand.id_b)
     SELECT id_a, id_b, ROUND(ninter / (na + nb - ninter), 4) AS jaccard_sim
     FROM pairs WHERE ninter / (na + nb - ninter) >= 0.8
     """,
 )
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df=64: inert at test SFs (max gram df is 25 at sf0.1) but the
+    # df-cut path is exercised and bounds hot-gram fan-out at scale.
     docs = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    return ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -765,8 +771,12 @@ _SQL_SIG = "[" + ", ".join(
          sigs AS (SELECT doc_id, g, {_SQL_SIG} AS sig FROM hashed),
          bands AS (SELECT doc_id, i, sig[CAST(i + 1 AS INTEGER)] AS sv
                    FROM sigs, (SELECT unnest(generate_series(0, 7)) AS i)),
+         -- hot-bucket cap mirror (max_postings=64): over-full LSH
+         -- buckets dropped whole before pair generation
+         cool AS (SELECT i, sv FROM bands GROUP BY i, sv HAVING COUNT(*) <= 64),
+         fbands AS (SELECT bands.* FROM bands JOIN cool USING (i, sv)),
          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b ON a.i = b.i AND a.sv = b.sv AND a.doc_id < b.doc_id
+                  FROM fbands a JOIN fbands b ON a.i = b.i AND a.sv = b.sv AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
          pairs AS (SELECT id_a, id_b,
                           len(list_intersect(sa.g, sb.g)) AS ninter,
@@ -791,7 +801,9 @@ def q20_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
     # posting-list pair generation: one shuffle, the x-engine signature
     # pipeline evaluated once (a self-join would plan it per side)
-    cand = pairs_from_posting_lists(bands, ["i", "sv"], "doc_id").distinct()
+    cand = pairs_from_posting_lists(
+        bands, ["i", "sv"], "doc_id", max_postings=64
+    ).distinct()
     ga = base.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = base.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
     return (
@@ -4146,4 +4158,75 @@ def q106_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107: the reference's golden pipeline, driver-hash-checked.
+# The Spark side runs the REAL end-to-end pipeline (scraped-shape raw
+# fixtures -> clean -> home-game argmax -> election metrics -> 30-day
+# as-of attach -> toggle prediction, pipelines/redskins_rule.py) and
+# the oracle is the reference's committed golden output as a literal
+# VALUES table — so reference parity itself goes through the driver's
+# cross-engine value hash, not only pytest.
+# ---------------------------------------------------------------------------
+
+def _golden_oracle_sql() -> str:
+    from redskins_rule_spark.pipelines.golden_fixture import (
+        GOLDEN_COLUMNS,
+        GOLDEN_ROWS,
+    )
+
+    def lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(int(v))
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in GOLDEN_ROWS
+    )
+    cols = ", ".join(f'"{c}"' for c in GOLDEN_COLUMNS)
+    return f"SELECT * FROM (VALUES\n      {rows}\n    ) AS golden({cols})"
+
+
+@query("q107_redskins_golden", oracle=_golden_oracle_sql())
+def q107_redskins_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from redskins_rule_spark.pipelines import redskins_rule as rr
+    from redskins_rule_spark.pipelines.golden_fixture import (
+        ELEC_ROWS,
+        NFL_ROWS,
+    )
+
+    nfl_schema = T.StructType(
+        [
+            T.StructField("", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("date", T.StringType()),
+            T.StructField("team", T.StringType()),
+            T.StructField("final", T.StringType()),
+        ]
+    )
+    elec_schema = (
+        "row_num long, year string, candidate string, political_party string, "
+        "electoral_votes long, popular_votes string, popular_percentage string"
+    )
+    nfl_raw = spark.createDataFrame(NFL_ROWS, nfl_schema)
+    elec_raw = spark.createDataFrame(ELEC_ROWS, elec_schema)
+    out = rr.run(spark, nfl_raw, elec_raw)
+    # dates as strings and counts as bigint for cross-engine hashing
+    date_cols = {"elec_date", "game_date", "p_elec_date"}
+    return out.select(
+        *[
+            _date_str(c).alias(c)
+            if c in date_cols
+            else F.col(c).cast("long").alias(c)
+            if dict(out.dtypes)[c] == "int"
+            else F.col(c)
+            for c in out.columns
+        ]
     )

@@ -241,3 +241,60 @@ def test_fuzzy_edit1_dedups_and_excludes_duplicates_of_same_string(spark):
     )
     got = [tuple(r) for r in fuzzy_pairs_edit1(df, "p_name").collect()]
     assert got == [("aa", "ab")]
+
+
+def test_ngram_max_df_cut_recall_contract(spark):
+    """max_df removes stop-grams from the gram UNIVERSE: pairs related
+    only through a hot gram disappear, pairs sharing sub-cap grams
+    survive with Jaccard computed over the filtered gram space."""
+    from redskins_rule_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+    hot = "the cat sat"          # one shared 3-gram for every doc below
+    rows = [
+        # near-dup pair: share rare grams besides the hot one
+        (1, hot + " on red mat today"),
+        (2, hot + " on red mat tonight"),
+        # hot-gram-only cluster: each doc otherwise unique
+        *[(10 + i, hot + f" uniquely phrased tail number {i} here") for i in range(6)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.01)
+    capped = ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.01, max_df=4
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+
+    # every doc shares 'the cat sat' (df=8 > 4): exact emits all C(8,2) pairs
+    assert len(exact_pairs) == 28
+    # capped: only sub-cap-gram pairs survive — the real near-dup pair
+    # (plus the 'on red'-style grams it shares are df=2) — and nothing
+    # related solely through the hot gram
+    assert capped_pairs == {(1, 2)}
+    assert capped_pairs <= exact_pairs
+    # Jaccard over the FILTERED universe: both docs lose the hot grams
+    # from numerator and denominator symmetrically
+    sim = capped.collect()[0].jaccard_sim
+    assert 0 < sim <= 1
+
+    with __import__("pytest").raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs_exact(docs, "doc_id", "text", max_df=1).collect()
+
+
+def test_workload_caps_inert_at_test_sf(spark):
+    """q19's max_df=64 / q20's max_postings=64 must not change results
+    at driver SFs (max gram df is 25, max band bucket 19 at sf0.1) —
+    the cap is a scale guard, not a semantics change the oracle would
+    miss."""
+    from redskins_rule_spark.operators.dedup import ngram_jaccard_pairs_exact
+    from redskins_rule_spark.sources.io import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    uncapped = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    capped = ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
+    )
+    a = sorted(map(tuple, uncapped.collect()))
+    b = sorted(map(tuple, capped.collect()))
+    assert a == b and len(a) > 0

@@ -129,3 +129,43 @@ def test_pagerank_mass_and_validation(spark):
         assert v == pytest.approx(1 / 3, rel=1e-12)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(df, iterations=-1)
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir= switches lineage cuts from executor-local blocks
+    to a reliable shared-filesystem checkpoint (cluster-durable); the
+    results must be identical and checkpoint files must actually land
+    in the directory."""
+    import os
+
+    from redskins_rule_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6), (2, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ckpt = str(tmp_path / "ckpt")
+
+    local = connected_components(df)
+    reliable = connected_components(df, checkpoint_dir=ckpt)
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
+    assert any(os.scandir(ckpt)), "no reliable checkpoint files written"
+
+    pr_local = {r["id"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    pr_rel = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=2, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_local == pytest.approx(pr_rel, rel=1e-12)
+
+
+def test_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
+    """Both materialization modes must cut lineage: the post-round plan
+    may not contain the upstream edge producer (a join marker node)."""
+    from redskins_rule_spark.operators.graph import _materialize
+
+    a = spark.createDataFrame([(1, 10)], "src bigint, x bigint")
+    b = spark.createDataFrame([(1, 20)], "src bigint, dst bigint")
+    produced = a.join(b, "src").select("src", "dst")  # upstream with a join
+    for ckpt in (None, str(tmp_path / "ckpt2")):
+        cut = _materialize(produced, ckpt)
+        plan = cut._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan, f"lineage not truncated (ckpt={ckpt}): {plan}"

@@ -188,3 +188,80 @@ def test_schedule_stream_replays_committed_span(spark):
     # past the end: empty batch, offset parked
     empty, parked = r.read({"year": 1981})
     assert list(empty) == [] and parked == {"year": 1981}
+
+
+# --- S2: elections scrape (reference jobs/ingest/elections.py:16-41) -------
+
+_ELECTIONS_HTML = """
+<html><body>
+<table>
+ <thead>
+  <tr><th>year</th><th>candidate</th><th>party</th><th>electoral votes</th></tr>
+ </thead>
+ <tbody>
+  <tr><td>1788<sup>1</sup></td><td>George Washington</td><td>no party</td><td>69</td></tr>
+  <tr><td>John Adams<sup><a href="#fn2">2</a></sup></td><td>Federalist</td><td>34</td></tr>
+  <tr><td>1792</td><td>George Washington</td><td>Federalist</td><td>132</td></tr>
+  <tr><td>John Adams</td><td>Federalist</td><td>77</td></tr>
+  <tr><td>George Clinton</td><td>Democratic-Republican</td><td>50</td></tr>
+  <tr><td>1796</td><td>John Adams</td><td>Federalist</td><td>71</td></tr>
+  <tr><td>Thomas Jefferson</td><td>Democratic-Republican</td><td>68</td></tr>
+  <tr><td>Thomas Pinckney</td><td>Federalist</td><td>59</td></tr>
+  <tr><td>Aaron Burr</td><td>Antifederalist</td><td>30</td></tr>
+  <tr><td>Samuel Adams</td><td>Democratic-Republican</td><td>15</td></tr>
+  <tr><td>Oliver Ellsworth</td><td>Federalist</td><td>11</td></tr>
+  <tr><td>1800</td><td>Thomas Jefferson</td><td>Democratic-Republican</td><td>73</td></tr>
+ </tbody>
+</table>
+</body></html>
+"""
+
+
+def test_parse_elections_html_strips_superscripts():
+    from redskins_rule_spark.sources.ingest import parse_elections_html
+
+    headers, rows = parse_elections_html(_ELECTIONS_HTML)
+    assert headers == ["year", "candidate", "party", "electoral votes"]
+    # <sup>1</sup> footnote stripped from the year cell
+    assert rows[0] == ["1788", "George Washington", "no party", "69"]
+    # nested <sup><a>2</a></sup> stripped too; row is one cell short
+    assert rows[1] == ["John Adams", "Federalist", "34"]
+    assert len(rows) == 12
+
+
+def test_scrape_elections_end_to_end(spark):
+    from redskins_rule_spark.sources.ingest import (
+        ELECTIONS_URL,
+        scrape_elections,
+    )
+
+    seen_urls = []
+
+    def fake_fetch(url: str) -> str:
+        seen_urls.append(url)
+        return _ELECTIONS_HTML
+
+    df = scrape_elections(spark, fetch=fake_fetch)
+    assert seen_urls == [ELECTIONS_URL]
+    assert df.columns == ["year", "candidate", "party", "electoral votes", ""]
+    out = df.orderBy(F.col("").cast("int")).collect()
+    assert len(out) == 12
+    # forward-filled year key, across the >9-row string-index boundary
+    assert [r["year"] for r in out] == (
+        ["1788"] * 2 + ["1792"] * 3 + ["1796"] * 6 + ["1800"]
+    )
+    # year-omitted rows keep their own cells aligned under the headers
+    burr = next(r for r in out if r["candidate"] == "Aaron Burr")
+    assert burr["party"] == "Antifederalist"
+    assert burr["electoral votes"] == "30"
+    # the ''-named CSV index survives (load-bearing row order)
+    assert [r[""] for r in out] == [str(i) for i in range(12)]
+
+
+def test_scrape_elections_rejects_tableless_page(spark):
+    import pytest as _pytest
+
+    from redskins_rule_spark.sources.ingest import scrape_elections
+
+    with _pytest.raises(ValueError, match="no election table"):
+        scrape_elections(spark, fetch=lambda url: "<html><body>404</body></html>")
