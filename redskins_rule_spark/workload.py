@@ -512,9 +512,9 @@ _DRIVER_PRIORITY: list[str] = [
     # --- never driver-verified, registered in round 4 ---
     "q107_redskins_golden",
     "q108_sessionize", "q109_jaccard_capped", "q110_cdc_merge",
-    "q111_doc_embed_join", "q112_url_parse", "q113_percentile_suite",
-    "q114_cooccurrence_topk", "q115_paragraph_dedup", "q116_range_bin_join",
-    "q117_ip_geolocate", "q118_entropy_quality", "q119_anchor_text",
+    "q112_url_parse", "q113_percentile_suite",
+    "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
+    "q117_hash_split", "q118_entropy_quality",
     "q120_crosslingual_mix",
     # --- previously hash-verified; regression sentinels (rounds 1-3) ---
     "q49_monthly_revenue", "q50_global_index",
@@ -4229,4 +4229,470 @@ def q107_redskins_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             else F.col(c)
             for c in out.columns
         ]
+    )
+
+
+# ===========================================================================
+# Round-4 queries (q108+): training-pipeline operators widening §2 coverage
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# q108: gap-based sessionization — the canonical event-stream op (a 30-min
+# inactivity gap starts a new session). Two windows per user partition:
+# lag to flag session starts, running sum to number them; then one agg.
+# Scale: everything is keyed by user_id — one shuffle, no global window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q108_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM o
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+           ROUND(SUM(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q108_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap > 1_800_000_000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.withColumn("session_no", F.sum(new_s).over(wc))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("dur_us"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109: n-gram Jaccard with an ACTIVE document-frequency cut (max_df=4 at
+# sf0.01 where the hottest gram has df=7) — the df-cut path itself goes
+# through the driver's cross-engine hash, not just pytest. Semantics:
+# exact Jaccard over the df-filtered gram universe (stop-gram removal).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q109_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 4),
+         inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b, ninter, sa.n AS na, sb.n AS nb
+                   FROM cand
+                   JOIN sizes sa ON sa.doc_id = cand.id_a
+                   JOIN sizes sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, ROUND(ninter / (na + nb - ninter), 4) AS jaccard_sim
+    FROM pairs WHERE ninter / (na + nb - ninter) >= 0.5
+    """,
+)
+def q109_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110: CDC merge — apply a change log to derive the current snapshot.
+# events is read as a CDC stream keyed by user_id ('error' = delete,
+# anything else = upsert of `value`); the winner per key is the latest
+# change by (ts, event_id). One MAX_BY-shaped agg, no iterative apply —
+# the |changes|-scaled MERGE shape (same family as operators/merge.py's
+# incremental MV maintenance, which handles the delta-vs-snapshot side).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q110_cdc_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(value, 2) AS current_value,
+           epoch_us(ts) AS updated_at_us,
+           n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q110_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wa = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wa))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("current_value"),
+            epoch_us("ts").alias("updated_at_us"),
+            "n_changes",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112: URL parsing — web-corpus pipelines key everything on registered
+# domain / path / query params. The corpus has no URL column, so one is
+# synthesized deterministically from (source, doc_id, lang) — same
+# generator-vs-arithmetic-oracle pattern as the multimodal payloads —
+# and parsed back with Spark's JVM-side parse_url (HOST/PATH/QUERY),
+# which the oracle mirrors with regexes. Whole-stage-codegen friendly:
+# no Python anywhere.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q112_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param,
+           regexp_extract(regexp_extract(url, '^https://([^/]+)/', 1),
+                          '([^.]+)\\.example\\.com', 1) AS subdomain
+    FROM u
+    """,
+)
+def q112_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(
+            F.parse_url("url", F.lit("HOST")), r"([^.]+)\.example\.com", 1
+        ).alias("subdomain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113: percentile suite — exact interpolated quantiles per group (both
+# engines use linear interpolation: Spark `percentile`, DuckDB
+# `quantile_cont`), the workhorse of feature/quality-score calibration.
+# Scale note: exact percentile shuffles per group; at 100 TB swap in
+# approx_percentile (t-digest) — same call shape, bounded memory.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q113_percentile_suite",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25
+    FROM events GROUP BY event_type
+    """,
+)
+def q113_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114: token co-occurrence top-k — unordered adjacent-token pairs per
+# language, top-3 by count (ties pinned lexicographically). The embedding
+# /association-mining primitive (skip-gram window 1). Pair canonical form
+# (least, greatest) halves the key space; one shuffle to count, one
+# window for top-k.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q114_cooccurrence_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+         prs AS (SELECT lang,
+                        least(t[i], t[i+1]) AS w1,
+                        greatest(t[i], t[i+1]) AS w2
+                 FROM toks, unnest(generate_series(1, len(toks.t) - 1)) AS g(i)
+                 WHERE t[i] <> t[i+1]),
+         cnt AS (SELECT lang, w1, w2, COUNT(*) AS c FROM prs GROUP BY 1, 2, 3),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY c DESC, w1, w2) AS rn FROM cnt)
+    SELECT lang, w1, w2, c, rn FROM rk WHERE rn <= 3
+    """,
+)
+def q114_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    # adjacent unordered pairs, expression-side: zip the token array with
+    # itself shifted by one, drop self-pairs
+    prs = F.filter(
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+            ),
+        ),
+        lambda p: p["w1"] != p["w2"],
+    )
+    pairs = docs.select("lang", F.explode(prs).alias("p")).select(
+        "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cnt = pairs.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    return cnt.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# q115: cross-document passage dedup — exact dedup at sub-document
+# granularity (non-overlapping 8-token windows), the way training
+# pipelines strip boilerplate shared across pages. Passages are carved
+# expression-side (transform over stride offsets), then one hash-keyed
+# agg finds passages recurring across docs; canonical = min doc_id.
+# Scale: passage key is a string; at 100 TB group on xxhash64(passage)
+# instead — same plan shape, 8-byte shuffle keys.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q115_passage_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         win AS (SELECT doc_id,
+                        array_to_string(list_slice(t, (i - 1) * 8 + 1, i * 8), ' ') AS passage
+                 FROM toks, unnest(generate_series(1, CAST(ceil(len(toks.t) / 8.0) AS BIGINT))) AS g(i)
+                 WHERE len(t) >= (i - 1) * 8 + 1),
+         agg AS (SELECT passage,
+                        COUNT(*) AS n_occurrences,
+                        COUNT(DISTINCT doc_id) AS n_docs,
+                        MIN(doc_id) AS canonical_doc
+                 FROM win GROUP BY passage)
+    SELECT passage, n_occurrences, n_docs, canonical_doc
+    FROM agg WHERE n_docs >= 2
+    """,
+)
+def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n_wins = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.concat_ws(" ", F.slice(t, (i - 1) * 8 + 1, 8)),
+    )
+    win = docs.select("doc_id", F.explode(passages).alias("passage"))
+    return (
+        win.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116: range join via bin expansion — the classic rewrite of
+# `value BETWEEN lo AND hi` (which Spark would execute as a broadcast
+# nested loop) into an EQUI join: replicate each dim range over the
+# fixed-width unit bins it covers, bin the fact side with the same
+# width (tail-capped), equi-join on bin, re-apply the residual
+# predicate. The oracle states the plain BETWEEN semantics; the engine
+# runs the scalable plan. Dim is literal/tiny -> broadcast.
+# ---------------------------------------------------------------------------
+
+_Q116_BINS = [  # (label, lo, hi) — hi exclusive; last range open-ended
+    ("micro", 0.0, 1.0),
+    ("small", 1.0, 5.0),
+    ("medium", 5.0, 20.0),
+    ("large", 20.0, 100.0),
+    ("huge", 100.0, 1e9),
+]
+
+@query(
+    "q116_range_bin_join",
+    oracle="""
+    WITH dim AS (SELECT * FROM (VALUES
+           ('micro', 0.0, 1.0), ('small', 1.0, 5.0), ('medium', 5.0, 20.0),
+           ('large', 20.0, 100.0), ('huge', 100.0, 1e9)) AS d(label, lo, hi))
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events JOIN dim ON value >= lo AND value < hi
+    GROUP BY label
+    """,
+)
+def q116_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # unit bin = floor(value/10) capped at 10: every dim range maps to a
+    # FINITE bin set (the open tail lives entirely in bin 10)
+    cap = 10
+    dim = spark.createDataFrame(_Q116_BINS, "label string, lo double, hi double")
+    bins = F.sequence(
+        F.least(F.floor(F.col("lo") / 10).cast("int"), F.lit(cap)),
+        F.least(F.ceil(F.col("hi") / 10).cast("int") - 1, F.lit(cap)),
+    )
+    dim_x = dim.select("label", "lo", "hi", F.explode(bins).alias("bin"))
+    fact = ev.withColumn(
+        "bin", F.least(F.floor(F.col("value") / 10).cast("int"), F.lit(cap))
+    )
+    joined = fact.join(F.broadcast(dim_x), "bin").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117: deterministic train/val/test split — reproducible hash-based
+# assignment (Knuth multiplicative on doc_id), the non-negotiable first
+# step of every training pipeline: stable across runs, engines, and
+# cluster sizes, no RNG state. Split sizes audited per language.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q117_hash_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN (doc_id * 2654435761) % 100 < 95 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+)
+def q117_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(h < 95, "train").when(h < 99, "val").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q118: character-entropy quality signal — Shannon entropy of the char
+# distribution per document (low entropy = repetitive/degenerate text,
+# a standard pretraining quality filter alongside the Gopher rules in
+# operators/text.py). Explode chars -> per-(doc,char) counts -> one agg:
+# H = log2(n) - sum(c*log2(c))/n, computed in that single-log form so
+# both engines sum the SAME per-char terms (4dp-stable).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q118_entropy_quality",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0),
+         cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+         ent AS (SELECT doc_id,
+                        CAST(SUM(k) AS BIGINT) AS n_chars_calc,
+                        ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 4)
+                          AS char_entropy
+                 FROM cc GROUP BY doc_id)
+    SELECT doc_id, n_chars_calc, char_entropy,
+           (char_entropy < 3.0) AS low_quality
+    FROM ent
+    """,
+)
+def q118_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = F.sum("k")
+    ent = cc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars_calc"),
+        F.round(
+            F.log2(n) - F.sum(F.col("k") * F.log2("k")) / n, 4
+        ).alias("char_entropy"),
+    )
+    return ent.select(
+        "doc_id", "n_chars_calc", "char_entropy",
+        (F.col("char_entropy") < 3.0).alias("low_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: cross-lingual source-mix audit — for each (lang, source) cell:
+# its share of the language and the language's global share, the matrix
+# a corpus curator balances before sampling (companion to q93's
+# source-mix planner, which PLANS per-source quotas; this AUDITS the
+# realized lang x source composition).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q120_crosslingual_mix",
+    oracle="""
+    WITH cell AS (SELECT lang, source, COUNT(*) AS n
+                  FROM documents GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n FROM cell GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM documents)
+    SELECT cell.lang, cell.source, cell.n,
+           ROUND(cell.n / tot.lang_n, 4) AS share_in_lang,
+           ROUND(tot.lang_n / g.total_n, 4) AS lang_share
+    FROM cell JOIN tot USING (lang) CROSS JOIN g
+    """,
+)
+def q120_crosslingual_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("lang_n"))
+    total = docs.count()  # driver scalar: one metadata-sized action
+    return (
+        cell.join(tot, "lang")
+        .select(
+            "lang", "source", "n",
+            F.round(F.col("n") / F.col("lang_n"), 4).alias("share_in_lang"),
+            F.round(F.col("lang_n") / F.lit(float(total)), 4).alias("lang_share"),
+        )
     )
