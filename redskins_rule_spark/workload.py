@@ -515,7 +515,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q112_url_parse", "q113_percentile_suite",
     "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
     "q117_hash_split", "q118_entropy_quality",
-    "q120_crosslingual_mix",
+    "q120_crosslingual_mix", "q121_record_linkage", "q122_containment",
     # --- previously hash-verified; regression sentinels (rounds 1-3) ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
@@ -4695,4 +4695,103 @@ def q120_crosslingual_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("lang_n"), 4).alias("share_in_lang"),
             F.round(F.col("lang_n") / F.lit(float(total)), 4).alias("lang_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121: record linkage — blocked fuzzy matching over catalog names:
+# block on the first token (cheap equi key), score candidates with
+# Levenshtein <= 2 within the block. The entity-resolution shape:
+# blocking keeps it from being all-pairs, scoring runs only inside
+# blocks. Works on DISTINCT names (name-grain, not row-grain), so the
+# pair stage is vocabulary-sized; row counts ride along as payloads.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q121_record_linkage",
+    oracle="""
+    WITH names AS (SELECT p_name, COUNT(*) AS n_parts
+                   FROM part GROUP BY p_name),
+         blocked AS (SELECT p_name, n_parts,
+                            string_split(p_name, ' ')[1] AS blk
+                     FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts + b.n_parts AS parts_affected
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q121_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = table(spark, sf_dir, "part")
+    names = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.select(
+        "p_name", "n_parts", F.split("p_name", " ")[0].alias("blk")
+    )
+    cand = pairs_from_posting_lists(
+        blocked, ["blk"], "p_name", payload_col="n_parts"
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("id_a", "id_b"))
+        .where(F.col("edit_dist") <= 4)
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "edit_dist",
+            (F.col("payload_a") + F.col("payload_b")).alias("parts_affected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122: asymmetric containment dedup — max(|A∩B|/|A|, |A∩B|/|B|) over
+# word-3-gram sets. Catches snippet INCLUSION (one doc embedded in a
+# longer one), which symmetric Jaccard misses: a 100-gram doc fully
+# contained in a 1000-gram doc has Jaccard 0.1 but containment 1.0.
+# Same inverted-index + count-verify machinery as q19.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q122_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b, ninter,
+                          len(sa.g) AS na, len(sb.g) AS nb
+                   FROM cand
+                   JOIN gsets sa ON sa.doc_id = cand.id_a
+                   JOIN gsets sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b,
+           ROUND(greatest(ninter / na, ninter / nb), 4) AS containment
+    FROM pairs
+    WHERE greatest(ninter / na, ninter / nb) >= 0.8
+    """,
+)
+def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles("text", 3))
+    base = docs.select("doc_id", grams.alias("__g")).where(F.size("__g") > 0)
+    inv = base.select("doc_id", F.explode("__g").alias("gram"))
+    inter = (
+        pairs_from_posting_lists(inv, ["gram"], "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sizes = base.select("doc_id", F.size("__g").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.greatest(
+        F.col("ninter") / F.col("na"), F.col("ninter") / F.col("nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
     )

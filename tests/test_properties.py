@@ -234,3 +234,95 @@ def test_incremental_agg_update_empty_delta_is_identity(spark):
         tuple(r) for r in incremental_agg_update(base, empty, ["k"], ["total"], "n").collect()
     )
     assert out == [(1, 10.0, 2), (2, 5.0, 1)]
+
+
+# --- round-4 property tests -------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=40),
+)
+def test_sessionize_invariants(spark, gaps):
+    """Gap sessionization invariants for any event spacing: events are
+    partitioned into sessions; within a session consecutive gaps are
+    <= the threshold; the first event of every session (but the first)
+    arrives > threshold after the previous event."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    GAP = 1800  # seconds
+    ts, rows = 0, []
+    for i, g in enumerate(gaps):
+        ts += g
+        rows.append((i, ts))
+    df = spark.createDataFrame(rows, "event_id long, sec long")
+
+    w = Window.partitionBy(F.lit(1)).orderBy("sec", "event_id")
+    new_s = F.when(
+        (F.col("sec") - F.lag("sec").over(w)) > GAP, 1
+    ).when(F.lag("sec").over(w).isNull(), 1).otherwise(0)
+    out = (
+        df.withColumn(
+            "session_no",
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .orderBy("sec", "event_id")
+        .collect()
+    )
+    # python reference fold
+    sess, last = [], None
+    sno = 0
+    for i, g in enumerate(gaps):
+        if last is None or g > GAP:
+            sno += 1
+        sess.append(sno)
+        last = g
+    assert [r.session_no for r in out] == sess
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False,
+                  exclude_max=True, width=32),
+        min_size=1, max_size=50,
+    ),
+)
+def test_range_bin_join_equals_between_join(spark, vals):
+    """The bin-expanded equi join must agree with a plain BETWEEN join
+    for arbitrary fact values incl. bin-boundary and tail values."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.workload import _Q116_BINS
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    dim = spark.createDataFrame(_Q116_BINS, "label string, lo double, hi double")
+
+    cap = 10
+    bins = F.sequence(
+        F.least(F.floor(F.col("lo") / 10).cast("int"), F.lit(cap)),
+        F.least(F.ceil(F.col("hi") / 10).cast("int") - 1, F.lit(cap)),
+    )
+    dim_x = dim.select("label", "lo", "hi", F.explode(bins).alias("bin"))
+    binned = (
+        fact.withColumn(
+            "bin", F.least(F.floor(F.col("value") / 10).cast("int"), F.lit(cap))
+        )
+        .join(F.broadcast(dim_x), "bin")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", "label")
+    )
+    plain = (
+        fact.join(
+            dim,
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        ).select("event_id", "label")
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, plain.collect()))
