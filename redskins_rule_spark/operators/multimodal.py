@@ -481,3 +481,87 @@ def sample_gif_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# --- image (PNG, DEFLATE-compressed) --------------------------------------
+
+
+def with_png_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL compressed image payload column: a valid
+    8-bit RGB PNG per row (functions/png.py — stdlib zlib DEFLATE),
+    geometry and pixels derived deterministically from the source
+    column's CHARACTER length (w = clen % 13 + 1, h = clen % 7 + 1,
+    pixel (y,x,c) = (clen + 5y + 3x + c) % 256) so integer arithmetic
+    predicts decoded dimensions AND pixel sums while the decode side
+    runs a real inflate + unfilter. Arrow-batched; payload bytes never
+    touch the driver. Note: the COMPRESSED byte length is not
+    arithmetic-predictable (DEFLATE), so oracles check decoded values,
+    not payload size."""
+    from redskins_rule_spark.functions.png import encode_png, synth_pixels
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                w, h = clen % 13 + 1, clen % 7 + 1
+                payloads.append(encode_png(synth_pixels(clen, w, h), w, h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_png_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full real PNG decode per payload (CRC check, zlib inflate,
+    filter reversal) → (id, width, height, pixel_sum). NULL payloads
+    yield NULL stats. Arrow-batched mapInPandas; the inflated pixel
+    buffer lives only inside the batch."""
+    from redskins_rule_spark.functions.png import decode_png
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(PNG_STATS_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); sums.append(None)
+                    continue
+                meta, pixels = decode_png(bytes(b))
+                ws.append(meta.width)
+                hs.append(meta.height)
+                sums.append(sum(pixels))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

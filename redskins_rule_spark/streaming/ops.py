@@ -227,6 +227,77 @@ def stateful_running_totals(
     )
 
 
+_CDC_LATEST_SCHEMA = (
+    "user_id bigint, current_value double, updated_at_us bigint, "
+    "n_changes bigint, deleted boolean"
+)
+_CDC_LATEST_STATE = "value double, ts_us bigint, event_id bigint, n bigint, deleted boolean"
+
+
+def stateful_cdc_latest(
+    events: DataFrame,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming CDC latest-wins merge — the stream face of workload
+    q110: each user's rows form a change log ('error' = delete,
+    anything else = upsert of `value`); state holds the current winner
+    by (ts, event_id) and every micro-batch emits the refreshed
+    snapshot row for the keys it touched (outputMode=update, i.e. an
+    upsert stream a key-value sink applies directly).
+
+    Late/out-of-order changes are handled by the (ts_us, event_id)
+    comparison, not arrival order — a replayed old change never
+    regresses the snapshot. With `timeout_ms`, idle keys are evicted
+    (the downstream sink owns the full snapshot; state only needs keys
+    still receiving changes) — the bounded-state pattern for unbounded
+    key cardinality.
+    """
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        value, ts_us, event_id, n, deleted = (
+            state.get if state.exists else (None, -1, -1, 0, False)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            for row in pdf.itertuples(index=False):
+                r_us = int(row.ts.value // 1_000)  # pandas ns -> us
+                if (r_us, int(row.event_id)) > (ts_us, event_id):
+                    ts_us, event_id = r_us, int(row.event_id)
+                    deleted = row.event_type == "error"
+                    value = None if deleted else float(row.value)
+        state.update((value, ts_us, event_id, n, deleted))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "current_value": [None if deleted else round(value, 2)],
+                "updated_at_us": [ts_us],
+                "n_changes": [n],
+                "deleted": [deleted],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CDC_LATEST_SCHEMA,
+        stateStructType=_CDC_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,

@@ -516,6 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
     "q117_hash_split", "q118_entropy_quality",
     "q120_crosslingual_mix", "q121_record_linkage", "q122_containment",
+    "q123_png_decode",
     # --- previously hash-verified; regression sentinels (rounds 1-3) ---
     "q49_monthly_revenue", "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
@@ -4795,3 +4796,43 @@ def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= 0.8)
         .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q123: REAL compressed-image decode — PNG with stdlib-zlib DEFLATE
+# (functions/png.py: CRC-verified chunk walk, inflate, filter
+# reversal). The payload generator derives geometry/pixels from
+# character length so integer arithmetic predicts the DECODED values;
+# the compressed byte size itself is not predictable (DEFLATE), which
+# is exactly why the oracle checks decoded width/height/pixel_sum.
+# Closes part of the compressed-codec boundary (README): PNG is real,
+# not a stub.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q123_png_decode",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 13 + 1 AS w,
+                      length(text) % 7 + 1 AS h
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(flatten(
+                 list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w * 3 - 1), i ->
+                     (clen + 5 * y + 3 * (i // 3) + i % 3) % 256)))) AS BIGINT)
+             AS pixel_sum
+    FROM g
+    """,
+)
+def q123_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_png_stats,
+        with_png_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    png = with_png_payload(docs, "text", "doc_id")
+    return decode_png_stats(png, "payload", "doc_id")

@@ -369,3 +369,122 @@ def test_truncated_gif_raises_valueerror():
             decode_gif_meta(full[:cut])
         with pytest.raises(ValueError):
             decode_gif(full[:cut])
+
+
+# --- image (PNG, real DEFLATE) -------------------------------------------
+
+def test_png_codec_roundtrip():
+    from redskins_rule_spark.functions.png import (
+        decode_png,
+        decode_png_meta,
+        encode_png,
+        synth_pixels,
+    )
+
+    px = synth_pixels(41, 9, 5)
+    b = encode_png(px, 9, 5)
+    meta = decode_png_meta(b)
+    assert (meta.width, meta.height, meta.bit_depth, meta.color_type) == (9, 5, 8, 2)
+    assert meta.channels == 3
+    m2, back = decode_png(b)
+    assert back == px and m2.width == 9
+
+
+def test_png_decoder_reverses_all_filters():
+    """Hand-build an IDAT using every filter type (Sub/Up/Average/
+    Paeth) and check the decoder reconstructs the same pixels the
+    filter-0 encoding carries — i.e. it reads OTHER encoders' files."""
+    import struct
+    import zlib
+
+    from redskins_rule_spark.functions.png import (
+        _chunk,
+        _SIG,
+        decode_png,
+        synth_pixels,
+    )
+
+    w, h = 4, 5
+    px = synth_pixels(7, w, h)
+    stride = w * 3
+
+    def row(y):
+        return px[y * stride : (y + 1) * stride]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line, cur = bytearray(), row(y)
+        if f == 0:
+            line += cur
+        elif f == 1:  # Sub
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                line.append((cur[i] - left) & 0xFF)
+        elif f == 2:  # Up
+            for i in range(stride):
+                line.append((cur[i] - prev[i]) & 0xFF)
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                line.append((cur[i] - ((left + prev[i]) >> 1)) & 0xFF)
+        else:  # Paeth
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line.append((cur[i] - paeth(left, prev[i], ul)) & 0xFF)
+        raw += bytes([f]) + bytes(line)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    b = (_SIG + _chunk(b"IHDR", ihdr)
+         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + _chunk(b"IEND", b""))
+    _, decoded = decode_png(b)
+    assert decoded == px
+
+
+def test_png_rejects_garbage_truncation_and_bad_crc():
+    from redskins_rule_spark.functions.png import (
+        decode_png,
+        decode_png_meta,
+        encode_png,
+        synth_pixels,
+    )
+
+    full = encode_png(synth_pixels(3, 6, 4), 6, 4)
+    with pytest.raises(ValueError):
+        decode_png_meta(b"not a png")
+    for cut in (10, 20, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_png(full[:cut])
+    # flip one IDAT byte: CRC check must catch it
+    corrupt = bytearray(full)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+
+def test_png_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_png_stats,
+        with_png_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, None), (3, "é" * 30)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decode_png_stats(with_png_payload(df, "text")).collect()}
+    # clen=100: w=100%13+1=10, h=100%7+1=3
+    assert (out[1].width, out[1].height) == (10, 3)
+    assert out[1].pixel_sum == sum(
+        (100 + 5 * y + 3 * x + c) % 256
+        for y in range(3) for x in range(10) for c in range(3)
+    )
+    assert out[2].width is None and out[2].pixel_sum is None
+    # non-ASCII: CHARACTER length (30), not utf-8 byte length (60)
+    assert (out[3].width, out[3].height) == (30 % 13 + 1, 30 % 7 + 1)

@@ -203,3 +203,50 @@ def test_stream_stream_join_left_outer_batch_path(spark, events_dir):
     n_unmatched = out.where(F.col("r_event_id").isNull()).count()
     inner = stream_stream_join(bl, br, within="30 minutes")
     assert out.count() == inner.count() + n_unmatched
+
+
+def test_stateful_cdc_latest_matches_batch_q110(spark, tmp_path):
+    """Streaming CDC latest-wins state op == the batch q110 semantics
+    on the same change log, including out-of-order replays (an older
+    change arriving later must not regress the snapshot) and deletes."""
+    import datetime as dt
+
+    from redskins_rule_spark.streaming.ops import stateful_cdc_latest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: upsert, newer upsert, then an OLD replayed change
+        (0, ts(0), 1, "view", 10.0, "{}"),
+        (1, ts(5), 1, "purchase", 20.0, "{}"),
+        (2, ts(2), 1, "click", 15.0, "{}"),     # stale: must lose
+        # user 2: upsert then delete (latest wins -> deleted)
+        (3, ts(1), 2, "view", 5.0, "{}"),
+        (4, ts(9), 2, "error", 0.0, "{}"),
+        # user 3: tie timestamp -> higher event_id wins
+        (5, ts(4), 3, "view", 1.0, "{}"),
+        (6, ts(4), 3, "view", 2.0, "{}"),
+    ]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    land = str(tmp_path / "cdc_landing")
+    spark.createDataFrame(rows, schema).write.parquet(land)
+
+    stream = stream_from_files(spark, land, spark.read.parquet(land).schema)
+    out = _drain(spark, stateful_cdc_latest(stream), tmp_path, mode="update")
+    got = {
+        r["user_id"]: (r["current_value"], r["n_changes"], r["deleted"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (20.0, 3, False),   # stale replay did not regress
+        2: (None, 2, True),    # delete wins
+        3: (2.0, 2, False),    # event_id tiebreak
+    }
+
+    shutil.rmtree(land, ignore_errors=True)
