@@ -320,14 +320,62 @@ def ngram_jaccard_pairs_exact(
     list — and with it the worst single-task pair fan-out — to
     max_df·(max_df−1)/2. Default None = full gram space.
     """
+    inter, sizes = _gram_intersections(df, id_col, text_col, n, max_df)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    # no broadcast hint: sizes is one row per doc — tiny at test SF
+    # (AQE broadcasts it), shuffle-joined at 100 TB.
+    union_size = F.col("__na") + F.col("__nb") - F.col("__ninter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", F.col("__ninter") / union_size)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric gram-CONTAINMENT pairs: max(|A∩B|/|A|, |A∩B|/|B|)
+    over word-n-gram sets — catches snippet INCLUSION (a short doc
+    embedded in a long one), which symmetric Jaccard dilutes away.
+    Same inverted-index count-verify machinery and `max_df` stop-gram
+    cut as `ngram_jaccard_pairs_exact`."""
+    inter, sizes = _gram_intersections(df, id_col, text_col, n, max_df)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    cont = F.greatest(
+        F.col("__ninter") / F.col("__na"), F.col("__ninter") / F.col("__nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )
+
+
+def _gram_intersections(df, id_col, text_col, n, max_df):
+    """Shared core of the exact set-overlap dedup family: ->
+    (inter DF[id_a, id_b, __ninter], sizes DF[id, __n]) over the
+    (optionally df-cut) distinct word-n-gram universe.
+
+    Count-based verification: grams are distinct per doc, so the
+    number of shared-gram co-occurrences per pair IS |A ∩ B| — no
+    need to re-join the full gram arrays per candidate or run
+    array_intersect. Candidates come from per-gram posting lists
+    (one shuffle, gram pipeline evaluated once)."""
     grams = F.array_distinct(word_shingles(text_col, n))
     base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
     inv = base.select(id_col, F.explode("__g").alias("gram"))
-    # Count-based verification: grams are distinct per doc, so the
-    # number of shared-gram co-occurrences per pair IS |A ∩ B| — no
-    # need to re-join the full gram arrays per candidate or run
-    # array_intersect. Candidates come from per-gram posting lists
-    # (one shuffle, gram pipeline evaluated once).
     if max_df is not None:
         if max_df < 2:
             raise ValueError(f"max_df must be >= 2, got {max_df}")
@@ -360,18 +408,7 @@ def ngram_jaccard_pairs_exact(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__ninter"))
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    # no broadcast hint: sizes is one row per doc — tiny at test SF
-    # (AQE broadcasts it), shuffle-joined at 100 TB.
-    union_size = F.col("__na") + F.col("__nb") - F.col("__ninter")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard_sim", F.col("__ninter") / union_size)
-        .where(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
-    )
+    return inter, sizes
 
 
 def ngram_jaccard_pairs_prefix(

@@ -4758,15 +4758,18 @@ def q121_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
          gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
-         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         -- df-cut mirror (max_df=64): drop stop-grams from the universe
+         keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
+         inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
                   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b, ninter,
-                          len(sa.g) AS na, len(sb.g) AS nb
+         pairs AS (SELECT id_a, id_b, ninter, sa.n AS na, sb.n AS nb
                    FROM cand
-                   JOIN gsets sa ON sa.doc_id = cand.id_a
-                   JOIN gsets sb ON sb.doc_id = cand.id_b)
+                   JOIN sizes sa ON sa.doc_id = cand.id_a
+                   JOIN sizes sb ON sb.doc_id = cand.id_b)
     SELECT id_a, id_b,
            ROUND(greatest(ninter / na, ninter / nb), 4) AS containment
     FROM pairs
@@ -4774,27 +4777,11 @@ def q121_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.dedup import ngram_containment_pairs
+
     docs = table(spark, sf_dir, "documents")
-    grams = F.array_distinct(word_shingles("text", 3))
-    base = docs.select("doc_id", grams.alias("__g")).where(F.size("__g") > 0)
-    inv = base.select("doc_id", F.explode("__g").alias("gram"))
-    inter = (
-        pairs_from_posting_lists(inv, ["gram"], "doc_id")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ninter"))
-    )
-    sizes = base.select("doc_id", F.size("__g").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    cont = F.greatest(
-        F.col("ninter") / F.col("na"), F.col("ninter") / F.col("nb")
-    )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("containment", cont)
-        .where(F.col("containment") >= 0.8)
-        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
     )
 
 
