@@ -159,3 +159,122 @@ def forward_fill(
     c = F.col(col) if isinstance(col, str) else col
     name = out or (col if isinstance(col, str) else "filled")
     return df.withColumn(name, F.last(c, ignorenulls=True).over(w))
+
+
+def islands(
+    df: DataFrame,
+    partition_by: Sequence[ColumnOrName],
+    date_col: ColumnOrName,
+) -> DataFrame:
+    """Gaps-and-islands: group each partition's DISTINCT dates into
+    maximal runs of consecutive days.
+
+    Returns DataFrame[*partition_by, island_start, island_end,
+    island_days] — one row per island. Classic anchor trick:
+    `date - row_number() days` is constant within a consecutive run,
+    so one window (per-key sort) + one hash agg, no self-join. At
+    100 TB the window partitions by the entity key (bounded per-key
+    history), never globally.
+    """
+    keys = _cols(partition_by)
+    d = (F.col(date_col) if isinstance(date_col, str) else date_col).cast("date")
+    days = df.select(*keys, d.alias("_d")).distinct()
+    w = Window.partitionBy(*[F.col(c) if isinstance(c, str) else c
+                             for c in partition_by]).orderBy("_d")
+    anchored = days.withColumn(
+        "_anchor", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy(*[F.col(c) if isinstance(c, str) else c
+                           for c in partition_by], "_anchor")
+        .agg(
+            F.min("_d").alias("island_start"),
+            F.max("_d").alias("island_end"),
+            F.count(F.lit(1)).alias("island_days"),
+        )
+        .drop("_anchor")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    partition_by: Sequence[ColumnOrName],
+    ts_col: ColumnOrName,
+    value_col: ColumnOrName,
+    tiebreak: Sequence[ColumnOrName] = (),
+    out: str = "twa",
+) -> DataFrame:
+    """Time-weighted average per key: each observation holds its value
+    until the next one; the last observation carries no weight
+    (standard TWAP over an irregular series).
+
+    Weights are exact integer microsecond spans (`epoch_us(next) -
+    epoch_us(ts)`), so the only float arithmetic is the final
+    value*span sum — deterministic enough for a 4-decimal contract.
+    One window (per-key LEAD, `tiebreak` pins equal-timestamp order:
+    a tied pair yields one zero-width span, and WHICH value gets it
+    must not depend on shuffle order) + one hash agg; keys with a
+    single observation are dropped (no interval to weigh).
+    """
+    from redskins_rule_spark.functions.dates import epoch_us
+
+    keys = _cols(partition_by)
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    spans = (
+        df.select(*keys, v.alias("_v"), epoch_us(ts).alias("_us"),
+                  *_cols(tiebreak))
+        .withColumn("_span", F.lead("_us").over(
+            Window.partitionBy(*keys).orderBy("_us", *_cols(tiebreak))
+        ) - F.col("_us"))
+        .where(F.col("_span").isNotNull())
+    )
+    return spans.groupBy(*keys).agg(
+        (F.sum(F.col("_v") * F.col("_span")) / F.sum("_span")).alias(out),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: ColumnOrName,
+    bins: int,
+) -> DataFrame:
+    """Equi-width histogram: `bins` equal-width buckets spanning the
+    observed [min, max]; the max value folds into the last bucket.
+
+    Two passes — a 1-row global (min, max) aggregate broadcast-joined
+    onto the scan, then a hash agg on the bucket id. No collect(): the
+    bounds ride the plan as a broadcast nested-loop join of a single
+    row, so the same code runs unchanged on a cluster.
+
+    Returns DataFrame[bin_id, bin_lo, bin_hi, n] with bin edges
+    rounded to 4 decimals for a stable cross-engine contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.cast("double").alias("_x")).where(F.col("_x").isNotNull())
+    bounds = src.agg(
+        F.min("_x").alias("_lo"), F.max("_x").alias("_hi")
+    ).withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+    binned = src.join(F.broadcast(bounds)).select(
+        F.when(F.col("_w") == 0, F.lit(0))  # degenerate: all values equal
+        .otherwise(
+            F.least(
+                F.floor((F.col("_x") - F.col("_lo")) / F.col("_w")).cast("int"),
+                F.lit(bins - 1),
+            )
+        )
+        .alias("bin_id"),
+        "_lo",
+        "_w",
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.round(F.min(F.col("_lo") + F.col("bin_id") * F.col("_w")), 4)
+            .alias("bin_lo"),
+            F.round(F.min(F.col("_lo") + (F.col("bin_id") + 1) * F.col("_w")), 4)
+            .alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -733,3 +733,49 @@ def fuzzy_pairs_edit1(df: DataFrame, col: str) -> DataFrame:
         .distinct()
         .where(F.levenshtein("name_a", "name_b") == 1)
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The dedup pass a curation pipeline actually runs: collapse
+    near-dup PAIRS into clusters and pick ONE survivor per cluster by
+    a quality signal (highest `quality_col`, ties to the smallest id —
+    fully deterministic, unlike "keep first seen").
+
+    Returns DataFrame[cluster_id, kept_id, kept_quality, cluster_size]
+    for multi-document clusters only (singletons survive trivially and
+    are corpus-sized — callers anti-join the losers instead).
+
+    Plan shape: pointer-jumping components over the pairs (edge-sized,
+    not corpus-sized), one broadcast-ready join back to the docs for
+    the quality column, then ONE hash aggregate (`max_by` on the
+    (quality, -id) struct) — no window, no sort, map-side combinable.
+    """
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.graph import dedup_clusters
+
+    cl = dedup_clusters(
+        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+    )
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    labeled = cl.join(
+        docs.select(F.col(id_col).alias("id"), q.alias("_q")), "id"
+    )
+    key = F.struct(F.col("_q"), (-F.col("id")).alias("_negid"))
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max_by("id", key).alias("kept_id"),
+            F.max("_q").alias("kept_quality"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )

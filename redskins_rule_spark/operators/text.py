@@ -295,3 +295,67 @@ def vocab_prune(
             F.transform("pt", lambda x: x["tok"]).alias("kept"),
         )
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "nll",
+) -> DataFrame:
+    """Per-document surprisal under a Laplace-smoothed bigram LM
+    trained on the corpus itself — the classic cheap perplexity filter
+    for training-data quality (KenLM-style scoring without the
+    external model: boilerplate and gibberish both score high).
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus unigram
+    vocabulary; score = -(1/n) Σ ln p over the doc's bigrams.
+
+    Plan shape (all vocabulary-grain after the first agg):
+      explode bigrams → hash agg (doc, bigram) → bigram counts c2 →
+      head counts c1 (derived from c2, no second explode) → joins back
+      on bigram/head keys. V rides as a broadcast single-row agg.
+      Counts tables are vocab-sized, not corpus-sized, so the joins
+      broadcast at any realistic vocabulary. Single-log-per-term form
+      (ln(c2+1) − ln(c1+V)) keeps both engines summing identical
+      terms, so a 4-decimal rounding contract holds.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    toks = df.select(F.col(id_col), words.alias("w"))
+    vocab = (
+        toks.select(F.explode("w").alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    doc_bg = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr("transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))")
+            ).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    c2 = doc_bg.groupBy("bg").agg(F.sum("k").alias("n2"))
+    c1 = (
+        c2.select(F.split("bg", " ")[0].alias("w1"), "n2")
+        .groupBy("w1")
+        .agg(F.sum("n2").alias("n1"))
+    )
+    scored = (
+        doc_bg.join(c2, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("k") * (F.log(F.col("n2") + 1) - F.log(F.col("n1") + F.col("v"))))
+            / F.sum("k"),
+            4,
+        ).alias(out),
+    )

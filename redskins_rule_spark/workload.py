@@ -517,13 +517,17 @@ _DRIVER_PRIORITY: list[str] = [
     "q117_hash_split", "q118_entropy_quality",
     "q120_crosslingual_mix", "q121_record_linkage", "q122_containment",
     "q123_png_decode",
-    # --- previously hash-verified; regression sentinels (rounds 1-3) ---
-    "q49_monthly_revenue", "q50_global_index",
+    # --- never driver-verified, registered late round 4 ---
+    "q124_bigram_lm", "q125_gaps_islands", "q126_twap",
+    "q127_mad_outliers", "q128_oov_rate", "q129_dedup_keep_best",
+    "q130_price_histogram", "q131_seq_pattern", "q132_corr_matrix",
+    "q133_curation_funnel",
+    # --- previously hash-verified; regression sentinels (rounds 1-3);
+    #     head(32) + these 18 == exactly the driver's 50-entry window ---
+    "q50_global_index",
     "q12_json_props", "q33_decimal_money", "q38_pivot",
     "q01_pricing_summary", "q06_asof_purchase_view",
-    "q19_ngram_jaccard", "q20_minhash_lsh",
-    "q51_grouping_sets", "q53_asof_nearest", "q54_dedup_clusters",
-    "q57_heavy_hitters", "q64_gap_fill", "q69_fuzzy_pairs",
+    "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q76_pagerank", "q83_minhash_estimate", "q85_scd2_build",
     "q91_incremental_view", "q92_intradoc_dedup", "q96_skew_distinct",
     "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
@@ -4823,3 +4827,482 @@ def q123_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     png = with_png_payload(docs, "text", "doc_id")
     return decode_png_stats(png, "payload", "doc_id")
+
+
+# ===========================================================================
+# Round-4 continuation: LM-based quality scoring, gaps-and-islands,
+# TWAP, robust outliers, OOV audit, keep-best dedup, histogram,
+# sequence patterns, correlation, and the end-to-end curation funnel.
+# ===========================================================================
+
+from redskins_rule_spark.operators.analytic import (  # noqa: E402
+    equi_width_histogram,
+    islands,
+    time_weighted_avg,
+)
+from redskins_rule_spark.operators.dedup import keep_best_per_cluster  # noqa: E402
+from redskins_rule_spark.operators.text import bigram_lm_nll  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# q124: corpus-trained bigram-LM surprisal — the cheap perplexity
+# filter every pretraining pipeline runs (KenLM-style score, no
+# external model). Counts tables are vocabulary-grain; the per-term
+# single-log form keeps both engines summing identical values.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q124_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM toks)
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(w)),
+                                   i -> w[i-1] || ' ' || w[i])) AS bg
+      FROM toks WHERE len(w) >= 2
+    ),
+    db AS (SELECT doc_id, bg, COUNT(*) AS k FROM bg GROUP BY 1, 2),
+    c2 AS (SELECT bg, SUM(k) AS n2 FROM db GROUP BY 1),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n2) AS n1
+           FROM c2 GROUP BY 1)
+    SELECT db.doc_id,
+           CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(db.k * (ln(c2.n2 + 1) - ln(c1.n1 + vocab.v)))
+                 / SUM(db.k), 4) AS nll
+    FROM db
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w1 = string_split(db.bg, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY db.doc_id
+    """,
+)
+def q124_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_nll(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q125: gaps-and-islands — maximal runs of consecutive active days per
+# user (retention/streak analysis). Anchor trick: date − row_number()
+# is constant within a run; one per-key window + one hash agg, no
+# self-join. Dates emitted as strings for a representation-stable hash.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q125_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    anchored AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                 * INTERVAL 1 DAY AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(d) AS VARCHAR) AS island_start,
+           CAST(MAX(d) AS VARCHAR) AS island_end,
+           COUNT(*) AS island_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    """,
+)
+def q125_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    isl = islands(ev, ["user_id"], "ts")
+    return isl.select(
+        "user_id",
+        F.col("island_start").cast("string").alias("island_start"),
+        F.col("island_end").cast("string").alias("island_end"),
+        "island_days",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126: time-weighted average — each event's value holds until the
+# next event (TWAP over an irregular series). Integer-microsecond
+# weights; (ts, event_id) pins zero-width spans on timestamp ties.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q126_twap",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (nxt - us)) / SUM(nxt - us), 4) AS twa,
+           COUNT(*) AS n_spans
+    FROM s
+    WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q126_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    twa = time_weighted_avg(
+        ev, ["user_id"], "ts", "value", tiebreak=("event_id",)
+    )
+    return twa.select("user_id", F.round("twa", 4).alias("twa"), "n_spans")
+
+
+# ---------------------------------------------------------------------------
+# q127: robust outlier detection — median / MAD / 3σ-equivalent cutoff
+# (1.4826·MAD) per event_type. Exact interpolated medians both sides
+# (Spark `median`, DuckDB `median`); the grouped median is the only
+# sort, everything downstream is broadcast-joined hash aggs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q127_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(MIN(m.med), 4) AS med,
+           ROUND(MIN(d.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128: OOV-rate audit — tokenizer-coverage check against the corpus
+# top-1000 vocabulary (rank pinned by (count DESC, token ASC)). The
+# top-k select is TakeOrderedAndProject (distributed heap, no global
+# window); the vocab joins back broadcast.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q128_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, unnest(
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        ORDER BY c DESC, t ASC LIMIT 1000
+      )
+    ),
+    per_doc AS (
+      SELECT tok.doc_id, tok.lang, tok.source,
+             SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+               / COUNT(*) AS oov_rate
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           ROUND(AVG(oov_rate), 4) AS avg_oov,
+           COUNT(*) AS n_docs
+    FROM per_doc
+    GROUP BY lang, source
+    """,
+)
+def q128_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    vocab = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(1000)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("oov_rate")
+        )
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.round(F.avg("oov_rate"), 4).alias("avg_oov"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129: the dedup pass a curation pipeline actually ships — near-dup
+# clusters (same pair semantics as q54) collapsed to ONE survivor per
+# cluster by quality (longest doc, ties to smallest id). max_by on a
+# (quality, −id) struct: one hash agg, no window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q129_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+         toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM cand
+                   JOIN gsets sa ON sa.doc_id = cand.id_a
+                   JOIN gsets sb ON sb.doc_id = cand.id_b
+                   WHERE len(list_intersect(sa.g, sb.g))
+                         / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL
+                   SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         ),
+         cc AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+         sized AS (
+             SELECT cc.lbl AS cluster_id, cc.id, d.n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY cc.lbl
+                                       ORDER BY d.n_chars DESC, cc.id ASC) AS rn,
+                    COUNT(*) OVER (PARTITION BY cc.lbl) AS cluster_size
+             FROM cc JOIN documents d ON d.doc_id = cc.id
+         )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           id AS kept_id,
+           n_chars AS kept_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM sized
+    WHERE rn = 1 AND cluster_size >= 2
+    """,
+)
+def q129_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    return keep_best_per_cluster(
+        docs, pairs.select("id_a", "id_b"), "doc_id", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130: equi-width histogram of order totals — the bounds ride the
+# plan as a broadcast 1-row aggregate (no collect), bucket id is one
+# arithmetic expression, then a hash agg. Identical double arithmetic
+# on both sides makes the bin edges hash-stable at 4 decimals.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q130_price_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders),
+         w AS (SELECT lo, (hi - lo) / 20.0 AS wd FROM b),
+         x AS (SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / wd) AS INTEGER), 19)
+                        AS bin_id, lo, wd
+               FROM orders, w)
+    SELECT bin_id,
+           ROUND(MIN(lo + bin_id * wd), 4) AS bin_lo,
+           ROUND(MIN(lo + (bin_id + 1) * wd), 4) AS bin_hi,
+           COUNT(*) AS n
+    FROM x GROUP BY bin_id
+    """,
+)
+def q130_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return equi_width_histogram(orders, "o_totalprice", 20)
+
+
+# ---------------------------------------------------------------------------
+# q131: ordered sequence-pattern match — per-user event path (pinned
+# by (ts, event_id)), counting contiguous view→click→purchase runs.
+# collect_list of (us, event_id, type) structs + array_sort gives a
+# deterministic path without a window sort; the regex count is one
+# JVM expression.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q131_seq_pattern",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, 'view,click,purchase')) AS INTEGER)
+             AS n_funnels,
+           CAST(len(string_split(path, ',')) AS INTEGER) AS path_len
+    FROM p
+    WHERE len(regexp_extract_all(path, 'view,click,purchase')) > 0
+    """,
+)
+def q131_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            "user_id",
+            F.struct(epoch_us("ts").alias("us"), "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["event_type"]
+                ),
+                ",",
+            ).alias("path")
+        )
+    )
+    n_funnels = F.size(
+        F.expr("regexp_extract_all(path, 'view,click,purchase', 0)")
+    )
+    return (
+        p.select(
+            "user_id",
+            n_funnels.alias("n_funnels"),
+            F.size(F.split("path", ",")).alias("path_len"),
+        )
+        .where(F.col("n_funnels") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: correlation matrix — pairwise Pearson correlations of the
+# lineitem numeric columns per return flag, one hash aggregate (six
+# corr aggregates in a single pass, no unpivot/self-join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q132_corr_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(corr(l_quantity, l_discount), 4)      AS corr_qty_disc,
+           ROUND(corr(l_quantity, l_tax), 4)           AS corr_qty_tax,
+           ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+           ROUND(corr(l_extendedprice, l_tax), 4)      AS corr_price_tax,
+           ROUND(corr(l_discount, l_tax), 4)           AS corr_disc_tax,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q132_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("corr_qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("corr_price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: curation funnel — the end-to-end corpus-curation head-count:
+# total → length floor → language allowlist → exact-dedup survivors.
+# One scan, conditional aggregates (no four-pass union); the exact
+# dedup stage is a count_distinct on the filtered text.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q133_curation_funnel",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN text IS NOT NULL AND length(text) >= 100
+                      THEN 1 ELSE 0 END) AS len_ok,
+             SUM(CASE WHEN text IS NOT NULL AND length(text) >= 100
+                           AND lang IN ('en', 'de', 'fr')
+                      THEN 1 ELSE 0 END) AS lang_ok,
+             COUNT(DISTINCT CASE WHEN text IS NOT NULL AND length(text) >= 100
+                                      AND lang IN ('en', 'de', 'fr')
+                                 THEN text END) AS dedup_ok
+      FROM documents
+    )
+    SELECT stage_id, stage, n_docs FROM (
+      SELECT 1 AS stage_id, 'total' AS stage, CAST(total AS BIGINT) AS n_docs FROM agg
+      UNION ALL
+      SELECT 2, 'len_ok', CAST(len_ok AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 3, 'lang_ok', CAST(lang_ok AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 4, 'dedup_ok', CAST(dedup_ok AS BIGINT) FROM agg
+    )
+    """,
+)
+def q133_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keep = F.col("text").isNotNull() & (F.length("text") >= 100)
+    lang_ok = keep & F.col("lang").isin("en", "de", "fr")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(keep.cast("int")).alias("len_ok"),
+        F.sum(lang_ok.cast("int")).alias("lang_ok"),
+        F.count_distinct(F.when(lang_ok, F.col("text"))).alias("dedup_ok"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage_id"), F.lit("total").alias("stage"),
+                 F.col("total").cast("long").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage_id"), F.lit("len_ok").alias("stage"),
+                 F.col("len_ok").cast("long").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage_id"), F.lit("lang_ok").alias("stage"),
+                 F.col("lang_ok").cast("long").alias("n_docs")),
+        F.struct(F.lit(4).alias("stage_id"), F.lit("dedup_ok").alias("stage"),
+                 F.col("dedup_ok").cast("long").alias("n_docs")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage_id", "s.stage", "s.n_docs"
+    )

@@ -74,3 +74,92 @@ def test_forward_fill(spark):
     out = forward_fill(df, "v", order_by=["t"], partition_by=["k"], out="ff")
     got = {(r.k, r.t): r.ff for r in out.collect()}
     assert got == {("u", 1): None, ("u", 2): 5.0, ("u", 3): 5.0, ("u", 4): 7.0, ("v", 1): None}
+
+
+# --- round-4 continuation operators ---------------------------------------
+
+from redskins_rule_spark.operators.analytic import (  # noqa: E402
+    equi_width_histogram,
+    islands,
+    time_weighted_avg,
+)
+
+
+def test_islands_basic(spark):
+    df = spark.createDataFrame(
+        [(1, d) for d in ["2024-01-01", "2024-01-02", "2024-01-03",
+                          "2024-01-05", "2024-01-09", "2024-01-10"]]
+        + [(2, "2024-01-01")],
+        "user_id int, d string",
+    )
+    out = islands(df, ["user_id"], "d").collect()
+    got = sorted(
+        (r.user_id, str(r.island_start), str(r.island_end), r.island_days)
+        for r in out
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-05", "2024-01-05", 1),
+        (1, "2024-01-09", "2024-01-10", 2),
+        (2, "2024-01-01", "2024-01-01", 1),
+    ]
+
+
+def test_islands_dedups_same_day_events(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-03-01"), (1, "2024-03-01"), (1, "2024-03-02")],
+        "user_id int, d string",
+    )
+    out = islands(df, ["user_id"], "d").collect()
+    assert len(out) == 1 and out[0].island_days == 2
+
+
+def test_time_weighted_avg_exact(spark):
+    # value 10 held for 30s, value 20 held for 10s -> (300+200)/40 = 12.5
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 10.0),
+         (1, "2024-01-01 00:00:30", 2, 20.0),
+         (1, "2024-01-01 00:00:40", 3, 99.0)],   # last value carries no weight
+        "user_id int, ts string, event_id int, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_weighted_avg(df, ["user_id"], "ts", "value",
+                            tiebreak=("event_id",)).collect()
+    assert len(out) == 1
+    assert out[0].twa == pytest.approx(12.5)
+    assert out[0].n_spans == 2
+
+
+def test_time_weighted_avg_tie_pinned(spark):
+    # two rows share ts; the LOWER event_id must take the zero-width span
+    rows = [(1, "2024-01-01 00:00:00", 2, 100.0),
+            (1, "2024-01-01 00:00:00", 1, 0.0),
+            (1, "2024-01-01 00:01:00", 3, 7.0)]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            perm, "user_id int, ts string, event_id int, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = time_weighted_avg(df, ["user_id"], "ts", "value",
+                                tiebreak=("event_id",)).collect()
+        # event 1 gets span 0, event 2 gets the full 60s -> twa == 100
+        assert out[0].twa == pytest.approx(100.0), perm
+
+
+def test_histogram_partitions_all_rows(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [(rng.uniform(0, 1000),) for _ in range(5000)]
+    df = spark.createDataFrame(vals, "x double")
+    out = equi_width_histogram(df, "x", 16).collect()
+    assert sum(r.n for r in out) == 5000
+    assert all(0 <= r.bin_id < 16 for r in out)
+    lo = min(r.bin_lo for r in out)
+    hi = max(r.bin_hi for r in out)
+    assert lo == pytest.approx(min(v[0] for v in vals), abs=1e-3)
+    assert hi == pytest.approx(max(v[0] for v in vals), abs=1e-3)
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,)] * 10, "x double")
+    out = equi_width_histogram(df, "x", 8).collect()
+    assert len(out) == 1 and out[0].bin_id == 0 and out[0].n == 10

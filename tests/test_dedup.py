@@ -298,3 +298,23 @@ def test_workload_caps_inert_at_test_sf(spark):
     a = sorted(map(tuple, uncapped.collect()))
     b = sorted(map(tuple, capped.collect()))
     assert a == b and len(a) > 0
+
+
+# --- keep-best-per-cluster (round-4 continuation) --------------------------
+
+def test_keep_best_per_cluster_quality_and_ties(spark):
+    from redskins_rule_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (5, 10), (6, 999)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {1,2,3} (quality tie 2 vs 3 -> keep 2), {4,5}; 6 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.cluster_id: (r.kept_id, r.kept_quality, r.cluster_size)
+           for r in keep_best_per_cluster(docs, pairs, "doc_id", "n_chars").collect()}
+    assert out == {1: (2, 300, 3), 4: (4, 50, 2)}
+    # singleton 6 must NOT appear
+    assert 6 not in out

@@ -329,3 +329,56 @@ def test_pq_recall_on_clustered_embeddings(spark):
     # neighbor) must come from the query's own cluster (vec_id % 8 == 0)
     assert all(i % 8 == 0 for i in approx)
     assert all(i % 8 == 0 for i in exact)
+
+
+# --- bigram LM surprisal (round-4 continuation) ----------------------------
+
+def test_bigram_lm_nll_matches_python_reference(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from redskins_rule_spark.operators.text import bigram_lm_nll
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "zzz"),                     # single token -> no bigrams, dropped
+    ]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    out = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in bigram_lm_nll(df, "doc_id", "text").collect()}
+
+    toks = {i: [t for t in re.split(r"[^a-z]+", s.lower()) if t]
+            for i, s in corpus}
+    vocab = {t for ws in toks.values() for t in ws}
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    for i, ws in toks.items():
+        bigrams = list(zip(ws, ws[1:]))
+        if not bigrams:
+            assert i not in out
+            continue
+        nll = -sum(
+            math.log(c2[(a, b)] + 1) - math.log(c1[a] + v) for a, b in bigrams
+        ) / len(bigrams)
+        assert out[i][0] == len(bigrams)
+        assert out[i][1] == round(nll, 4), i
+
+
+def test_bigram_lm_repeated_bigram_multiplicity(spark):
+    # "go go go" has the bigram (go,go) twice; multiplicity must count
+    from redskins_rule_spark.operators.text import bigram_lm_nll
+
+    df = spark.createDataFrame(
+        [(1, "go go go"), (2, "stop go stop")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.n_bigrams for r in
+           bigram_lm_nll(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 2: 2}

@@ -63,6 +63,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         # blocked matmul: build side is the B=16-row block-list frame;
         # join condition blk_a <= blk_b bounds it at B(B+1)/2 pairs
         "q22_embedding_dups": "block-pair join over B=16 collected blocks (B^2-bounded)",
+        "q124_bigram_lm": "cross join with the 1-row vocabulary-size aggregate",
+        "q130_price_histogram": "cross join with the 1-row (min,max) bounds aggregate",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
