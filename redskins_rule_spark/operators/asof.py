@@ -180,3 +180,71 @@ def asof_join(
     if diff_col:
         out = out.withColumn(diff_col, dist)
     return out
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    by: Sequence[str],
+    fact_ts: str,
+    dim_ts: str,
+    payload: Sequence[str],
+    dim_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time join: attach to every fact row the dimension
+    state that was current at the fact's timestamp (the SCD2 lookup a
+    warehouse runs on every fact load).
+
+    NOT a pair-enumerating theta join: dim and fact rows are tagged,
+    unioned, and sorted once per `by` key; `last(payload,
+    ignorenulls=True)` over (time, dim-before-fact, *tiebreak) rows
+    forward-fills the dimension state onto the facts — ONE shuffle on
+    the entity key and a per-key linear pass, the merge-join shape
+    that survives 100 TB (the BETWEEN-join oracle is quadratic per
+    key; this is O(n log n)).
+
+    A fact at exactly the dimension's effective time sees the NEW
+    state (inclusive `valid_from`, standard SCD2). `dim_tiebreak`
+    orders same-timestamp dim versions (latest wins); facts with no
+    preceding dim state are dropped (inner PIT semantics).
+    Returns the fact columns plus `payload` and `dim_ts` (as
+    `<dim_ts>_effective`) from the matched dim version.
+    """
+    fcols = [c for c in facts.columns]
+    tagged_dim = dim.select(
+        *by,
+        F.col(dim_ts).alias("_t"),
+        F.lit(0).alias("_is_fact"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.col(dim_ts).alias("_p__effective"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(dim_tiebreak)],
+    )
+    tagged_fact = facts.select(
+        *fcols,
+        F.col(fact_ts).alias("_t"),
+        F.lit(1).alias("_is_fact"),
+    )
+    u = tagged_dim.unionByName(tagged_fact, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(
+            "_t",
+            "_is_fact",
+            *[f"_tb_{i}" for i in range(len(dim_tiebreak))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *fcols,
+        F.col("_is_fact"),
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload
+        ],
+        F.last("_p__effective", ignorenulls=True)
+        .over(w)
+        .alias(f"{dim_ts}_effective"),
+    )
+    return filled.where(
+        (F.col("_is_fact") == 1) & F.col(f"{dim_ts}_effective").isNotNull()
+    ).drop("_is_fact")

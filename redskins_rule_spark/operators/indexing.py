@@ -100,3 +100,36 @@ def with_global_index(
             yield pdf
 
     return ranged.mapInPandas(assign, out_schema)
+
+
+def z_value(cols, bits: int = 16):
+    """Morton (Z-order) index: interleave the low `bits` bits of each
+    integer column — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER. Sorting or range-partitioning by
+    this value co-locates rows that are close in EVERY dimension, so
+    min/max file statistics prune multi-predicate scans that a
+    single-column sort cannot.
+
+    Pure bit arithmetic (shift/and/or) — whole-stage-codegen'd, no
+    UDF; `bits`·len(cols) must stay < 63. Callers clamp/normalize
+    values into [0, 2^bits) first (out-of-range bits are simply
+    dropped by the mask, which preserves ordering only within range).
+
+    Usage for layout: df.repartitionByRange(n, z).sortWithinPartitions(z).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    assert bits * ncols < 63, "z_value overflows a signed 64-bit long"
+    terms = []
+    for j, c in enumerate(cols):
+        x = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * ncols + j
+                )
+            )
+    return reduce(lambda a, b: a + b, terms)

@@ -359,3 +359,38 @@ def bigram_lm_nll(
             4,
         ).alias(out),
     )
+
+
+# PII scrubbing: compliance pass every web-corpus pipeline runs before
+# training. Patterns are deliberately written in the RE2-compatible
+# subset (no backrefs/lookarounds) so the same pattern string runs
+# JVM-side in Spark AND in external engines verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+1 \d{3}-\d{4}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Occurrence count per PII class — `regexp_extract_all` length,
+    one JVM expression per class, no Python in the row path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace every PII match with a typed tag (<EMAIL>/<PHONE>/<IP>).
+
+    Email runs FIRST (an address's host part would otherwise be
+    half-eaten by the ip pattern when the domain is dotted digits);
+    phone before ip keeps '+1 555-0117' from being read as a partial
+    ip. Chained regexp_replace stays inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "phone", "ip"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c

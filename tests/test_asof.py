@@ -189,3 +189,53 @@ def test_asof_rejects_bad_direction(spark):
     right = spark.createDataFrame([(1, "2020-01-08")], "j int, rt string")
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "lt", "rt", tolerance=7, direction="sideways")
+
+
+# --- SCD2 point-in-time join (round-4 continuation) ------------------------
+
+def test_pit_join_basic_and_exact_match(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, 100.0),
+         (1, "2024-01-05 00:00:00", 11, 200.0),
+         (2, "2024-01-03 00:00:00", 12, 7.0)],
+        "user_id int, ts string, event_id int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    facts = spark.createDataFrame(
+        [(100, 1, "2024-01-04 00:00:00"),   # between versions -> v=100
+         (101, 1, "2024-01-05 00:00:00"),   # exactly at v2 -> sees NEW (200)
+         (102, 1, "2023-12-25 00:00:00"),   # before any dim -> dropped
+         (103, 2, "2024-02-01 00:00:00")],  # -> 7
+        "fid int, user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.fid: (r.v, str(r.ts_effective)) for r in pit_join(
+        facts, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
+        payload=["v"], dim_tiebreak=["event_id"],
+    ).collect()}
+    assert out == {
+        100: (100.0, "2024-01-01 00:00:00"),
+        101: (200.0, "2024-01-05 00:00:00"),
+        103: (7.0, "2024-01-03 00:00:00"),
+    }
+
+
+def test_pit_join_same_ts_dim_versions_latest_wins(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.asof import pit_join
+
+    rows = [(1, "2024-01-01 00:00:00", 1, 5.0),
+            (1, "2024-01-01 00:00:00", 2, 9.0)]
+    for perm in (rows, rows[::-1]):
+        dim = spark.createDataFrame(
+            perm, "user_id int, ts string, event_id int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        facts = spark.createDataFrame(
+            [(50, 1, "2024-01-02 00:00:00")], "fid int, user_id int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = pit_join(facts, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
+                       payload=["v"], dim_tiebreak=["event_id"]).collect()
+        assert out[0].v == 9.0, perm  # higher event_id version wins

@@ -53,3 +53,34 @@ def test_guards(spark):
         with_global_index(cust, [])
     with pytest.raises(ValueError, match="already exists"):
         with_global_index(cust.withColumn("idx", F.lit(1)), ["c_custkey"])
+
+
+# --- Morton / Z-order key ---------------------------------------------------
+
+def test_z_value_matches_python_interleave(spark):
+    from redskins_rule_spark.operators.indexing import z_value
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 7, 1024)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.withColumn("z", z_value(["x", "y"])).collect()}
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y)
+
+
+def test_z_value_locality(spark):
+    # points close in both dims get closer z values than a far point
+    from redskins_rule_spark.operators.indexing import z_value
+
+    df = spark.createDataFrame(
+        [(10, 10), (11, 11), (10, 1000)], "x long, y long"
+    )
+    z = [r.z for r in df.withColumn("z", z_value(["x", "y"])).collect()]
+    assert abs(z[0] - z[1]) < abs(z[0] - z[2])

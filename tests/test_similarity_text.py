@@ -382,3 +382,35 @@ def test_bigram_lm_repeated_bigram_multiplicity(spark):
     out = {r.doc_id: r.n_bigrams for r in
            bigram_lm_nll(df, "doc_id", "text").collect()}
     assert out == {1: 2, 2: 2}
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+def test_scrub_pii_all_classes(spark):
+    from redskins_rule_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.co.uk now, dial +1 555-0134, "
+             "host 10.0.255.3 end")],
+        "id int, t string",
+    )
+    counts = pii_counts("t")
+    row = df.select(
+        scrub_pii("t").alias("s"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ip"].alias("i"),
+    ).collect()[0]
+    assert row.e == 1 and row.p == 1 and row.i == 1
+    assert row.s == "mail <EMAIL> now, dial <PHONE>, host <IP> end"
+
+
+def test_scrub_pii_email_before_ip_ordering(spark):
+    # dotted-digit subdomain inside a real email: email-first scrubbing
+    # must emit ONE <EMAIL>, not 'a@<IP>.example.com'
+    from redskins_rule_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "x a@10.0.0.1.example.com y")], "id int, t string"
+    )
+    assert df.select(scrub_pii("t").alias("s")).collect()[0].s == "x <EMAIL> y"
