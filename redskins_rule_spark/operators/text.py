@@ -311,15 +311,19 @@ def bigram_lm_nll(
     p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus unigram
     vocabulary; score = -(1/n) Σ ln p over the doc's bigrams.
 
-    Plan shape (all vocabulary-grain after the first agg):
-      explode bigrams → hash agg (doc, bigram) → bigram counts c2 →
-      head counts c1 (derived from c2, no second explode) → joins back
-      on bigram/head keys. V rides as a broadcast single-row agg.
-      Counts tables are vocab-sized, not corpus-sized, so the joins
-      broadcast at any realistic vocabulary. Single-log-per-term form
-      (ln(c2+1) − ln(c1+V)) keeps both engines summing identical
-      terms, so a 4-decimal rounding contract holds.
+    Plan shape: ONE explode → hash agg to (doc, bigram, k), then the
+    corpus totals come from WINDOW sums over that same frame —
+    `sum(k) over (partition by bg)` for the bigram count and
+    `sum(k) over (partition by head)` for the head count — instead of
+    two self-aggregate-joins, so the explode lineage is planned and
+    executed once (the join formulation re-ran the scan+explode three
+    times). Both windows shuffle on vocabulary-grain keys. V rides as
+    a broadcast single-row agg. Single-log-per-term form
+    (ln(c2+1) − ln(c1+V)) keeps both engines summing identical terms,
+    so a 4-decimal rounding contract holds.
     """
+    from pyspark.sql import Window
+
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
     )
@@ -338,17 +342,11 @@ def bigram_lm_nll(
         )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("k"))
-    )
-    c2 = doc_bg.groupBy("bg").agg(F.sum("k").alias("n2"))
-    c1 = (
-        c2.select(F.split("bg", " ")[0].alias("w1"), "n2")
-        .groupBy("w1")
-        .agg(F.sum("n2").alias("n1"))
+        .withColumn("w1", F.split("bg", " ")[0])
     )
     scored = (
-        doc_bg.join(c2, "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(c1, "w1")
+        doc_bg.withColumn("n2", F.sum("k").over(Window.partitionBy("bg")))
+        .withColumn("n1", F.sum("k").over(Window.partitionBy("w1")))
         .join(F.broadcast(vocab))
     )
     return scored.groupBy(id_col).agg(

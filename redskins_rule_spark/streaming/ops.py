@@ -340,3 +340,112 @@ def run_available_now_to_files(
         .start()
     )
     q.awaitTermination()
+
+
+_PIT_ENRICH_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_us bigint, fact_value double, "
+    "dim_value double, dim_ts_us bigint"
+)
+_PIT_ENRICH_STATE = "vts array<bigint>, vid array<bigint>, vval array<double>"
+
+
+def stateful_pit_enrich(
+    tagged: DataFrame,
+    max_versions: int = 16,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming point-in-time enrichment — the stream face of
+    `asof.pit_join` (workload q135): one interleaved stream of
+    dimension versions (`is_dim` true; `value` is the dim payload) and
+    fact events per user; every fact emits enriched with the dim
+    version current at the FACT's event time.
+
+    State per user: the latest `max_versions` dim versions as three
+    parallel arrays sorted by (ts_us, event_id) — bounded regardless
+    of how long the key lives. Facts bind to versions by EVENT time
+    (vf <= fact_ts, latest wins, same inclusive rule as the batch
+    operator), so a dim version and a fact arriving in the same
+    micro-batch in any order still join correctly; a dim version
+    arriving in a LATER batch than a fact it should have served does
+    not retro-correct that fact (at-arrival semantics — the batch
+    operator is the reconciliation path, exactly like CDC snapshot
+    vs stream in q110/stateful_cdc_latest).
+
+    Facts with no eligible version emit NULL dim columns (the caller
+    decides drop-vs-default); idle keys evict on `timeout_ms`.
+    """
+    import bisect
+
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        vts, vid, vval = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]])
+            if state.exists
+            else ([], [], [])
+        )
+        rows = []
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    (
+                        int(r.ts.value // 1_000),
+                        int(r.event_id),
+                        bool(r.is_dim),
+                        float(r.value),
+                    )
+                )
+        # dims first so same-batch facts at/after their ts see them,
+        # then facts in event-time order — arrival order is irrelevant
+        # within the batch.
+        for ts_us, eid, is_dim, val in sorted(
+            rows, key=lambda t: (not t[2], t[0], t[1])
+        ):
+            if is_dim:
+                pos = bisect.bisect_left(list(zip(vts, vid)), (ts_us, eid))
+                if not (pos < len(vts) and vts[pos] == ts_us and vid[pos] == eid):
+                    vts.insert(pos, ts_us)
+                    vid.insert(pos, eid)
+                    vval.insert(pos, val)
+                    if len(vts) > max_versions:
+                        vts.pop(0), vid.pop(0), vval.pop(0)
+            else:
+                # latest version with (vts, vid) <= (ts_us, +inf)
+                pos = bisect.bisect_right(vts, ts_us) - 1
+                out.append(
+                    (
+                        key[0], eid, ts_us, val,
+                        vval[pos] if pos >= 0 else None,
+                        vts[pos] if pos >= 0 else None,
+                    )
+                )
+        state.update((vts, vid, vval))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "ts_us", "fact_value",
+                    "dim_value", "dim_ts_us",
+                ],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PIT_ENRICH_SCHEMA,
+        stateStructType=_PIT_ENRICH_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

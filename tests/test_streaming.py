@@ -250,3 +250,106 @@ def test_stateful_cdc_latest_matches_batch_q110(spark, tmp_path):
     }
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_stateful_pit_enrich_matches_batch_pit_join(spark, tmp_path):
+    """Stream PIT enrichment == batch pit_join on the same interleaved
+    dim/fact log when versions arrive no later than the facts they
+    serve; same-batch arrival ORDER must not matter (facts bind by
+    event time). Also: version cap keeps only the latest versions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.asof import pit_join
+    from redskins_rule_spark.streaming.ops import stateful_pit_enrich
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # (event_id, ts, user_id, is_dim, value) — note fact 100 is listed
+    # BEFORE dim 11 though dim 11 has the earlier event time: same
+    # batch, so event-time binding must still pick dim 11.
+    rows = [
+        (10, ts(0), 1, True, 100.0),
+        (100, ts(7), 1, False, 1.0),
+        (11, ts(5), 1, True, 200.0),
+        (101, ts(5), 1, False, 2.0),     # exactly at v11 -> sees 200
+        (102, ts(-1), 1, False, 3.0),    # before any version -> nulls
+        (12, ts(2), 2, True, 7.0),
+        (103, ts(3), 2, False, 4.0),
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, is_dim boolean, value double"
+    land = str(tmp_path / "pit_landing")
+    spark.createDataFrame(rows, schema).write.parquet(land)
+
+    stream = stream_from_files(spark, land, spark.read.parquet(land).schema)
+    out = _drain(spark, stateful_pit_enrich(stream), tmp_path, mode="append")
+    got = {
+        r["event_id"]: (r["fact_value"], r["dim_value"], r["dim_ts_us"])
+        for r in out.collect()
+    }
+    us = lambda m: int(ts(m).timestamp() * 1_000_000)  # noqa: E731
+    assert got == {
+        100: (1.0, 200.0, us(5)),
+        101: (2.0, 200.0, us(5)),
+        102: (3.0, None, None),
+        103: (4.0, 7.0, us(2)),
+    }
+
+    # batch parity for the facts that have a serving version
+    df = spark.createDataFrame(rows, schema)
+    dim = df.where("is_dim").select(
+        "user_id", "event_id", F.col("value").alias("dim_value"), "ts"
+    )
+    facts = df.where("NOT is_dim").select("event_id", "user_id", "value", "ts")
+    batch = {
+        r["event_id"]: r["dim_value"]
+        for r in pit_join(
+            facts, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
+            payload=["dim_value"], dim_tiebreak=["event_id"],
+        ).collect()
+    }
+    stream_served = {k: v[1] for k, v in got.items() if v[1] is not None}
+    assert batch == stream_served
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)
+
+
+def test_stateful_pit_enrich_version_cap(spark, tmp_path):
+    """With max_versions=2 only the latest two dim versions survive;
+    a fact older than the retained horizon binds to nothing."""
+    import datetime as dt
+
+    from redskins_rule_spark.streaming.ops import stateful_pit_enrich
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0), 1, True, 10.0),
+        (2, ts(10), 1, True, 20.0),
+        (3, ts(20), 1, True, 30.0),      # evicts version ts(0)
+        (100, ts(5), 1, False, 1.0),     # ts(0) evicted -> null
+        (101, ts(25), 1, False, 2.0),    # -> 30
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, is_dim boolean, value double"
+    land = str(tmp_path / "pitcap_landing")
+    spark.createDataFrame(rows, schema).write.parquet(land)
+    stream = stream_from_files(spark, land, spark.read.parquet(land).schema)
+    out = _drain(
+        spark, stateful_pit_enrich(stream, max_versions=2), tmp_path,
+        mode="append",
+    )
+    got = {r["event_id"]: r["dim_value"] for r in out.collect()}
+    assert got == {100: None, 101: 30.0}
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)
