@@ -206,3 +206,65 @@ def pagerank(
         )
         ranks = _materialize(ranks, checkpoint_dir)
     return ranks.select("id", F.col("r").alias(rank_col))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count of the undirected graph — the standard
+    clustering/cohesion signal (and the classic MapReduce-era scale
+    benchmark). Self-loops and duplicate/reversed edges tolerated.
+
+    Degree-ordered orientation: every edge points from its lower
+    (degree, id) endpoint to the higher, so each triangle is counted
+    exactly once AND the wedge (2-path) join fans out from the LOW
+    degree endpoint — Σ d_out², with d_out = O(√m) on any graph,
+    instead of Σ d² which a hub node makes quadratic. This is the
+    difference between a web-scale crawl graph finishing and one hot
+    vertex producing 10¹² wedges.
+
+    Returns one row: n_nodes, n_edges, n_triangles.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    ka = F.struct(F.col("da"), F.col("a"))
+    kb = F.struct(F.col("db"), F.col("b"))
+    o = withdeg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        ),
+    ).select(F.col("x.v").alias("wu"), F.col("y.v").alias("wv"))
+    tri = wedges.join(
+        o.select(F.col("u").alias("wu"), F.col("v").alias("wv")), ["wu", "wv"]
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri))

@@ -210,3 +210,78 @@ def source_mix(
     )
     u = knuth_hash(id_col) / F.lit(float(KNUTH_MOD))
     return df.join(F.broadcast(rates), source_col).where(u < F.col("__rate"))
+
+
+def budget_waterfill(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    budget_frac: float,
+) -> DataFrame:
+    """Token-budget mixture planner: given per-row weights (token
+    counts) grouped by `key_col` (source), allocate a total budget of
+    `budget_frac · Σweights` across sources by WATERFILLING — every
+    source keeps min(its total, L) where the level L is chosen so the
+    allocations exactly exhaust the budget. Sources below the level
+    keep everything; big sources are capped equally — the standard
+    "cap the head, keep the tail" pretraining-mixture rule.
+
+    Closed form, no iteration: sort source totals ascending, find the
+    largest prefix j whose totals stay under the level
+    (cum_j + (n−j)·t_j ≤ budget), then L = (budget − cum_j)/(n − j).
+    The only window runs over the SOURCE-GRAIN relation (one row per
+    source) — never the corpus; corpus-sized work is one hash agg.
+
+    Returns DataFrame[key, total, allocated, rate] with allocated and
+    rate rounded to 4 decimals.
+    """
+    from pyspark.sql import Window
+
+    w_c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    tot = df.groupBy(key_col).agg(F.sum(w_c).cast("long").alias("total"))
+    ordw = Window.orderBy("total", key_col)
+    scalars = tot.agg(
+        F.sum("total").alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        (F.lit(budget_frac) * F.col("_s")).alias("_budget"), "_n"
+    )
+    w = (
+        tot.join(F.broadcast(scalars))
+        .withColumn(
+            "_cum",
+            F.sum("total").over(
+                ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(ordw))
+    )
+    elig = w.where(
+        F.col("_cum") + (F.col("_n") - F.col("_rn")) * F.col("total")
+        <= F.col("_budget")
+    )
+    jrow = elig.agg(
+        F.coalesce(F.max("_rn"), F.lit(0)).alias("_j"),
+        F.coalesce(F.max("_cum"), F.lit(0)).alias("_cumj"),
+    )
+    lvl = (
+        scalars.join(F.broadcast(jrow))
+        .join(F.broadcast(tot.agg(F.max("total").alias("_tmax"))))
+        .select(
+            F.when(F.col("_n") == F.col("_j"), F.col("_tmax").cast("double"))
+            .otherwise(
+                (F.col("_budget") - F.col("_cumj"))
+                / (F.col("_n") - F.col("_j"))
+            )
+            .alias("_L")
+        )
+    )
+    alloc = F.least(F.col("total").cast("double"), F.col("_L"))
+    return (
+        tot.join(F.broadcast(lvl))
+        .select(
+            key_col,
+            "total",
+            F.round(alloc, 4).alias("allocated"),
+            F.round(alloc / F.col("total"), 4).alias("rate"),
+        )
+    )

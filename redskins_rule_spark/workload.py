@@ -523,14 +523,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q130_price_histogram", "q131_seq_pattern", "q132_corr_matrix",
     "q133_curation_funnel",
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
-    "q137_zorder_key",
+    "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(36) + these 14 == exactly the driver's 50-entry window ---
+    #     head(38) + these 12 == exactly the driver's 50-entry window ---
     "q12_json_props", "q33_decimal_money", "q38_pivot",
     "q01_pricing_summary", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
-    "q85_scd2_build", "q92_intradoc_dedup", "q96_skew_distinct",
-    "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
+    "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
 
 
@@ -5521,3 +5520,92 @@ def q137_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "event_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q138: triangle count over the near-dup graph (same pair semantics as
+# q54) — the cohesion check that near-dup "clusters" are actually
+# cliques, not chains. Engine side uses degree-ordered orientation
+# (wedge fan-out from the LOW-degree endpoint: Σd_out² = O(m^1.5)
+# instead of a hub going quadratic); the oracle is the canonical
+# a<b<c triple self-join. Counts are method-invariant.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.graph import triangle_count  # noqa: E402
+
+
+@query(
+    "q138_triangles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM cand
+                   JOIN gsets sa ON sa.doc_id = cand.id_a
+                   JOIN gsets sb ON sb.doc_id = cand.id_b
+                   WHERE len(list_intersect(sa.g, sb.g))
+                         / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= 0.8),
+         canon AS (SELECT id_a AS a, id_b AS b FROM pairs)
+    SELECT (SELECT COUNT(DISTINCT x)
+            FROM (SELECT a AS x FROM canon UNION SELECT b FROM canon)) AS n_nodes,
+           (SELECT COUNT(*) FROM canon) AS n_edges,
+           (SELECT COUNT(*)
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.b
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def q138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    return triangle_count(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+
+
+# ---------------------------------------------------------------------------
+# q139: token-budget mixture planner — waterfilling allocation of a
+# 90% token budget across sources (cap the head equally, keep the
+# tail whole: the standard pretraining-mixture rule). Closed form via
+# sorted cumulative sums; the only window is over the source-grain
+# relation. 90% budget exercises BOTH branches (some sources kept
+# whole, some capped) on this corpus.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import budget_waterfill  # noqa: E402
+
+
+@query(
+    "q139_budget_mix",
+    oracle="""
+    WITH tok AS (SELECT source,
+                        len(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+    tot AS (SELECT source, CAST(SUM(t) AS BIGINT) AS total FROM tok GROUP BY 1),
+    w AS (SELECT source, total,
+            SUM(total) OVER (ORDER BY total, source ROWS UNBOUNDED PRECEDING) AS cum,
+            ROW_NUMBER() OVER (ORDER BY total, source) AS rn,
+            COUNT(*) OVER () AS n,
+            0.9 * SUM(total) OVER () AS budget
+          FROM tot),
+    j AS (SELECT COALESCE(MAX(rn), 0) AS j, COALESCE(MAX(cum), 0) AS cumj
+          FROM w WHERE cum + (n - rn) * total <= budget),
+    lvl AS (SELECT CASE WHEN MIN(w.n) = MIN(j.j) THEN CAST(MAX(w.total) AS DOUBLE)
+                        ELSE (MIN(w.budget) - MIN(j.cumj)) / (MIN(w.n) - MIN(j.j))
+                   END AS L
+            FROM w, j)
+    SELECT w.source, w.total,
+           ROUND(LEAST(w.total, lvl.L), 4) AS allocated,
+           ROUND(LEAST(w.total, lvl.L) / w.total, 4) AS rate
+    FROM w, lvl
+    """,
+)
+def q139_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("t"),
+    )
+    return budget_waterfill(toks, "source", "t", budget_frac=0.9)

@@ -169,3 +169,40 @@ def test_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
         cut = _materialize(produced, ckpt)
         plan = cut._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan, f"lineage not truncated (ckpt={ckpt}): {plan}"
+
+
+# --- triangle counting ------------------------------------------------------
+
+def test_triangle_count_known_graphs(spark):
+    from redskins_rule_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles; plus a pendant path (5-6-7): 0 extra
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(5, 6), (6, 7)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (7, 8, 4)
+
+
+def test_triangle_count_dups_reversals_loops(spark):
+    from redskins_rule_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "src long, dst long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    # star graph: many wedges at the hub under naive orientation, but
+    # degree ordering sends every edge leaf->hub: zero wedges, zero triangles
+    from redskins_rule_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (30, 29, 0)

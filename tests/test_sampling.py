@@ -111,3 +111,44 @@ def test_source_mix_rates_and_determinism(spark):
     ids1 = sorted(r.id for r in out.select("id").collect())
     ids2 = sorted(r.id for r in source_mix(df, "source", "w", "id").select("id").collect())
     assert ids1 == ids2
+
+
+# --- budget waterfilling ----------------------------------------------------
+
+def test_budget_waterfill_hand_computed(spark):
+    from redskins_rule_spark.operators.sampling import budget_waterfill
+
+    # totals: a=10, b=20, c=70; budget = 0.5*100 = 50
+    # j=2 (10+20 + 0*?): check: rn1 a: 10 + 2*10=30 <=50 ok; rn2 b: 30+1*20=50<=50 ok;
+    # rn3 c: 100 + 0 = 100 > 50. j=2, cumj=30, L=(50-30)/1=20 -> c capped at 20
+    rows = [("a", 10), ("b", 20), ("c", 70)]
+    df = spark.createDataFrame(rows, "src string, t long")
+    out = {r.src: (r.total, r.allocated, r.rate) for r in
+           budget_waterfill(df, "src", "t", 0.5).collect()}
+    assert out == {
+        "a": (10, 10.0, 1.0),
+        "b": (20, 20.0, 1.0),
+        "c": (70, 20.0, 0.2857),
+    }
+    total_alloc = sum(v[1] for v in out.values())
+    assert total_alloc == 50.0  # budget exactly exhausted
+
+
+def test_budget_waterfill_budget_exceeds_total(spark):
+    from redskins_rule_spark.operators.sampling import budget_waterfill
+
+    df = spark.createDataFrame([("a", 10), ("b", 30)], "src string, t long")
+    out = {r.src: r.rate for r in
+           budget_waterfill(df, "src", "t", 1.0).collect()}
+    assert out == {"a": 1.0, "b": 1.0}
+
+
+def test_budget_waterfill_all_capped(spark):
+    from redskins_rule_spark.operators.sampling import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 100), ("d", 100)], "src string, t long"
+    )
+    out = {r.src: r.allocated for r in
+           budget_waterfill(df, "src", "t", 0.5).collect()}
+    assert all(v == 50.0 for v in out.values())

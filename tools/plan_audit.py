@@ -48,6 +48,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q64_gap_fill": "global month spine (24 rows)",
         "q94_ewma": "EWMA is per-user; spine build is month-grain",
         "q104_bpe_segment": "merge ranking over vocab-sized table",
+        "q139_budget_mix": "waterfill cumsum over the source-grain relation (one row per source)",
     },
     "nested_loop_join": {
         "q59_interval_overlap": "interval overlap: right side is 10 literal rows (broadcast), bounded",
@@ -65,6 +66,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q22_embedding_dups": "block-pair join over B=16 collected blocks (B^2-bounded)",
         "q124_bigram_lm": "cross join with the 1-row vocabulary-size aggregate",
         "q130_price_histogram": "cross join with the 1-row (min,max) bounds aggregate",
+        "q138_triangles": "assembly of three 1-row count aggregates",
+        "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
