@@ -779,3 +779,96 @@ def keep_best_per_cluster(
         )
         .where(F.col("cluster_size") >= 2)
     )
+
+
+def incremental_dedup_lsh(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    threshold: float = 0.8,
+    max_postings: int | None = 64,
+) -> DataFrame:
+    """Incremental near-dup check: screen an incoming BATCH against an
+    existing CORPUS without ever comparing corpus×corpus or new×new —
+    the only dedup shape that works at 100 TB, where re-clustering the
+    whole corpus per ingest is off the table. The corpus side of the
+    pipeline (signatures + band index) is a pure function of the
+    corpus, so production persists it once and every batch joins
+    against the saved index.
+
+    Plan: x-engine minhash signatures both sides → equi join of new
+    band values against corpus band postings (hot corpus buckets
+    > `max_postings` dropped whole — the familiar recall/scale lever)
+    → exact-Jaccard verify on shingle sets → per-new-doc argmax.
+    Returns ONE row per new doc: is_dup, best_match /
+    best_sim (null when novel), n_matches. New docs with empty
+    shingle sets are novel by definition.
+    """
+    from redskins_rule_spark.functions.hashing import (
+        minhash_signature_xengine,
+        word_shingles,
+    )
+
+    def bands(df: DataFrame, out_id: str) -> DataFrame:
+        grams = F.array_distinct(word_shingles(text_col, 3))
+        base = df.select(
+            F.col(id_col).alias(out_id), grams.alias(f"_g_{out_id}")
+        ).where(F.size(f"_g_{out_id}") > 0)
+        sigs = base.withColumn(
+            "_sig", minhash_signature_xengine(F.col(f"_g_{out_id}"), num_perm)
+        )
+        return base, sigs.select(
+            out_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"), F.col("_sig")[i].alias("sv")
+                        )
+                        for i in range(num_perm)
+                    ]
+                )
+            ).alias("b"),
+        ).select(out_id, F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
+
+    new_base, new_bands = bands(new_df, "new_id")
+    corpus_base, corpus_bands = bands(corpus_df, "corpus_id")
+    if max_postings is not None:
+        cool = (
+            corpus_bands.groupBy("i", "sv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_postings)
+            .select("i", "sv")
+        )
+        corpus_bands = corpus_bands.join(cool, ["i", "sv"])
+    cand = (
+        new_bands.join(corpus_bands, ["i", "sv"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(new_base, "new_id")
+        .join(corpus_base, "corpus_id")
+        .withColumn("_sim", jaccard(F.col("_g_new_id"), F.col("_g_corpus_id")))
+        .where(F.col("_sim") >= threshold)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.max_by(
+            "corpus_id", F.struct(F.col("_sim"), (-F.col("corpus_id")))
+        ).alias("best_match"),
+        F.round(F.max("_sim"), 4).alias("best_sim"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("best_match").isNotNull().alias("is_dup"),
+            "best_match",
+            "best_sim",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )

@@ -318,3 +318,42 @@ def test_keep_best_per_cluster_quality_and_ties(spark):
     assert out == {1: (2, 300, 3), 4: (4, 50, 2)}
     # singleton 6 must NOT appear
     assert 6 not in out
+
+
+def test_incremental_dedup_lsh(spark):
+    from redskins_rule_spark.operators.dedup import incremental_dedup_lsh
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(10, base),
+         (11, base.replace("tonight", "today")),      # near-dup of base
+         (12, "completely different words about spark shuffles and joins "
+              "with partitions and codegen in the query engine runtime")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base),                                   # dup (sim 1.0 vs 10)
+         (2, "nothing like anything in the corpus at all just noise tokens "
+             "zebra quartz violin mango theremin umbrella cascade")],
+        "doc_id long, text string",
+    )
+    out = {r.new_id: (r.is_dup, r.best_match, r.n_matches) for r in
+           incremental_dedup_lsh(new, corpus, "doc_id", "text").collect()}
+    assert out[1][0] is True and out[1][1] == 10 and out[1][2] >= 1
+    assert out[2] == (False, None, 0)
+
+
+def test_incremental_dedup_lsh_empty_text_is_novel(spark):
+    from redskins_rule_spark.operators.dedup import incremental_dedup_lsh
+
+    corpus = spark.createDataFrame(
+        [(10, "some corpus document with enough words to form shingles ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {r.new_id: r.is_dup for r in
+           incremental_dedup_lsh(new, corpus, "doc_id", "text").collect()}
+    assert out == {1: False, 2: False}
