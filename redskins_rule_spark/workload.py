@@ -524,10 +524,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q133_curation_funnel",
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
-    "q140_incremental_dedup",
+    "q140_incremental_dedup", "q141_mean_pool",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(39) + these 11 == exactly the driver's 50-entry window ---
-    "q12_json_props", "q33_decimal_money", "q38_pivot",
+    #     head(40) + these 10 == exactly the driver's 50-entry window ---
+    "q12_json_props", "q33_decimal_money",
     "q01_pricing_summary", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh",
     "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
@@ -5688,4 +5688,71 @@ def q140_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=8,
         threshold=0.8,
         max_postings=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141: embedding mean-pooling per group — the chunk→document pooling
+# primitive (doc embedding = mean of its chunk embeddings), done
+# WITHOUT collecting vectors: posexplode to (group, dim, value) →
+# per-dimension hash agg → re-assemble ordered. Means are quantized
+# to 1e-4 ints for a representation-stable cross-engine contract, and
+# the L2 norm is computed from the quantized values in dimension
+# order so both engines sum identical doubles.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q141_mean_pool",
+    oracle="""
+    WITH e AS (
+      SELECT label, j, embedding[j] AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j)
+    ),
+    m AS (
+      SELECT label, j, CAST(ROUND(AVG(v) * 10000) AS BIGINT) AS m4
+      FROM e GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT label, list(m4 ORDER BY j) AS ms FROM m GROUP BY label
+    ),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT agg.label,
+           array_to_string(agg.ms, ',') AS mean_q,
+           ROUND(sqrt(list_reduce(
+                 list_transform(agg.ms, x -> (x / 10000.0) * (x / 10000.0)),
+                 (a, b) -> a + b)), 4) AS norm,
+           n.n_vecs
+    FROM agg JOIN n USING (label)
+    """,
+)
+def q141_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    m = e.groupBy("label", "pos").agg(
+        F.round(F.avg("v") * 10000).cast("long").alias("m4")
+    )
+    agg = m.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m4"))).alias("pm")
+    )
+    ms = F.transform(F.col("pm"), lambda x: x["m4"])
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        agg.join(F.broadcast(n), "label")
+        .select(
+            "label",
+            F.array_join(
+                F.transform(ms, lambda x: x.cast("string")), ","
+            ).alias("mean_q"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        ms,
+                        F.lit(0.0),
+                        lambda acc, x: acc + (x / 10000.0) * (x / 10000.0),
+                    )
+                ),
+                4,
+            ).alias("norm"),
+            "n_vecs",
+        )
     )

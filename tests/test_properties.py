@@ -326,3 +326,111 @@ def test_range_bin_join_equals_between_join(spark, vals):
         ).select("event_id", "label")
     )
     assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# --- round-4 continuation: PIT join, waterfill, triangles -------------------
+
+pit_layout = st.tuples(
+    st.lists(  # dim versions: (day, value)
+        st.tuples(day, st.integers(0, 99)), min_size=0, max_size=6
+    ),
+    st.lists(day, min_size=1, max_size=6),  # fact days
+)
+
+
+@given(data=pit_layout)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pit_join_matches_brute_force(spark, data):
+    """pit_join == row-at-a-time SCD2 lookup (latest version with
+    valid_from <= fact ts, ties by version id) for ANY layout,
+    including same-day versions and facts before any version."""
+    from redskins_rule_spark.operators.asof import pit_join
+
+    dims, facts = data
+    dim_rows = [
+        (1, dt.datetime(2000, 1, 1) + dt.timedelta(days=d), i, float(v))
+        for i, (d, v) in enumerate(dims)
+    ]
+    fact_rows = [
+        (100 + i, 1, dt.datetime(2000, 1, 1) + dt.timedelta(days=d))
+        for i, d in enumerate(facts)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows or [(None, None, None, None)],
+        "user_id int, ts timestamp, event_id int, v double",
+    ).where(F.col("user_id").isNotNull())
+    fact = spark.createDataFrame(
+        fact_rows, "fid int, user_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.fid: (r.v, r.ts_effective) for r in pit_join(
+        fact, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
+        payload=["v"], dim_tiebreak=["event_id"],
+    ).collect()}
+
+    for i, fd in enumerate(facts):
+        eligible = [
+            (d, eid, v) for eid, (d, v) in enumerate(dims) if d <= fd
+        ]
+        if not eligible:
+            assert 100 + i not in got
+            continue
+        d, eid, v = max(eligible, key=lambda t: (t[0], t[1]))
+        assert got[100 + i][0] == float(v), (dims, facts, i)
+
+
+@given(totals=st.lists(st.integers(1, 1000), min_size=1, max_size=12),
+       frac=st.sampled_from([0.25, 0.5, 0.75, 0.9, 1.0]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_budget_waterfill_invariants(spark, totals, frac):
+    """Allocations never exceed a source's total, rates ∈ (0,1], and
+    the budget is exhausted (within float tolerance) whenever some
+    source is capped; with budget >= total everything is kept."""
+    from redskins_rule_spark.operators.sampling import budget_waterfill
+
+    rows = [(f"s{i}", t) for i, t in enumerate(totals)]
+    df = spark.createDataFrame(rows, "src string, t long")
+    out = budget_waterfill(df, "src", "t", frac).collect()
+    assert len(out) == len(totals)
+    total = sum(totals)
+    budget = frac * total
+    alloc = {r.src: r.allocated for r in out}
+    for r in out:
+        assert 0 < r.allocated <= r.total + 1e-6
+        assert 0 < r.rate <= 1.0
+    if frac == 1.0:
+        assert all(r.allocated == r.total for r in out)
+    else:
+        assert abs(sum(alloc.values()) - budget) < 1e-4 * max(total, 1), (
+            totals, frac, alloc,
+        )
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25
+))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangle_count_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from redskins_rule_spark.operators.graph import triangle_count
+
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in simple for v in e}
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (b, c), (a, c)} <= simple
+    )
+    df = spark.createDataFrame(
+        list(edges) or [(0, 0)], "src long, dst long"
+    )
+    row = triangle_count(df).collect()
+    if not simple:
+        assert row == [] or row[0].n_triangles == 0
+        return
+    assert (row[0].n_nodes, row[0].n_edges, row[0].n_triangles) == (
+        len(nodes), len(simple), want,
+    ), sorted(simple)

@@ -48,6 +48,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q64_gap_fill": "global month spine (24 rows)",
         "q94_ewma": "EWMA is per-user; spine build is month-grain",
         "q104_bpe_segment": "merge ranking over vocab-sized table",
+        "q124_bigram_lm": "false positive: windows partition by bigram/head; the SinglePartition exchange is the 1-row vocabulary-size aggregate",
         "q139_budget_mix": "waterfill cumsum over the source-grain relation (one row per source)",
     },
     "nested_loop_join": {
