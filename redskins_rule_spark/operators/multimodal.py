@@ -565,3 +565,70 @@ def decode_png_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+) -> DataFrame:
+    """Frame-level audio features over REAL decoded PCM16 — the
+    feature-extraction stage of an audio training pipeline (energy /
+    silence detection, VAD pre-filtering): per non-overlapping frame of
+    `frame_len` samples emit sum of squares (RMS numerator), peak
+    |amplitude|, and the within-frame zero-crossing count (sign rule:
+    s >= 0 is positive). The final partial frame is kept.
+
+    All features are INTEGERS so the cross-engine contract is exact —
+    no float RMS rounding to negotiate. Arrow mapInPandas with numpy
+    frame slicing; payload bytes never enter JVM row format. One
+    output row per (payload, frame): explode happens Python-side so a
+    60-minute file streams as frames, not one giant array row.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_in_frame", T.IntegerType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            ids, fidx, nin, ssq, pk, zc = [], [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                _meta, samples = decode_wav(bytes(b))
+                s = np.asarray(samples, dtype=np.int64)
+                for f in range(0, max(len(s), 1), frame_len):
+                    fr = s[f : f + frame_len]
+                    if len(fr) == 0:
+                        continue
+                    ids.append(rid)
+                    fidx.append(f // frame_len)
+                    nin.append(len(fr))
+                    ssq.append(int(np.sum(fr * fr)))
+                    pk.append(int(np.max(np.abs(fr))))
+                    nonneg = fr >= 0
+                    zc.append(int(np.sum(nonneg[1:] != nonneg[:-1])))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": fidx,
+                    "n_in_frame": nin,
+                    "sum_sq": ssq,
+                    "peak": pk,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

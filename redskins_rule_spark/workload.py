@@ -524,10 +524,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q133_curation_funnel",
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
-    "q140_incremental_dedup", "q141_mean_pool",
+    "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(40) + these 10 == exactly the driver's 50-entry window ---
-    "q12_json_props", "q33_decimal_money",
+    #     head(41) + these 9 == exactly the driver's 50-entry window ---
+    "q33_decimal_money",
     "q01_pricing_summary", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh",
     "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
@@ -3296,23 +3296,17 @@ def q83_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(i).alias("i"), F.col("sig")[i].alias("sv")) for i in range(8)])
         ).alias("b"),
     ).select("doc_id", F.col("b.i").alias("i"), F.col("b.sv").alias("sv"))
-    cand = pairs_from_posting_lists(bands, ["i", "sv"], "doc_id").distinct()
-    sa = sigs.select(
-        F.col("doc_id").alias("id_a"), F.col("g").alias("ga"), F.col("sig").alias("siga")
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("id_b"), F.col("g").alias("gb"), F.col("sig").alias("sigb")
-    )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
-                lambda b: b,
-            )
-        )
-        / F.lit(8.0),
-        4,
-    )
+    # r=1 bands make the posting-list co-occurrence count PER PAIR equal
+    # to the number of agreeing signature positions, so the estimate
+    # falls out of candidate generation itself — no re-join against the
+    # signature lineage (which would re-evaluate the polynomial hash of
+    # every gram twice more); the verify joins carry only the gram sets.
+    cand = pairs_from_posting_lists(bands, ["i", "sv"], "doc_id").groupBy(
+        "id_a", "id_b"
+    ).agg(F.count(F.lit(1)).alias("_n_shared"))
+    sa = base.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    sb = base.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    est = F.round(F.col("_n_shared") / F.lit(8.0), 4)
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -5756,3 +5750,51 @@ def q141_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q142: audio frame features — REAL PCM16 decode (functions/wav.py)
+# then per-frame energy / peak / zero-crossings via numpy in Arrow
+# mapInPandas (the VAD/silence-detection stage of an audio pipeline).
+# Features are integers so the cross-engine contract is exact; the
+# oracle replays the synth formula s_i = (clen + 31·i) % 65536 − 32768
+# in arithmetic (generator-vs-oracle pattern, same as q84/q98/q123).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.multimodal import (  # noqa: E402
+    audio_frame_features,
+    with_wav_payload,
+)
+
+
+@query(
+    "q142_audio_frames",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 97 + 8 AS n
+               FROM documents WHERE text IS NOT NULL),
+    fr AS (SELECT doc_id, clen, n,
+                  unnest(generate_series(0, CAST(ceil(n / 64.0) AS INTEGER) - 1)) AS f
+           FROM g)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(LEAST(n, (f + 1) * 64) - f * 64 AS INTEGER) AS n_in_frame,
+           CAST(list_sum(list_transform(
+                 generate_series(f * 64, LEAST(n, (f + 1) * 64) - 1),
+                 i -> ((clen + 31 * i) % 65536 - 32768)
+                      * ((clen + 31 * i) % 65536 - 32768))) AS BIGINT) AS sum_sq,
+           CAST(list_max(list_transform(
+                 generate_series(f * 64, LEAST(n, (f + 1) * 64) - 1),
+                 i -> abs((clen + 31 * i) % 65536 - 32768))) AS INTEGER) AS peak,
+           CAST(COALESCE(list_sum(list_transform(
+                 generate_series(f * 64 + 1, LEAST(n, (f + 1) * 64) - 1),
+                 i -> CASE WHEN ((clen + 31 * i) % 65536 - 32768 >= 0)
+                              <> ((clen + 31 * (i - 1)) % 65536 - 32768 >= 0)
+                           THEN 1 ELSE 0 END)), 0) AS INTEGER) AS zero_crossings
+    FROM fr
+    """,
+)
+def q142_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wav = with_wav_payload(docs, "text", "doc_id")
+    return audio_frame_features(wav, "payload", "doc_id", frame_len=64)

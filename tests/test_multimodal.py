@@ -488,3 +488,29 @@ def test_png_payload_decode_spark(spark):
     assert out[2].width is None and out[2].pixel_sum is None
     # non-ASCII: CHARACTER length (30), not utf-8 byte length (60)
     assert (out[3].width, out[3].height) == (30 % 13 + 1, 30 % 7 + 1)
+
+
+def test_audio_frame_features_known_samples(spark):
+    from redskins_rule_spark.functions.wav import encode_wav
+    from redskins_rule_spark.operators.multimodal import audio_frame_features
+
+    # 5 samples, frame_len=4 -> frames [4 samples, 1 sample]
+    samples = [100, -200, 300, 0, -50]
+    wav = encode_wav(samples, 8000, 1)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in
+            audio_frame_features(df, frame_len=4).collect()}
+    f0, f1 = rows[0], rows[1]
+    assert f0.n_in_frame == 4
+    assert f0.sum_sq == 100**2 + 200**2 + 300**2
+    assert f0.peak == 300
+    # signs: +,-,+,+ (0 counts as >=0): crossings at 0->1, 1->2 = 2
+    assert f0.zero_crossings == 2
+    assert (f1.n_in_frame, f1.sum_sq, f1.peak, f1.zero_crossings) == (1, 2500, 50, 0)
+
+
+def test_audio_frame_features_null_payload_skipped(spark):
+    from redskins_rule_spark.operators.multimodal import audio_frame_features
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    assert audio_frame_features(df).count() == 0

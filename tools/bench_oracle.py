@@ -1,0 +1,55 @@
+"""Time the DuckDB oracle suite at a given SF dir — the yardstick for
+SURVEY's engine-vs-oracle comparison (BASELINE.md publishes no
+reference numbers, so the same-relation DuckDB implementations on the
+same parquet are the operative single-node baseline).
+
+Usage: python tools/bench_oracle.py [sf_dir] [query ...]
+Prints one JSON line: {"total_sec": ..., "queries": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from redskins_rule_spark import workload  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:]) or None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    times: dict[str, float] = {}
+    for name, sql in workload.oracles().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            con.sql(sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            times[name] = -1.0
+            print(f"oracle {name} FAILED: {e}", file=sys.stderr)
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"[t] {name} {times[name]}", file=sys.stderr, flush=True)
+    total = round(sum(v for v in times.values() if v > 0), 3)
+    print(json.dumps({"total_sec": total, "n": len(times),
+                      "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])}))
+
+
+if __name__ == "__main__":
+    main()
