@@ -210,6 +210,12 @@ def pit_join(
     Returns the fact columns plus `payload` and `dim_ts` (as
     `<dim_ts>_effective`) from the matched dim version.
     """
+    clash = (set(payload) | {f"{dim_ts}_effective"}) & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"pit_join: fact columns {sorted(clash)} collide with dim "
+            "payload / effective-ts output names — alias them first"
+        )
     fcols = [c for c in facts.columns]
     tagged_dim = dim.select(
         *by,

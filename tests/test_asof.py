@@ -239,3 +239,18 @@ def test_pit_join_same_ts_dim_versions_latest_wins(spark):
         out = pit_join(facts, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
                        payload=["v"], dim_tiebreak=["event_id"]).collect()
         assert out[0].v == 9.0, perm  # higher event_id version wins
+
+
+def test_pit_join_rejects_colliding_fact_columns(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 1.0)],
+        "user_id int, ts string, event_id int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    facts = dim.select("user_id", "ts", F.lit(2.0).alias("v"))
+    with pytest.raises(ValueError, match="collide"):
+        pit_join(facts, dim, by=["user_id"], fact_ts="ts", dim_ts="ts",
+                 payload=["v"])
