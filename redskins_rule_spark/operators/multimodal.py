@@ -632,3 +632,73 @@ def audio_frame_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_patches(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    patch: int = 8,
+    decode_backend: str = "bmp",
+) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded pixels: tile each
+    image into `patch`×`patch` blocks (partial edge tiles kept) and
+    emit per-tile integer statistics — the patchify stage of a vision
+    training pipeline, minus the learned projection. One output row
+    per (image, tile); tiling happens Python-side on the numpy pixel
+    array, so a 4k image streams as tiles, never as one giant row.
+
+    Integer features (per-channel sums + total) keep the cross-engine
+    contract exact. `decode_backend='bmp'` parses actual BMP bytes
+    (functions/bmp.py); compressed formats route through their own
+    decoders or raise at the decode site, same boundary as
+    decode_image_meta.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("patch_row", T.IntegerType()),
+            T.StructField("patch_col", T.IntegerType()),
+            T.StructField("tile_h", T.IntegerType()),
+            T.StructField("tile_w", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.bmp import decode_bmp
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                if decode_backend != "bmp":
+                    raise NotImplementedError(
+                        "patch extraction beyond BMP needs the matching "
+                        "decoder (PNG: functions/png.py) wired here"
+                    )
+                px = decode_bmp(bytes(b)).astype(np.int64)  # (h, w, 3) RGB
+                h, w = px.shape[:2]
+                for pr in range(0, (h + patch - 1) // patch):
+                    for pc in range(0, (w + patch - 1) // patch):
+                        tile = px[pr * patch:(pr + 1) * patch,
+                                  pc * patch:(pc + 1) * patch]
+                        sums = tile.sum(axis=(0, 1))
+                        out[id_col].append(rid)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["tile_h"].append(tile.shape[0])
+                        out["tile_w"].append(tile.shape[1])
+                        out["sum_r"].append(int(sums[0]))
+                        out["sum_g"].append(int(sums[1]))
+                        out["sum_b"].append(int(sums[2]))
+                        out["pixel_sum"].append(int(sums.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

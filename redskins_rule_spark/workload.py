@@ -525,10 +525,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
+    "q143_image_patches",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(41) + these 9 == exactly the driver's 50-entry window ---
-    "q33_decimal_money",
-    "q01_pricing_summary", "q06_asof_purchase_view",
+    #     head(42) + these 8 == exactly the driver's 50-entry window ---
+    "q33_decimal_money", "q06_asof_purchase_view",
     "q19_ngram_jaccard", "q20_minhash_lsh",
     "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
@@ -5798,3 +5798,66 @@ def q142_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     wav = with_wav_payload(docs, "text", "doc_id")
     return audio_frame_features(wav, "payload", "doc_id", frame_len=64)
+
+
+# ---------------------------------------------------------------------------
+# q143: image patch extraction — the ViT patchify stage over REAL
+# decoded BMP pixels (8×8 tiles, partial edges kept), per-tile
+# integer channel sums. The oracle replays the generator's pixel
+# formula pixel[y,x,c] = (x+y+c+blen) % 256 arithmetically over each
+# tile's index ranges (q23b/q123 pattern).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.multimodal import image_patches  # noqa: E402
+
+
+@query(
+    "q143_image_patches",
+    oracle="""
+    WITH g AS (SELECT doc_id,
+                      octet_length(encode(text)) AS blen,
+                      octet_length(encode(text)) % 31 + 1 AS w,
+                      octet_length(encode(text)) % 17 + 1 AS h
+               FROM documents WHERE text IS NOT NULL),
+    pr AS (SELECT doc_id, blen, w, h,
+                  unnest(generate_series(0, (h + 7) // 8 - 1)) AS patch_row
+           FROM g),
+    pc AS (SELECT pr.*, unnest(generate_series(0, (w + 7) // 8 - 1)) AS patch_col
+           FROM pr),
+    tiles AS (
+      SELECT doc_id, patch_row, patch_col,
+             LEAST(h, (patch_row + 1) * 8) - patch_row * 8 AS tile_h,
+             LEAST(w, (patch_col + 1) * 8) - patch_col * 8 AS tile_w,
+             list_sum(flatten(list_transform(
+               generate_series(patch_row * 8, LEAST(h, (patch_row + 1) * 8) - 1),
+               y -> list_transform(
+                 generate_series(patch_col * 8, LEAST(w, (patch_col + 1) * 8) - 1),
+                 x -> (x + y + blen) % 256)))) AS sum_r,
+             list_sum(flatten(list_transform(
+               generate_series(patch_row * 8, LEAST(h, (patch_row + 1) * 8) - 1),
+               y -> list_transform(
+                 generate_series(patch_col * 8, LEAST(w, (patch_col + 1) * 8) - 1),
+                 x -> (x + y + 1 + blen) % 256)))) AS sum_g,
+             list_sum(flatten(list_transform(
+               generate_series(patch_row * 8, LEAST(h, (patch_row + 1) * 8) - 1),
+               y -> list_transform(
+                 generate_series(patch_col * 8, LEAST(w, (patch_col + 1) * 8) - 1),
+                 x -> (x + y + 2 + blen) % 256)))) AS sum_b
+      FROM pc
+    )
+    SELECT doc_id,
+           CAST(patch_row AS INTEGER) AS patch_row,
+           CAST(patch_col AS INTEGER) AS patch_col,
+           CAST(tile_h AS INTEGER) AS tile_h,
+           CAST(tile_w AS INTEGER) AS tile_w,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(sum_r + sum_g + sum_b AS BIGINT) AS pixel_sum
+    FROM tiles
+    """,
+)
+def q143_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bmp = with_bmp_payload(docs, "text", "doc_id")
+    return image_patches(bmp, "payload", "doc_id", patch=8)

@@ -514,3 +514,28 @@ def test_audio_frame_features_null_payload_skipped(spark):
 
     df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
     assert audio_frame_features(df).count() == 0
+
+
+def test_image_patches_hand_computed(spark):
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import encode_bmp
+    from redskins_rule_spark.operators.multimodal import image_patches
+
+    # 3x3 image, patch=2 -> tiles (2x2, 2x1, 1x2, 1x1)
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)  # pixel[y,x,c]=9y+3x+c
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_bmp(px)))], "doc_id long, payload binary"
+    )
+    got = {(r.patch_row, r.patch_col):
+           (r.tile_h, r.tile_w, r.sum_r, r.sum_g, r.sum_b, r.pixel_sum)
+           for r in image_patches(df, patch=2).collect()}
+    arr = px.astype(int)
+
+    def ref(pr, pc):
+        t = arr[pr*2:(pr+1)*2, pc*2:(pc+1)*2]
+        s = t.sum(axis=(0, 1))
+        return (t.shape[0], t.shape[1], s[0], s[1], s[2], int(s.sum()))
+
+    assert got == {(0, 0): ref(0, 0), (0, 1): ref(0, 1),
+                   (1, 0): ref(1, 0), (1, 1): ref(1, 1)}
