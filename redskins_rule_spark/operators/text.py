@@ -392,3 +392,60 @@ def scrub_pii(col: Column | str) -> Column:
     for kind in ("email", "phone", "ip"):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return c
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term set — the lexical
+    scorer behind es/lucene-style search and retrieval-augmented data
+    mining. Okapi form: score(d) = Σ_t idf(t)·tf/(tf + k1·(1−b+b·|d|/avg)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Plan shape: tokenize once → per-doc length (hash agg) → tf rows
+    filtered to the query terms BEFORE any shuffle (the per-term tf
+    relation is |terms|-bounded per doc); df and the (N, avgdl)
+    scalars ride as broadcast aggregates. Top-k orders by the ROUNDED
+    score with an id tiebreak, so the rank boundary is cross-engine
+    stable. Returns (id, score, n_terms_hit).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = toks.where(F.col("tok").isin(list(terms)))
+    tf = qt.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = idf * F.col("tf") / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(doclen, id_col)
+        .join(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 4).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

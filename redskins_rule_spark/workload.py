@@ -525,10 +525,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
-    "q143_image_patches",
+    "q143_image_patches", "q144_bm25",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(42) + these 8 == exactly the driver's 50-entry window ---
-    "q33_decimal_money", "q06_asof_purchase_view",
+    #     head(43) + these 7 == exactly the driver's 50-entry window ---
+    "q33_decimal_money",
     "q19_ngram_jaccard", "q20_minhash_lsh",
     "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
@@ -5861,3 +5861,49 @@ def q143_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     bmp = with_bmp_payload(docs, "text", "doc_id")
     return image_patches(bmp, "payload", "doc_id", patch=8)
+
+
+# ---------------------------------------------------------------------------
+# q144: BM25 ranked retrieval — the lucene-style lexical scorer over
+# the corpus for a fixed query-term set. tf rows are filtered to the
+# query terms BEFORE any shuffle; df and (N, avgdl) broadcast. Top-10
+# ordered by the ROUNDED score + id so the rank boundary cannot flip
+# on sub-rounding float noise between engines.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import bm25_topk  # noqa: E402
+
+
+@query(
+    "q144_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    sc AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'table', 'window') GROUP BY 1, 2),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           ROUND(SUM(ln((sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.tf
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / sc.avgdl))),
+                 4) AS score,
+           COUNT(*) AS n_terms_hit
+    FROM tf
+    JOIN dfq USING (tok)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN sc
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def q144_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", terms=["spark", "table", "window"], k=10
+    )

@@ -414,3 +414,42 @@ def test_scrub_pii_email_before_ip_ordering(spark):
         [(1, "x a@10.0.0.1.example.com y")], "id int, t string"
     )
     assert df.select(scrub_pii("t").alias("s")).collect()[0].s == "x <EMAIL> y"
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from redskins_rule_spark.operators.text import bm25_topk
+
+    corpus = [
+        (1, "spark table spark window"),
+        (2, "table only here"),
+        (3, "no relevant words at all"),
+        (4, "window window window table spark"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = [(r.doc_id, r.score, r.n_terms_hit) for r in
+           bm25_topk(df, "doc_id", "text",
+                     ["spark", "table", "window"], k=3).collect()]
+
+    toks = {i: re.findall(r"[a-z]+", s.lower()) for i, s in corpus}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    tf = {i: Counter(w for w in ws if w in {"spark", "table", "window"})
+          for i, ws in toks.items()}
+    dfreq = Counter(t for c in tf.values() for t in c)
+    want = []
+    for i in toks:
+        if not tf[i]:
+            continue
+        s = sum(
+            math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            * f / (f + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl))
+            for t, f in tf[i].items()
+        )
+        want.append((i, round(s, 4), len(tf[i])))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert got == want[:3]
