@@ -69,6 +69,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q130_price_histogram": "cross join with the 1-row (min,max) bounds aggregate",
         "q138_triangles": "assembly of three 1-row count aggregates",
         "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
+        "q144_bm25": "cross join with the 1-row (N, avgdl) corpus-statistics aggregate",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
