@@ -212,6 +212,8 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact triangle count of the undirected graph — the standard
     clustering/cohesion signal (and the classic MapReduce-era scale
@@ -226,6 +228,13 @@ def triangle_count(
     vertex producing 10¹² wedges.
 
     Returns one row: n_nodes, n_edges, n_triangles.
+
+    The canonical edge set is consumed by FOUR subplans (degrees, the
+    orientation join, both wedge sides); `materialize=True` (default)
+    localCheckpoints it once so an expensive upstream lineage — e.g.
+    near-dup pair generation — runs once, not four times. Pass
+    `checkpoint_dir` for the executor-loss-durable variant (same
+    contract as connected_components).
     """
     e = (
         edges.select(
@@ -235,6 +244,8 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if materialize:
+        e = _materialize(e, checkpoint_dir)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -525,11 +525,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q134_pii_scrub", "q135_pit_join", "q136_winsorize",
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
-    "q143_image_patches", "q144_bm25",
+    "q143_image_patches", "q144_bm25", "q145_curation_report",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(43) + these 7 == exactly the driver's 50-entry window ---
-    "q33_decimal_money",
-    "q19_ngram_jaccard", "q20_minhash_lsh",
+    #     head(44) + these 6 == exactly the driver's 50-entry window ---
+    "q33_decimal_money", "q20_minhash_lsh",
     "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
 
@@ -5907,3 +5906,70 @@ def q144_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "doc_id", "text", terms=["spark", "table", "window"], k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# q145: the END-TO-END curation pipeline, driver-checked — stage
+# head-counts from pipelines/curation.curate_corpus (length floor →
+# lang allowlist → exact dedup → near-dup keep-best → decontam/final).
+# The oracle recomputes every stage in SQL, including the recursive-
+# CTE near-dup clustering over the exact-dedup SURVIVOR set with the
+# same max_df=64 stop-gram mirror. One hash row pins the whole flow.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.pipelines.curation import (  # noqa: E402
+    CurationConfig,
+    curate_corpus,
+)
+
+
+@query(
+    "q145_curation_report",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (SELECT * FROM documents),
+    s1 AS (SELECT * FROM base WHERE text IS NOT NULL AND length(text) >= 100),
+    s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'fr')),
+    s3ids AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+    s3 AS (SELECT s2.* FROM s2 JOIN s3ids USING (doc_id)),
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM s3),
+    gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+    inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+    keepg AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
+    inv AS (SELECT inv0.* FROM inv0 JOIN keepg USING (gram)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+             FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM cand
+              JOIN sizes sa ON sa.doc_id = cand.id_a
+              JOIN sizes sb ON sb.doc_id = cand.id_b
+              WHERE ninter / (sa.n + sb.n - ninter) >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+    clus AS (SELECT lbl, COUNT(*) AS sz FROM cc GROUP BY lbl),
+    nd AS (SELECT (SELECT COUNT(*) FROM s3)
+                  - COALESCE(SUM(sz - 1), 0) AS n FROM clus)
+    SELECT stage_id, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+      SELECT 1 AS stage_id, 'total' AS stage,
+             (SELECT COUNT(*) FROM base) AS n_docs
+      UNION ALL SELECT 2, 'len_ok', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 3, 'lang_ok', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 5, 'near_dedup', (SELECT n FROM nd)
+      UNION ALL SELECT 6, 'decontaminated', (SELECT n FROM nd)
+      UNION ALL SELECT 7, 'final', (SELECT n FROM nd)
+    )
+    """,
+)
+def q145_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = curate_corpus(docs, CurationConfig())
+    return out["report"]
