@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from redskins_rule_spark.operators.dedup import (
     dedup_by_content,
-    keep_best_per_cluster,
     ngram_jaccard_pairs_exact,
 )
 from redskins_rule_spark.operators.graph import dedup_clusters
@@ -86,13 +85,20 @@ def curate_corpus(
         threshold=cfg.near_dup_threshold,
         max_df=cfg.near_dup_max_df,
     ).select("id_a", "id_b")
-    best = keep_best_per_cluster(
-        stage3.select(F.col(i), F.length(t).alias("_quality")),
-        pairs, i, "_quality",
+    # cluster ONCE: dedup_clusters eagerly materializes the pair
+    # lineage (pointer-jumping checkpoints), so both the keep-best
+    # choice and the loser set must derive from this single frame —
+    # calling keep_best_per_cluster separately would run the whole
+    # near-dup pipeline a second time.
+    cl = dedup_clusters(pairs)
+    labeled = cl.join(
+        stage3.select(F.col(i).alias("id"), F.length(t).alias("_q")), "id"
     )
-    clustered = dedup_clusters(pairs).select(F.col("id").alias(i))
-    losers = clustered.join(
-        best.select(F.col("kept_id").alias(i)), i, "left_anti"
+    kept_best = labeled.groupBy("cluster_id").agg(
+        F.max_by("id", F.struct(F.col("_q"), (-F.col("id")))).alias("kept_id")
+    )
+    losers = cl.select(F.col("id").alias(i)).join(
+        kept_best.select(F.col("kept_id").alias(i)), i, "left_anti"
     )
     stage4 = stage3.join(losers, i, "left_anti")
 

@@ -434,3 +434,51 @@ def test_triangle_count_matches_brute_force(spark, edges):
     assert (row[0].n_nodes, row[0].n_edges, row[0].n_triangles) == (
         len(nodes), len(simple), want,
     ), sorted(simple)
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(corpus_texts=texts, new_texts=texts)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_dedup_precision_and_exact_recall(
+    spark, corpus_texts, new_texts
+):
+    """LSH banding can MISS a near-dup (probabilistic recall — that is
+    the documented contract), but two properties must always hold:
+    every reported match truly meets the Jaccard threshold against the
+    matched corpus doc (precision), and an EXACT duplicate of a corpus
+    doc with a non-empty shingle set is always caught (identical
+    signature collides in every band)."""
+    import re
+
+    from redskins_rule_spark.operators.dedup import incremental_dedup_lsh
+
+    def grams(s):
+        toks = [t for t in re.split(r"\s+", s.strip()) if t]
+        return {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    new_rows = [(100 + i, t) for i, t in enumerate(new_texts)]
+    # plant one guaranteed exact duplicate of corpus doc 0
+    new_rows.append((999, corpus_texts[0]))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {r.new_id: r for r in incremental_dedup_lsh(
+        new, corpus, "doc_id", "text", threshold=0.8, max_postings=None
+    ).collect()}
+
+    all_new = dict(new_rows)
+    corpus_map = dict(enumerate(corpus_texts))
+    for nid, row in out.items():
+        if row.is_dup:
+            ga, gb = grams(all_new[nid]), grams(corpus_map[row.best_match])
+            assert ga and gb
+            jac = len(ga & gb) / len(ga | gb)
+            assert jac >= 0.8 - 1e-9, (nid, row.best_match, jac)
+    if grams(corpus_texts[0]):
+        assert out[999].is_dup and out[999].best_sim == 1.0
