@@ -279,3 +279,66 @@ def triangle_count(
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core: iteratively peel nodes of degree < k until the residual
+    subgraph is stable — the standard graph-density filter (spam/bot
+    subgraph mining, dense-community seeds).
+
+    Each round is one degree aggregate + two semi joins, with lineage
+    cut per round (same `_materialize` contract as
+    connected_components: localCheckpoint by default, reliable
+    `checkpoint_dir` for preemptible fleets). Rounds are bounded by
+    the graph's degeneracy ordering in practice; `max_rounds` makes
+    the result a DETERMINISTIC bounded peel (the shape an oracle can
+    replay by unrolling) — pass None to run to the fixpoint.
+
+    Returns DataFrame[id, degree]: nodes of the residual subgraph with
+    their within-subgraph degrees (all >= k once converged).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = _materialize(e, checkpoint_dir)
+    prev = e.count()
+    rounds = 0
+    while prev > 0:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+        )
+        e2 = _materialize(e2, checkpoint_dir)
+        n = e2.count()
+        e = e2
+        rounds += 1
+        if n == prev or n == 0:
+            break
+        prev = n
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+    return (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -526,10 +526,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
     "q143_image_patches", "q144_bm25", "q145_curation_report",
+    "q146_kcore",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(44) + these 6 == exactly the driver's 50-entry window ---
+    #     head(45) + these 5 == exactly the driver's 50-entry window ---
     "q33_decimal_money", "q20_minhash_lsh",
-    "q85_scd2_build", "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
+    "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
 ]
 
 
@@ -5973,3 +5974,48 @@ def q145_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = curate_corpus(docs, CurationConfig())
     return out["report"]
+
+
+# ---------------------------------------------------------------------------
+# q146: k-core of the part–supplier bipartite graph (k=30, bounded to
+# 3 peel rounds — which this graph converges within, so the bounded
+# peel IS the true core; the bound is what makes the oracle an exact
+# 3-round unroll). Each engine round: one degree agg + two semi
+# joins, lineage cut per round.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.graph import kcore  # noqa: E402
+
+
+@query(
+    "q146_kcore",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT l_partkey AS a, 1000000000 + l_suppkey AS b
+                FROM lineitem),
+    d1 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e0 UNION ALL
+                                      SELECT b FROM e0) GROUP BY v),
+    k1 AS (SELECT v FROM d1 WHERE c >= 30),
+    e1 AS (SELECT e0.* FROM e0 JOIN k1 ka ON e0.a = ka.v
+                               JOIN k1 kb ON e0.b = kb.v),
+    d2 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e1 UNION ALL
+                                      SELECT b FROM e1) GROUP BY v),
+    k2 AS (SELECT v FROM d2 WHERE c >= 30),
+    e2 AS (SELECT e1.* FROM e1 JOIN k2 ka ON e1.a = ka.v
+                               JOIN k2 kb ON e1.b = kb.v),
+    d3 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e2 UNION ALL
+                                      SELECT b FROM e2) GROUP BY v),
+    k3 AS (SELECT v FROM d3 WHERE c >= 30),
+    e3 AS (SELECT e2.* FROM e2 JOIN k3 ka ON e2.a = ka.v
+                               JOIN k3 kb ON e2.b = kb.v)
+    SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+    GROUP BY v
+    """,
+)
+def q146_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return kcore(edges, k=30, max_rounds=3)

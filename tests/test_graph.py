@@ -206,3 +206,59 @@ def test_triangle_count_hub_star_has_none(spark):
     )
     row = triangle_count(edges).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (30, 29, 0)
+
+
+# --- k-core ----------------------------------------------------------------
+
+def test_kcore_triangle_with_pendant(spark):
+    from redskins_rule_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = {r.id: r.degree for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled, triangle survives
+
+
+def test_kcore_path_peels_to_empty(spark):
+    from redskins_rule_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    assert kcore(path, k=2).count() == 0
+    # bounded peel stops early: after ONE round only the end nodes are
+    # gone (1 and 6), leaving the inner path 2-3-4-5
+    bounded = {r.id for r in kcore(path, k=2, max_rounds=1).collect()}
+    assert bounded == {2, 3, 4, 5}
+
+
+def test_kcore_matches_python_reference_random(spark):
+    import random
+
+    from redskins_rule_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    edges = {tuple(sorted((rng.randint(0, 14), rng.randint(0, 14))))
+             for _ in range(40)}
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def ref_kcore(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            nes = {(a, b) for a, b in es if a in keep and b in keep}
+            if nes == es:
+                return deg if es else {}
+            es = nes
+
+    for k in (2, 3, 4):
+        want = ref_kcore(edges, k)
+        want = {v: d for v, d in want.items()} if want else {}
+        df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        got = {r.id: r.degree for r in kcore(df, k=k).collect()}
+        assert got == want, k
