@@ -672,18 +672,27 @@ def image_patches(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from redskins_rule_spark.functions.bmp import decode_bmp
+        from redskins_rule_spark.functions.png import decode_png
 
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in out_schema.fields}
             for rid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                if decode_backend != "bmp":
-                    raise NotImplementedError(
-                        "patch extraction beyond BMP needs the matching "
-                        "decoder (PNG: functions/png.py) wired here"
+                if decode_backend == "bmp":
+                    px = decode_bmp(bytes(b)).astype(np.int64)  # (h, w, 3) RGB
+                elif decode_backend == "png":
+                    meta, pixels = decode_png(bytes(b))
+                    px = (
+                        np.frombuffer(pixels, dtype=np.uint8)
+                        .reshape(meta.height, meta.width, meta.channels)
+                        .astype(np.int64)
                     )
-                px = decode_bmp(bytes(b)).astype(np.int64)  # (h, w, 3) RGB
+                else:
+                    raise NotImplementedError(
+                        "patch extraction beyond BMP/PNG needs the matching "
+                        "decoder (JPEG etc. require external codecs)"
+                    )
                 h, w = px.shape[:2]
                 for pr in range(0, (h + patch - 1) // patch):
                     for pc in range(0, (w + patch - 1) // patch):

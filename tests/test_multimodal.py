@@ -539,3 +539,26 @@ def test_image_patches_hand_computed(spark):
 
     assert got == {(0, 0): ref(0, 0), (0, 1): ref(0, 1),
                    (1, 0): ref(1, 0), (1, 1): ref(1, 1)}
+
+
+def test_image_patches_png_backend_matches_bmp(spark):
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import encode_bmp
+    from redskins_rule_spark.functions.png import encode_png
+    from redskins_rule_spark.operators.multimodal import image_patches
+
+    px = np.arange(5 * 6 * 3, dtype=np.uint8).reshape(5, 6, 3)
+    bmp_df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px)))], "doc_id long, payload binary"
+    )
+    png_df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px.tobytes(), 6, 5)))],
+        "doc_id long, payload binary",
+    )
+    via_bmp = {(r.patch_row, r.patch_col): (r.sum_r, r.sum_g, r.sum_b)
+               for r in image_patches(bmp_df, patch=4).collect()}
+    via_png = {(r.patch_row, r.patch_col): (r.sum_r, r.sum_g, r.sum_b)
+               for r in image_patches(png_df, patch=4,
+                                      decode_backend="png").collect()}
+    assert via_bmp == via_png and len(via_bmp) == 4
