@@ -449,3 +449,54 @@ def stateful_pit_enrich(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def run_incremental_view(
+    stream_df: DataFrame,
+    build_delta,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    view_name: str,
+    count_col: str = "n",
+) -> None:
+    """The "silver table" maintenance loop: drive
+    `merge.incremental_agg_update` from a stream via foreachBatch —
+    each micro-batch becomes a signed change set folded into the keyed
+    aggregate view, touching |view| + |batch| rows per trigger instead
+    of rescanning history (the streaming face of workload q91).
+
+    build_delta : batch DataFrame -> signed delta frame
+                  (keys + sum_cols + count_col); inserts contribute
+                  (+value, +1) — the caller encodes deletes/updates.
+    The maintained view lives in a session-scoped temp view
+    `view_name` (a real deployment writes a table / upserts a sink;
+    the fold itself is sink-agnostic). Runs with Trigger.AvailableNow
+    and blocks until the backlog drains — call again to fold new
+    files, checkpoint-resumable.
+    """
+    from redskins_rule_spark.operators.merge import incremental_agg_update
+
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = build_delta(batch_df)
+        try:
+            base = spark.table(view_name)
+        except Exception:  # first batch: empty view with the delta's schema
+            base = delta.limit(0)
+        updated = incremental_agg_update(
+            base, delta, keys, sum_cols, count_col=count_col
+        )
+        # materialize BEFORE replacing the view the plan reads from
+        spark.createDataFrame(
+            updated.collect(), schema=updated.schema
+        ).createOrReplaceTempView(view_name)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -482,3 +482,38 @@ def test_incremental_dedup_precision_and_exact_recall(
             assert jac >= 0.8 - 1e-9, (nid, row.best_match, jac)
     if grams(corpus_texts[0]):
         assert out[999].is_dup and out[999].best_sim == 1.0
+
+
+@given(days=st.lists(day, min_size=1, max_size=20))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_islands_matches_python_fold(spark, days):
+    """islands == a sequential fold over the sorted distinct days for
+    ANY day multiset (duplicates collapse; runs split on gaps > 1)."""
+    from redskins_rule_spark.operators.analytic import islands
+
+    rows = [(1, (EPOCH + dt.timedelta(days=d)).isoformat()) for d in days]
+    df = spark.createDataFrame(rows, "user_id int, d string")
+    got = sorted(
+        (str(r.island_start), str(r.island_end), r.island_days)
+        for r in islands(df, ["user_id"], "d").collect()
+    )
+
+    uniq = sorted(set(days))
+    runs, start, prev = [], uniq[0], uniq[0]
+    for d in uniq[1:]:
+        if d == prev + 1:
+            prev = d
+            continue
+        runs.append((start, prev))
+        start = prev = d
+    runs.append((start, prev))
+    want = sorted(
+        (
+            (EPOCH + dt.timedelta(days=a)).isoformat(),
+            (EPOCH + dt.timedelta(days=b)).isoformat(),
+            b - a + 1,
+        )
+        for a, b in runs
+    )
+    assert got == want, days

@@ -353,3 +353,42 @@ def test_stateful_pit_enrich_version_cap(spark, tmp_path):
     import shutil
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_run_incremental_view_folds_batches(spark, tmp_path):
+    """foreachBatch incremental-view runner: after draining two
+    landing waves, the maintained view equals a full recompute over
+    everything landed (the q91 invariant, stream-driven)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import run_incremental_view
+
+    land = str(tmp_path / "mv_landing")
+    ckpt = str(tmp_path / "mv_ckpt")
+    view = f"mv_{uuid.uuid4().hex[:8]}"
+    schema = "k long, v double"
+
+    def build_delta(batch_df):
+        return batch_df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    wave1 = [(1, 10.0), (1, 5.0), (2, 7.0)]
+    wave2 = [(1, 1.0), (3, 2.0)]
+    spark.createDataFrame(wave1, schema).write.mode("append").parquet(land)
+    stream = stream_from_files(spark, land, schema)
+    run_incremental_view(stream, build_delta, ["k"], ["total"], ckpt, view)
+    got1 = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
+    assert got1 == {1: (15.0, 2), 2: (7.0, 1)}
+
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(land)
+    stream = stream_from_files(spark, land, schema)
+    run_incremental_view(stream, build_delta, ["k"], ["total"], ckpt, view)
+    got2 = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
+    assert got2 == {1: (16.0, 3), 2: (7.0, 1), 3: (2.0, 1)}
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)
