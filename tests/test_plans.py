@@ -267,3 +267,38 @@ def test_incremental_view_is_partial_aggregated(spark):
     # HashAggregate layers), not ship raw contributions
     plan = _plan(spark, "q91_incremental_view")
     assert plan.count("HashAggregate") >= 2
+
+
+# --- round-4 continuation plan pins -----------------------------------------
+
+def test_pit_join_single_user_shuffle_no_pair_join(spark):
+    # union + window PIT join: no join node pairing facts×dim at all —
+    # the whole lookup rides one Window over the user_id partition
+    plan = _plan(spark, "q135_pit_join")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_topk_is_take_ordered(spark):
+    # z-value + global top-100: distributed heap, never a global sort
+    plan = _plan(spark, "q137_zorder_key")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global Sort node anywhere
+
+
+def test_bm25_broadcasts_corpus_stats(spark):
+    plan = _plan(spark, "q144_bm25")
+    assert "BroadcastHashJoin" in plan       # df / doclen joins
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_cartesian_no_bnlj(spark):
+    plan = _plan(spark, "q140_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_vocab_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q128_oov_rate")
+    assert "TakeOrderedAndProject" in plan
