@@ -449,3 +449,80 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def block_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document EXACT passage dedup with removal — the
+    CCNet/C4-style defense against boilerplate repeated across a
+    crawl: split each document into consecutive `block_tokens`-token
+    blocks, keep each distinct block's GLOBAL first occurrence
+    (ordered by (doc id, block index) — deterministic, not
+    arrival-order), drop every later copy, and re-assemble the
+    surviving text per document.
+
+    Plan: one explode to (doc, idx, block) → one window partitioned by
+    the BLOCK CONTENT (key grain = distinct blocks; a boilerplate
+    block's partition is its occurrence list — the sort is per block,
+    never global) → per-doc ordered re-assembly via array_sort of
+    collected (idx, block) structs, no second window. Returns
+    (id, n_blocks, n_kept, kept_text); docs whose every block is a
+    later duplicate come back with empty kept_text.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    nblk = F.ceil(F.size("_tk") / F.lit(block_tokens)).cast("int")
+    blocks = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nblk - 1),
+                    lambda i: F.struct(
+                        i.alias("idx"),
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("_tk"),
+                                i * block_tokens + 1,
+                                block_tokens,
+                            ),
+                        ).alias("blk"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.idx").alias("idx"), F.col("b.blk").alias("blk"))
+    )
+    w = Window.partitionBy("blk").orderBy(id_col, "idx")
+    marked = blocks.withColumn("_rn", F.row_number().over(w))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("_rn") == 1).cast("int")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("idx", "blk"),
+                            )
+                        )
+                    ),
+                    lambda x: x["blk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )

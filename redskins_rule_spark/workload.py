@@ -526,11 +526,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q137_zorder_key", "q138_triangles", "q139_budget_mix",
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
     "q143_image_patches", "q144_bm25", "q145_curation_report",
-    "q146_kcore",
+    "q146_kcore", "q147_block_dedup",
     # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(45) + these 5 == exactly the driver's 50-entry window ---
+    #     head(46) + these 4 == exactly the driver's 50-entry window ---
     "q33_decimal_money", "q20_minhash_lsh",
-    "q97_pq_ann", "q98_gif_meta", "q99_gif_frames",
+    "q97_pq_ann", "q99_gif_frames",
 ]
 
 
@@ -6019,3 +6019,47 @@ def q146_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
     )
     return kcore(edges, k=30, max_rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# q147: cross-document block dedup WITH REMOVAL — distinct 8-token
+# blocks keep their global first occurrence (by doc id, block idx),
+# later copies are dropped and each doc's surviving text re-assembled.
+# The window partitions by BLOCK CONTENT (per-block occurrence lists,
+# never a global sort); re-assembly is one array_sort per doc.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import block_dedup  # noqa: E402
+
+
+@query(
+    "q147_block_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+    blocks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ') AS blk
+      FROM nz, unnest(generate_series(0,
+             CAST(ceil(len(tk) / 8.0) AS INTEGER) - 1)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, idx, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' '
+                               ORDER BY idx), '') AS kept_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q147_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return block_dedup(docs, "doc_id", "text", block_tokens=8)

@@ -453,3 +453,35 @@ def test_bm25_topk_matches_python_reference(spark):
         want.append((i, round(s, 4), len(tf[i])))
     want.sort(key=lambda t: (-t[1], t[0]))
     assert got == want[:3]
+
+
+def test_block_dedup_first_occurrence_wins(spark):
+    from redskins_rule_spark.operators.text import block_dedup
+
+    blk_a = "a b c d"          # 4-token block (block_tokens=4)
+    blk_b = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk_a} {blk_b}"),       # both blocks first here
+            (2, f"{blk_b} x y z w"),       # blk_b dup -> dropped; new block kept
+            (3, blk_a),                    # entire doc is a dup -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocks, r.n_kept, r.kept_text)
+           for r in block_dedup(docs, "doc_id", "text", block_tokens=4).collect()}
+    assert out == {
+        1: (2, 2, f"{blk_a} {blk_b}"),
+        2: (2, 1, "x y z w"),
+        3: (1, 0, ""),
+    }
+
+
+def test_block_dedup_within_doc_repeat_also_dropped(spark):
+    from redskins_rule_spark.operators.text import block_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s p q r s")], "doc_id long, text string"
+    )
+    out = block_dedup(docs, "doc_id", "text", block_tokens=4).collect()[0]
+    assert (out.n_blocks, out.n_kept, out.kept_text) == (2, 1, "p q r s")
