@@ -481,3 +481,52 @@ def pq_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Batched similarity serving: top-k corpus neighbors for EVERY
+    query vector in one pass — the online-retrieval shape (a request
+    batch against the corpus), vs `cosine_topk`'s single literal
+    vector.
+
+    The query batch broadcasts (it is bounded by construction — a
+    serving batch, not a second corpus) and ONE corpus scan computes
+    all |corpus|×|batch| similarities row-locally; per-query top-k
+    rides `topk_per_group` with a (sim, id) tiebreak. For corpus-scale
+    query sets use `cosine_pairs_blocked` (blocked matmul) or the IVF
+    path instead — this operator's contract is |batch| ≪ |corpus|.
+
+    Returns (query_id, id, sim) with exactly k rows per query
+    (fewer if the corpus is smaller).
+    """
+    from redskins_rule_spark.operators.analytic import topk_per_group
+
+    qv = query_vec_col or vec_col
+    q = queries.select(
+        F.col(query_id_col), F.col(qv).alias("_qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), round_dp).alias("sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k=k,
+        method="row_number",
+    )

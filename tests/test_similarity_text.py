@@ -485,3 +485,33 @@ def test_block_dedup_within_doc_repeat_also_dropped(spark):
     )
     out = block_dedup(docs, "doc_id", "text", block_tokens=4).collect()[0]
     assert (out.n_blocks, out.n_kept, out.kept_text) == (2, 1, "p q r s")
+
+
+def test_cosine_topk_batch_matches_per_query_brute_force(spark):
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import cosine_topk_batch
+
+    rng = np.random.default_rng(5)
+    corpus_vecs = rng.normal(size=(30, 8))
+    query_vecs = rng.normal(size=(3, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+        "query_id long, embedding array<double>",
+    )
+    got = {}
+    for r in cosine_topk_batch(corpus, queries, "vec_id", "embedding",
+                               k=5).collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qi, qv in enumerate(query_vecs):
+        sims = [(round(cos(qv, cv), 4), i) for i, cv in enumerate(corpus_vecs)]
+        want = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        assert got[100 + qi] == want, qi
