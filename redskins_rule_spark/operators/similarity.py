@@ -530,3 +530,68 @@ def cosine_topk_batch(
         k=k,
         method="row_number",
     )
+
+
+def ivf_topk_batch(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    k: int = 10,
+    nprobe: int = 2,
+    cell_col: str | None = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-pruned BATCH serving: every query probes only its `nprobe`
+    nearest cells, so the batch join touches Σ_q (probed cells' rows)
+    instead of |corpus|×|batch| — the scale path `cosine_topk_batch`
+    trades away.
+
+    Probe assignment is row-local on the (broadcast) query batch using
+    the same literal-centroid expression as the corpus side; the
+    corpus joins on the EQUI cell key (partition-pruned when the table
+    is written partitioned by cell), then exact cosine + per-query
+    top-k. Probing all cells reproduces the exact result — the same
+    losslessness contract the single-query ivf_topk pins.
+    """
+    from redskins_rule_spark.operators.analytic import topk_per_group
+
+    qv = query_vec_col or vec_col
+    ncell = len(centroids)
+    nprobe = min(nprobe, ncell)
+    sims = F.array(*[
+        F.struct(
+            F.round(
+                cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in c])), 6
+            ).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    probes = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    q = (
+        queries.select(F.col(query_id_col), F.col(qv).alias("_qv"))
+        .withColumn("cell", F.explode(F.transform(probes, lambda x: x["i"])))
+    )
+    if cell_col is None:
+        corpus = assign_ivf_cells(corpus, centroids, vec_col, out="cell")
+        cell_col = "cell"
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell"))
+        .join(F.broadcast(q), "cell")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), round_dp).alias("sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k=k,
+        method="row_number",
+    )

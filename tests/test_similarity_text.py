@@ -515,3 +515,33 @@ def test_cosine_topk_batch_matches_per_query_brute_force(spark):
         sims = [(round(cos(qv, cv), 4), i) for i, cv in enumerate(corpus_vecs)]
         want = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
         assert got[100 + qi] == want, qi
+
+
+def test_ivf_topk_batch_full_probe_equals_exact_batch(spark):
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_topk_batch,
+        train_ivf_centroids,
+    )
+    from redskins_rule_spark.sources.io import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    rng = np.random.default_rng(3)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64)]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk_batch(
+        emb, queries, "vec_id", "embedding", k=5).collect()}
+    # probing ALL cells must equal the exact batch result
+    full = {(r.query_id, r.vec_id) for r in ivf_topk_batch(
+        emb, cents, queries, "vec_id", "embedding", k=5, nprobe=4).collect()}
+    assert full == exact
+    # pruned probe returns k rows per query from the probed cells only
+    pruned = ivf_topk_batch(
+        emb, cents, queries, "vec_id", "embedding", k=5, nprobe=1
+    ).groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in pruned)
