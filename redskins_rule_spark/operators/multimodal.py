@@ -195,9 +195,31 @@ def resize_images(
                     else None
                     for b in pdf[payload_col]
                 ]
+            elif decode_backend == "png":
+                import numpy as np
+
+                from redskins_rule_spark.functions.bmp import resize_nearest
+                from redskins_rule_spark.functions.png import (
+                    decode_png,
+                    encode_png,
+                )
+
+                def _resize_png(b):
+                    meta, pixels = decode_png(bytes(b))
+                    px = (
+                        np.frombuffer(pixels, dtype=np.uint8)
+                        .reshape(meta.height, meta.width, meta.channels)
+                    )
+                    small = resize_nearest(px, tw, th)
+                    return encode_png(small.tobytes(), tw, th)
+
+                payloads = [
+                    _resize_png(b) if b is not None else None
+                    for b in pdf[payload_col]
+                ]
             else:
                 raise NotImplementedError(
-                    "resize for codecs beyond BMP needs a codec library"
+                    "resize for codecs beyond BMP/PNG needs a codec library"
                 )
             out = pd.DataFrame(
                 {
