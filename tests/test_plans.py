@@ -302,3 +302,31 @@ def test_incremental_dedup_no_cartesian_no_bnlj(spark):
 def test_oov_vocab_topk_is_take_ordered(spark):
     plan = _plan(spark, "q128_oov_rate")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_cell_partitioned_write_prunes_scan(spark, tmp_path):
+    """The IVF '100 TB path' claim, verified: write the corpus
+    partitioned by cell, filter to probed cells, and the scan's
+    partition filters prune non-probed directories."""
+    from redskins_rule_spark.operators.similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+    )
+    from redskins_rule_spark.sources.io import table
+
+    emb = table(spark, SF, "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    out = str(tmp_path / "ivf_parts")
+    assign_ivf_cells(emb, cents, "embedding").write.partitionBy(
+        "cell"
+    ).parquet(out)
+
+    pruned = spark.read.parquet(out).where("cell IN (0, 1)")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # only the probed cells' rows are read
+    cells = {r.cell for r in pruned.select("cell").distinct().collect()}
+    assert cells <= {0, 1}
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
