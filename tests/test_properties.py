@@ -517,3 +517,34 @@ def test_islands_matches_python_fold(spark, days):
         for a, b in runs
     )
     assert got == want, days
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_block_dedup_matches_python_fold(spark, docs):
+    """block_dedup == sequential first-occurrence fold over
+    (doc_id, block_idx) order for ANY token layout (2-token blocks so
+    collisions are common)."""
+    from redskins_rule_spark.operators.text import block_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_blocks, r.n_kept, r.kept_text)
+           for r in block_dedup(df, "doc_id", "text", block_tokens=2).collect()}
+
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        blocks = [" ".join(toks[j:j + 2]) for j in range(0, len(toks), 2)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        assert got[i] == (len(blocks), len(kept), " ".join(kept)), (i, docs)
