@@ -189,3 +189,78 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias(count_col))
         .where(F.col(count_col) >= F.lit(min_count))
     )
+
+
+# --- mergeable KMV states ---------------------------------------------------
+#
+# The persistable face of kmv_distinct: the sketch (the k smallest
+# value hashes) is itself a column you can store per partition/day/
+# source and MERGE later — distributed incremental analytics without
+# re-reading history. Merging is lossless: the merged sketch equals
+# the sketch of the concatenated data (min-k is a semilattice), so
+# per-shard states + one merge == one global pass. Set-operation
+# estimates (union/intersection/Jaccard) come straight off two states
+# row-locally — the theta-sketch trick with the KMV estimator.
+
+
+def kmv_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    modulus: int = MERSENNE_31,
+    out_col: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV state: sorted array of the k smallest distinct
+    value hashes (the same pipeline as kmv_distinct, exposing the
+    sketch instead of the estimate). Store it; merge it later."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = list(group_cols)
+    roll = rolling_hash(F.col(value_col).cast("string"), modulus=modulus)
+    h = (F.lit(_SCRAMBLE_A) * roll + F.lit(_SCRAMBLE_B)) % modulus
+    distinct = (
+        df.select(*groups, h.alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    mins = F.slice(F.sort_array(F.collect_list("__h")), 1, k)
+    return distinct.groupBy(*groups).agg(mins.alias(out_col))
+
+
+def kmv_merge(a: Column, b: Column, k: int) -> Column:
+    """Row-local merge of two KMV states (k smallest of the union —
+    associative, commutative, idempotent)."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_estimate(state: Column, k: int, modulus: int = MERSENNE_31) -> Column:
+    """Distinct-count estimate from a state array (exact below k)."""
+    n = F.size(state)
+    hk = F.element_at(state, k).cast("double")
+    return F.when(n < k, n.cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(float(modulus)) / hk).cast("long")
+    )
+
+
+def kmv_set_estimates(
+    a: Column, b: Column, k: int, modulus: int = MERSENNE_31
+) -> dict[str, Column]:
+    """Union / intersection / Jaccard estimates from TWO states,
+    entirely row-local: the merged sketch estimates the union; the
+    fraction of merged entries present in BOTH input sketches
+    estimates Jaccard; intersection = Jaccard × union."""
+    merged = kmv_merge(a, b, k)
+    union_est = kmv_estimate(merged, k, modulus)
+    in_both = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(a, x) & F.array_contains(b, x),
+        )
+    )
+    jacc = in_both / F.greatest(F.size(merged), F.lit(1))
+    return {
+        "union_est": union_est,
+        "jaccard_est": F.round(jacc, 4),
+        "intersection_est": F.round(jacc * union_est, 1).cast("double"),
+    }

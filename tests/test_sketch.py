@@ -111,3 +111,77 @@ def test_heavy_hitters_excludes_null_items_by_contract(spark):
     got = {r["item"]: r["item_count"] for r in heavy_hitters(df, "item", 0.3).collect()}
     # threshold is over the 50 non-null rows; NULL never appears
     assert got == {"x": 50}
+
+
+# --- mergeable KMV states ---------------------------------------------------
+
+def test_kmv_state_merge_is_lossless(spark):
+    """Per-shard states merged == the state over all data (min-k is a
+    semilattice), so the merged ESTIMATE equals the one-pass estimate."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+
+    rows = [(i % 3, f"v{i % 137}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard int, v string")
+    k = 32
+
+    # global one-pass estimate, ignoring shards
+    direct = kmv_distinct(
+        df.select(F.lit(1).alias("g"), "v"), ["g"], "v", k=k
+    ).collect()[0]
+
+    # per-shard states merged row-locally, then estimated
+    states = kmv_state(df, ["shard"], "v", k=k).collect()
+    merged = None
+    import builtins
+
+    for r in states:
+        s = list(r.kmv)
+        merged = s if merged is None else builtins.sorted(set(merged) | set(s))[:k]
+    mdf = spark.createDataFrame([(merged,)], "st array<bigint>")
+    est = mdf.select(
+        kmv_estimate(F.col("st"), k).alias("e")
+    ).collect()[0].e
+    assert est == direct.approx_distinct
+
+    # merge operator itself: pairwise kmv_merge == python min-k merge
+    if len(states) >= 2:
+        a, b = states[0].kmv, states[1].kmv
+        got = spark.createDataFrame([(a, b)], "a array<bigint>, b array<bigint>").select(
+            kmv_merge(F.col("a"), F.col("b"), k).alias("m")
+        ).collect()[0].m
+        assert list(got) == builtins.sorted(set(a) | set(b))[:k]
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    """Union/Jaccard/intersection estimates from two states land near
+    truth (deterministic given the hash family — exact tolerance)."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import kmv_set_estimates, kmv_state
+
+    # A = 0..599, B = 300..899 -> union 900, inter 300, jaccard 1/3
+    rows = [("a", f"x{i}") for i in range(600)] + [
+        ("b", f"x{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "s string, v string")
+    k = 128
+    st = {r.s: r.kmv for r in kmv_state(df, ["s"], "v", k=k).collect()}
+    pair = spark.createDataFrame(
+        [(st["a"], st["b"])], "a array<bigint>, b array<bigint>"
+    )
+    ests = kmv_set_estimates(F.col("a"), F.col("b"), k)
+    row = pair.select(
+        ests["union_est"].alias("u"),
+        ests["jaccard_est"].alias("j"),
+        ests["intersection_est"].alias("i"),
+    ).collect()[0]
+    assert abs(row.u - 900) / 900 < 0.25
+    assert abs(row.j - 1 / 3) < 0.15
+    assert abs(row.i - 300) / 300 < 0.4
