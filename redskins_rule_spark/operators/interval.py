@@ -124,3 +124,54 @@ def interval_join(
     return joined.where(overlap & (F.col("__bucket") == first_shared)).drop(
         "__bucket", f"__s{sa}", f"__e{sa}", f"__s{sb}", f"__e{sb}"
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    partition_by: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Union of overlapping/adjacent intervals per key — coverage
+    analytics (total on-air time, sensor uptime, span dedup): merge
+    [s,e] intervals that overlap or touch into maximal runs.
+
+    The classic one-window trick: sort per key by (start, *tiebreak);
+    a NEW run starts where start > running-max(end) of all PRIOR
+    intervals; the run id is a running sum of those flags; one hash
+    agg per run finishes it. One per-key window + one agg — no
+    self-join, no explode to points (which would blow an interval of
+    a year into 3·10⁷ second-rows).
+
+    Returns (*partition_by, merged_start, merged_end, n_source,
+    covered) where covered = merged_end − merged_start (caller's units
+    — pass numeric or epoch-cast columns).
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col), F.col(end_col)
+    order = [s, *[F.col(c) for c in (tiebreak or [])]]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prior_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new_run",
+        F.when(prior_max_end.isNull() | (s > prior_max_end), 1).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(*partition_by, "_run")
+        .agg(
+            F.min(s).alias("merged_start"),
+            F.max(e).alias("merged_end"),
+            F.count(F.lit(1)).alias("n_source"),
+        )
+        .withColumn("covered", F.col("merged_end") - F.col("merged_start"))
+        .drop("_run")
+    )

@@ -122,3 +122,71 @@ def test_plan_is_equi_join_not_bnlj(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- interval union (coverage) ----------------------------------------------
+
+def test_merge_intervals_basic(spark):
+    from redskins_rule_spark.operators.interval import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 12), (1, 12, 15),  # overlap + touching -> one run
+            (1, 20, 25),                          # gap -> new run
+            (2, 3, 4),
+        ],
+        "k int, s long, e long",
+    )
+    out = {(r.k, r.merged_start): (r.merged_end, r.n_source, r.covered)
+           for r in merge_intervals(df, ["k"], "s", "e").collect()}
+    assert out == {
+        (1, 0): (15, 3, 15),
+        (1, 20): (25, 1, 5),
+        (2, 3): (4, 1, 1),
+    }
+
+
+def test_merge_intervals_contained_and_duplicate(spark):
+    from redskins_rule_spark.operators.interval import merge_intervals
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (1, 10, 20), (1, 0, 100), (1, 100, 101)],
+        "k int, s long, e long",
+    )
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.merged_start, r.merged_end, r.n_source, r.covered) == (0, 101, 4, 101)
+
+
+def test_merge_intervals_matches_python_fold_random(spark):
+    import random
+
+    from redskins_rule_spark.operators.interval import merge_intervals
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(60):
+        s = rng.randint(0, 50)
+        rows.append((rng.randint(1, 3), s, s + rng.randint(0, 10)))
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = sorted(
+        (r.k, r.merged_start, r.merged_end)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+
+    want = []
+    bykey: dict = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s > ce:
+                want.append((k, cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        want.append((k, cs, ce))
+    assert got == sorted(want)
