@@ -186,3 +186,77 @@ def incremental_agg_update(
         F.sum(count_col).alias(count_col)
     ]
     return unioned.groupBy(*keys).agg(*aggs).where(F.col(count_col) > 0)
+
+
+def incremental_minmax_update(
+    base_view: DataFrame,
+    changes: DataFrame,
+    facts: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """The recompute path `incremental_agg_update`'s docstring points
+    at: maintain per-key MIN/MAX under inserts AND deletes by
+    recomputing ONLY the groups that need it.
+
+    base_view : keys + min_v + max_v (current view).
+    changes   : keys + value_col + op_col ('insert' | 'delete').
+    facts     : the post-change fact table (source of truth for the
+                targeted recompute).
+
+    Insert-only groups fold monotonically (min/max against the
+    incoming values — no recompute, |changes|-sized work). A DELETE
+    only forces a recompute when it removes the CURRENT extremum —
+    deleting an interior value cannot move min/max. The recompute is a
+    semi-join of facts against just the affected keys: at 100 TB you
+    rescan the hot groups' rows, never the table.
+
+    Returns the refreshed keys + min_v + max_v (groups with no
+    remaining facts disappear).
+    """
+    ks = list(keys)
+    ins = (
+        changes.where(F.col(op_col) == "insert")
+        .groupBy(*ks)
+        .agg(
+            F.min(value_col).alias("_ins_min"),
+            F.max(value_col).alias("_ins_max"),
+        )
+    )
+    # deletes that touch the current extremum -> recompute that group
+    dels = changes.where(F.col(op_col) == "delete").select(*ks, value_col)
+    hit = (
+        dels.join(base_view, ks)
+        .where(
+            (F.col(value_col) <= F.col("min_v"))
+            | (F.col(value_col) >= F.col("max_v"))
+        )
+        .select(*ks)
+        .distinct()
+    )
+    recomputed = (
+        facts.join(hit, ks, "left_semi")
+        .groupBy(*ks)
+        .agg(F.min(value_col).alias("min_v"), F.max(value_col).alias("max_v"))
+    )
+    # untouched-by-recompute groups: fold inserts monotonically
+    folded = (
+        base_view.join(hit, ks, "left_anti")
+        .join(ins, ks, "left")
+        .select(
+            *ks,
+            F.least(F.col("min_v"), F.coalesce("_ins_min", F.col("min_v"))).alias("min_v"),
+            F.greatest(F.col("max_v"), F.coalesce("_ins_max", F.col("max_v"))).alias("max_v"),
+        )
+    )
+    # brand-new groups (inserts for keys absent from the view)
+    fresh = (
+        ins.join(base_view, ks, "left_anti")
+        .select(
+            *ks,
+            F.col("_ins_min").alias("min_v"),
+            F.col("_ins_max").alias("max_v"),
+        )
+    )
+    return folded.unionByName(recomputed).unionByName(fresh)

@@ -172,3 +172,74 @@ def test_incremental_agg_update_validates_schema(spark):
     base = spark.createDataFrame([(1, 1.0)], "k long, total double")
     with _pytest.raises(ValueError, match="missing columns"):
         incremental_agg_update(base, base, ["k"], ["total"], "n")
+
+
+# --- incremental MIN/MAX with targeted recompute ----------------------------
+
+def _minmax_view(spark, rows):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame(rows, "k int, v long")
+        .groupBy("k")
+        .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+    )
+
+
+def test_incremental_minmax_insert_only_folds(spark):
+    from redskins_rule_spark.operators.merge import incremental_minmax_update
+
+    base_rows = [(1, 10), (1, 20), (2, 5)]
+    base = _minmax_view(spark, base_rows)
+    changes = spark.createDataFrame(
+        [(1, 3, "insert"), (2, 9, "insert"), (3, 7, "insert")],
+        "k int, v long, op string",
+    )
+    facts = spark.createDataFrame(
+        base_rows + [(1, 3), (2, 9), (3, 7)], "k int, v long"
+    )
+    out = {r.k: (r.min_v, r.max_v) for r in incremental_minmax_update(
+        base, changes, facts, ["k"], "v").collect()}
+    assert out == {1: (3, 20), 2: (5, 9), 3: (7, 7)}
+
+
+def test_incremental_minmax_delete_of_extremum_recomputes(spark):
+    from redskins_rule_spark.operators.merge import incremental_minmax_update
+
+    base_rows = [(1, 10), (1, 20), (1, 15)]
+    base = _minmax_view(spark, base_rows)
+    changes = spark.createDataFrame(
+        [(1, 20, "delete")], "k int, v long, op string"
+    )
+    facts = spark.createDataFrame([(1, 10), (1, 15)], "k int, v long")
+    out = {r.k: (r.min_v, r.max_v) for r in incremental_minmax_update(
+        base, changes, facts, ["k"], "v").collect()}
+    assert out == {1: (10, 15)}  # new max found by targeted recompute
+
+
+def test_incremental_minmax_interior_delete_is_noop(spark):
+    from redskins_rule_spark.operators.merge import incremental_minmax_update
+
+    base_rows = [(1, 10), (1, 20), (1, 15)]
+    base = _minmax_view(spark, base_rows)
+    changes = spark.createDataFrame(
+        [(1, 15, "delete")], "k int, v long, op string"
+    )
+    # facts would disagree if a recompute ran with stale data — the
+    # point: an interior delete must not even look at facts
+    facts = spark.createDataFrame([(1, 999)], "k int, v long")
+    out = {r.k: (r.min_v, r.max_v) for r in incremental_minmax_update(
+        base, changes, facts, ["k"], "v").collect()}
+    assert out == {1: (10, 20)}
+
+
+def test_incremental_minmax_group_vanishes_when_all_deleted(spark):
+    from redskins_rule_spark.operators.merge import incremental_minmax_update
+
+    base = _minmax_view(spark, [(1, 10)])
+    changes = spark.createDataFrame(
+        [(1, 10, "delete")], "k int, v long, op string"
+    )
+    facts = spark.createDataFrame([], "k int, v long")
+    assert incremental_minmax_update(
+        base, changes, facts, ["k"], "v").count() == 0
