@@ -264,3 +264,70 @@ def kmv_set_estimates(
         "jaccard_est": F.round(jacc, 4),
         "intersection_est": F.round(jacc * union_est, 1).cast("double"),
     }
+
+
+# --- count-min sketch -------------------------------------------------------
+#
+# The frequency-side companion of the KMV state: a depth×width counter
+# grid per group, mergeable by ELEMENT-WISE ADDITION (exactly the
+# linearity that lets per-shard sketches sum into the global one), with
+# one-sided error — estimates never undercount, overcount ≤ εN with
+# probability 1−δ for width=⌈e/ε⌉, depth=⌈ln(1/δ)⌉. Use for hot-key
+# detection / frequency caps over keyspaces too large to count exactly.
+
+
+def cm_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    out_col: str = "cm",
+) -> DataFrame:
+    """Per-group count-min state: flat array<long> of depth·width
+    counters (row d occupies [d·width, (d+1)·width)). Hash family is
+    seeded xxhash64 — JVM-side, no Python in the row path."""
+    groups = list(group_cols)
+    v = F.col(value_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            (F.lit(d * width) + F.pmod(F.xxhash64(F.lit(d), v), F.lit(width)))
+            .cast("int").alias("pos")
+        )
+        for d in range(depth)
+    ])
+    exploded = df.select(*groups, F.explode(cells).alias("c")).select(
+        *groups, F.col("c.pos").alias("pos")
+    )
+    counts = exploded.groupBy(*groups, "pos").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(depth * width - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.map_from_entries(F.collect_list(F.struct("pos", "n"))), i.cast("int")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return counts.groupBy(*groups).agg(dense.alias(out_col))
+
+
+def cm_merge(a: Column, b: Column) -> Column:
+    """Element-wise sum of two count-min states (linear sketch)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def cm_estimate(
+    state: Column, value, width: int = 256, depth: int = 4
+) -> Column:
+    """Frequency estimate of `value` from a state: min over rows of
+    the value's counter — never undercounts."""
+    v = (value if isinstance(value, Column) else F.lit(value)).cast("string")
+    return F.least(*[
+        F.element_at(
+            state,
+            (F.lit(d * width) + F.pmod(F.xxhash64(F.lit(d), v), F.lit(width))
+             ).cast("int") + 1,
+        )
+        for d in range(depth)
+    ])

@@ -185,3 +185,61 @@ def test_kmv_set_estimates_accuracy(spark):
     assert abs(row.u - 900) / 900 < 0.25
     assert abs(row.j - 1 / 3) < 0.15
     assert abs(row.i - 300) / 300 < 0.4
+
+
+# --- count-min sketch -------------------------------------------------------
+
+def test_cm_sketch_never_undercounts_and_is_tight_on_hot_keys(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import cm_estimate, cm_state
+
+    # skewed stream: one hot key + long tail
+    vals = ["hot"] * 500 + [f"t{i}" for i in range(400)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, v string")
+    st = cm_state(df, ["g"], "v", width=128, depth=4).collect()[0].cm
+    sdf = spark.createDataFrame([(list(st),)], "st array<bigint>")
+    for key in ["hot", "t0", "t399", "absent"]:
+        est = sdf.select(
+            cm_estimate(F.col("st"), key, width=128, depth=4).alias("e")
+        ).collect()[0].e
+        assert est >= truth[key], key                      # one-sided
+        assert est <= truth[key] + len(vals) // 16, key    # eps*N slack
+    # the hot key estimate is exact (its counters dominate)
+    hot = sdf.select(
+        cm_estimate(F.col("st"), "hot", width=128, depth=4).alias("e")
+    ).collect()[0].e
+    assert hot == 500 or hot <= 500 + 10
+
+
+def test_cm_merge_equals_state_of_union(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import (
+        cm_estimate,
+        cm_merge,
+        cm_state,
+    )
+
+    a_vals = [f"k{i % 7}" for i in range(100)]
+    b_vals = [f"k{i % 5}" for i in range(80)]
+    dfa = spark.createDataFrame([(1, v) for v in a_vals], "g int, v string")
+    dfb = spark.createDataFrame([(1, v) for v in b_vals], "g int, v string")
+    dfu = spark.createDataFrame(
+        [(1, v) for v in a_vals + b_vals], "g int, v string"
+    )
+    sa = cm_state(dfa, ["g"], "v", width=64, depth=3).collect()[0].cm
+    sb = cm_state(dfb, ["g"], "v", width=64, depth=3).collect()[0].cm
+    su = cm_state(dfu, ["g"], "v", width=64, depth=3).collect()[0].cm
+    pair = spark.createDataFrame(
+        [(list(sa), list(sb))], "a array<bigint>, b array<bigint>"
+    )
+    merged = pair.select(cm_merge(F.col("a"), F.col("b")).alias("m")).collect()[0].m
+    assert list(merged) == list(su)  # linearity: merge == union state
+    est = pair.select(
+        cm_estimate(cm_merge(F.col("a"), F.col("b")), "k0", width=64, depth=3).alias("e")
+    ).collect()[0].e
+    assert est >= a_vals.count("k0") + b_vals.count("k0")
