@@ -278,3 +278,44 @@ def equi_width_histogram(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-sweep data-profiling report over numeric columns.
+
+    Returns one row per column: (col, n_rows, n_null, n_distinct,
+    min_v, max_v, avg_v) with values cast to double and min/max/avg
+    rounded to 4 decimals. The EXACT distinct count comes from a
+    (col, value) pre-aggregation rather than N count-distincts in one
+    agg — the latter plans an Expand that replicates every input row
+    N times; the pair shape scans once, combines map-side, and
+    shuffles at most one (col, value) row per distinct value per
+    partition. NULLs group like any other value, so null counting
+    rides the same pass. Ingest-gate profiling for schema-drift /
+    quality checks before a 100 TB corpus build.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.v")
+    per_val = pairs.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    nn = F.when(F.col("v").isNotNull(), F.col("n"))
+    return per_val.groupBy("col").agg(
+        F.sum("n").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("n"))), F.lit(0).cast("long")
+        ).alias("n_null"),
+        F.count("v").alias("n_distinct"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.round(F.sum(F.col("v") * F.col("n")) / F.sum(nn), 4).alias("avg_v"),
+    )

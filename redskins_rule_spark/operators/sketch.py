@@ -331,3 +331,119 @@ def cm_estimate(
         )
         for d in range(depth)
     ])
+
+
+# --- DDSketch (relative-error quantiles) ------------------------------------
+#
+# The quantile-side member of the mergeable-state family (KMV =
+# cardinality, count-min = frequency, DD = quantiles). Masson,
+# Rim & Lee, "DDSketch: a fast and fully-mergeable quantile sketch
+# with relative-error guarantees" (VLDB 2019): bucket positive values
+# by ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha); any value in
+# bucket i is within relative error alpha of the bucket's midpoint
+# estimate 2*gamma^i/(gamma+1). The state is a bucket->count map:
+# merging two sketches is a per-key counter sum (map_zip_with), and
+# merge(state(A), state(B)) == state(A ∪ B) EXACTLY — per-shard/day
+# states roll up into the global sketch losslessly, unlike sampled
+# quantile summaries.
+#
+# Every step is deterministic integer/bucket arithmetic on expressions
+# both engines share, so unlike approx_percentile (engine-specific
+# internals, rows-only checkable) the whole sketch — state AND the
+# quantile read off it — is value-hash-testable cross-engine
+# (workload q148).
+#
+# Scale shape (100 TB): one hash agg to (group, bucket) counts with
+# map-side combine, then one per-group map assembly; state size is
+# O(log(max/min)/alpha) buckets — ~900 buckets per group at alpha=0.01
+# over a 1e9 dynamic range — never data-sized. Quantile reads are
+# row-local folds over the map, no re-scan of the data.
+
+
+def _dd_gamma(alpha: float) -> float:
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    # spelled exactly like the oracle SQL so both engines build the
+    # identical IEEE double before taking the log
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(value: Column, alpha: float = 0.01) -> Column:
+    """Bucket index ceil(ln(x)/ln(gamma)) of a POSITIVE value."""
+    return F.ceil(F.log(value.cast("double")) / F.log(F.lit(_dd_gamma(alpha)))).cast("int")
+
+
+def dd_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+    out_col: str = "dd",
+) -> DataFrame:
+    """Per-group DDSketch state: map<bucket int, count long>.
+
+    Contract: strictly positive values only (the log-bucketing
+    domain); rows with value <= 0 or NULL are excluded, matching the
+    paper's positive-store. Callers with signed data split sign /
+    shift before sketching.
+    """
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    buckets = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(*groups, dd_bucket(v, alpha).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    state = F.map_from_entries(F.array_sort(F.collect_list(F.struct("__b", "__n"))))
+    return buckets.groupBy(*groups).agg(state.alias(out_col))
+
+
+def dd_merge(a: Column, b: Column) -> Column:
+    """Per-bucket counter sum of two DD states (linear sketch —
+    merged state == state of the concatenated data, exactly)."""
+    return F.map_zip_with(
+        a, b,
+        lambda _, x, y: F.coalesce(x, F.lit(0).cast("long"))
+        + F.coalesce(y, F.lit(0).cast("long")),
+    )
+
+
+def dd_total(state: Column) -> Column:
+    """Number of sketched values in a state (sum of bucket counts)."""
+    return F.aggregate(
+        F.map_values(state), F.lit(0).cast("long"), lambda acc, n: acc + n
+    )
+
+
+def dd_quantile(state: Column, q: float, alpha: float = 0.01) -> Column:
+    """Quantile estimate read row-locally off a state.
+
+    Walks buckets in ascending order to the one holding the value of
+    rank 1 + floor(q*(n-1)) (nearest-rank on the sorted data) and
+    returns that bucket's midpoint estimate 2*gamma^b/(gamma+1) —
+    within relative error `alpha` of the true rank element. One
+    fold over the O(#buckets) map; no data re-scan.
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    g = _dd_gamma(alpha)
+    entries = F.array_sort(F.map_entries(state))
+    n = dd_total(state)
+    rank = F.lit(1).cast("long") + F.floor(F.lit(q) * (n - 1).cast("double")).cast("long")
+    nothing = F.lit(None).cast("int")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), nothing.alias("b")
+    )
+    found = F.aggregate(
+        entries,
+        init,
+        lambda acc, e: F.when(acc["b"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["cum"] + e["value"] >= rank, e["key"])
+                .otherwise(nothing)
+                .alias("b"),
+            )
+        ),
+    )
+    return F.lit(2.0) * F.pow(F.lit(g), found["b"].cast("double")) / F.lit(g + 1.0)

@@ -527,10 +527,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q140_incremental_dedup", "q141_mean_pool", "q142_audio_frames",
     "q143_image_patches", "q144_bm25", "q145_curation_report",
     "q146_kcore", "q147_block_dedup",
-    # --- previously hash-verified; regression sentinels (rounds 1-3);
-    #     head(46) + these 4 == exactly the driver's 50-entry window ---
-    "q33_decimal_money", "q20_minhash_lsh",
-    "q97_pq_ann", "q99_gif_frames",
+    # --- never driver-verified, registered in the round-4 restart ---
+    "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
+    # --- previously hash-verified; regression sentinel (rounds 1-3);
+    #     head(49) + this 1 == exactly the driver's 50-entry window ---
+    "q33_decimal_money",
 ]
 
 
@@ -6063,3 +6064,143 @@ from redskins_rule_spark.operators.text import block_dedup  # noqa: E402
 def q147_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return block_dedup(docs, "doc_id", "text", block_tokens=8)
+
+
+# ---------------------------------------------------------------------------
+# q148: DDSketch quantiles — the mergeable quantile sketch read
+# end-to-end cross-engine. Bucketing (ceil(log_gamma(x))), the
+# cumulative-rank walk, and the midpoint estimate are all
+# deterministic arithmetic both engines share, so the ESTIMATES
+# themselves hash-match — unlike approx_percentile, whose internals
+# are engine-specific. State is O(#buckets) per group; quantile reads
+# are row-local folds (see operators/sketch.py).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import (  # noqa: E402
+    dd_quantile,
+    dd_state,
+    dd_total,
+)
+
+
+@query(
+    "q148_dd_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CEIL(LN(CAST(o_totalprice AS DOUBLE))
+                       / LN((1.0 + 0.01) / (1.0 - 0.01))) AS INTEGER) AS b,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, b, n,
+             SUM(n) OVER (PARTITION BY grp ORDER BY b) AS cum,
+             SUM(n) OVER (PARTITION BY grp) AS tot
+      FROM h
+    )
+    SELECT grp,
+           CAST(MAX(tot) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN cum >= 1 + FLOOR(0.5 * (tot - 1))
+                 THEN 2.0 * POW((1.0 + 0.01) / (1.0 - 0.01), b)
+                      / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END), 4) AS p50,
+           ROUND(MIN(CASE WHEN cum >= 1 + FLOOR(0.9 * (tot - 1))
+                 THEN 2.0 * POW((1.0 + 0.01) / (1.0 - 0.01), b)
+                      / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END), 4) AS p90,
+           ROUND(MIN(CASE WHEN cum >= 1 + FLOOR(0.99 * (tot - 1))
+                 THEN 2.0 * POW((1.0 + 0.01) / (1.0 - 0.01), b)
+                      / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END), 4) AS p99
+    FROM c GROUP BY grp
+    """,
+)
+def q148_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    st = dd_state(orders, ["o_orderpriority"], "o_totalprice", alpha=0.01)
+    return st.select(
+        F.col("o_orderpriority").alias("grp"),
+        dd_total(F.col("dd")).alias("n"),
+        F.round(dd_quantile(F.col("dd"), 0.5, alpha=0.01), 4).alias("p50"),
+        F.round(dd_quantile(F.col("dd"), 0.9, alpha=0.01), 4).alias("p90"),
+        F.round(dd_quantile(F.col("dd"), 0.99, alpha=0.01), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149: Bloom-pruned semi join — the explicit runtime-filter pattern.
+# The part-side bitmap (selective size filter) broadcasts as a
+# bounded 1-row map; lineitem rows fail the membership test BEFORE
+# the shuffle, and the surviving candidates are re-verified by the
+# exact semi join, so the result is identical to a plain EXISTS —
+# which is exactly what the oracle runs. At 100 TB the win is the
+# shuffle shrinking to matches + εfp; here the win is that the whole
+# pattern is hash-checkable.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.skew import bloom_semi_join  # noqa: E402
+
+
+@query(
+    "q149_bloom_prune",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           COUNT(*) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey
+                    AND p.p_size = 1)
+    GROUP BY 1
+    """,
+)
+def q149_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sm = table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    return (
+        bloom_semi_join(li, sm, "l_partkey", "p_partkey", m_bits=1 << 16, k=3)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150: one-sweep column profiler — the ingest gate a corpus build
+# runs before committing 100 TB to a layout. The (col, value) pair
+# shape gets exact per-column distinct counts WITHOUT the Expand
+# operator that N COUNT(DISTINCT)s in one agg would plan (that shape
+# replicates every input row N times); min/max/avg ride the same
+# two hash aggs.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.analytic import profile_columns  # noqa: E402
+
+
+@query(
+    "q150_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+    ),
+    pv AS (SELECT col, v, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+    SELECT col,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
+             AS n_null,
+           COUNT(v) AS n_distinct,
+           ROUND(MIN(v), 4) AS min_v,
+           ROUND(MAX(v), 4) AS max_v,
+           ROUND(SUM(v * n) / SUM(CASE WHEN v IS NOT NULL THEN n END), 4)
+             AS avg_v
+    FROM pv GROUP BY col
+    """,
+)
+def q150_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -163,3 +163,28 @@ def test_histogram_degenerate_single_value(spark):
     df = spark.createDataFrame([(5.0,)] * 10, "x double")
     out = equi_width_histogram(df, "x", 8).collect()
     assert len(out) == 1 and out[0].bin_id == 0 and out[0].n == 10
+
+
+def test_profile_columns_counts_nulls_distincts_and_moments(spark):
+    from redskins_rule_spark.operators.analytic import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 10), (2.0, None), (None, 20)],
+        "a double, b int",
+    )
+    rows = {r.col: r for r in profile_columns(df, ["a", "b"]).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_rows, a.n_null, a.n_distinct) == (4, 1, 2)
+    assert (a.min_v, a.max_v) == (1.0, 2.0)
+    assert a.avg_v == round((1.0 + 2.0 + 2.0) / 3, 4)
+    assert (b.n_rows, b.n_null, b.n_distinct) == (4, 1, 2)
+    assert (b.min_v, b.max_v, b.avg_v) == (10.0, 20.0, 13.3333)
+
+
+def test_profile_columns_all_null_column(spark):
+    from redskins_rule_spark.operators.analytic import profile_columns
+
+    df = spark.createDataFrame([(None,), (None,)], "a double")
+    r = profile_columns(df, ["a"]).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (2, 2, 0)
+    assert r.min_v is None and r.avg_v is None

@@ -115,3 +115,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.skew import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k int, payload string"
+    )
+    small = spark.createDataFrame(
+        [(i * 37,) for i in range(20)], "sk int"
+    )
+    got = bloom_semi_join(big, small, "k", "sk", m_bits=1 << 12, k=3)
+    exact = big.join(
+        small.select(F.col("sk").alias("k")).distinct(), on="k", how="semi"
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in exact.collect()
+    )
+    assert got.columns == big.columns
+
+
+def test_bloom_prune_superset_and_effective(spark):
+    from redskins_rule_spark.operators.skew import (
+        bloom_build,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    small = spark.createDataFrame([(i,) for i in range(50)], "sk int")
+    pruned = bloom_semi_join(
+        big, small, "k", "sk", m_bits=1 << 13, k=3, verify=False
+    )
+    kept = {r.k for r in pruned.collect()}
+    assert set(range(50)) <= kept          # no false negatives
+    assert len(kept) < 5000 * 0.05         # filter actually prunes
+    state = bloom_build(small, "sk", m_bits=1 << 13, k=3).collect()[0]
+    assert len(state["__bloom"]) <= (1 << 13) // 64  # bitmap is bounded
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_build(small, "sk", m_bits=100)

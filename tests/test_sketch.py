@@ -243,3 +243,74 @@ def test_cm_merge_equals_state_of_union(spark):
         cm_estimate(cm_merge(F.col("a"), F.col("b")), "k0", width=64, depth=3).alias("e")
     ).collect()[0].e
     assert est >= a_vals.count("k0") + b_vals.count("k0")
+
+
+def test_dd_quantile_relative_error_and_exact_walk(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_quantile, dd_state
+
+    rng = random.Random(7)
+    vals = [rng.lognormvariate(4.0, 1.5) for _ in range(5000)]
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, v double")
+    alpha = 0.02
+    st = dd_state(df, ["g"], "v", alpha=alpha)
+    row = st.select(
+        *[
+            dd_quantile(F.col("dd"), q, alpha=alpha).alias(f"p{int(q * 100)}")
+            for q in (0.0, 0.5, 0.9, 0.99, 1.0)
+        ]
+    ).collect()[0]
+    s = sorted(vals)
+    for q in (0.0, 0.5, 0.9, 0.99, 1.0):
+        import math
+
+        exact = s[int(math.floor(q * (len(s) - 1)))]
+        est = row[f"p{int(q * 100)}"]
+        assert abs(est - exact) <= alpha * exact * 1.0001, (q, est, exact)
+
+
+def test_dd_merge_is_lossless_and_excludes_nonpositive(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import (
+        dd_merge,
+        dd_state,
+        dd_total,
+    )
+
+    a_vals = [1.5, 2.5, 2.5, 100.0, 0.0, -3.0]   # 0 / negative excluded
+    b_vals = [2.5, 7.0, 100.0, 100.0]
+    dfa = spark.createDataFrame([(1, v) for v in a_vals], "g int, v double")
+    dfb = spark.createDataFrame([(1, v) for v in b_vals], "g int, v double")
+    dfu = spark.createDataFrame(
+        [(1, v) for v in a_vals + b_vals], "g int, v double"
+    )
+    sa = dd_state(dfa, ["g"], "v").collect()[0].dd
+    sb = dd_state(dfb, ["g"], "v").collect()[0].dd
+    su = dd_state(dfu, ["g"], "v").collect()[0].dd
+    pair = spark.createDataFrame(
+        [(sa, sb)], "a map<int,bigint>, b map<int,bigint>"
+    )
+    out = pair.select(
+        dd_merge(F.col("a"), F.col("b")).alias("m"),
+        dd_total(F.col("a")).alias("na"),
+    ).collect()[0]
+    assert sorted(out.m.items()) == sorted(su.items())  # merge == union state
+    assert out.na == 4  # 0.0 and -3.0 never entered the sketch
+
+
+def test_dd_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_quantile, dd_state
+
+    df = spark.createDataFrame([(1, 2.0)], "g int, v double")
+    with _pytest.raises(ValueError):
+        dd_state(df, ["g"], "v", alpha=1.5)
+    with _pytest.raises(ValueError):
+        dd_quantile(F.lit(None), q=1.5)

@@ -70,6 +70,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q138_triangles": "assembly of three 1-row count aggregates",
         "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
         "q144_bm25": "cross join with the 1-row (N, avgdl) corpus-statistics aggregate",
+        "q149_bloom_prune": "cross join with the 1-row Bloom bitmap (m_bits/64-bounded map)",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
