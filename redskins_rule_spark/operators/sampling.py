@@ -36,7 +36,7 @@ import math
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,3 +285,58 @@ def budget_waterfill(
             F.round(alloc / F.col("total"), 4).alias("rate"),
         )
     )
+
+
+# --- Deterministic seeded shuffle / shard assignment -----------------------
+#
+# Training-data writes need a GLOBAL random permutation (break source
+# ordering so any contiguous read slice is i.i.d.-ish) that is
+# deterministic: re-running the job — or re-deriving one lost shard —
+# must reproduce byte-identical output. A `rand()`-sort gives neither
+# (per-task RNG state depends on partitioning). Keying the order on a
+# seeded hash of a stable id gives both, and the same arithmetic runs
+# in any SQL engine (workload q151 hash-checks the full permutation
+# via an order-sensitive checksum).
+
+_SHUFFLE_A = 1103515245  # multiply-mod-prime scramble (same family as
+_SHUFFLE_B = 12345       # the KMV estimator's; see sketch.py)
+
+
+def shuffle_hash(key: Column | str, seed: int) -> Column:
+    """Position key in [0, 2^31-1): scrambled rolling hash of
+    '<seed>:<key>'. Pure cross-engine integer arithmetic."""
+    from redskins_rule_spark.functions.hashing import MERSENNE_31, rolling_hash
+
+    c = F.col(key) if isinstance(key, str) else key
+    roll = rolling_hash(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    return (F.lit(_SHUFFLE_A) * roll + F.lit(_SHUFFLE_B)) % F.lit(MERSENNE_31)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    n_shards: int = 16,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic pseudo-random permutation + shard assignment.
+
+    Adds `shard` (= h mod n_shards) and `pos` (1-based rank of
+    (h, key) within the shard): writing shard files ordered by pos
+    yields an identically-reproducible global shuffle of the corpus.
+    The key tiebreak makes the order total even on hash collisions.
+
+    Scale shape: one shuffle into n_shards rank partitions. The
+    per-shard window bounds parallelism at n_shards — pick n_shards
+    well above the executor count (a 100 TB corpus wants thousands of
+    shard files anyway, so the constraint is the natural layout).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = shuffle_hash(key_col, seed)
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy("__h", key_col)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("__h")

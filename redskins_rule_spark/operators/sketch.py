@@ -447,3 +447,26 @@ def dd_quantile(state: Column, q: float, alpha: float = 0.01) -> Column:
         ),
     )
     return F.lit(2.0) * F.pow(F.lit(g), found["b"].cast("double")) / F.lit(g + 1.0)
+
+
+def cm_inner_product(a: Column, b: Column, width: int = 256, depth: int = 4) -> Column:
+    """Equi-join cardinality estimate from two count-min states:
+    |A ⋈ B| on the sketched key = Σ_k f_A(k)·f_B(k), estimated as the
+    MIN over depth rows of the row-wise dot product Σ_w a[w]·b[w]
+    (AMS/CM inner product). One-sided — never underestimates — with
+    overcount ≤ N_A·N_B/width per row whp. Plan shuffles and pick
+    join strategies for keys too hot to count exactly, straight off
+    two stored states, row-locally."""
+
+    def row_dot(d: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, d * width + 1, width),
+                F.slice(b, d * width + 1, width),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return F.least(*[row_dot(d) for d in range(depth)])

@@ -529,8 +529,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q146_kcore", "q147_block_dedup",
     # --- never driver-verified, registered in the round-4 restart ---
     "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
-    # --- previously hash-verified; regression sentinel (rounds 1-3);
-    #     head(49) + this 1 == exactly the driver's 50-entry window ---
+    "q151_seeded_shuffle",
+    # the 50 entries above fill the driver's window exactly; q33 (the
+    # most hash-sensitive previously-verified sentinel) leads the tail
+    # and rotates back in once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
 ]
 
@@ -6204,3 +6206,50 @@ from redskins_rule_spark.operators.analytic import profile_columns  # noqa: E402
 def q150_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# ---------------------------------------------------------------------------
+# q151: deterministic seeded shuffle — the global-permutation +
+# shard-assignment step of a training-data write, keyed on the
+# cross-engine scrambled rolling hash so the ENTIRE permutation is
+# verifiable: the oracle recomputes shard and rank with identical
+# arithmetic and both sides fold an order-sensitive checksum
+# Σ(h·pos) mod p per shard — any row in the wrong shard OR wrong
+# position flips the hash.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import (  # noqa: E402
+    seeded_shuffle,
+    shuffle_hash,
+)
+
+_Q151_ROLL = _sql_roll_of("('7:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q151_seeded_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (1103515245 * {_Q151_ROLL} + 12345) % 2147483647 AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h, CAST(h % 16 AS INTEGER) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM((h * pos) % 2147483647) % 2147483647 AS BIGINT) AS checksum
+    FROM s GROUP BY shard
+    """,
+)
+def q151_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = seeded_shuffle(docs, "doc_id", seed=7, n_shards=16)
+    h = shuffle_hash("doc_id", 7)
+    m = 2147483647
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum((h * F.col("pos")) % m) % m).cast("long").alias("checksum"),
+    )

@@ -152,3 +152,36 @@ def test_budget_waterfill_all_capped(spark):
     out = {r.src: r.allocated for r in
            budget_waterfill(df, "src", "t", 0.5).collect()}
     assert all(v == 50.0 for v in out.values())
+
+
+def test_seeded_shuffle_is_deterministic_total_order(spark):
+    from redskins_rule_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame([(f"doc{i}",) for i in range(500)], "id string")
+    a = seeded_shuffle(df, "id", seed=7, n_shards=8)
+    b = seeded_shuffle(df.repartition(13), "id", seed=7, n_shards=8)
+    ra = sorted((r.shard, r.pos, r.id) for r in a.collect())
+    rb = sorted((r.shard, r.pos, r.id) for r in b.collect())
+    assert ra == rb  # partitioning-independent, rerun-stable
+    # every shard's positions are 1..n_s (a true permutation)
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s, p, _ in ra:
+        by_shard[s].append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+
+def test_seeded_shuffle_seed_changes_order(spark):
+    from redskins_rule_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame([(f"doc{i}",) for i in range(300)], "id string")
+    a = {r.id: (r.shard, r.pos) for r in seeded_shuffle(df, "id", seed=1).collect()}
+    b = {r.id: (r.shard, r.pos) for r in seeded_shuffle(df, "id", seed=2).collect()}
+    assert a != b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seeded_shuffle(df, "id", n_shards=0)

@@ -314,3 +314,29 @@ def test_dd_rejects_bad_params(spark):
         dd_state(df, ["g"], "v", alpha=1.5)
     with _pytest.raises(ValueError):
         dd_quantile(F.lit(None), q=1.5)
+
+
+def test_cm_inner_product_bounds_join_size(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import cm_inner_product, cm_state
+
+    a_vals = ["x"] * 40 + ["y"] * 10 + [f"a{i}" for i in range(50)]
+    b_vals = ["x"] * 5 + ["y"] * 20 + [f"b{i}" for i in range(30)]
+    ca, cb = Counter(a_vals), Counter(b_vals)
+    exact = sum(ca[k] * cb[k] for k in ca)  # 40*5 + 10*20 = 400
+    dfa = spark.createDataFrame([(1, v) for v in a_vals], "g int, v string")
+    dfb = spark.createDataFrame([(1, v) for v in b_vals], "g int, v string")
+    w, d = 128, 4
+    sa = cm_state(dfa, ["g"], "v", width=w, depth=d).collect()[0].cm
+    sb = cm_state(dfb, ["g"], "v", width=w, depth=d).collect()[0].cm
+    pair = spark.createDataFrame(
+        [(list(sa), list(sb))], "a array<bigint>, b array<bigint>"
+    )
+    est = pair.select(
+        cm_inner_product(F.col("a"), F.col("b"), width=w, depth=d).alias("e")
+    ).collect()[0].e
+    assert est >= exact                                   # one-sided
+    assert est <= exact + len(a_vals) * len(b_vals) // w  # εN_aN_b slack

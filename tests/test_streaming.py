@@ -392,3 +392,70 @@ def test_run_incremental_view_folds_batches(spark, tmp_path):
     import shutil
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_streaming_dd_sketch_maintenance(spark, tmp_path):
+    """Quantile sketches maintained incrementally: the MV runner folds
+    per-batch DD bucket counts; the state assembled from the view
+    after two waves is EXACTLY the one-pass sketch of everything
+    landed (DD merge is linear), so the quantile read matches too."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import (
+        dd_bucket,
+        dd_quantile,
+        dd_state,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_view,
+        stream_from_files,
+    )
+
+    land = str(tmp_path / "dd_landing")
+    ckpt = str(tmp_path / "dd_ckpt")
+    view = f"dd_{uuid.uuid4().hex[:8]}"
+    schema = "g string, v double"
+
+    def build_delta(batch_df):
+        vv = F.col("v").cast("double")
+        return (
+            batch_df.where(vv.isNotNull() & (vv > 0))
+            .groupBy("g", dd_bucket(vv).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    wave1 = [("a", float(x)) for x in (1, 2, 2, 30, 400, 500)]
+    wave2 = [("a", float(x)) for x in (2, 3, 600, 700)]
+    spark.createDataFrame(wave1, schema).write.mode("append").parquet(land)
+    run_incremental_view(
+        stream_from_files(spark, land, schema), build_delta, ["g", "b"], [], ckpt, view
+    )
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(land)
+    run_incremental_view(
+        stream_from_files(spark, land, schema), build_delta, ["g", "b"], [], ckpt, view
+    )
+
+    maintained = (
+        spark.table(view)
+        .groupBy("g")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("b", "n")))
+            ).alias("dd")
+        )
+    )
+    one_pass = dd_state(
+        spark.createDataFrame(wave1 + wave2, schema), ["g"], "v"
+    )
+    m = maintained.collect()[0].dd
+    o = one_pass.collect()[0].dd
+    assert sorted(m.items()) == sorted(o.items())
+    est = maintained.select(dd_quantile(F.col("dd"), 0.5).alias("p50")).collect()[0].p50
+    exact = sorted(x for _, x in wave1 + wave2)[4]  # rank 1+floor(0.5*9)
+    assert abs(est - exact) <= 0.01 * exact * 1.0001
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)
