@@ -319,3 +319,71 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.round(F.max("v"), 4).alias("max_v"),
         F.round(F.sum(F.col("v") * F.col("n")) / F.sum(nn), 4).alias("avg_v"),
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index drift report between a reference
+    and a current sample of one numeric column — the standard
+    train-vs-serve / period-over-period distribution-shift monitor.
+
+    Binning is equi-width over the REFERENCE min/max (the deployed
+    contract); current values outside the range clamp into the edge
+    bins. Shares are additive-smoothed, (n + smooth)/(N + smooth·B),
+    so empty bins contribute finite terms with no eps special-cases
+    — deterministically, which keeps the whole report cross-engine
+    hash-checkable (workload q154). PSI = Σ terms; < 0.1 stable,
+    > 0.25 action.
+
+    One agg per side for bounds + bins, a B-row spine join to make
+    every bin present in the output — nothing data-sized leaves the
+    two scans. Returns (bin_id, n_ref, n_cur, term).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    v = F.col(value_col).cast("double")
+    bounds = ref.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    ).withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((v - F.col("_lo")) / F.col("_w")).cast("int"), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+        return (
+            df.where(v.isNotNull())
+            .join(F.broadcast(bounds))
+            .groupBy(b.alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin_id")
+    )
+    r = side_counts(ref, "n_ref")
+    c = side_counts(cur, "n_cur")
+    joined = (
+        spine.join(r, "bin_id", "left")
+        .join(c, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref") + F.lit(smooth)) / (F.col("_tr") + F.lit(smooth * bins))
+    q = (F.col("n_cur") + F.lit(smooth)) / (F.col("_tc") + F.lit(smooth * bins))
+    return joined.join(F.broadcast(tot)).select(
+        "bin_id", "n_ref", "n_cur", ((p - q) * F.log(p / q)).alias("term")
+    )

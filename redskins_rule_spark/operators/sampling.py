@@ -340,3 +340,78 @@ def seeded_shuffle(
     )
     w = Window.partitionBy(shard_col).orderBy("__h", key_col)
     return out.withColumn(pos_col, F.row_number().over(w)).drop("__h")
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: int = 0,
+    stride: int = 2654435761,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor row, `k` pseudo-random partner rows drawn from the
+    whole corpus — reproducible across reruns and partitionings, and
+    expressible in plain SQL for differential checking (q152).
+
+    Mechanics: rows get a dense global index (prefix-sum, no global
+    window); each anchor probes indices (h + j·stride) mod n for
+    j = 1..k off its seeded shuffle hash, bumping a self-hit to the
+    next index. Partner lookup is one equi join on the index. Probes
+    are i.i.d.-ish across anchors; a single anchor's k probes may
+    collide with each other on tiny corpora (callers needing
+    distinct-per-anchor negatives raise k and dedup).
+
+    Returns (anchor_id, j, neg_id), k rows per anchor. One index
+    pass + one shuffle join — no per-row Python, no collect of data.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from redskins_rule_spark.operators.indexing import with_global_index
+
+    ids = with_global_index(df.select(id_col), [id_col], "idx")
+    n = ids.count()  # scalar metadata job; reuses the persisted range partitioning
+    if n < 2:
+        raise ValueError(f"need >= 2 rows to sample negatives, got {n}")
+    h = shuffle_hash(id_col, seed)
+    anchors = ids.select(
+        F.col(id_col).alias("anchor_id"), "idx", h.alias("__h")
+    ).select(
+        "anchor_id", "idx", "__h",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    raw = (F.col("__h") + F.col("j").cast("long") * F.lit(stride)) % F.lit(n)
+    neg = F.when(raw == F.col("idx"), (raw + 1) % F.lit(n)).otherwise(raw)
+    lookup = ids.select(
+        F.col("idx").alias("neg_idx"), F.col(id_col).alias("neg_id")
+    )
+    return (
+        anchors.withColumn("neg_idx", neg.cast("long"))
+        .join(lookup, "neg_idx")
+        .select("anchor_id", "j", "neg_id")
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    seed: int = 0,
+    n_shards: int = 16,
+) -> None:
+    """Materialize a seeded global shuffle as shard-partitioned
+    parquet: `out_dir/shard=N/` holds shard N's rows in permutation
+    order (each shard's rows are hash-routed to ONE task, so the
+    sortWithinPartitions order is the file order). Training readers
+    stream shards sequentially and get the reproducible global
+    shuffle; re-running the writer reproduces every shard
+    byte-identically, so one lost shard re-derives without touching
+    the rest."""
+    shuffled = seeded_shuffle(df, key_col, seed=seed, n_shards=n_shards)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -595,3 +595,28 @@ def ivf_topk_batch(
         k=k,
         method="row_number",
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, query_col: str, id_col: str) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one: |approx ∩ exact| / |exact|. The eval harness for ANN
+    tuning (nprobe / nbits / band sweeps) — both inputs are k-bounded
+    per query by construction, so the semi join + agg is cheap at any
+    corpus size."""
+    e = exact.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__i"))
+    a = approx.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__i"))
+    hit = e.join(a, ["__q", "__i"], "left_semi").groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    base = e.groupBy("__q").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hit, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

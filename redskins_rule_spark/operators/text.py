@@ -526,3 +526,33 @@ def block_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    out_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009)
+    of top-k result lists: score(d) = Σ_lists 1/(k + rank_d). The
+    standard zero-tuning way to merge lexical (BM25) and vector
+    (cosine) retrieval into one ranking.
+
+    Inputs are ALREADY-RANKED top-k lists (id, rank) — k-bounded by
+    contract, so the union + hash agg here is driver-cheap no matter
+    the corpus size behind the lists; the heavy lifting happened in
+    the per-list top-k operators (bm25_topk, cosine_topk, ...).
+    Returns (id, n_lists, rrf_score) — callers order by
+    (rrf_score DESC, id) and cut.
+    """
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    u = ranked[0].select(id_col, rank_col)
+    for r in ranked[1:]:
+        u = u.unionByName(r.select(id_col, rank_col))
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum(F.lit(1.0) / (F.lit(k) + F.col(rank_col))).alias(out_col),
+    )

@@ -500,3 +500,66 @@ def run_incremental_view(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_sketch_view(
+    stream_df: DataFrame,
+    build_states,
+    keys: list[str],
+    state_col: str,
+    merge_fn,
+    checkpoint_dir: str,
+    view_name: str,
+) -> None:
+    """Streaming maintenance of MERGEABLE sketch states — the
+    companion of `run_incremental_view` for aggregates that fold by a
+    semilattice/linear merge instead of a counter sum (KMV min-k, DD
+    and count-min counter maps, Bloom word maps). Because those
+    merges are exactly lossless, the maintained per-key state after
+    any number of micro-batches equals the one-pass sketch of
+    everything landed — distinct-count / quantile / frequency
+    monitoring over an unbounded stream without ever recounting
+    history.
+
+    build_states : batch DataFrame -> (keys + state_col) per-key
+                   sketch states of that batch (e.g. sketch.kmv_state)
+    merge_fn     : (Column, Column) -> Column merging two states
+                   (e.g. lambda a, b: sketch.kmv_merge(a, b, k=64))
+    View/trigger/checkpoint semantics match `run_incremental_view`.
+    """
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = build_states(batch_df)
+        d = delta.select(
+            *keys, F.col(state_col).alias("__new")
+        )
+        try:
+            base = spark.table(view_name).select(
+                *keys, F.col(state_col).alias("__old")
+            )
+        except Exception:  # first batch: empty base with the delta's shape
+            base = d.limit(0).withColumnRenamed("__new", "__old")
+        merged = (
+            base.join(d, keys, "full_outer")
+            .select(
+                *keys,
+                F.when(
+                    F.col("__old").isNotNull() & F.col("__new").isNotNull(),
+                    merge_fn(F.col("__old"), F.col("__new")),
+                )
+                .otherwise(F.coalesce(F.col("__new"), F.col("__old")))
+                .alias(state_col),
+            )
+        )
+        spark.createDataFrame(
+            merged.collect(), schema=merged.schema
+        ).createOrReplaceTempView(view_name)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -529,10 +529,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q146_kcore", "q147_block_dedup",
     # --- never driver-verified, registered in the round-4 restart ---
     "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
-    "q151_seeded_shuffle",
-    # the 50 entries above fill the driver's window exactly; q33 (the
-    # most hash-sensitive previously-verified sentinel) leads the tail
-    # and rotates back in once CORRECTNESS_r04 verifies the head
+    "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
+    "q154_psi", "q155_kmv_setops",
+    # 52 never-verified entries above — the driver records the first
+    # 50, so q152/q153 (and the q33 sentinel) queue for the round-5
+    # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
 ]
 
@@ -6252,4 +6253,230 @@ def q151_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum((h * F.col("pos")) % m) % m).cast("long").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152: deterministic negative sampling — k pseudo-random contrastive
+# partners per anchor off the seeded shuffle hash and a dense global
+# index (prefix-sum, no global window; see operators/sampling.py).
+# The oracle re-derives index, probe arithmetic, and self-bump with
+# identical integer expressions, so the full (anchor, slot, negative)
+# assignment is hash-checked.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import negative_samples  # noqa: E402
+
+_Q152_ROLL = _sql_roll_of("('0:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q152_negative_samples",
+    oracle=f"""
+    WITH ids AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    a AS (
+      SELECT doc_id AS anchor_id, idx,
+             (1103515245 * {_Q152_ROLL} + 12345) % 2147483647 AS h
+      FROM ids
+    ),
+    e AS (
+      SELECT anchor_id, idx, h, j
+      FROM a CROSS JOIN (VALUES (1), (2), (3)) t(j)
+    ),
+    r AS (
+      SELECT anchor_id, j, idx,
+             (h + j * 2654435761) % (SELECT n FROM tot) AS raw
+      FROM e
+    ),
+    x AS (
+      SELECT anchor_id, j,
+             CASE WHEN raw = idx
+                  THEN (raw + 1) % (SELECT n FROM tot)
+                  ELSE raw END AS neg_idx
+      FROM r
+    )
+    SELECT x.anchor_id, x.j, ids.doc_id AS neg_id
+    FROM x JOIN ids ON ids.idx = x.neg_idx
+    """,
+)
+def q152_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", k=3, seed=0)
+
+
+# ---------------------------------------------------------------------------
+# q153: reciprocal-rank fusion — merging two top-20 rankings of the
+# corpus (token volume vs vocabulary size) into one hybrid list, the
+# zero-tuning lexical+vector merge pattern. The per-list rank windows
+# run over 20-row frames (k-bounded by the TakeOrderedAndProject cut
+# beneath them); the fusion agg touches ≤ 40 rows.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import rrf_fuse  # noqa: E402
+
+
+def _q153_topk(m: DataFrame, score_col: str, k: int = 20) -> DataFrame:
+    cut = m.orderBy(F.desc(score_col), "doc_id").limit(k)
+    w = Window.orderBy(F.desc(score_col), "doc_id")
+    return cut.select("doc_id", F.row_number().over(w).alias("rank"))
+
+
+@query(
+    "q153_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    m AS (SELECT doc_id, len(tk) AS nt, len(list_distinct(tk)) AS nd
+          FROM toks),
+    la AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) AS rank
+           FROM m QUALIFY rank <= 20),
+    lb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY nd DESC, doc_id) AS rank
+           FROM m QUALIFY rank <= 20),
+    u AS (SELECT * FROM la UNION ALL SELECT * FROM lb)
+    SELECT doc_id, COUNT(*) AS n_lists,
+           ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    m = docs.select(
+        "doc_id",
+        F.size(tk).alias("nt"),
+        F.size(F.array_distinct(tk)).alias("nd"),
+    )
+    fused = rrf_fuse(
+        [_q153_topk(m, "nt"), _q153_topk(m, "nd")], "doc_id", k=60
+    )
+    return (
+        fused.withColumn("rrf_score", F.round("rrf_score", 6))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: PSI drift report — train-vs-serve distribution-shift
+# monitoring between order-total distributions of two periods.
+# Equi-width bins over the REFERENCE bounds, additive smoothing so
+# empty bins need no eps special-cases, full B-row spine. Everything
+# after the two scans is bin-grain; the whole report (counts + terms)
+# hash-checks cross-engine.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.analytic import psi_report  # noqa: E402
+
+
+@query(
+    "q154_psi",
+    oracle="""
+    WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                 WHERE o_orderdate < DATE '1995-01-01'),
+    cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'),
+    b AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v)) / 10.0 AS w FROM ref),
+    rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / w) AS INTEGER), 0), 9)
+                    AS bin_id, COUNT(*) AS n_ref
+           FROM ref, b GROUP BY 1),
+    cb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / w) AS INTEGER), 0), 9)
+                    AS bin_id, COUNT(*) AS n_cur
+           FROM cur, b GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin_id),
+    j AS (SELECT s.bin_id,
+                 COALESCE(rb.n_ref, 0) AS n_ref,
+                 COALESCE(cb.n_cur, 0) AS n_cur
+          FROM spine s LEFT JOIN rb USING (bin_id) LEFT JOIN cb USING (bin_id)),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+    SELECT bin_id, n_ref, n_cur,
+           ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+                 * LN(((n_ref + 0.5) / (tr + 5.0))
+                      / ((n_cur + 0.5) / (tc + 5.0))), 6) AS term
+    FROM j, t
+    """,
+)
+def q154_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    cur = orders.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    rep = psi_report(ref, cur, "o_totalprice", bins=10)
+    return rep.select("bin_id", "n_ref", "n_cur", F.round("term", 6).alias("term"))
+
+
+# ---------------------------------------------------------------------------
+# q155: KMV set-operation estimates — the theta-sketch trick driver-
+# checked end-to-end: per-event-type user sketches pair up (tiny
+# sketch-grain frame), and union / Jaccard / intersection estimates
+# read row-locally off two states. The oracle re-derives the sorted
+# min-k lists and the identical merged-sketch arithmetic, so the
+# ESTIMATES hash-match — incremental distinct analytics (overlap of
+# audiences across days/sources) without re-reading history.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import (  # noqa: E402
+    kmv_set_estimates,
+    kmv_state,
+)
+
+_Q155_ROLL = _sql_roll_of("CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "q155_kmv_setops",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               (1103515245 * {_Q155_ROLL} + 12345) % 2147483647 AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, list_sort(list(h))[1:{_KMV_K}] AS kmv
+        FROM d GROUP BY event_type
+    ),
+    p AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               a.kmv AS ka, b.kmv AS kb,
+               list_sort(list_distinct(flatten([a.kmv, b.kmv])))[1:{_KMV_K}]
+                 AS merged
+        FROM s a JOIN s b ON a.event_type < b.event_type
+    ),
+    e AS (
+        SELECT et_a, et_b, ka, kb, merged,
+               CASE WHEN len(merged) < {_KMV_K} THEN CAST(len(merged) AS BIGINT)
+                    ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE) * 2147483647
+                                    / CAST(merged[{_KMV_K}] AS DOUBLE)) AS BIGINT)
+               END AS union_est,
+               len(list_filter(merged,
+                               x -> list_contains(ka, x)
+                                AND list_contains(kb, x))) AS in_both
+        FROM p
+    )
+    SELECT et_a, et_b, union_est,
+           ROUND(in_both / GREATEST(len(merged), 1), 4) AS jaccard_est,
+           CAST(ROUND((in_both / GREATEST(len(merged), 1)) * union_est, 1)
+                AS DOUBLE) AS intersection_est
+    FROM e
+    """,
+)
+def q155_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    st = kmv_state(ev, ["event_type"], "user_id", k=_KMV_K)
+    a = st.select(F.col("event_type").alias("et_a"), F.col("kmv").alias("ka"))
+    b = st.select(F.col("event_type").alias("et_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("et_a") < F.col("et_b"))
+    ests = kmv_set_estimates(F.col("ka"), F.col("kb"), k=_KMV_K)
+    return pairs.select(
+        "et_a", "et_b",
+        ests["union_est"].alias("union_est"),
+        ests["jaccard_est"].alias("jaccard_est"),
+        ests["intersection_est"].alias("intersection_est"),
     )

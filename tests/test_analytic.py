@@ -188,3 +188,36 @@ def test_profile_columns_all_null_column(spark):
     r = profile_columns(df, ["a"]).collect()[0]
     assert (r.n_rows, r.n_null, r.n_distinct) == (2, 2, 0)
     assert r.min_v is None and r.avg_v is None
+
+
+def test_psi_report_detects_shift_and_is_zero_on_identical(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.analytic import psi_report
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    psi_same = (
+        psi_report(ref, ref, "v", bins=10)
+        .agg(F.sum("term").alias("psi"))
+        .collect()[0]
+        .psi
+    )
+    assert abs(psi_same) < 1e-12  # identical distributions → 0
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(1000)], "v double"
+    )
+    psi_shift = (
+        psi_report(ref, shifted, "v", bins=10)
+        .agg(F.sum("term").alias("psi"))
+        .collect()[0]
+        .psi
+    )
+    assert psi_shift > 0.25  # gross shift → action threshold
+    rows = psi_report(ref, shifted, "v", bins=10).collect()
+    assert sorted(r.bin_id for r in rows) == list(range(10))  # full spine
+    assert sum(r.n_cur for r in rows) == 1000  # clamping loses nothing
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_report(ref, ref, "v", bins=1)

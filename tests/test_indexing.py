@@ -84,3 +84,19 @@ def test_z_value_locality(spark):
     )
     z = [r.z for r in df.withColumn("z", z_value(["x", "y"])).collect()]
     assert abs(z[0] - z[1]) < abs(z[0] - z[2])
+
+
+def test_recall_at_k_against_hand_computed(spark):
+    from redskins_rule_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [("q1", i) for i in (1, 2, 3, 4)] + [("q2", i) for i in (5, 6)],
+        "qid string, id int",
+    )
+    approx = spark.createDataFrame(
+        [("q1", i) for i in (1, 2, 9, 10)] + [("q2", i) for i in (7, 8)],
+        "qid string, id int",
+    )
+    got = {r.qid: (r.n_exact, r.n_hit, r.recall) for r in
+           recall_at_k(exact, approx, "qid", "id").collect()}
+    assert got == {"q1": (4, 2, 0.5), "q2": (2, 0, 0.0)}

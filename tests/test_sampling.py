@@ -185,3 +185,54 @@ def test_seeded_shuffle_seed_changes_order(spark):
 
     with _pytest.raises(ValueError):
         seeded_shuffle(df, "id", n_shards=0)
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from redskins_rule_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(f"d{i:03d}",) for i in range(40)], "id string")
+    a = sorted(map(tuple, negative_samples(df, "id", k=3, seed=5).collect()))
+    b = sorted(map(tuple, negative_samples(df.repartition(7), "id", k=3, seed=5).collect()))
+    assert a == b                                  # partition-independent
+    assert len(a) == 40 * 3                        # k rows per anchor
+    assert all(anchor != neg for anchor, _, neg in a)  # never self
+    c = sorted(map(tuple, negative_samples(df, "id", k=3, seed=6).collect()))
+    assert a != c                                  # seed-sensitive
+    # negatives spread over the corpus, not clustered on a few rows
+    assert len({neg for _, _, neg in a}) > 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(df, "id", k=0)
+    with _pytest.raises(ValueError):
+        negative_samples(df.limit(1), "id")
+
+
+def test_write_shuffled_shards_roundtrip_order(spark, tmp_path):
+    from redskins_rule_spark.operators.sampling import (
+        seeded_shuffle,
+        write_shuffled_shards,
+    )
+
+    df = spark.createDataFrame([(f"d{i:03d}",) for i in range(200)], "id string")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(df, "id", out, seed=3, n_shards=4)
+    expect = {
+        (r.shard, r.pos): r.id
+        for r in seeded_shuffle(df, "id", seed=3, n_shards=4).collect()
+    }
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    got = {(r.shard, r.pos): r.id for r in back.collect()}
+    assert got == expect
+    # file order within one shard IS permutation order
+    import glob
+
+    files = sorted(glob.glob(f"{out}/shard=0/*.parquet"))
+    assert len(files) == 1  # one file per shard
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files[0])
+    poss = t.column("pos").to_pylist()
+    assert poss == sorted(poss)

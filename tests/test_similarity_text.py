@@ -545,3 +545,30 @@ def test_ivf_topk_batch_full_probe_equals_exact_batch(spark):
         emb, cents, queries, "vec_id", "embedding", k=5, nprobe=1
     ).groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in pruned)
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.text import rrf_fuse
+
+    la = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, rank int"
+    )
+    lb = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("d", 3)], "id string, rank int"
+    )
+    got = {
+        r.id: (r.n_lists, round(r.rrf_score, 6))
+        for r in rrf_fuse([la, lb], "id", k=60).collect()
+    }
+    assert got == {
+        "a": (2, round(1 / 61 + 1 / 62, 6)),
+        "b": (2, round(1 / 62 + 1 / 61, 6)),
+        "c": (1, round(1 / 63, 6)),
+        "d": (1, round(1 / 63, 6)),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], "id")

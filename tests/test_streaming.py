@@ -459,3 +459,64 @@ def test_streaming_dd_sketch_maintenance(spark, tmp_path):
     import shutil
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_streaming_kmv_sketch_view(spark, tmp_path):
+    """Mergeable-state runner with KMV: after two waves the
+    maintained per-key sketch equals the one-pass sketch of all
+    landed data (min-k semilattice), so distinct estimates match."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_sketch_view,
+        stream_from_files,
+    )
+
+    land = str(tmp_path / "kmv_landing")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    view = f"kmv_{uuid.uuid4().hex[:8]}"
+    schema = "g string, v string"
+    k = 16
+
+    def build(batch_df):
+        return kmv_state(batch_df, ["g"], "v", k=k)
+
+    wave1 = [("a", f"u{i}") for i in range(40)] + [("b", f"w{i % 3}") for i in range(9)]
+    wave2 = [("a", f"u{i}") for i in range(20, 60)] + [("c", "solo")]
+    spark.createDataFrame(wave1, schema).write.mode("append").parquet(land)
+    run_incremental_sketch_view(
+        stream_from_files(spark, land, schema), build, ["g"], "kmv",
+        lambda a, b: kmv_merge(a, b, k=k), ckpt, view,
+    )
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(land)
+    run_incremental_sketch_view(
+        stream_from_files(spark, land, schema), build, ["g"], "kmv",
+        lambda a, b: kmv_merge(a, b, k=k), ckpt, view,
+    )
+
+    one_pass = kmv_state(
+        spark.createDataFrame(wave1 + wave2, schema), ["g"], "v", k=k
+    )
+    m = {r.g: list(r.kmv) for r in spark.table(view).collect()}
+    o = {r.g: list(r.kmv) for r in one_pass.collect()}
+    assert m == o  # lossless across the stream boundary
+    est = {
+        r.g: r.est
+        for r in spark.table(view)
+        .select("g", kmv_estimate(F.col("kmv"), k=k).alias("est"))
+        .collect()
+    }
+    assert est["b"] == 3 and est["c"] == 1  # exact below k
+    assert est["a"] >= 40  # 60 distinct, k=16 estimate in range
+    assert est["a"] <= 90
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)

@@ -50,6 +50,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q104_bpe_segment": "merge ranking over vocab-sized table",
         "q124_bigram_lm": "false positive: windows partition by bigram/head; the SinglePartition exchange is the 1-row vocabulary-size aggregate",
         "q139_budget_mix": "waterfill cumsum over the source-grain relation (one row per source)",
+        "q153_rrf_fusion": "rank windows over top-20 lists (k-bounded by the limit beneath)",
     },
     "nested_loop_join": {
         "q59_interval_overlap": "interval overlap: right side is 10 literal rows (broadcast), bounded",
@@ -71,6 +72,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
         "q144_bm25": "cross join with the 1-row (N, avgdl) corpus-statistics aggregate",
         "q149_bloom_prune": "cross join with the 1-row Bloom bitmap (m_bits/64-bounded map)",
+        "q154_psi": "cross joins with the 1-row reference-bounds and totals aggregates",
+        "q155_kmv_setops": "theta pairing of the per-event-type sketch frame (group-count-bounded rows, k-bounded states)",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
