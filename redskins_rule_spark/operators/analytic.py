@@ -379,11 +379,23 @@ def psi_report(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tot = joined.agg(
+    return psi_from_counts(joined, bins, smooth)
+
+
+def psi_from_counts(
+    counts: DataFrame, bins: int, smooth: float = 0.5
+) -> DataFrame:
+    """PSI terms from an already-binned (bin_id, n_ref, n_cur) frame
+    covering the full spine — the entry point for drift monitoring
+    off MAINTAINED histograms (e.g. bin counts kept current by
+    `streaming.run_incremental_view`): the reference contract stays
+    fixed, the current counts fold in per micro-batch, and the PSI
+    read never re-scans data."""
+    tot = counts.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
     )
     p = (F.col("n_ref") + F.lit(smooth)) / (F.col("_tr") + F.lit(smooth * bins))
     q = (F.col("n_cur") + F.lit(smooth)) / (F.col("_tc") + F.lit(smooth * bins))
-    return joined.join(F.broadcast(tot)).select(
+    return counts.join(F.broadcast(tot)).select(
         "bin_id", "n_ref", "n_cur", ((p - q) * F.log(p / q)).alias("term")
     )

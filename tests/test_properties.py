@@ -548,3 +548,94 @@ def test_block_dedup_matches_python_fold(spark, docs):
                 seen.add(b)
                 kept.append(b)
         assert got[i] == (len(blocks), len(kept), " ".join(kept)), (i, docs)
+
+
+# --- round-4-restart additions: DD sketch / bloom / profiler laws ----------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_dd_quantile_error_bound_any_layout(spark, vals, q):
+    """For ANY positive data layout and quantile, the DD estimate is
+    within alpha relative error of the exact nearest-rank element,
+    and the state is partitioning-independent."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_quantile, dd_state
+
+    alpha = 0.05
+    df = spark.createDataFrame([(1, float(v)) for v in vals], "g int, v double")
+    est = (
+        dd_state(df.repartition(3), ["g"], "v", alpha=alpha)
+        .select(dd_quantile(F.col("dd"), q, alpha=alpha).alias("e"))
+        .collect()[0]
+        .e
+    )
+    s = sorted(vals)
+    exact = s[int(math.floor(q * (len(s) - 1)))]
+    assert abs(est - exact) <= alpha * exact * 1.0001, (vals, q, est, exact)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    small=st.lists(st.integers(min_value=0, max_value=10_000),
+                   min_size=0, max_size=30, unique=True),
+    big_n=st.integers(min_value=1, max_value=200),
+)
+def test_bloom_semi_join_lossless_any_layout(spark, small, big_n):
+    """Bloom prune + verify equals the exact semi join for ANY key
+    sets — including empty small side and disjoint ranges."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.skew import bloom_semi_join
+
+    big = spark.createDataFrame([(i * 3,) for i in range(big_n)], "k int")
+    sm = spark.createDataFrame(
+        [(v,) for v in small] or [(None,)], "sk int"
+    ).where(F.col("sk").isNotNull())
+    got = sorted(r.k for r in bloom_semi_join(big, sm, "k", "sk",
+                                              m_bits=1 << 10, k=2).collect())
+    exact = sorted(r.k for r in big.join(
+        sm.select(F.col("sk").alias("k")).distinct(), "k", "semi"
+    ).collect())
+    assert got == exact
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_profile_columns_matches_python_fold(spark, rows):
+    """Profiler counts/extremes equal a Python fold for ANY layout of
+    nulls and duplicates across two columns."""
+    from redskins_rule_spark.operators.analytic import profile_columns
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {r.col: r for r in profile_columns(df, ["a", "b"]).collect()}
+    for name, idx in (("a", 0), ("b", 1)):
+        col = [r[idx] for r in rows]
+        nn = [v for v in col if v is not None]
+        r = got[name]
+        assert r.n_rows == len(col)
+        assert r.n_null == len(col) - len(nn)
+        assert r.n_distinct == len(set(nn))
+        if nn:
+            assert (r.min_v, r.max_v) == (float(min(nn)), float(max(nn)))
+            assert r.avg_v == round(sum(nn) / len(nn), 4)
+        else:
+            assert r.min_v is None and r.avg_v is None

@@ -520,3 +520,78 @@ def test_streaming_kmv_sketch_view(spark, tmp_path):
     import shutil
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """Drift monitoring off a maintained histogram: the MV runner
+    keeps current-period bin counts fresh per micro-batch; PSI read
+    from the maintained counts equals the batch psi_report over all
+    landed data (bin contract fixed by the reference bounds)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.analytic import (
+        psi_from_counts,
+        psi_report,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_view,
+        stream_from_files,
+    )
+
+    bins = 8
+    ref_rows = [(float(i % 40),) for i in range(400)]
+    ref = spark.createDataFrame(ref_rows, "v double")
+    lo, hi = 0.0, 39.0
+    w = (hi - lo) / bins
+
+    land = str(tmp_path / "psi_landing")
+    ckpt = str(tmp_path / "psi_ckpt")
+    view = f"psi_{uuid.uuid4().hex[:8]}"
+
+    def build_delta(batch_df):
+        b = F.least(
+            F.greatest(F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int"),
+                       F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return batch_df.where(F.col("v").isNotNull()).groupBy(
+            b.alias("bin_id")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    wave1 = [(float(i % 40) + 15.0,) for i in range(300)]
+    wave2 = [(float(i % 25) + 30.0,) for i in range(200)]
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, "v double").write.mode("append").parquet(land)
+        run_incremental_view(
+            stream_from_files(spark, land, "v double"),
+            build_delta, ["bin_id"], [], ckpt, view,
+        )
+
+    ref_counts = build_delta(ref).withColumnRenamed("n", "n_ref")
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin_id"))
+    maintained = (
+        spine.join(ref_counts, "bin_id", "left")
+        .join(spark.table(view).withColumnRenamed("n", "n_cur"), "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    psi_stream = (
+        psi_from_counts(maintained, bins)
+        .agg(F.sum("term").alias("psi")).collect()[0].psi
+    )
+    cur_all = spark.createDataFrame(wave1 + wave2, "v double")
+    psi_batch = (
+        psi_report(ref, cur_all, "v", bins=bins)
+        .agg(F.sum("term").alias("psi")).collect()[0].psi
+    )
+    assert abs(psi_stream - psi_batch) < 1e-12
+    assert psi_stream > 0.1  # the injected shift is visible
+
+    import shutil
+
+    shutil.rmtree(land, ignore_errors=True)
