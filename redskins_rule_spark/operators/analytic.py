@@ -399,3 +399,51 @@ def psi_from_counts(
     return counts.join(F.broadcast(tot)).select(
         "bin_id", "n_ref", "n_cur", ((p - q) * F.log(p / q)).alias("term")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "interp",
+) -> DataFrame:
+    """Linear interpolation of interior nulls in a per-key series:
+    each null takes prev + (next − prev)·(t − t_prev)/(t_next − t_prev)
+    between its nearest non-null neighbors; leading/trailing nulls
+    (no neighbor on one side) stay null. The gap-repair step after a
+    spine join (gap_fill's COALESCE(…, 0) sibling for quantities
+    where zero is a lie — sensor readings, rates, prices).
+
+    `order_col` must be numeric (distance arithmetic). Two windows
+    per key (running last / leading first, IGNORE NULLS), no
+    self-joins — one pass either side.
+    """
+    keys = list(partition_by)
+    if not keys:
+        raise ValueError("partition_by must be non-empty (global series "
+                         "would serialize through one task)")
+    v = F.col(value_col).cast("double")
+    t = F.col(order_col).cast("double")
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(known_t, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(known_t, ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )

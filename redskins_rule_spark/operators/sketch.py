@@ -379,6 +379,7 @@ def dd_state(
     value_col: str,
     alpha: float = 0.01,
     out_col: str = "dd",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group DDSketch state: map<bucket int, count long>.
 
@@ -386,13 +387,24 @@ def dd_state(
     domain); rows with value <= 0 or NULL are excluded, matching the
     paper's positive-store. Callers with signed data split sign /
     shift before sketching.
+
+    weight_col: optional non-negative INTEGER weights — each row
+    counts weight times (e.g. token counts, giving length-biased
+    "the median token sits in a doc of size X" quantiles). Integer
+    weights keep the state exact, hence mergeable-lossless and
+    cross-engine hashable.
     """
     groups = list(group_cols)
     v = F.col(value_col).cast("double")
+    w = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     buckets = (
         df.where(v.isNotNull() & (v > 0))
         .groupBy(*groups, dd_bucket(v, alpha).alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(w.alias("__n"))
     )
     state = F.map_from_entries(F.array_sort(F.collect_list(F.struct("__b", "__n"))))
     return buckets.groupBy(*groups).agg(state.alias(out_col))

@@ -530,9 +530,10 @@ _DRIVER_PRIORITY: list[str] = [
     # --- never driver-verified, registered in the round-4 restart ---
     "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
     "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
-    "q154_psi", "q155_kmv_setops",
-    # 52 never-verified entries above — the driver records the first
-    # 50, so q152/q153 (and the q33 sentinel) queue for the round-5
+    "q154_psi", "q155_kmv_setops", "q156_interpolate",
+    "q157_dd_weighted",
+    # 56 never-verified entries above — the driver records the first
+    # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
     # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
 ]
@@ -6479,4 +6480,142 @@ def q155_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ests["union_est"].alias("union_est"),
         ests["jaccard_est"].alias("jaccard_est"),
         ests["intersection_est"].alias("intersection_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156: linear interpolation over a gap-filled series — the repair
+# step after a spine join where zero-filling lies (rates, prices):
+# interior missing months take the distance-weighted value between
+# the nearest observed neighbors, edges stay null. Two bounded
+# per-key windows (running last / leading first IGNORE NULLS), no
+# self-join; the oracle mirrors the window arithmetic exactly.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.analytic import interpolate_linear  # noqa: E402
+
+
+@query(
+    "q156_interpolate",
+    oracle="""
+    WITH m AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+                      CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+               FROM orders GROUP BY 1, 2),
+         b AS (SELECT o_custkey, MIN(mon) AS mn, MAX(mon) AS mx FROM m GROUP BY 1),
+         spine AS (SELECT o_custkey,
+                          unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mon
+                   FROM b),
+         j AS (SELECT s.o_custkey, s.mon, m.rev_c,
+                      EXTRACT(year FROM s.mon) * 12 + EXTRACT(month FROM s.mon) AS t
+               FROM spine s
+               LEFT JOIN m ON m.o_custkey = s.o_custkey AND m.mon = s.mon),
+         w AS (SELECT o_custkey, mon, rev_c, t,
+                      LAST_VALUE(rev_c IGNORE NULLS) OVER wb AS pv,
+                      LAST_VALUE(CASE WHEN rev_c IS NOT NULL THEN t END
+                                 IGNORE NULLS) OVER wb AS pt,
+                      FIRST_VALUE(rev_c IGNORE NULLS) OVER wf AS nv,
+                      FIRST_VALUE(CASE WHEN rev_c IS NOT NULL THEN t END
+                                  IGNORE NULLS) OVER wf AS nt
+               FROM j
+               WINDOW wb AS (PARTITION BY o_custkey ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wf AS (PARTITION BY o_custkey ORDER BY t
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT o_custkey, strftime(mon, '%Y-%m') AS mon,
+           CAST(FLOOR(CAST(CASE WHEN rev_c IS NOT NULL THEN rev_c
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (t - pt) / (nt - pt) END
+                      AS DOUBLE) + 0.5) AS BIGINT)
+             AS rev_i_c
+    FROM w
+    """,
+)
+def q156_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    # month revenue snaps to EXACT integer cents before interpolating:
+    # cent totals are integers, so ROUND(sum*100) is ulp-immune to the
+    # engines' different double-summation orders, and every downstream
+    # arithmetic step is exact-integer-seeded double math both engines
+    # evaluate identically (positive halfway values round up in both).
+    m = orders.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_c"))
+    bounds = m.groupBy("o_custkey").agg(
+        F.min("mon").alias("mn"), F.max("mon").alias("mx")
+    )
+    spine = bounds.select(
+        "o_custkey",
+        F.explode(F.expr("sequence(mn, mx, interval 1 month)")).alias("mon"),
+    )
+    j = spine.join(m, ["o_custkey", "mon"], "left").withColumn(
+        "t", F.year("mon") * 12 + F.month("mon")
+    )
+    out = interpolate_linear(j, ["o_custkey"], "t", "rev_c")
+    # FLOOR(x+0.5), not ROUND: Spark rounds the decimal-string repr of
+    # a double (half-up on the printed digits), C engines round the
+    # binary value — they disagree on exact-halfway doubles. floor is
+    # bit-deterministic on the identical doubles both engines computed.
+    return out.select(
+        "o_custkey",
+        F.date_format("mon", "yyyy-MM").alias("mon"),
+        F.floor(F.col("interp") + F.lit(0.5)).cast("long").alias("rev_i_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157: token-weighted DD quantiles — "the median TOKEN sits in a doc
+# of length X" (length-biased corpus statistics, the quantity that
+# matters for sequence-packing and truncation budgets; doc-weighted
+# medians understate what training actually sees). Integer weights
+# keep the sketch exact, so the weighted estimates hash cross-engine
+# like q148.
+# ---------------------------------------------------------------------------
+
+_Q157_EST = ("2.0 * POW((1.0 + 0.01) / (1.0 - 0.01), b) "
+             "/ ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)")
+
+
+@query(
+    "q157_dd_weighted",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')) AS nt
+      FROM documents
+    ),
+    h AS (
+      SELECT lang,
+             CAST(CEIL(LN(CAST(nt AS DOUBLE))
+                       / LN((1.0 + 0.01) / (1.0 - 0.01))) AS INTEGER) AS b,
+             SUM(nt) AS n
+      FROM tk WHERE nt > 0
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT lang, b, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS tot
+      FROM h
+    )
+    SELECT lang,
+           CAST(MAX(tot) AS BIGINT) AS n_tokens,
+           ROUND(MIN(CASE WHEN cum >= 1 + FLOOR(0.5 * (tot - 1))
+                 THEN {_Q157_EST} END), 4) AS wp50,
+           ROUND(MIN(CASE WHEN cum >= 1 + FLOOR(0.9 * (tot - 1))
+                 THEN {_Q157_EST} END), 4) AS wp90
+    FROM c GROUP BY lang
+    """,
+)
+def q157_dd_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nt = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                         lambda t: t != ""))
+    base = docs.select("lang", nt.alias("nt"))
+    st = dd_state(base, ["lang"], "nt", alpha=0.01, weight_col="nt")
+    return st.select(
+        "lang",
+        dd_total(F.col("dd")).alias("n_tokens"),
+        F.round(dd_quantile(F.col("dd"), 0.5, alpha=0.01), 4).alias("wp50"),
+        F.round(dd_quantile(F.col("dd"), 0.9, alpha=0.01), 4).alias("wp90"),
     )

@@ -221,3 +221,40 @@ def test_psi_report_detects_shift_and_is_zero_on_identical(spark):
 
     with _pytest.raises(ValueError):
         psi_report(ref, ref, "v", bins=1)
+
+
+def test_interpolate_linear_interior_and_edges(spark):
+    from redskins_rule_spark.operators.analytic import interpolate_linear
+
+    rows = [
+        ("k", 0, None),   # leading null -> stays null
+        ("k", 1, 10.0),
+        ("k", 2, None),   # 10 + (40-10)*(2-1)/(4-1) = 20
+        ("k", 3, None),   # 30
+        ("k", 4, 40.0),
+        ("k", 6, None),   # trailing null -> stays null
+        ("j", 1, 5.0),    # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {(r.k, r.t): r.interp for r in
+           interpolate_linear(df, ["k"], "t", "v").collect()}
+    assert got[("k", 0)] is None
+    assert got[("k", 1)] == 10.0
+    assert got[("k", 2)] == 20.0
+    assert got[("k", 3)] == 30.0
+    assert got[("k", 4)] == 40.0
+    assert got[("k", 6)] is None
+    assert got[("j", 1)] == 5.0
+    # uneven spacing weights by distance: known at t=0 (0) and t=10 (100)
+    df2 = spark.createDataFrame(
+        [("k", 0, 0.0), ("k", 3, None), ("k", 10, 100.0)],
+        "k string, t int, v double",
+    )
+    out = {r.t: r.interp for r in
+           interpolate_linear(df2, ["k"], "t", "v").collect()}
+    assert out[3] == 30.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interpolate_linear(df, [], "t", "v")

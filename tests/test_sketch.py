@@ -340,3 +340,26 @@ def test_cm_inner_product_bounds_join_size(spark):
     ).collect()[0].e
     assert est >= exact                                   # one-sided
     assert est <= exact + len(a_vals) * len(b_vals) // w  # εN_aN_b slack
+
+
+def test_dd_weighted_equals_replication(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_quantile, dd_state
+
+    weighted = spark.createDataFrame(
+        [(1, 10.0, 3), (1, 100.0, 1), (1, 50.0, 2)], "g int, v double, w int"
+    )
+    replicated = spark.createDataFrame(
+        [(1, 10.0)] * 3 + [(1, 100.0)] + [(1, 50.0)] * 2, "g int, v double"
+    )
+    sw = dd_state(weighted, ["g"], "v", weight_col="w").collect()[0].dd
+    sr = dd_state(replicated, ["g"], "v").collect()[0].dd
+    assert sorted(sw.items()) == sorted(sr.items())
+    p50 = (
+        dd_state(weighted, ["g"], "v", weight_col="w")
+        .select(dd_quantile(F.col("dd"), 0.5).alias("p"))
+        .collect()[0].p
+    )
+    # rank 1+floor(0.5*5)=3 -> the third-smallest weighted value = 10
+    assert abs(p50 - 10.0) <= 0.011 * 10.0

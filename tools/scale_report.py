@@ -1,0 +1,93 @@
+"""Scale-up regression report: per-query wall ratio between two SFs.
+
+Runs every workload query at a base and a scaled SF directory (the
+scaled one is regenerated via make_scale.py if absent), prints the
+per-query ratio table sorted worst-first, and exits 1 if any query
+exceeds `--max-ratio` (default 10.0 — i.e. superlinear for the
+default ×10 replication). This turns "would it survive a scale-up?"
+from a judgment call into a command:
+
+    python tools/scale_report.py                   # sf0.1 -> .scale/sf1
+    python tools/scale_report.py --max-ratio 8
+
+Interpretation notes printed with the table: near-dup pair emitters
+(q25/q25b/q19/q20/...) legitimately grow with the TRUE pair count,
+which ×10 replication inflates quadratically — their runtime is
+linear in emitted pairs (the documented contract), so ratios up to
+~6 are expected there, not plan regressions.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from redskins_rule_spark import workload
+
+    out: dict[str, float] = {}
+    for name, fn in workload.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            out[name] = time.time() - t0
+        except Exception as e:  # report, keep going
+            print(f"[err] {name}: {e}", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    base = "/root/testdata/sf0.1"
+    scaled = "/root/repo/.scale/sf1"
+    max_ratio = 10.0
+    args = sys.argv[1:]
+    if "--max-ratio" in args:
+        max_ratio = float(args[args.index("--max-ratio") + 1])
+
+    if not os.path.isdir(scaled):
+        print(f"[gen] {scaled} missing — running make_scale.py")
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "/root/repo/tools/make_scale.py"], check=True
+        )
+
+    from redskins_rule_spark.session import get_spark
+
+    spark = get_spark()
+    t_base = time_queries(spark, base)
+    t_scaled = time_queries(spark, scaled)
+    spark.stop()
+
+    rows = []
+    for name, tb in t_base.items():
+        ts = t_scaled.get(name)
+        if ts is None:
+            continue
+        # sub-second base timings are fixed-cost noise, not data work
+        ratio = ts / tb if tb > 0.3 else 0.0
+        rows.append((ratio, tb, ts, name))
+    rows.sort(reverse=True)
+
+    print(f"\n{'ratio':>6} {'base_s':>8} {'scaled_s':>9}  query")
+    for ratio, tb, ts, name in rows[:25]:
+        print(f"{ratio:6.1f} {tb:8.2f} {ts:9.2f}  {name}")
+    total_b = sum(t_base.values())
+    total_s = sum(t_scaled.values())
+    print(f"\ntotals: base {total_b:.1f}s -> scaled {total_s:.1f}s "
+          f"({total_s / total_b:.2f}x wall for the SF factor)")
+
+    bad = [(n, r) for r, tb, ts, n in rows if r > max_ratio]
+    if bad:
+        print(f"\nFAIL: {len(bad)} queries exceed {max_ratio}x: {bad}")
+        return 1
+    print(f"\nOK: no query exceeds {max_ratio}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
