@@ -447,3 +447,31 @@ def interpolate_linear(
             F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
         ),
     )
+
+
+def int_islands(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    idx_col: str,
+) -> DataFrame:
+    """Gaps-and-islands over an INTEGER sequence — the `islands`
+    anchor trick (idx − row_number constant within a consecutive run)
+    for frame indices, shard positions, block numbers. One per-key
+    window + one hash agg, no self-join. Returns one row per island:
+    (*partition_by, island_start, island_end, island_len). Duplicate
+    indices are collapsed first (DISTINCT), matching `islands`."""
+    keys = list(partition_by)
+    if not keys:
+        raise ValueError("partition_by must be non-empty")
+    rows = df.select(*keys, F.col(idx_col).cast("long").alias("_i")).distinct()
+    w = Window.partitionBy(*keys).orderBy("_i")
+    anchored = rows.withColumn("_a", F.col("_i") - F.row_number().over(w))
+    return (
+        anchored.groupBy(*keys, "_a")
+        .agg(
+            F.min("_i").alias("island_start"),
+            F.max("_i").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("_a")
+    )

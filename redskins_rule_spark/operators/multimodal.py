@@ -733,3 +733,56 @@ def image_patches(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def frame_deltas(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scene-change signal over video payloads: mean absolute pixel
+    delta between consecutive frames (one row per transition:
+    id, f = later frame index, mad). Keyframe selection is then a
+    filter (mad > threshold) or `topk_per_group` over this output —
+    the standard cheap shot-boundary detector before sampling frames
+    for vision training.
+
+    Real decode path (functions/gif.py LZW); Arrow `mapInPandas`
+    streaming batches, payload bytes never enter JVM row format.
+    NULL / single-frame payloads emit no rows.
+    """
+    from redskins_rule_spark.functions.gif import decode_gif
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("f", T.IntegerType()),
+            T.StructField("mad", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fs, mads = [], [], []
+            for pid, data in zip(pdf[id_col], pdf[payload_col]):
+                if data is None:
+                    continue
+                meta, frames = decode_gif(bytes(data))
+                size = meta.width * meta.height
+                prev = None
+                for f, raw in enumerate(frames):
+                    cur = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        ids.append(pid)
+                        fs.append(f)
+                        mads.append(float(np.abs(cur - prev).sum()) / size)
+                    prev = cur
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids),
+                    "f": pd.array(fs, dtype="int32"),
+                    "mad": pd.array(mads, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -531,8 +531,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
     "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
     "q154_psi", "q155_kmv_setops", "q156_interpolate",
-    "q157_dd_weighted",
-    # 56 never-verified entries above — the driver records the first
+    "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
+    # 58 never-verified entries above — the driver records the first
     # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
     # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
@@ -6618,4 +6618,106 @@ def q157_dd_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd_total(F.col("dd")).alias("n_tokens"),
         F.round(dd_quantile(F.col("dd"), 0.5, alpha=0.01), 4).alias("wp50"),
         F.round(dd_quantile(F.col("dd"), 0.9, alpha=0.01), 4).alias("wp90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: scene-change detection over real video payloads — per-frame
+# transition mean-abs-delta through the actual LZW decode path. The
+# synthetic generator advances every pixel by +7 (mod 256) per frame,
+# so the oracle predicts each transition's delta ANALYTICALLY (7 for
+# un-wrapped pixels, 249 where the prior value wraps past 255) from
+# character length alone — the q99 pattern extended from frame stats
+# to temporal structure. Keyframe selection downstream is a filter /
+# top-k over this output.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.multimodal import frame_deltas  # noqa: E402
+
+
+@query(
+    "q158_scene_changes",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS c FROM documents
+               WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, c, c % 16 + 2 AS w, c % 11 + 2 AS h,
+                 c % 5 + 1 AS nf
+          FROM d),
+    t AS (SELECT doc_id, c, w, h, f
+          FROM g, unnest(generate_series(1, nf - 1)) AS u(f)
+          WHERE nf > 1),
+    px AS (SELECT doc_id, f, w, h,
+                  CASE WHEN (c + 7 * (f - 1) + 3 * y + x) % 256 >= 249
+                       THEN 249 ELSE 7 END AS ad
+           FROM t,
+                unnest(generate_series(0, h - 1)) AS uy(y),
+                unnest(generate_series(0, w - 1)) AS ux(x))
+    SELECT doc_id, CAST(f AS INTEGER) AS f,
+           ROUND(SUM(ad) / (MIN(w) * MIN(h)), 4) AS mad
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def q158_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = with_gif_payload(docs, "text")
+    return frame_deltas(payloads).select(
+        "doc_id", "f", F.round("mad", 4).alias("mad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159: audio activity segmentation — the VAD stage: frames whose
+# mean energy clears a threshold (compared in pure integers:
+# sum_sq >= T·n, no division) group into contiguous speech segments
+# via the integer gaps-and-islands anchor. Runs through the REAL
+# PCM16 decode; the oracle replays the synth arithmetic (q142's CTE)
+# and the same anchor trick.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.analytic import int_islands  # noqa: E402
+
+_Q159_T = 400_000_000
+
+
+@query(
+    "q159_audio_segments",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 97 + 8 AS n
+               FROM documents WHERE text IS NOT NULL),
+    fr AS (SELECT doc_id, clen, n,
+                  unnest(generate_series(0, CAST(ceil(n / 64.0) AS INTEGER) - 1)) AS f
+           FROM g),
+    e AS (SELECT doc_id, f,
+                 CAST(LEAST(n, (f + 1) * 64) - f * 64 AS BIGINT) AS nif,
+                 CAST(list_sum(list_transform(
+                       generate_series(f * 64, LEAST(n, (f + 1) * 64) - 1),
+                       i -> ((clen + 31 * i) % 65536 - 32768)
+                            * ((clen + 31 * i) % 65536 - 32768))) AS BIGINT)
+                   AS sum_sq
+          FROM fr),
+    hot AS (SELECT doc_id, f FROM e WHERE sum_sq >= {_Q159_T} * nif),
+    anch AS (SELECT doc_id, f,
+                    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS a
+             FROM hot)
+    SELECT doc_id,
+           MIN(f) AS seg_start,
+           MAX(f) AS seg_end,
+           COUNT(*) AS seg_len
+    FROM anch GROUP BY doc_id, a
+    """,
+)
+def q159_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wav = with_wav_payload(docs, "text", "doc_id")
+    feats = audio_frame_features(wav, "payload", "doc_id", frame_len=64)
+    hot = feats.where(
+        F.col("sum_sq") >= F.lit(_Q159_T) * F.col("n_in_frame").cast("long")
+    )
+    segs = int_islands(hot, ["doc_id"], "frame_idx")
+    return segs.select(
+        "doc_id",
+        F.col("island_start").alias("seg_start"),
+        F.col("island_end").alias("seg_end"),
+        F.col("island_len").alias("seg_len"),
     )

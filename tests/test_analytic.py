@@ -258,3 +258,17 @@ def test_interpolate_linear_interior_and_edges(spark):
 
     with _pytest.raises(ValueError):
         interpolate_linear(df, [], "t", "v")
+
+
+def test_int_islands_runs_and_duplicates(spark):
+    from redskins_rule_spark.operators.analytic import int_islands
+
+    df = spark.createDataFrame(
+        [(1, i) for i in [0, 1, 2, 5, 7, 8, 8]] + [(2, 4)],
+        "k int, f int",
+    )
+    got = sorted(
+        (r.k, r.island_start, r.island_end, r.island_len)
+        for r in int_islands(df, ["k"], "f").collect()
+    )
+    assert got == [(1, 0, 2, 3), (1, 5, 5, 1), (1, 7, 8, 2), (2, 4, 4, 1)]

@@ -584,3 +584,45 @@ def test_resize_images_png_roundtrip(spark):
     # just assert every output pixel exists somewhere in the source
     src = {tuple(p) for p in px.reshape(-1, 3)}
     assert all(tuple(p) in src for p in got.reshape(-1, 3))
+
+
+def test_frame_deltas_known_synthetic_motion(spark):
+    """synth_frames advances every pixel by +7 (mod 256) per frame, so
+    each transition's mean abs delta is 7 + 242·(wrap fraction) —
+    verified against a direct numpy fold over the decoded frames."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+        synth_frames,
+    )
+    from redskins_rule_spark.operators.multimodal import (
+        frame_deltas,
+        with_gif_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 7), (3, None), (4, "z")],
+        "doc_id int, text string",
+    )
+    out = frame_deltas(with_gif_payload(docs, "text")).collect()
+    got = {(r.doc_id, r.f): r.mad for r in out}
+    for doc_id, text in [(1, "x" * 300), (2, "y" * 7), (4, "z")]:
+        clen = len(text)
+        w, h, nf = clen % 16 + 2, clen % 11 + 2, clen % 5 + 1
+        payload = encode_gif(synth_frames(clen, nf, w, h), w, h, delay_cs=4)
+        _, frames = decode_gif(payload)
+        arrs = [np.frombuffer(b, dtype=np.uint8).astype(int) for b in frames]
+        for f in range(1, nf):
+            expect = float(np.abs(arrs[f] - arrs[f - 1]).sum()) / (w * h)
+            assert got[(doc_id, f)] == expect, (doc_id, f)
+        assert all(k[0] != doc_id or k[1] < nf for k in got)
+    assert not any(k[0] == 3 for k in got)  # null payload emits nothing
+    # single-frame docs emit nothing: clen=1 -> nf = 1 % 5 + 1 = 2 frames
+    # (doc 4 HAS one transition); construct a true single-frame doc:
+    clen5 = "q" * 4  # 4 % 5 + 1 = 5 frames -> 4 transitions
+    single = spark.createDataFrame([(9, "s" * 9)], "doc_id int, text string")
+    # 9 % 5 + 1 = 5 frames; just assert transition count matches nf-1
+    n = frame_deltas(with_gif_payload(single, "text")).count()
+    assert n == (9 % 5 + 1) - 1
