@@ -786,3 +786,76 @@ def frame_deltas(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    decode_backend: str = "bmp",
+) -> DataFrame:
+    """Perceptual difference-hash of image payloads — the image-corpus
+    near-dup primitive (visually-similar images land within small
+    Hamming distance; exact byte hashing misses recompressed copies).
+
+    Classic dHash: sample a 9×8 luminance grid (nearest-neighbor at
+    sx = xt·w//9, sy = yt·h//8 — integer-exact, no resampling
+    filter), emit one bit per horizontal gradient (right > left),
+    64 bits packed as two 32-bit halves (dhash_hi, dhash_lo) so no
+    value ever touches the bigint sign bit. Luminance is the plain
+    channel SUM (integer-exact; weights would need fixed-point
+    contracts for cross-engine hashing).
+
+    Hamming pairing downstream reuses the SimHash machinery
+    (dedup.hamming64 / pigeonhole blocking) on hi/lo halves. Real
+    decode path; Arrow mapInPandas. NULL payloads emit NULL hashes.
+    """
+    if decode_backend != "bmp":
+        raise NotImplementedError(
+            "dhash: only the bmp backend is wired in this container"
+        )
+    from redskins_rule_spark.functions.bmp import decode_bmp
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for pid, data in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(pid)
+                if data is None:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                px = decode_bmp(bytes(data)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                gray = px.sum(axis=2)
+                hi = lo = 0
+                for yt in range(8):
+                    sy = (yt * h) // 8
+                    for xt in range(8):
+                        g0 = int(gray[sy, (xt * w) // 9])
+                        g1 = int(gray[sy, ((xt + 1) * w) // 9])
+                        if g1 > g0:
+                            k = yt * 8 + xt
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids),
+                    "dhash_hi": pd.array(his, dtype="Int64"),
+                    "dhash_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -532,7 +532,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
     "q154_psi", "q155_kmv_setops", "q156_interpolate",
     "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
-    # 58 never-verified entries above — the driver records the first
+    "q160_image_dhash",
+    # 59 never-verified entries above — the driver records the first
     # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
     # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
@@ -6721,3 +6722,54 @@ def q159_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_end").alias("seg_end"),
         F.col("island_len").alias("seg_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160: perceptual image hashing — dHash through the REAL BMP decode,
+# the near-dup primitive for image corpora (recompressed copies land
+# within small Hamming distance; byte hashes miss them). The oracle
+# recomputes every sampled luminance pair from the generator's pixel
+# arithmetic and packs the same 64 gradient bits — integer-exact end
+# to end, so the hashes themselves hash-match. Downstream pairing
+# reuses the SimHash pigeonhole machinery on the two 32-bit halves.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.multimodal import image_dhash  # noqa: E402
+
+
+@query(
+    "q160_image_dhash",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS bl
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, bl, bl % 31 + 1 AS w, bl % 17 + 1 AS h FROM d),
+    cells AS (
+      SELECT doc_id, yt, xt,
+             ((xt * w) // 9 + (yt * h) // 8 + bl) % 256
+             + ((xt * w) // 9 + (yt * h) // 8 + 1 + bl) % 256
+             + ((xt * w) // 9 + (yt * h) // 8 + 2 + bl) % 256 AS g0,
+             (((xt + 1) * w) // 9 + (yt * h) // 8 + bl) % 256
+             + (((xt + 1) * w) // 9 + (yt * h) // 8 + 1 + bl) % 256
+             + (((xt + 1) * w) // 9 + (yt * h) // 8 + 2 + bl) % 256 AS g1
+      FROM g,
+           unnest(generate_series(0, 7)) AS uy(yt),
+           unnest(generate_series(0, 7)) AS ux(xt)
+    ),
+    bits AS (SELECT doc_id, yt * 8 + xt AS k FROM cells WHERE g1 > g0)
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(CASE WHEN b.k >= 32
+                 THEN (CAST(1 AS BIGINT) << (b.k - 32)) END), 0) AS BIGINT)
+             AS dhash_hi,
+           CAST(COALESCE(SUM(CASE WHEN b.k < 32
+                 THEN (CAST(1 AS BIGINT) << b.k) END), 0) AS BIGINT)
+             AS dhash_lo
+    FROM d LEFT JOIN bits b ON b.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q160_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # null-text docs are excluded on BOTH sides (the oracle's WHERE);
+    # without the filter Spark would emit null-hash rows the oracle drops
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_bmp_payload(docs, "text", "doc_id")
+    return image_dhash(payloads, "payload", "doc_id")

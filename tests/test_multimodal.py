@@ -626,3 +626,52 @@ def test_frame_deltas_known_synthetic_motion(spark):
     # 9 % 5 + 1 = 5 frames; just assert transition count matches nf-1
     n = frame_deltas(with_gif_payload(single, "text")).count()
     assert n == (9 % 5 + 1) - 1
+
+
+def test_image_dhash_known_gradient_and_nulls(spark):
+    """The synthetic BMP is a left-to-right +1 gradient, so every
+    sampled gradient pair with distinct sample columns gives bit=1
+    unless the right sample wraps past 255 — checked against a
+    direct numpy dhash of the decoded pixels."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import decode_bmp, encode_bmp
+    from redskins_rule_spark.operators.multimodal import (
+        image_dhash,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40), (2, "b" * 300), (3, None)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in
+           image_dhash(with_bmp_payload(docs, "text")).collect()}
+    assert got[3] == (None, None)
+    for doc_id, text in [(1, "a" * 40), (2, "b" * 300)]:
+        bl = len(text.encode("utf-8"))
+        w, h = bl % 31 + 1, bl % 17 + 1
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    px[y, x, c] = (x + y + c + bl) % 256
+        gray = decode_bmp(encode_bmp(px)).astype(int).sum(axis=2)
+        hi = lo = 0
+        for yt in range(8):
+            sy = (yt * h) // 8
+            for xt in range(8):
+                if gray[sy, ((xt + 1) * w) // 9] > gray[sy, (xt * w) // 9]:
+                    k = yt * 8 + xt
+                    if k < 32:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 32)
+        assert got[doc_id] == (hi, lo), doc_id
+    # near-dup property: same image content -> identical hash
+    dup = spark.createDataFrame(
+        [(10, "a" * 40), (11, "a" * 40)], "doc_id int, text string"
+    )
+    hs = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in
+          image_dhash(with_bmp_payload(dup, "text")).collect()}
+    assert hs[10] == hs[11]
