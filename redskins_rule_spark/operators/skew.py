@@ -161,3 +161,15 @@ def bloom_semi_join(
         on=big_key,
         how="semi",
     )
+
+
+def bloom_merge(a, b):
+    """Word-wise OR of two Bloom bitmaps (map<word,bits>) — Bloom
+    filters over the same (m_bits, k) geometry form a semilattice, so
+    per-shard/day bitmaps merge losslessly into the union filter
+    (streaming face: `streaming.run_incremental_sketch_view`)."""
+    return F.map_zip_with(
+        a, b,
+        lambda _, x, y: F.coalesce(x, F.lit(0).cast("bigint"))
+        .bitwiseOR(F.coalesce(y, F.lit(0).cast("bigint"))),
+    )

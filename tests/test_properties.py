@@ -639,3 +639,107 @@ def test_profile_columns_matches_python_fold(spark, rows):
             assert r.avg_v == round(sum(nn) / len(nn), 4)
         else:
             assert r.min_v is None and r.avg_v is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    layout=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=2, max_size=25, unique_by=lambda r: r[0],
+    )
+)
+def test_interpolate_linear_matches_numpy(spark, layout):
+    """Interior nulls match numpy.interp for ANY layout; edge nulls
+    (no neighbor on one side) stay null."""
+    import numpy as np
+
+    from redskins_rule_spark.operators.analytic import interpolate_linear
+
+    rows = [("k", t, float(v) if v is not None else None) for t, v in layout]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r.t: r.interp for r in
+           interpolate_linear(df, ["k"], "t", "v").collect()}
+    known = sorted((t, v) for t, v in layout if v is not None)
+    for t, v in layout:
+        if v is not None:
+            assert got[t] == float(v)
+        elif not known or t < known[0][0] or t > known[-1][0]:
+            assert got[t] is None, (t, layout)
+        else:
+            expect = float(np.interp(t, [x for x, _ in known],
+                                     [y for _, y in known]))
+            assert got[t] is not None and abs(got[t] - expect) < 1e-9, (t, layout)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=8),
+                  min_size=1, max_size=40, unique=True),
+    seed=st.integers(min_value=0, max_value=5),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+def test_seeded_shuffle_is_permutation_any_keys(spark, keys, seed, n_shards):
+    """For ANY key set: output is a true permutation (each shard's
+    positions are 1..n_s), every key appears once, and the layout is
+    independent of input partitioning."""
+    from redskins_rule_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "id string")
+    out = seeded_shuffle(df, "id", seed=seed, n_shards=n_shards).collect()
+    assert sorted(r.id for r in out) == sorted(keys)
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard[r.shard].append(r.pos)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), (s, keys)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    idxs=st.lists(st.integers(min_value=0, max_value=60),
+                  min_size=1, max_size=40)
+)
+def test_int_islands_matches_python_fold(spark, idxs):
+    from redskins_rule_spark.operators.analytic import int_islands
+
+    df = spark.createDataFrame([(1, i) for i in idxs], "k int, f int")
+    got = sorted(
+        (r.island_start, r.island_end, r.island_len)
+        for r in int_islands(df, ["k"], "f").collect()
+    )
+    expect = []
+    run = []
+    for i in sorted(set(idxs)):
+        if run and i == run[-1] + 1:
+            run.append(i)
+        else:
+            if run:
+                expect.append((run[0], run[-1], len(run)))
+            run = [i]
+    if run:
+        expect.append((run[0], run[-1], len(run)))
+    assert got == sorted(expect), idxs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=2, max_value=30),
+    k=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_negative_samples_invariants_any_corpus(spark, n, k, seed):
+    from redskins_rule_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(n)], "id string")
+    out = negative_samples(df, "id", k=k, seed=seed).collect()
+    assert len(out) == n * k
+    ids = {f"d{i}" for i in range(n)}
+    for r in out:
+        assert r.anchor_id != r.neg_id
+        assert r.neg_id in ids and 1 <= r.j <= k

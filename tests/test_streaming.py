@@ -595,3 +595,58 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     import shutil
 
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_streaming_bloom_seen_keys(spark, tmp_path):
+    """Streaming maintenance of a seen-keys Bloom filter: two landing
+    waves fold via bloom_merge into exactly the batch-built bitmap of
+    everything landed, and the membership test keeps its
+    no-false-negative contract against the full key set."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.skew import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_sketch_view,
+        stream_from_files,
+    )
+
+    land = str(tmp_path / "bloom_landing")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    view = f"bloom_{uuid.uuid4().hex[:8]}"
+    m, k = 1 << 12, 3
+
+    def build(batch_df):
+        return bloom_build(batch_df, "key", m_bits=m, k=k).withColumn(
+            "g", F.lit(1)
+        )
+
+    wave1 = [(i,) for i in range(0, 60)]
+    wave2 = [(i,) for i in range(50, 120)]
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, "key int").write.mode("append").parquet(land)
+        run_incremental_sketch_view(
+            stream_from_files(spark, land, "key int"), build, ["g"],
+            "__bloom", bloom_merge, ckpt, view,
+        )
+
+    batch_state = bloom_build(
+        spark.createDataFrame(wave1 + wave2, "key int"), "key", m_bits=m, k=k
+    ).collect()[0]["__bloom"]
+    stream_state = spark.table(view).collect()[0]["__bloom"]
+    assert sorted(stream_state.items()) == sorted(batch_state.items())
+
+    probe = spark.createDataFrame([(i,) for i in range(300)], "key int")
+    hits = {
+        r.key
+        for r in probe.join(F.broadcast(spark.table(view))).where(
+            bloom_might_contain(F.col("__bloom"), F.col("key"), m, k)
+        ).collect()
+    }
+    assert set(range(120)) <= hits  # every landed key passes
+    assert len(hits) < 300  # and the filter still rejects most others
