@@ -675,3 +675,24 @@ def test_image_dhash_known_gradient_and_nulls(spark):
     hs = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in
           image_dhash(with_bmp_payload(dup, "text")).collect()}
     assert hs[10] == hs[11]
+
+
+def test_truncated_bmp_raises_valueerror():
+    """BMP shares the corrupt-payload contract of wav/gif/png: any
+    truncation — header or pixel section — surfaces as ValueError
+    (numpy's short-buffer error IS a ValueError), never struct.error,
+    so mapInPandas tasks fail with the documented exception type."""
+    import numpy as np
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.bmp import decode_bmp, encode_bmp
+
+    px = np.zeros((4, 5, 3), dtype=np.uint8)
+    good = encode_bmp(px)
+    assert decode_bmp(good).shape == (4, 5, 3)
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:10])          # inside the header
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:-7])          # inside the pixel rows
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])   # wrong magic
