@@ -14,6 +14,8 @@ Scale notes baked into each operator's plan shape:
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -475,3 +477,90 @@ def int_islands(
         )
         .drop("_a")
     )
+
+
+# Poisson(1) CDF, k = 0..7 — shortest-round-trip literals so any
+# engine parses the identical doubles (tail mass beyond 7 ~1e-5 maps
+# to weight 8; bias is negligible against bootstrap noise).
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+)
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Deterministic Poisson(1) draw from a uniform u in [0, 1):
+    inverse-CDF over literal thresholds (pure CASE chain)."""
+    w = F.lit(8)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: Column,
+    key_hash: Column,
+    n_boot: int = 32,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval of the per-group mean —
+    THE scalable bootstrap: instead of materializing B resamples,
+    every row gets B deterministic Poisson(1) weights (replicate r's
+    weight from a seeded remix of the row's hash), and each
+    replicate's weighted mean forms the empirical CI. ONE scan, an
+    in-flight ×B explode into a map-side-combinable agg — no shuffle
+    of raw data ×B, no driver collect beyond B means per group.
+
+    value_col  : INTEGER-valued column (e.g. cents) — keeps replicate
+                 sums exact, hence cross-engine hash-checkable.
+    key_hash   : per-row hash in [0, 2^31-1) (e.g.
+                 sampling.shuffle_hash of a unique key) — determinism
+                 and rerun-stability come from it.
+    Returns (group_cols..., n, mean_all, ci_lo, ci_hi): the plain
+    mean plus the [lo_q, hi_q] bootstrap interval of it.
+    """
+    if n_boot < 4:
+        raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    groups = list(group_cols)
+    m = 2147483647
+    base = df.select(
+        *groups,
+        value_col.cast("long").alias("_x"),
+        key_hash.cast("long").alias("_h"),
+    )
+    rep = base.select(
+        *groups, "_x", "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_r"),
+    )
+    u = (
+        (F.lit(1103515245) * (F.col("_h") + F.col("_r")) + F.lit(12345)) % m
+    ).cast("double") / F.lit(float(m))
+    w = poisson1_weight(u).cast("long")
+    means = (
+        rep.withColumn("_w", w)
+        .groupBy(*groups, "_r")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            *groups,
+            (F.col("_swx").cast("double") / F.col("_sw")).alias("_m"),
+        )
+    )
+    sorted_means = F.array_sort(F.collect_list("_m"))
+    lo_i = int(math.floor(lo_q * (n_boot - 1))) + 1
+    hi_i = int(math.floor(hi_q * (n_boot - 1))) + 1
+    overall = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("_x").cast("double") / F.count(F.lit(1))).alias("mean_all"),
+    )
+    ci = means.groupBy(*groups).agg(
+        F.element_at(sorted_means, lo_i).alias("ci_lo"),
+        F.element_at(sorted_means, hi_i).alias("ci_hi"),
+    )
+    return overall.join(ci, groups)

@@ -532,8 +532,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
     "q154_psi", "q155_kmv_setops", "q156_interpolate",
     "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
-    "q160_image_dhash",
-    # 59 never-verified entries above — the driver records the first
+    "q160_image_dhash", "q161_bootstrap_ci",
+    # 60 never-verified entries above — the driver records the first
     # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
     # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
@@ -6773,3 +6773,77 @@ def q160_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_bmp_payload(docs, "text", "doc_id")
     return image_dhash(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161: Poisson-bootstrap CI — error bars on group means WITHOUT
+# materializing resamples: every row draws B=32 deterministic
+# Poisson(1) weights off a seeded remix of its hash (inverse-CDF over
+# shortest-round-trip literals), replicate means form the empirical
+# interval. One scan, in-flight explode into a map-side-combinable
+# agg; integer-cent sums keep every replicate mean exact, so the CI
+# BOUNDS hash-match the oracle's re-derivation.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.analytic import bootstrap_ci  # noqa: E402
+
+_Q161_ROLL = _sql_roll_of("('7:' || CAST(o_orderkey AS VARCHAR))")
+_Q161_CASE = """CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END"""
+
+
+@query(
+    "q161_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             (1103515245 * {_Q161_ROLL} + 12345) % 2147483647 AS h
+      FROM orders
+    ),
+    rep AS (SELECT grp, x, h, r
+            FROM base, unnest(generate_series(0, 31)) t(r)),
+    wts AS (
+      SELECT grp, r, x, {_Q161_CASE} AS w
+      FROM (SELECT grp, x, r,
+                   CAST((1103515245 * (h + r) + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+            FROM rep)
+    ),
+    means AS (SELECT grp, r, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+              FROM wts GROUP BY grp, r),
+    agg AS (SELECT grp, list_sort(list(m)) AS ms FROM means GROUP BY grp),
+    bs AS (SELECT grp, COUNT(*) AS n,
+                  CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_all
+           FROM base GROUP BY grp)
+    SELECT b.grp, b.n, ROUND(b.mean_all, 4) AS mean_all,
+           ROUND(a.ms[1], 4) AS ci_lo, ROUND(a.ms[31], 4) AS ci_hi
+    FROM bs b JOIN agg a ON a.grp = b.grp
+    """,
+)
+def q161_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    out = bootstrap_ci(
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        ),
+        ["grp"],
+        F.col("cents"),
+        shuffle_hash("o_orderkey", 7),
+        n_boot=32,
+    )
+    return out.select(
+        "grp", "n",
+        F.round("mean_all", 4).alias("mean_all"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )

@@ -272,3 +272,39 @@ def test_int_islands_runs_and_duplicates(spark):
         for r in int_islands(df, ["k"], "f").collect()
     )
     assert got == [(1, 0, 2, 3), (1, 5, 5, 1), (1, 7, 8, 2), (2, 4, 4, 1)]
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.analytic import bootstrap_ci
+    from redskins_rule_spark.operators.sampling import shuffle_hash
+
+    rng = random.Random(11)
+    rows = [(i, "g", rng.randint(100, 10000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, g string, cents long")
+    out = bootstrap_ci(
+        df, ["g"], F.col("cents"), shuffle_hash("id", 7), n_boot=32
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    true_mean = sum(c for _, _, c in rows) / len(rows)
+    assert r.n == 2000 and abs(r.mean_all - true_mean) < 1e-9
+    assert r.ci_lo <= r.mean_all <= r.ci_hi           # CI brackets the mean
+    width = r.ci_hi - r.ci_lo
+    sd = (sum((c - true_mean) ** 2 for _, _, c in rows) / len(rows)) ** 0.5
+    se = sd / len(rows) ** 0.5
+    assert 1.5 * se < width < 8 * se                  # sane interval scale
+    # partitioning-independence (deterministic weights)
+    out2 = bootstrap_ci(
+        df.repartition(13), ["g"], F.col("cents"), shuffle_hash("id", 7),
+        n_boot=32,
+    ).collect()[0]
+    assert (out2.ci_lo, out2.ci_hi) == (r.ci_lo, r.ci_hi)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bootstrap_ci(df, ["g"], F.col("cents"), shuffle_hash("id", 7), n_boot=2)
