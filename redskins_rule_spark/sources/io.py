@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -287,3 +288,76 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.repartition(n_files).write.mode("error").parquet(out_dir)
     return n_files
+
+
+def parquet_file_stats(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILE min/max/null-count manifest from parquet footers —
+    the zone-map that table formats (Iceberg/Delta manifests) keep so
+    a planner can skip whole files before listing row groups. Spark
+    already prunes ROW GROUPS inside files it opens; this surfaces
+    the file-level layer for external skipping: persist the manifest,
+    and a later job intersects its predicate with [min, max] to read
+    only qualifying files (see `prune_files_by_range`).
+
+    Footer reads are metadata-sized (no data IO); the per-file loop
+    is driver-side over the FILE LIST — the same cardinality every
+    manifest-based format handles on the coordinator.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    rows = []
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.to_arrow_schema().names
+        for c in cols:
+            idx = names.index(c)
+            mn = mx = None
+            nulls = 0
+            n = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                n += col.num_values
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                nulls += st.null_count or 0
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            rows.append(
+                (os.path.basename(f), c, n,
+                 None if mn is None else float(mn),
+                 None if mx is None else float(mx), nulls)
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, col string, n_values long, min_v double, "
+        "max_v double, n_null long",
+    )
+
+
+def prune_files_by_range(
+    manifest: DataFrame, col: str, lo: float, hi: float
+) -> list[str]:
+    """Files whose [min, max] for `col` intersects [lo, hi] — plus
+    any file without stats (must-read). The file-skipping read is
+    then `spark.read.parquet(*kept)`: correct because a file whose
+    range misses the predicate can hold no qualifying row."""
+    rows = manifest.where(F.col("col") == col).select(
+        "file", "min_v", "max_v"
+    ).collect()
+    return sorted(
+        r.file
+        for r in rows
+        if r.min_v is None or not (r.max_v < lo or r.min_v > hi)
+    )

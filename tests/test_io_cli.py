@@ -239,3 +239,40 @@ def test_compact_parquet_refuses_overwrite(spark, tmp_path):
     compact_parquet(spark, src, out)
     with _pytest.raises(Exception):
         compact_parquet(spark, src, out)  # mode("error") protects the target
+
+
+def test_parquet_manifest_prunes_files_losslessly(spark, tmp_path):
+    """Range-partitioned write -> footer manifest -> file-level prune:
+    reading ONLY the kept files + filter equals the full scan +
+    filter, and the prune actually skips files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.sources.io import (
+        parquet_file_stats,
+        prune_files_by_range,
+    )
+
+    out = str(tmp_path / "ranged")
+    df = spark.range(10_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    # range layout = the manifest's best case (disjoint per-file spans)
+    df.repartitionByRange(8, "k").write.mode("overwrite").parquet(out)
+
+    manifest = parquet_file_stats(spark, out, ["k"])
+    kept = prune_files_by_range(manifest, "k", 2_000.0, 2_500.0)
+    n_files = manifest.select("file").distinct().count()
+    assert 0 < len(kept) < n_files  # pruning really skips files
+
+    pruned_scan = spark.read.parquet(*[os.path.join(out, f) for f in kept])
+    expect = df.where((F.col("k") >= 2000) & (F.col("k") <= 2500))
+    got = pruned_scan.where((F.col("k") >= 2000) & (F.col("k") <= 2500))
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in expect.collect()
+    )
+    # stats sanity: manifest totals cover every row
+    tot = manifest.agg(F.sum("n_values").alias("s")).collect()[0].s
+    assert tot == 10_000
