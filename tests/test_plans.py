@@ -330,3 +330,39 @@ def test_ivf_cell_partitioned_write_prunes_scan(spark, tmp_path):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bloom_prune_filter_sits_below_the_semi_join(spark):
+    """q149's membership test must run BEFORE the exact semi join —
+    the whole point is shrinking the shuffle. The plan therefore has
+    the bitmap broadcast (1-row BNLJ) + the bitwise filter feeding a
+    real equi semi join, never a second nested-loop."""
+    import re
+
+    plan = _plan(spark, "q149_bloom_prune")
+    # one BNLJ INSTANCE (formatted plans print each operator in the
+    # tree AND the detail section — count detail ids, not substrings)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "LeftSemi" in plan                          # exact verify survives
+    assert "CartesianProduct" not in plan
+    # (join ORDER is Catalyst's call — at tiny SF it may run the
+    # broadcast semi first; the logical contract is bitmap-below-semi
+    # and the runtime shrink is pinned in test_bucketing_skew)
+
+
+def test_bootstrap_agg_is_partial_combined(spark):
+    """q161's ×32 replicate explode must feed a map-side partial
+    aggregate — the explode multiplies ROWS IN FLIGHT, never shuffle
+    volume beyond (group, replicate) partials."""
+    plan = _plan(spark, "q161_bootstrap_ci")
+    assert "partial_sum" in plan          # map-side combine on the weights
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_negative_samples_joins_on_the_index_key(spark):
+    """q152's partner lookup is a plain equi join on the dense index —
+    no nested loop, no cartesian."""
+    plan = _plan(spark, "q152_negative_samples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
