@@ -482,3 +482,36 @@ def cm_inner_product(a: Column, b: Column, width: int = 256, depth: int = 4) -> 
         )
 
     return F.least(*[row_dot(d) for d in range(depth)])
+
+
+def dd_ks(a: Column, b: Column) -> Column:
+    """Two-sample Kolmogorov–Smirnov distance read off two DD states:
+    max over the merged bucket grid of |F_a − F_b| (empirical CDFs at
+    bucket granularity — within one alpha-bucket of the exact KS
+    statistic). The scale path for distribution comparison: the exact
+    KS needs a per-group SORT of raw values; this is a row-local fold
+    over two O(#buckets) maps, and the inputs are the same mergeable
+    states the monitoring pipeline already keeps."""
+    keys = F.array_sort(F.array_union(F.map_keys(a), F.map_keys(b)))
+    na = dd_total(a).cast("double")
+    nb = dd_total(b).cast("double")
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("ca"), zero.alias("cb"), F.lit(0.0).alias("d")
+    )
+    fold = F.aggregate(
+        keys,
+        init,
+        lambda acc, k: F.struct(
+            (acc["ca"] + F.coalesce(F.element_at(a, k), zero)).alias("ca"),
+            (acc["cb"] + F.coalesce(F.element_at(b, k), zero)).alias("cb"),
+            F.greatest(
+                acc["d"],
+                F.abs(
+                    (acc["ca"] + F.coalesce(F.element_at(a, k), zero)).cast("double") / na
+                    - (acc["cb"] + F.coalesce(F.element_at(b, k), zero)).cast("double") / nb
+                ),
+            ).alias("d"),
+        ),
+    )
+    return fold["d"]

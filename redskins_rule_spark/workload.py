@@ -532,8 +532,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q151_seeded_shuffle", "q152_negative_samples", "q153_rrf_fusion",
     "q154_psi", "q155_kmv_setops", "q156_interpolate",
     "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
-    "q160_image_dhash", "q161_bootstrap_ci",
-    # 60 never-verified entries above — the driver records the first
+    "q160_image_dhash", "q161_bootstrap_ci", "q162_dd_ks",
+    # 61 never-verified entries above — the driver records the first
     # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
     # rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
@@ -6383,9 +6383,9 @@ from redskins_rule_spark.operators.analytic import psi_report  # noqa: E402
     "q154_psi",
     oracle="""
     WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-                 WHERE o_orderdate < DATE '1995-01-01'),
+                 WHERE o_orderdate < DATE '1998-01-01'),
     cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-            WHERE o_orderdate >= DATE '1995-01-01'),
+            WHERE o_orderdate >= DATE '1998-01-01'),
     b AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v)) / 10.0 AS w FROM ref),
     rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / w) AS INTEGER), 0), 9)
                     AS bin_id, COUNT(*) AS n_ref
@@ -6408,8 +6408,8 @@ from redskins_rule_spark.operators.analytic import psi_report  # noqa: E402
 )
 def q154_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    ref = orders.where(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
-    cur = orders.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    ref = orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    cur = orders.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
     rep = psi_report(ref, cur, "o_totalprice", bins=10)
     return rep.select("bin_id", "n_ref", "n_cur", F.round("term", 6).alias("term"))
 
@@ -6846,4 +6846,69 @@ def q161_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_all", 4).alias("mean_all"),
         F.round("ci_lo", 4).alias("ci_lo"),
         F.round("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162: two-sample KS distance off DD states — distribution shift with
+# a STATISTIC (sup-norm CDF gap) instead of q154's binned divergence,
+# read row-locally from the same mergeable sketches the monitoring
+# pipeline stores. Exact KS would sort raw values per group; the
+# bucket-grid fold is within one alpha-bucket of it (accuracy pinned
+# in pytest vs brute force). Cumulative counts are exact integers, so
+# the distances hash-match the oracle's windowed-cumsum re-derivation.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sketch import dd_ks  # noqa: E402
+
+_Q162_B = ("CAST(CEIL(LN(CAST(o_totalprice AS DOUBLE)) "
+           "/ LN((1.0 + 0.01) / (1.0 - 0.01))) AS INTEGER)")
+
+
+@query(
+    "q162_dd_ks",
+    oracle=f"""
+    WITH a AS (SELECT o_orderpriority AS g, {_Q162_B} AS b, COUNT(*) AS n
+               FROM orders
+               WHERE o_orderdate < DATE '1998-01-01' AND o_totalprice > 0
+               GROUP BY 1, 2),
+    b2 AS (SELECT o_orderpriority AS g, {_Q162_B} AS b, COUNT(*) AS n
+           FROM orders
+           WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice > 0
+           GROUP BY 1, 2),
+    k AS (SELECT g, b FROM a UNION SELECT g, b FROM b2),
+    j AS (SELECT k.g, k.b,
+                 COALESCE(a.n, 0) AS an, COALESCE(b2.n, 0) AS bn
+          FROM k LEFT JOIN a ON a.g = k.g AND a.b = k.b
+                 LEFT JOIN b2 ON b2.g = k.g AND b2.b = k.b),
+    c AS (SELECT g, b,
+                 SUM(an) OVER w AS ca, SUM(bn) OVER w AS cb,
+                 SUM(an) OVER (PARTITION BY g) AS na,
+                 SUM(bn) OVER (PARTITION BY g) AS nb
+          FROM j WINDOW w AS (PARTITION BY g ORDER BY b))
+    SELECT g AS grp,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na
+                         - CAST(cb AS DOUBLE) / nb)), 6) AS ks
+    FROM c GROUP BY g
+    """,
+)
+def q162_dd_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    sa = dd_state(
+        orders.where(F.col("o_orderdate") < cut), ["o_orderpriority"],
+        "o_totalprice", alpha=0.01, out_col="da",
+    )
+    sb = dd_state(
+        orders.where(F.col("o_orderdate") >= cut), ["o_orderpriority"],
+        "o_totalprice", alpha=0.01, out_col="db",
+    )
+    j = sa.join(sb, "o_orderpriority")
+    return j.select(
+        F.col("o_orderpriority").alias("grp"),
+        dd_total(F.col("da")).alias("n_a"),
+        dd_total(F.col("db")).alias("n_b"),
+        F.round(dd_ks(F.col("da"), F.col("db")), 6).alias("ks"),
     )

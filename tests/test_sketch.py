@@ -363,3 +363,47 @@ def test_dd_weighted_equals_replication(spark):
     )
     # rank 1+floor(0.5*5)=3 -> the third-smallest weighted value = 10
     assert abs(p50 - 10.0) <= 0.011 * 10.0
+
+
+def test_dd_ks_zero_on_identical_and_one_on_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_ks, dd_state
+
+    lo = spark.createDataFrame([(1, float(v)) for v in range(1, 200)], "g int, v double")
+    hi = spark.createDataFrame([(1, float(v) * 1e6) for v in range(1, 150)], "g int, v double")
+    sa = dd_state(lo, ["g"], "v").collect()[0].dd
+    sb = dd_state(hi, ["g"], "v").collect()[0].dd
+    pair = spark.createDataFrame([(sa, sa, sb)], "a map<int,bigint>, a2 map<int,bigint>, b map<int,bigint>")
+    same = pair.select(dd_ks(F.col("a"), F.col("a2")).alias("k")).collect()[0].k
+    assert same == 0.0
+    disjoint = pair.select(dd_ks(F.col("a"), F.col("b")).alias("k")).collect()[0].k
+    assert disjoint == 1.0  # fully separated supports
+
+
+def test_dd_ks_tracks_exact_ks_on_shifted_samples(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_ks, dd_state
+
+    rng = random.Random(3)
+    xs = [rng.lognormvariate(3, 0.6) for _ in range(3000)]
+    ys = [x * 1.6 for x in (rng.lognormvariate(3, 0.6) for _ in range(3000))]
+    dfa = spark.createDataFrame([(1, v) for v in xs], "g int, v double")
+    dfb = spark.createDataFrame([(1, v) for v in ys], "g int, v double")
+    sa = dd_state(dfa, ["g"], "v").collect()[0].dd
+    sb = dd_state(dfb, ["g"], "v").collect()[0].dd
+    pair = spark.createDataFrame([(sa, sb)], "a map<int,bigint>, b map<int,bigint>")
+    approx = pair.select(dd_ks(F.col("a"), F.col("b")).alias("k")).collect()[0].k
+    # exact KS by brute force
+    import bisect
+
+    sx, sy = sorted(xs), sorted(ys)
+    exact = max(
+        abs(bisect.bisect_right(sx, t) / len(sx)
+            - bisect.bisect_right(sy, t) / len(sy))
+        for t in sx + sy
+    )
+    assert abs(approx - exact) < 0.03, (approx, exact)
