@@ -743,3 +743,76 @@ def test_negative_samples_invariants_any_corpus(spark, n, k, seed):
     for r in out:
         assert r.anchor_id != r.neg_id
         assert r.neg_id in ids and 1 <= r.j <= k
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.floats(min_value=0.1, max_value=1e4, allow_nan=False,
+                          allow_infinity=False), min_size=2, max_size=40),
+    ys=st.lists(st.floats(min_value=0.1, max_value=1e4, allow_nan=False,
+                          allow_infinity=False), min_size=2, max_size=40),
+)
+def test_dd_ks_within_one_bucket_of_exact(spark, xs, ys):
+    """Sketch-KS is within the alpha-bucket discretization error of
+    the exact statistic for ANY pair of positive samples."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.sketch import dd_ks, dd_state
+
+    alpha = 0.02
+    dfa = spark.createDataFrame([(1, float(v)) for v in xs], "g int, v double")
+    dfb = spark.createDataFrame([(1, float(v)) for v in ys], "g int, v double")
+    sa = dd_state(dfa, ["g"], "v", alpha=alpha).collect()[0].dd
+    sb = dd_state(dfb, ["g"], "v", alpha=alpha).collect()[0].dd
+    pair = spark.createDataFrame([(sa, sb)], "a map<int,bigint>, b map<int,bigint>")
+    approx = pair.select(dd_ks(F.col("a"), F.col("b")).alias("k")).collect()[0].k
+    sx, sy = sorted(xs), sorted(ys)
+    exact = max(
+        abs(bisect.bisect_right(sx, t) / len(sx)
+            - bisect.bisect_right(sy, t) / len(sy))
+        for t in sx + sy
+    )
+    # the sketch evaluates the CDF gap only at bucket boundaries; an
+    # interior sup can exceed the boundary values by up to each
+    # sample's heaviest single-bucket mass
+    import math
+    from collections import Counter
+
+    g = (1.0 + alpha) / (1.0 - alpha)
+
+    def max_bucket_mass(vals):
+        c = Counter(math.ceil(math.log(v) / math.log(g)) for v in vals)
+        return max(c.values()) / len(vals)
+
+    slack = max_bucket_mass(xs) + max_bucket_mass(ys) + 1e-9
+    assert exact - slack <= approx <= exact + slack, (approx, exact, xs, ys)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=25),
+    b=st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=25),
+)
+def test_bloom_merge_equals_union_build(spark, a, b):
+    """Bloom bitmaps are a semilattice: merging per-wave filters
+    equals building one filter over the union, for ANY key sets."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.skew import bloom_build, bloom_merge
+
+    m, k = 1 << 10, 3
+
+    def build(vals):
+        df = spark.createDataFrame([(v,) for v in vals] or [(None,)], "k int")
+        return bloom_build(df.where(F.col("k").isNotNull()), "k", m_bits=m, k=k)
+
+    sa = build(a).collect()[0]["__bloom"]
+    sb = build(b).collect()[0]["__bloom"]
+    su = build(a + b).collect()[0]["__bloom"]
+    pair = spark.createDataFrame(
+        [(sa, sb)], "a map<int,bigint>, b map<int,bigint>"
+    )
+    merged = pair.select(bloom_merge(F.col("a"), F.col("b")).alias("m")).collect()[0].m
+    assert sorted(merged.items()) == sorted(su.items()), (a, b)
