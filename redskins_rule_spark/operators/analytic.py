@@ -319,7 +319,12 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count("v").alias("n_distinct"),
         F.round(F.min("v"), 4).alias("min_v"),
         F.round(F.max("v"), 4).alias("max_v"),
-        F.round(F.sum(F.col("v") * F.col("n")) / F.sum(nn), 4).alias("avg_v"),
+        # avg rounds one digit coarser than min/max: the sum of double
+        # products accumulates in engine/partition-dependent order, so
+        # its ~1e-9-relative jitter needs a rounding boundary (5e-4)
+        # orders of magnitude wider than the error, or a differential
+        # harness can flip the last digit between engines
+        F.round(F.sum(F.col("v") * F.col("n")) / F.sum(nn), 3).alias("avg_v"),
     )
 
 
@@ -349,9 +354,20 @@ def psi_report(
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     v = F.col(value_col).cast("double")
+    # degenerate reference (constant / single value): hi == lo would
+    # make the width 0 and every bucket expression NaN/Inf — which
+    # Spark's casts silently clamp into bin 0, reporting "no drift"
+    # for arbitrarily-shifted current data. Width 1 keeps the
+    # arithmetic finite: all ref rows land in bin 0, current rows
+    # spread by their distance from the constant, so drift is SEEN.
     bounds = ref.agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
-    ).withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+    ).withColumn(
+        "_w",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0)).otherwise(
+            (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        ),
+    )
 
     def side_counts(df: DataFrame, out: str) -> DataFrame:
         b = F.least(
@@ -443,10 +459,17 @@ def interpolate_linear(
     next_v = F.first(v, ignorenulls=True).over(w_fwd)
     next_t = F.first(known_t, ignorenulls=True).over(w_fwd)
     interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    # a null row TIED on order_col with observed rows on both sides
+    # would divide 0/0 into NaN (poisoning downstream aggregates, and
+    # neither null nor a value); guard next_t > prev_t so ties stay
+    # null — callers wanting tie repair add a tiebreaker to order_col
     return df.withColumn(
         out_col,
         F.when(v.isNotNull(), v).otherwise(
-            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
+                interp,
+            )
         ),
     )
 
@@ -525,8 +548,17 @@ def bootstrap_ci(
     """
     if n_boot < 4:
         raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    # the remix constants ARE sampling.shuffle_hash's scramble family —
+    # import the named values so the cross-engine contract (q161's
+    # oracle spells the same literals) has one source of truth
+    from redskins_rule_spark.functions.hashing import MERSENNE_31
+    from redskins_rule_spark.operators.sampling import (
+        _SHUFFLE_A,
+        _SHUFFLE_B,
+    )
+
     groups = list(group_cols)
-    m = 2147483647
+    m = MERSENNE_31
     base = df.select(
         *groups,
         value_col.cast("long").alias("_x"),
@@ -537,7 +569,7 @@ def bootstrap_ci(
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_r"),
     )
     u = (
-        (F.lit(1103515245) * (F.col("_h") + F.col("_r")) + F.lit(12345)) % m
+        (F.lit(_SHUFFLE_A) * (F.col("_h") + F.col("_r")) + F.lit(_SHUFFLE_B)) % m
     ).cast("double") / F.lit(float(m))
     w = poisson1_weight(u).cast("long")
     means = (

@@ -364,6 +364,12 @@ def negative_samples(
 
     Returns (anchor_id, j, neg_id), k rows per anchor. One index
     pass + one shuffle join — no per-row Python, no collect of data.
+
+    Cache note: the global index persists its range-partitioned frame
+    (with_global_index's determinism contract) and that cache must
+    outlive THIS function's laziness — release it after materializing
+    the result (`spark.catalog.clearCache()` or session teardown),
+    same duty with_global_index documents.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

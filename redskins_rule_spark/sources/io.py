@@ -324,20 +324,25 @@ def parquet_file_stats(
             mn = mx = None
             nulls = 0
             n = 0
+            have_stats = True
             for rg in range(md.num_row_groups):
                 col = md.row_group(rg).column(idx)
-                n += col.num_values
-                st = col.statistics
+                n += col.num_values  # value counts come from the rg
+                st = col.statistics  # header, not the stats — always sum
                 if st is None or not st.has_min_max:
-                    mn = mx = None
-                    break
+                    have_stats = False
+                    continue  # keep counting n over the remaining rgs
                 nulls += st.null_count or 0
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
+            # ANY stats-less row group poisons min/max AND the null
+            # count (unknown, not zero) — a partial aggregate would
+            # silently understate both
             rows.append(
                 (os.path.basename(f), c, n,
-                 None if mn is None else float(mn),
-                 None if mx is None else float(mx), nulls)
+                 float(mn) if have_stats and mn is not None else None,
+                 float(mx) if have_stats and mx is not None else None,
+                 nulls if have_stats else None)
             )
     return spark.createDataFrame(
         rows,

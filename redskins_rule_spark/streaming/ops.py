@@ -451,6 +451,48 @@ def stateful_pit_enrich(
     )
 
 
+def _run_view_fold(
+    stream_df: DataFrame,
+    build_delta,
+    fold,
+    checkpoint_dir: str,
+    view_name: str,
+) -> None:
+    """Shared foreachBatch shell for the maintained-view runners:
+    per micro-batch, build the delta, fold it into the current view
+    (None on the first batch), materialize, and republish the temp
+    view — with the AvailableNow trigger and checkpoint wiring in
+    ONE place so fixes to the shell (bootstrap, materialization
+    order, trigger semantics) can't drift between runners.
+
+    fold(base | None, delta) -> the updated view frame. The temp
+    view is session-scoped: a real deployment swaps the publish step
+    for a table write; a restarted session rebuilds the view by
+    re-running against the same checkpoint.
+    """
+    spark = stream_df.sparkSession
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = build_delta(batch_df)
+        try:
+            base = spark.table(view_name)
+        except Exception:  # first batch: no view yet
+            base = None
+        updated = fold(base, delta)
+        # materialize BEFORE replacing the view the plan reads from
+        spark.createDataFrame(
+            updated.collect(), schema=updated.schema
+        ).createOrReplaceTempView(view_name)
+
+    (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_incremental_view(
     stream_df: DataFrame,
     build_delta,
@@ -477,29 +519,13 @@ def run_incremental_view(
     """
     from redskins_rule_spark.operators.merge import incremental_agg_update
 
-    spark = stream_df.sparkSession
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = build_delta(batch_df)
-        try:
-            base = spark.table(view_name)
-        except Exception:  # first batch: empty view with the delta's schema
-            base = delta.limit(0)
-        updated = incremental_agg_update(
-            base, delta, keys, sum_cols, count_col=count_col
+    def fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        return incremental_agg_update(
+            delta.limit(0) if base is None else base,
+            delta, keys, sum_cols, count_col=count_col,
         )
-        # materialize BEFORE replacing the view the plan reads from
-        spark.createDataFrame(
-            updated.collect(), schema=updated.schema
-        ).createOrReplaceTempView(view_name)
 
-    (
-        stream_df.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_view_fold(stream_df, build_delta, fold, checkpoint_dir, view_name)
 
 
 def run_incremental_sketch_view(
@@ -525,41 +551,25 @@ def run_incremental_sketch_view(
                    sketch states of that batch (e.g. sketch.kmv_state)
     merge_fn     : (Column, Column) -> Column merging two states
                    (e.g. lambda a, b: sketch.kmv_merge(a, b, k=64))
-    View/trigger/checkpoint semantics match `run_incremental_view`.
+    View/trigger/checkpoint semantics match `run_incremental_view`
+    (both run on the shared `_run_view_fold` shell).
     """
-    spark = stream_df.sparkSession
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = build_states(batch_df)
-        d = delta.select(
-            *keys, F.col(state_col).alias("__new")
+    def fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        d = delta.select(*keys, F.col(state_col).alias("__new"))
+        b = (
+            d.limit(0).withColumnRenamed("__new", "__old")
+            if base is None
+            else base.select(*keys, F.col(state_col).alias("__old"))
         )
-        try:
-            base = spark.table(view_name).select(
-                *keys, F.col(state_col).alias("__old")
+        return b.join(d, keys, "full_outer").select(
+            *keys,
+            F.when(
+                F.col("__old").isNotNull() & F.col("__new").isNotNull(),
+                merge_fn(F.col("__old"), F.col("__new")),
             )
-        except Exception:  # first batch: empty base with the delta's shape
-            base = d.limit(0).withColumnRenamed("__new", "__old")
-        merged = (
-            base.join(d, keys, "full_outer")
-            .select(
-                *keys,
-                F.when(
-                    F.col("__old").isNotNull() & F.col("__new").isNotNull(),
-                    merge_fn(F.col("__old"), F.col("__new")),
-                )
-                .otherwise(F.coalesce(F.col("__new"), F.col("__old")))
-                .alias(state_col),
-            )
+            .otherwise(F.coalesce(F.col("__new"), F.col("__old")))
+            .alias(state_col),
         )
-        spark.createDataFrame(
-            merged.collect(), schema=merged.schema
-        ).createOrReplaceTempView(view_name)
 
-    (
-        stream_df.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_view_fold(stream_df, build_states, fold, checkpoint_dir, view_name)

@@ -534,8 +534,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
     "q160_image_dhash", "q161_bootstrap_ci", "q162_dd_ks",
     # 61 never-verified entries above — the driver records the first
-    # 50, so q152-q155 (and the q33 sentinel) queue for the round-5
-    # rotation once CORRECTNESS_r04 verifies the head
+    # 50 (head ends at q151), so q152-q162 plus the q33 sentinel queue
+    # for the round-5 rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
 ]
 
@@ -6201,7 +6201,7 @@ from redskins_rule_spark.operators.analytic import profile_columns  # noqa: E402
            COUNT(v) AS n_distinct,
            ROUND(MIN(v), 4) AS min_v,
            ROUND(MAX(v), 4) AS max_v,
-           ROUND(SUM(v * n) / SUM(CASE WHEN v IS NOT NULL THEN n END), 4)
+           ROUND(SUM(v * n) / SUM(CASE WHEN v IS NOT NULL THEN n END), 3)
              AS avg_v
     FROM pv GROUP BY col
     """,

@@ -176,9 +176,9 @@ def test_profile_columns_counts_nulls_distincts_and_moments(spark):
     a, b = rows["a"], rows["b"]
     assert (a.n_rows, a.n_null, a.n_distinct) == (4, 1, 2)
     assert (a.min_v, a.max_v) == (1.0, 2.0)
-    assert a.avg_v == round((1.0 + 2.0 + 2.0) / 3, 4)
+    assert a.avg_v == round((1.0 + 2.0 + 2.0) / 3, 3)
     assert (b.n_rows, b.n_null, b.n_distinct) == (4, 1, 2)
-    assert (b.min_v, b.max_v, b.avg_v) == (10.0, 20.0, 13.3333)
+    assert (b.min_v, b.max_v, b.avg_v) == (10.0, 20.0, 13.333)
 
 
 def test_profile_columns_all_null_column(spark):

@@ -636,7 +636,7 @@ def test_profile_columns_matches_python_fold(spark, rows):
         assert r.n_distinct == len(set(nn))
         if nn:
             assert (r.min_v, r.max_v) == (float(min(nn)), float(max(nn)))
-            assert r.avg_v == round(sum(nn) / len(nn), 4)
+            assert r.avg_v == round(sum(nn) / len(nn), 3)
         else:
             assert r.min_v is None and r.avg_v is None
 

@@ -26,18 +26,20 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
     from redskins_rule_spark import workload
 
     out: dict[str, float] = {}
+    errs: list[str] = []
     for name, fn in workload.queries().items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).count()
             out[name] = time.time() - t0
-        except Exception as e:  # report, keep going
+        except Exception as e:  # keep going, but the gate must see it
+            errs.append(name)
             print(f"[err] {name}: {e}", file=sys.stderr)
-    return out
+    return out, errs
 
 
 def main() -> int:
@@ -59,8 +61,8 @@ def main() -> int:
     from redskins_rule_spark.session import get_spark
 
     spark = get_spark()
-    t_base = time_queries(spark, base)
-    t_scaled = time_queries(spark, scaled)
+    t_base, err_base = time_queries(spark, base)
+    t_scaled, err_scaled = time_queries(spark, scaled)
     spark.stop()
 
     rows = []
@@ -68,8 +70,10 @@ def main() -> int:
         ts = t_scaled.get(name)
         if ts is None:
             continue
-        # sub-second base timings are fixed-cost noise, not data work
-        ratio = ts / tb if tb > 0.3 else 0.0
+        # sub-second base timings are fixed-cost noise — floor the
+        # denominator instead of zeroing the ratio, so a regression
+        # FROM a fast base (0.25s -> 300s) still trips the gate
+        ratio = ts / max(tb, 0.3)
         rows.append((ratio, tb, ts, name))
     rows.sort(reverse=True)
 
@@ -82,10 +86,17 @@ def main() -> int:
           f"({total_s / total_b:.2f}x wall for the SF factor)")
 
     bad = [(n, r) for r, tb, ts, n in rows if r > max_ratio]
-    if bad:
-        print(f"\nFAIL: {len(bad)} queries exceed {max_ratio}x: {bad}")
+    # a query that only fails at the scaled SF is the WORST scale
+    # regression — never let it fall out of the gate silently
+    crashed = sorted(set(err_scaled) - set(err_base))
+    if bad or crashed:
+        if bad:
+            print(f"\nFAIL: {len(bad)} queries exceed {max_ratio}x: {bad}")
+        if crashed:
+            print(f"\nFAIL: {len(crashed)} queries error only at the "
+                  f"scaled SF: {crashed}")
         return 1
-    print(f"\nOK: no query exceeds {max_ratio}x")
+    print(f"\nOK: no query exceeds {max_ratio}x and none crash at scale")
     return 0
 
 
