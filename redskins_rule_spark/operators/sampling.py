@@ -421,3 +421,60 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def stratified_negative_samples(
+    df: DataFrame,
+    id_col: str,
+    stratify_col: str,
+    k: int = 3,
+    seed: int = 0,
+    stride: int = 2654435761,
+) -> DataFrame:
+    """Negative sampling WITHIN strata — contrastive partners drawn
+    from the anchor's own language/source/domain (in-domain negatives
+    are the hard ones; cross-domain pairs are trivially separable).
+
+    Windowless per-stratum ranking: ONE global dense index ordered by
+    (stratum, id), then rank-in-stratum = global_idx − the stratum's
+    min index (a stratum-grain agg broadcast back) — no per-stratum
+    window sort funneling a giant stratum through one task. Probes
+    run in rank space mod the stratum size with the same seeded-hash
+    arithmetic as `negative_samples` (self-hit bumps to the next
+    rank); partner lookup is one equi join on the global index.
+
+    Strata of size 1 yield no rows for their anchor (no valid
+    in-stratum negative exists); everything else gets exactly k.
+    Same cache-duty note as negative_samples (the index persists).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from redskins_rule_spark.operators.indexing import with_global_index
+
+    ids = with_global_index(
+        df.select(stratify_col, id_col), [stratify_col, id_col], "idx"
+    )
+    bounds = ids.groupBy(stratify_col).agg(
+        F.min("idx").alias("__lo"), F.count(F.lit(1)).alias("__n")
+    )
+    ranked = ids.join(F.broadcast(bounds), stratify_col).select(
+        stratify_col,
+        F.col(id_col).alias("anchor_id"),
+        "idx", "__lo", "__n",
+        (F.col("idx") - F.col("__lo")).alias("__r"),
+    )
+    h = shuffle_hash("anchor_id", seed)
+    anchors = ranked.where(F.col("__n") >= 2).select(
+        stratify_col, "anchor_id", "__lo", "__n", "__r", h.alias("__h"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    raw = (F.col("__h") + F.col("j").cast("long") * F.lit(stride)) % F.col("__n")
+    neg_r = F.when(raw == F.col("__r"), (raw + 1) % F.col("__n")).otherwise(raw)
+    lookup = ids.select(
+        F.col("idx").alias("__nidx"), F.col(id_col).alias("neg_id")
+    )
+    return (
+        anchors.withColumn("__nidx", (F.col("__lo") + neg_r).cast("long"))
+        .join(lookup, "__nidx")
+        .select(stratify_col, "anchor_id", "j", "neg_id")
+    )

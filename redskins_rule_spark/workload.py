@@ -533,8 +533,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q154_psi", "q155_kmv_setops", "q156_interpolate",
     "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
     "q160_image_dhash", "q161_bootstrap_ci", "q162_dd_ks",
-    # 61 never-verified entries above — the driver records the first
-    # 50 (head ends at q151), so q152-q162 plus the q33 sentinel queue
+    "q163_stratified_negatives",
+    # 62 never-verified entries above — the driver records the first
+    # 50 (head ends at q151), so q152-q163 plus the q33 sentinel queue
     # for the round-5 rotation once CORRECTNESS_r04 verifies the head
     "q33_decimal_money",
 ]
@@ -6912,3 +6913,50 @@ def q162_dd_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd_total(F.col("db")).alias("n_b"),
         F.round(dd_ks(F.col("da"), F.col("db")), 6).alias("ks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163: stratified negative sampling — in-domain contrastive partners
+# (same-language negatives are the hard ones; cross-domain pairs are
+# trivially separable). Per-stratum ranks come from the ONE global
+# index minus broadcast stratum offsets — no per-stratum window sort
+# that would funnel a giant stratum through a single task. The oracle
+# re-derives ranks, probes, and the self-bump with identical
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.sampling import (  # noqa: E402
+    stratified_negative_samples,
+)
+
+_Q163_ROLL = _sql_roll_of("('2:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q163_stratified_negatives",
+    oracle=f"""
+    WITH ids AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS idx
+      FROM documents
+    ),
+    b AS (SELECT lang, MIN(idx) AS lo, COUNT(*) AS n FROM ids GROUP BY lang),
+    a AS (SELECT i.lang, i.doc_id AS anchor_id, i.idx, b.lo, b.n,
+                 i.idx - b.lo AS r,
+                 (1103515245 * {_Q163_ROLL} + 12345) % 2147483647 AS h
+          FROM ids i JOIN b ON b.lang = i.lang
+          WHERE b.n >= 2),
+    e AS (SELECT lang, anchor_id, lo, n, r, h, j
+          FROM a CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    x AS (SELECT lang, anchor_id, j,
+                 lo + CASE WHEN (h + j * 2654435761) % n = r
+                           THEN ((h + j * 2654435761) % n + 1) % n
+                           ELSE (h + j * 2654435761) % n END AS nidx
+          FROM e)
+    SELECT x.lang, x.anchor_id, x.j, ids.doc_id AS neg_id
+    FROM x JOIN ids ON ids.idx = x.nidx
+    """,
+)
+def q163_stratified_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return stratified_negative_samples(docs, "doc_id", "lang", k=3, seed=2)

@@ -236,3 +236,27 @@ def test_write_shuffled_shards_roundtrip_order(spark, tmp_path):
     t = pq.read_table(files[0])
     poss = t.column("pos").to_pylist()
     assert poss == sorted(poss)
+
+
+def test_stratified_negatives_stay_in_stratum(spark):
+    from redskins_rule_spark.operators.sampling import (
+        stratified_negative_samples,
+    )
+
+    rows = (
+        [(f"a{i:02d}", "en") for i in range(20)]
+        + [(f"b{i:02d}", "de") for i in range(5)]
+        + [("solo", "fr")]  # size-1 stratum: no valid negative
+    )
+    df = spark.createDataFrame(rows, "id string, lang string")
+    out = stratified_negative_samples(df, "id", "lang", k=3, seed=2).collect()
+    lang_of = dict(rows)
+    assert len(out) == (20 + 5) * 3  # solo contributes nothing
+    for r in out:
+        assert r.anchor_id != r.neg_id
+        assert lang_of[r.neg_id] == r.lang == lang_of[r.anchor_id]
+    # deterministic under repartitioning
+    again = stratified_negative_samples(
+        df.repartition(7), "id", "lang", k=3, seed=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
