@@ -14,8 +14,6 @@ Scale notes baked into each operator's plan shape:
 
 from __future__ import annotations
 
-import math
-
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -370,12 +368,16 @@ def psi_report(
     )
 
     def side_counts(df: DataFrame, out: str) -> DataFrame:
+        # clamp on the LONG floor result BEFORE the int cast: a current
+        # value far outside the reference range can floor past 2^31, and
+        # the non-ANSI int cast would wrap it negative — landing an
+        # extreme-high outlier in bin 0 and inverting the drift signal.
         b = F.least(
             F.greatest(
-                F.floor((v - F.col("_lo")) / F.col("_w")).cast("int"), F.lit(0)
+                F.floor((v - F.col("_lo")) / F.col("_w")), F.lit(0).cast("long")
             ),
-            F.lit(bins - 1),
-        )
+            F.lit(bins - 1).cast("long"),
+        ).cast("int")
         return (
             df.where(v.isNotNull())
             .join(F.broadcast(bounds))
@@ -572,6 +574,12 @@ def bootstrap_ci(
         (F.lit(_SHUFFLE_A) * (F.col("_h") + F.col("_r")) + F.lit(_SHUFFLE_B)) % m
     ).cast("double") / F.lit(float(m))
     w = poisson1_weight(u).cast("long")
+    # a replicate whose Poisson weights are ALL zero (P ≈ e^-n, only
+    # plausible for tiny groups) has no resample to take a mean of:
+    # 0/0 would yield NULL, collect_list would silently drop it, and a
+    # static element_at(n_boot-based index) could then run past the
+    # array end. Drop those replicates explicitly and index off the
+    # ACTUAL replicate count instead.
     means = (
         rep.withColumn("_w", w)
         .groupBy(*groups, "_r")
@@ -579,20 +587,30 @@ def bootstrap_ci(
             F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
             F.sum("_w").alias("_sw"),
         )
+        .where(F.col("_sw") > 0)
         .select(
             *groups,
             (F.col("_swx").cast("double") / F.col("_sw")).alias("_m"),
         )
     )
-    sorted_means = F.array_sort(F.collect_list("_m"))
-    lo_i = int(math.floor(lo_q * (n_boot - 1))) + 1
-    hi_i = int(math.floor(hi_q * (n_boot - 1))) + 1
     overall = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("_x").cast("double") / F.count(F.lit(1))).alias("mean_all"),
     )
-    ci = means.groupBy(*groups).agg(
-        F.element_at(sorted_means, lo_i).alias("ci_lo"),
-        F.element_at(sorted_means, hi_i).alias("ci_hi"),
+    sm = F.array_sort(F.collect_list("_m"))
+    ci = (
+        means.groupBy(*groups)
+        .agg(sm.alias("_sm"))
+        .select(
+            *groups,
+            F.element_at(
+                "_sm",
+                (F.floor(F.lit(lo_q) * (F.size("_sm") - 1)) + 1).cast("int"),
+            ).alias("ci_lo"),
+            F.element_at(
+                "_sm",
+                (F.floor(F.lit(hi_q) * (F.size("_sm") - 1)) + 1).cast("int"),
+            ).alias("ci_hi"),
+        )
     )
     return overall.join(ci, groups)

@@ -311,7 +311,12 @@ def parquet_file_stats(
     import pyarrow.parquet as pq
 
     files = (
-        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: partitioned layouts (shard=N/part-*.parquet) keep
+        # their data files one-or-more directories down — a top-level
+        # glob would return an EMPTY manifest and prune_files_by_range
+        # would then keep nothing (silent full skip, not a full read)
+        sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True))
         if os.path.isdir(path)
         else [path]
     )
@@ -335,13 +340,23 @@ def parquet_file_stats(
                 nulls += st.null_count or 0
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
+            # non-numeric statistics (strings, decimals-as-bytes) have
+            # min/max that float() can't take — treat as stats-less
+            # (must-read) rather than raise mid-manifest
+            try:
+                mn = float(mn) if mn is not None else None
+                mx = float(mx) if mx is not None else None
+            except (TypeError, ValueError):
+                mn = mx = None
+                have_stats = False
             # ANY stats-less row group poisons min/max AND the null
             # count (unknown, not zero) — a partial aggregate would
             # silently understate both
             rows.append(
-                (os.path.basename(f), c, n,
-                 float(mn) if have_stats and mn is not None else None,
-                 float(mx) if have_stats and mx is not None else None,
+                (os.path.relpath(f, path) if os.path.isdir(path)
+                 else os.path.basename(f), c, n,
+                 mn if have_stats else None,
+                 mx if have_stats else None,
                  nulls if have_stats else None)
             )
     return spark.createDataFrame(
@@ -351,18 +366,35 @@ def parquet_file_stats(
     )
 
 
+def prune_manifest_by_range(
+    manifest: DataFrame, col: str, lo: float, hi: float
+) -> DataFrame:
+    """DataFrame of files whose [min, max] for `col` intersects
+    [lo, hi] — plus any file without stats (must-read). This is the
+    scale-safe face of file pruning: at millions of files the kept
+    set stays a DataFrame, semi-joinable against a scan's
+    `input_file_name()` or written out as the read list, instead of
+    funnelling through a Python list on the driver. Returns one
+    column `file` (relative path)."""
+    return (
+        manifest.where(F.col("col") == col)
+        .where(
+            F.col("min_v").isNull()
+            | ~((F.col("max_v") < F.lit(lo)) | (F.col("min_v") > F.lit(hi)))
+        )
+        .select("file")
+    )
+
+
 def prune_files_by_range(
     manifest: DataFrame, col: str, lo: float, hi: float
 ) -> list[str]:
-    """Files whose [min, max] for `col` intersects [lo, hi] — plus
-    any file without stats (must-read). The file-skipping read is
-    then `spark.read.parquet(*kept)`: correct because a file whose
-    range misses the predicate can hold no qualifying row."""
-    rows = manifest.where(F.col("col") == col).select(
-        "file", "min_v", "max_v"
-    ).collect()
+    """List-of-paths face of `prune_manifest_by_range` — the file-
+    skipping read is then `spark.read.parquet(*kept)`: correct
+    because a file whose range misses the predicate can hold no
+    qualifying row. Collects only file-grain metadata (what any
+    manifest-based table format hands its coordinator); for
+    million-file tables prefer the DataFrame variant."""
     return sorted(
-        r.file
-        for r in rows
-        if r.min_v is None or not (r.max_v < lo or r.min_v > hi)
+        r.file for r in prune_manifest_by_range(manifest, col, lo, hi).collect()
     )

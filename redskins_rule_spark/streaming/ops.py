@@ -13,6 +13,8 @@ Design rules (100 TB / always-on):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -465,12 +467,22 @@ def _run_view_fold(
     ONE place so fixes to the shell (bootstrap, materialization
     order, trigger semantics) can't drift between runners.
 
-    fold(base | None, delta) -> the updated view frame. The temp
-    view is session-scoped: a real deployment swaps the publish step
-    for a table write; a restarted session rebuilds the view by
-    re-running against the same checkpoint.
+    fold(base | None, delta) -> the updated view frame. The view is
+    PUBLISHED AS A PARQUET TABLE under `<checkpoint_dir>/_view/` and
+    exposed through a session temp view over that path: the fold's
+    output is written executor-side (never round-tripped through the
+    driver — a billion-key silver table must not fit in driver
+    memory), into a fresh per-batch directory so the write never
+    clobbers the files the fold's own `base` scan is reading, then
+    the temp view is repointed and stale batch directories are
+    dropped. A restarted session republishes by re-running against
+    the same checkpoint; the parquet view itself also survives the
+    session.
     """
+    import shutil
+
     spark = stream_df.sparkSession
+    view_root = os.path.join(checkpoint_dir, "_view")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = build_delta(batch_df)
@@ -479,10 +491,15 @@ def _run_view_fold(
         except Exception:  # first batch: no view yet
             base = None
         updated = fold(base, delta)
-        # materialize BEFORE replacing the view the plan reads from
-        spark.createDataFrame(
-            updated.collect(), schema=updated.schema
-        ).createOrReplaceTempView(view_name)
+        # materialize the fold BEFORE repointing the view it reads
+        # from — into a NEW directory, distributed write, no collect
+        out_dir = os.path.join(view_root, f"b{batch_id}")
+        updated.write.mode("overwrite").parquet(out_dir)
+        spark.read.parquet(out_dir).createOrReplaceTempView(view_name)
+        # previous batches' directories are now unreferenced
+        for d in os.listdir(view_root):
+            if d.startswith("b") and d != f"b{batch_id}":
+                shutil.rmtree(os.path.join(view_root, d), ignore_errors=True)
 
     (
         stream_df.writeStream.foreachBatch(on_batch)

@@ -308,3 +308,49 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
 
     with _pytest.raises(ValueError):
         bootstrap_ci(df, ["g"], F.col("cents"), shuffle_hash("id", 7), n_boot=2)
+
+
+def test_bootstrap_ci_tiny_group_survives_zero_weight_replicates(spark):
+    """ADVICE r4: a 1-row group makes all-zero-weight replicates
+    likely (P = e^-1 per replicate); those replicates must be DROPPED
+    (not NULL means silently shortening the array) and the CI indices
+    must follow the surviving count — so ci_lo/ci_hi are always real
+    numbers bracketing the value."""
+    from redskins_rule_spark.operators.analytic import bootstrap_ci
+    from redskins_rule_spark.operators.sampling import shuffle_hash
+
+    df = spark.createDataFrame(
+        [("solo", 42, 1)] + [("big", v, 100 + v) for v in range(20)],
+        "grp string, x long, k int",
+    )
+    out = {
+        r.grp: r
+        for r in bootstrap_ci(
+            df.select("grp", "x", "k"), ["grp"], F.col("x"),
+            shuffle_hash("k", 7), n_boot=32,
+        ).collect()
+    }
+    solo = out["solo"]
+    # a 1-row group's every surviving resample mean is exactly x
+    assert solo.ci_lo == 42.0 and solo.ci_hi == 42.0
+    assert solo.n == 1 and solo.mean_all == 42.0
+    big = out["big"]
+    assert big.ci_lo is not None and big.ci_hi is not None
+    assert big.ci_lo <= big.mean_all <= big.ci_hi
+
+
+def test_psi_extreme_outlier_lands_in_top_bin(spark):
+    """ADVICE r4: a current value whose scaled bucket exceeds 2^31
+    must clamp into the TOP bin (drift high), not wrap negative into
+    bin 0 (drift low) via the non-ANSI int cast."""
+    from redskins_rule_spark.operators.analytic import psi_report
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "v double"
+    )  # range [0, 99], width (99-0)/10 = 9.9 per bin
+    cur = spark.createDataFrame(
+        [(1.0e12,), (50.0,)], "v double"
+    )  # 1e12 scaled bucket ~ 1e11 >> 2^31
+    rep = {r.bin_id: r for r in psi_report(ref, cur, "v", bins=10).collect()}
+    assert rep[9].n_cur == 1  # the outlier clamped HIGH
+    assert rep[0].n_cur == 0  # and did not wrap into bin 0

@@ -650,3 +650,56 @@ def test_streaming_bloom_seen_keys(spark, tmp_path):
     }
     assert set(range(120)) <= hits  # every landed key passes
     assert len(hits) < 300  # and the filter still rejects most others
+
+
+def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
+    """VERDICT r4 item 2: the maintained-view shell must publish the
+    folded view as a distributed parquet write, never by collect()ing
+    it through the driver — a billion-key view doesn't fit there.
+    Poison DataFrame.collect/toPandas/toLocalIterator for the whole
+    run; the runner must still drain both waves correctly, and the
+    published view must be backed by the checkpoint-adjacent parquet."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import run_incremental_view
+
+    land = str(tmp_path / "nvc_landing")
+    ckpt = str(tmp_path / "nvc_ckpt")
+    view = f"mv_{uuid.uuid4().hex[:8]}"
+    schema = "k long, v double"
+
+    def build_delta(batch_df):
+        return batch_df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    def poisoned(self, *a, **kw):
+        raise AssertionError("view republish drove data through the driver")
+
+    spark.createDataFrame([(1, 10.0), (2, 7.0)], schema).write.mode(
+        "append").parquet(land)
+    stream = stream_from_files(spark, land, schema)
+    monkeypatch.setattr(DataFrame, "collect", poisoned)
+    monkeypatch.setattr(DataFrame, "toPandas", poisoned)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", poisoned)
+    try:
+        run_incremental_view(stream, build_delta, ["k"], ["total"], ckpt, view)
+        spark.createDataFrame([(1, 1.0), (3, 2.0)], schema).write.mode(
+            "append").parquet(land)
+        stream = stream_from_files(spark, land, schema)
+        run_incremental_view(stream, build_delta, ["k"], ["total"], ckpt, view)
+    finally:
+        monkeypatch.undo()
+
+    got = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
+    assert got == {1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)}
+    # the view is served from the checkpoint-adjacent parquet publish
+    view_root = os.path.join(ckpt, "_view")
+    dirs = [d for d in os.listdir(view_root) if d.startswith("b")]
+    assert len(dirs) == 1  # stale batch directories were dropped
+    shutil.rmtree(land, ignore_errors=True)
