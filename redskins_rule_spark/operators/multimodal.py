@@ -859,3 +859,83 @@ def image_dhash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_jpeg_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL baseline-JPEG payload column (grayscale
+    SOF0, functions/jpeg.py — Annex K tables, canonical Huffman,
+    byte-stuffed entropy stream). Geometry and block DC values derive
+    from the source column's CHARACTER length (wb = clen % 4 + 1,
+    hb = clen % 3 + 1, block b quantized DC = ((clen + 7b) % 64) -
+    32) so integer arithmetic predicts the DECODED dimensions and
+    pixel sums while the decode side runs a real Huffman + IDCT
+    pipeline. Blocks are DC-only BY CONSTRUCTION here (float cosines
+    aren't SQL-portable); the decoder itself handles AC energy, which
+    pytest pins against a direct IDCT reference. Arrow-batched;
+    payload bytes never touch the driver."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                wb, hb = clen % 4 + 1, clen % 3 + 1
+                payloads.append(
+                    encode_jpeg_gray(synth_dc_blocks(clen, wb, hb), wb, hb)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_jpeg_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full real baseline-JPEG decode per payload (marker walk with
+    DQT/DHT read from the FILE, canonical Huffman decode, DC
+    prediction, dequantize, dezigzag, 2D IDCT, level shift) →
+    (id, width, height, pixel_sum). NULL payloads yield NULL stats.
+    Arrow-batched mapInPandas; pixel buffers live only inside the
+    batch."""
+    from redskins_rule_spark.functions.jpeg import decode_jpeg_gray
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(PNG_STATS_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); sums.append(None)
+                    continue
+                w, h, pixels = decode_jpeg_gray(bytes(b))
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(pixels))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

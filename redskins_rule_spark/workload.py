@@ -7079,3 +7079,42 @@ def q166_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165: REAL compressed-image decode #2 — baseline JPEG
+# (functions/jpeg.py: marker walk, DQT/DHT parsed from the file,
+# canonical Huffman with byte unstuffing, DC prediction, dequantize,
+# dezigzag, 2D IDCT). Payload blocks are DC-only so the decoded
+# pixels are exactly 2*dc + 128 under the Annex K table — integer
+# arithmetic the oracle recomputes — while AC-bearing blocks are
+# pinned against a direct IDCT reference in pytest. Closes the JPEG
+# part of the compressed-codec boundary (README): a real decoder, not
+# a stub.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q165_jpeg_decode",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 4 + 1 AS wb,
+                      length(text) % 3 + 1 AS hb
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(wb * 8 AS INTEGER) AS width,
+           CAST(hb * 8 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0, wb * hb - 1),
+                 b -> 64 * (2 * ((clen + 7 * b) % 64 - 32) + 128)))
+             AS BIGINT) AS pixel_sum
+    FROM g
+    """,
+)
+def q165_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_stats,
+        with_jpeg_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    jpg = with_jpeg_payload(docs, "text", "doc_id")
+    return decode_jpeg_stats(jpg, "payload", "doc_id")

@@ -696,3 +696,124 @@ def test_truncated_bmp_raises_valueerror():
         decode_bmp(good[:-7])          # inside the pixel rows
     with _pytest.raises(ValueError):
         decode_bmp(b"XX" + good[2:])   # wrong magic
+
+
+# --- round-5: baseline JPEG codec ------------------------------------------
+
+
+def test_jpeg_dc_only_roundtrip_exact():
+    """DC-only blocks decode to EXACTLY 2*dc + 128 per pixel under
+    the Annex K table (q[0] = 16): the arithmetic contract the q165
+    oracle recomputes."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    clen, wb, hb = 157, 3, 2
+    data = encode_jpeg_gray(synth_dc_blocks(clen, wb, hb), wb, hb)
+    w, h, px = decode_jpeg_gray(data)
+    assert (w, h) == (24, 16)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    for b in range(wb * hb):
+        dc = ((clen + 7 * b) % 64) - 32
+        by, bx = divmod(b, wb)
+        assert (arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                == 2 * dc + 128).all()
+
+
+def test_jpeg_ac_blocks_match_direct_idct():
+    """Blocks WITH AC energy (runs, ZRL, EOB paths all exercised)
+    decode to the same pixels as a direct dezigzag->dequant->float
+    IDCT reference — the decoder is a real transform decoder, not a
+    DC-only shortcut."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    blocks = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-40, 40))
+        for k in rng.choice(range(1, 64), size=6, replace=False):
+            blk[int(k)] = int(rng.randint(-30, 30))
+        blocks.append(blk)
+    blocks.append([3] + [0] * 62 + [-7])  # 62-zero run: ZRL x3 path
+    data = encode_jpeg_gray(blocks, 5, 1)
+    w, h, px = decode_jpeg_gray(data)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+
+    M = np.array(
+        [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+          * np.cos((2 * x + 1) * u * np.pi / 16.0)
+          for x in range(8)] for u in range(8)]
+    )
+    qt = np.array(QUANT_LUMA, dtype=float).reshape(8, 8)
+    prev = 0
+    for b, blk in enumerate(blocks):
+        coeff = np.zeros(64)
+        for i in range(64):
+            coeff[ZIGZAG[i]] = blk[i]
+        ref = np.clip(
+            np.floor(M.T @ (coeff.reshape(8, 8) * qt) @ M + 0.5) + 128,
+            0, 255,
+        )
+        assert (got[:, b * 8:(b + 1) * 8] == ref).all(), b
+        prev = blk[0]
+    assert prev == 3  # layout sanity: last block was the ZRL one
+
+
+def test_jpeg_rejects_corruption_and_out_of_profile():
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    good = encode_jpeg_gray(synth_dc_blocks(10, 2, 1), 2, 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + good)  # no SOI
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(good[:40])  # truncated mid-segment
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(good[:-2])  # missing EOI
+    # progressive SOF2 is out of profile, not garbage-decoded
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(bad))
+
+
+def test_jpeg_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_stats,
+        with_jpeg_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, None), (3, "é" * 30)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in decode_jpeg_stats(with_jpeg_payload(df, "text")).collect()
+    }
+    # clen=100: wb=100%4+1=1, hb=100%3+1=2 -> 8x16
+    assert (out[1].width, out[1].height) == (8, 16)
+    assert out[1].pixel_sum == sum(
+        64 * (2 * (((100 + 7 * b) % 64) - 32) + 128) for b in range(2)
+    )
+    assert out[2].width is None and out[2].pixel_sum is None
+    # non-ASCII: CHARACTER length (30), not utf-8 byte length (60)
+    assert (out[3].width, out[3].height) == (8 * (30 % 4 + 1), 8 * (30 % 3 + 1))
