@@ -514,7 +514,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q163_stratified_negatives",
     # --- new in round 5 (never driver-verified) ---
     "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
-    "q167_pivot_longer", "q168_quantile_bins", "q169_anchor_dedup",
+    "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
@@ -7118,3 +7118,407 @@ def q165_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     jpg = with_jpeg_payload(docs, "text", "doc_id")
     return decode_jpeg_stats(jpg, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q167: MULTI-MEASURE pivot_longer — tidyr's pivot_longer with
+# several value columns per emitted row (q39 already covers the
+# single-measure native DataFrame.unpivot; Spark's unpivot cannot
+# carry two measures per name). Implemented as the expression-side
+# equivalent: explode an array of (name, measure1, measure2) structs
+# — still one JVM Expand-shaped pass, no Python, no join. The oracle
+# is the UNION ALL expansion the reshape is defined as.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q167_pivot_longer",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS urgent_n,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS urgent_cents,
+             SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS high_n,
+             SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS high_cents,
+             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS other_n,
+             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS other_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, 'urgent' AS priority_class,
+           CAST(urgent_n AS BIGINT) AS n_orders,
+           CAST(urgent_cents AS BIGINT) AS total_cents FROM w
+    UNION ALL
+    SELECT o_custkey, 'high', CAST(high_n AS BIGINT),
+           CAST(high_cents AS BIGINT) FROM w
+    UNION ALL
+    SELECT o_custkey, 'other', CAST(other_n AS BIGINT),
+           CAST(other_cents AS BIGINT) FROM w
+    """,
+)
+def q167_pivot_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    is_high = F.col("o_orderpriority") == "2-HIGH"
+    is_other = ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    wide = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(is_urgent, 1).otherwise(0)).alias("urgent_n"),
+        F.sum(F.when(is_urgent, cents).otherwise(0)).alias("urgent_cents"),
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_n"),
+        F.sum(F.when(is_high, cents).otherwise(0)).alias("high_cents"),
+        F.sum(F.when(is_other, 1).otherwise(0)).alias("other_n"),
+        F.sum(F.when(is_other, cents).otherwise(0)).alias("other_cents"),
+    )
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("priority_class"),
+                    F.col(f"{name}_n").alias("n_orders"),
+                    F.col(f"{name}_cents").alias("total_cents"),
+                )
+                for name in ("urgent", "high", "other")
+            ]
+        )
+    )
+    return wide.select("o_custkey", melted.alias("m")).select(
+        "o_custkey", "m.priority_class", "m.n_orders", "m.total_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168: equal-frequency (quantile) binning — feature bucketization for
+# training pipelines, WITHOUT the single-task global NTILE window: the
+# dense global index (operators/indexing.py, the q50 primitive) gives
+# each row its rank distributed, and bin = floor(idx*k/n). The oracle
+# re-derives the same ranks with ROW_NUMBER. Exact cents keep bin
+# edges integer-stable.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q168_quantile_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey
+             ) - 1 AS idx,
+             COUNT(*) OVER () AS n_tot
+      FROM orders
+    )
+    SELECT CAST(FLOOR(idx * 10.0 / n_tot) AS INT) AS bin_id,
+           COUNT(*) AS n,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM b GROUP BY 1
+    """,
+)
+def q168_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.indexing import with_global_index
+
+    k = 10
+    orders = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    idx = with_global_index(orders, ["cents", "o_orderkey"], "idx")
+    tot = idx.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        idx.join(F.broadcast(tot))
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("idx") * F.lit(float(k)) / F.col("n_tot")).cast("int"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169: canonical-URL dedup — the web-corpus cut every crawl pipeline
+# runs before content dedup: mixed-case hosts, trailing slashes,
+# utm_* tracking params, and fragments all collapse to one canonical
+# key; survivor = min doc_id. Pure expression-side regex chain (JVM,
+# whole-stage-codegen); the oracle mirrors it with RE2-safe patterns.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q169_canonical_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.Example.COM/docs/'
+               || CAST(doc_id // 4 AS VARCHAR)
+               || CASE doc_id % 4
+                    WHEN 1 THEN '/'
+                    WHEN 2 THEN '?utm_source=feed'
+                    WHEN 3 THEN '#frag'
+                    ELSE '' END AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(regexp_replace(url,
+               '#.*$', ''), '\\?utm_[^#]*', ''), '/$', '')) AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_variants
+    FROM c GROUP BY 1
+    """,
+)
+def q169_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.COM/docs/"),
+        F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        F.when(v == 1, F.lit("/"))
+        .when(v == 2, F.lit("?utm_source=feed"))
+        .when(v == 3, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, r"#.*$", ""), r"\?utm_[^#]*", ""
+            ),
+            r"/$", "",
+        )
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170: funnel DEPTH DISTRIBUTION — how many users reached each stage
+# of view -> click -> purchase (strictly ordered, 24 h per-stage
+# conversion window). q67 emits per-user conversion times via a
+# filter-join cascade (one join per stage on the shrinking survivor
+# set); this is the complementary formulation product analytics
+# actually charts — chained CONDITIONAL AGGREGATIONS over the full
+# events table, ending in a depth histogram. No global window;
+# everything shuffles on the user key; timestamps compare in epoch
+# micros (the suite's cross-engine convention).
+# ---------------------------------------------------------------------------
+
+_Q170_WIN_US = 86_400_000_000  # 24 h conversion window per stage
+
+
+@query(
+    "q170_session_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    a AS (SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN us END) AS t1
+          FROM e GROUP BY 1),
+    b AS (SELECT e.user_id, a.t1,
+                 MIN(CASE WHEN event_type = 'click' AND us > a.t1
+                          AND us <= a.t1 + {_Q170_WIN_US}
+                          THEN us END) AS t2
+          FROM e JOIN a USING (user_id) GROUP BY 1, 2),
+    c AS (SELECT e.user_id, b.t1, b.t2,
+                 MIN(CASE WHEN event_type = 'purchase' AND us > b.t2
+                          AND us <= b.t2 + {_Q170_WIN_US}
+                          THEN us END) AS t3
+          FROM e JOIN b USING (user_id) GROUP BY 1, 2, 3)
+    SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth,
+           COUNT(*) AS n_users
+    FROM c GROUP BY 1
+    """,
+)
+def q170_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    a = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    b = (
+        ev.join(a, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("t1"))
+                    & (F.col("us") <= F.col("t1") + F.lit(_Q170_WIN_US)),
+                    F.col("us"),
+                )
+            ).alias("t2")
+        )
+    )
+    c = (
+        ev.join(b, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t2"))
+                    & (F.col("us") <= F.col("t2") + F.lit(_Q170_WIN_US)),
+                    F.col("us"),
+                )
+            ).alias("t3")
+        )
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return c.groupBy(depth.alias("funnel_depth")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171: character-trigram LM score — the language-model face of
+# gibberish detection (q124 scores word bigrams; this scores the raw
+# character stream, which catches encoding garbage and keyboard mash
+# that tokenizes into plausible "words"). Trigram counts live at
+# vocabulary grain; the per-term single-log form keeps both engines
+# summing identical doubles.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q171_char_ngram_lm",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS lt
+               FROM documents WHERE length(text) >= 3),
+    tr AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, length(lt) - 2),
+                                        i -> substr(lt, i, 3))) AS tri
+           FROM t),
+    dt AS (SELECT doc_id, tri, COUNT(*) AS k FROM tr GROUP BY 1, 2),
+    c AS (SELECT tri, SUM(k) AS n_tri FROM dt GROUP BY 1),
+    tot AS (SELECT SUM(n_tri) AS n_tot FROM c)
+    SELECT dt.doc_id,
+           CAST(SUM(dt.k) AS BIGINT) AS n_tris,
+           ROUND(-SUM(dt.k * (ln(c.n_tri) - ln(tot.n_tot))) / SUM(dt.k), 4)
+             AS nll
+    FROM dt JOIN c USING (tri) CROSS JOIN tot
+    GROUP BY dt.doc_id
+    """,
+)
+def q171_char_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    ).where(F.length("text") >= 3)
+    tris = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("lt") - 2),
+                lambda i: F.col("lt").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    dt = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("k"))
+    corpus = dt.groupBy("tri").agg(F.sum("k").alias("n_tri"))
+    tot = corpus.agg(F.sum("n_tri").alias("n_tot"))
+    return (
+        dt.join(corpus, "tri")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tris"),
+            F.round(
+                -F.sum(
+                    F.col("k") * (F.log(F.col("n_tri")) - F.log(F.col("n_tot")))
+                )
+                / F.sum("k"),
+                4,
+            ).alias("nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172: temperature (power-law) resampling by language — the
+# multilingual-pretraining mix op: upsample low-resource strata with
+# weights n^alpha (alpha = 0.5), keeping the total budget. Expected
+# copies e = T*w_l/n_l per doc; actual copies = floor(e) + one
+# deterministic Bernoulli(frac(e)) draw from the shuffle-hash family.
+# Language-grain weight table broadcasts; the explode is the output.
+# ---------------------------------------------------------------------------
+
+_Q172_ROLL = _sql_roll_of("('5:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q172_doc_subsample",
+    oracle=f"""
+    WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+    z AS (SELECT SUM(POW(n_l, 0.5)) AS z, SUM(n_l) AS t FROM n),
+    e AS (SELECT lang, t * POW(n_l, 0.5) / z / n_l AS e
+          FROM n CROSS JOIN z),
+    d AS (SELECT doc_id, d.lang, e.e,
+                 CAST((1103515245 * {_Q172_ROLL} + 12345) % 2147483647
+                      AS DOUBLE) / 2147483647.0 AS u
+          FROM documents d JOIN e USING (lang)),
+    k AS (SELECT doc_id, lang,
+                 CAST(FLOOR(e) AS BIGINT)
+                   + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS copies
+          FROM d)
+    SELECT doc_id, lang, unnest(generate_series(1, CAST(copies AS INT)))
+             AS copy_no
+    FROM k WHERE copies >= 1
+    """,
+)
+def q172_doc_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.functions.hashing import MERSENNE_31
+    from redskins_rule_spark.operators.sampling import shuffle_hash
+
+    alpha = 0.5
+    docs = table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    z = n.agg(
+        F.sum(F.pow("n_l", alpha)).alias("z"), F.sum("n_l").alias("t")
+    )
+    e = n.join(F.broadcast(z)).select(
+        "lang",
+        (F.col("t") * F.pow("n_l", alpha) / F.col("z") / F.col("n_l")).alias(
+            "e"
+        ),
+    )
+    u = shuffle_hash("doc_id", 5).cast("double") / F.lit(float(MERSENNE_31))
+    copies = (
+        F.floor("e").cast("long")
+        + F.when(u < F.col("e") - F.floor("e"), 1).otherwise(0)
+    )
+    return (
+        docs.join(F.broadcast(e), "lang")
+        .withColumn("copies", copies)
+        .where(F.col("copies") >= 1)
+        .select(
+            "doc_id", "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.col("copies").cast("int"))
+            ).alias("copy_no"),
+        )
+    )

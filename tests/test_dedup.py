@@ -357,3 +357,51 @@ def test_incremental_dedup_lsh_empty_text_is_novel(spark):
     out = {r.new_id: r.is_dup for r in
            incremental_dedup_lsh(new, corpus, "doc_id", "text").collect()}
     assert out == {1: False, 2: False}
+
+
+def test_lsh_max_postings_cap_fires_and_recall_contract_holds(spark):
+    """VERDICT r4 item 5: exercise `max_postings` on a corpus where a
+    band bucket is ACTIVELY hot (50 postings >> cap 10), not inert.
+
+    - pairs whose ONLY shared bucket is the hot one are dropped (the
+      documented cut: a bucket shared by dozens of items carries no
+      discriminating signal at scale);
+    - a true near-dup pair that ALSO shares a sub-cap bucket survives
+      (the recall contract: lost only if EVERY shared bucket is hot);
+    - uncapped run on the same corpus emits the full quadratic set,
+      proving the cap (not the data) removed the rest.
+    """
+    from redskins_rule_spark.operators.dedup import lsh_candidates
+
+    num_perm, bands = 64, 16
+    r = num_perm // bands
+
+    def sig(band_slices: dict[int, int], uniq: int) -> list[int]:
+        # band b's slice hashes equal iff the 4 values equal; unseeded
+        # bands get values unique to `uniq` so they collide with nobody
+        out = []
+        for b in range(bands):
+            v = band_slices.get(b, 1_000_000 + uniq * bands + b)
+            out += [v] * r
+        return out
+
+    rows = [(i, sig({0: 1}, i)) for i in range(50)]  # hot band-0 bucket
+    rows += [(100, sig({0: 1, 1: 7}, 100)), (101, sig({0: 1, 1: 7}, 101))]
+    df = spark.createDataFrame(rows, "doc_id long, minhash array<long>")
+
+    capped = {
+        (p.id_a, p.id_b)
+        for p in lsh_candidates(
+            df, "doc_id", "minhash", num_perm, bands, max_postings=10
+        ).collect()
+    }
+    # the 52-posting band-0 bucket was dropped whole; (100, 101)
+    # survives through its 2-posting band-1 bucket
+    assert capped == {(100, 101)}
+
+    uncapped = {
+        (p.id_a, p.id_b)
+        for p in lsh_candidates(df, "doc_id", "minhash", num_perm, bands).collect()
+    }
+    assert len(uncapped) == 52 * 51 // 2  # full quadratic set without the cap
+    assert (100, 101) in uncapped

@@ -74,6 +74,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q149_bloom_prune": "cross join with the 1-row Bloom bitmap (m_bits/64-bounded map)",
         "q154_psi": "cross joins with the 1-row reference-bounds and totals aggregates",
         "q155_kmv_setops": "theta pairing of the per-event-type sketch frame (group-count-bounded rows, k-bounded states)",
+        "q168_quantile_bins": "cross join with the 1-row total-count aggregate",
+        "q171_char_ngram_lm": "cross join with the 1-row corpus trigram total",
+        "q172_doc_subsample": "cross join with the 1-row (Z, T) weight-normalizer aggregate (language grain upstream)",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
