@@ -673,7 +673,10 @@ def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
     view = f"mv_{uuid.uuid4().hex[:8]}"
     schema = "k long, v double"
 
+    batch_sizes = []
+
     def build_delta(batch_df):
+        batch_sizes.append(batch_df.count())  # scalar count, not a collect
         return batch_df.groupBy("k").agg(
             F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
         )
@@ -698,6 +701,9 @@ def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
 
     got = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
     assert got == {1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)}
+    # incremental contract: wave 2's fold input was the 2-row DELTA,
+    # not the 4-row landed history — work per trigger is |view|+|batch|
+    assert batch_sizes == [2, 2]
     # the view is served from the checkpoint-adjacent parquet publish
     view_root = os.path.join(ckpt, "_view")
     dirs = [d for d in os.listdir(view_root) if d.startswith("b")]
