@@ -817,3 +817,59 @@ def test_jpeg_payload_decode_spark(spark):
     assert out[2].width is None and out[2].pixel_sum is None
     # non-ASCII: CHARACTER length (30), not utf-8 byte length (60)
     assert (out[3].width, out[3].height) == (8 * (30 % 4 + 1), 8 * (30 % 3 + 1))
+
+
+def test_jpeg_property_random_blocks_roundtrip():
+    """Hypothesis: ANY grid of quantized coefficient blocks (any mix
+    of DC sign, AC runs, and zero blocks) encodes to a stream the
+    decoder reproduces pixel-exactly against the direct IDCT
+    reference — entropy layer and transform are inverses everywhere,
+    not just on the synthetic payload family."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redskins_rule_spark.functions.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    M = np.array(
+        [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+          * np.cos((2 * x + 1) * u * np.pi / 16.0)
+          for x in range(8)] for u in range(8)]
+    )
+    qt = np.array(QUANT_LUMA, dtype=float).reshape(8, 8)
+
+    sparse_block = st.lists(
+        st.tuples(st.integers(0, 63), st.integers(-255, 255)),
+        min_size=0, max_size=10,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(sparse_block, min_size=1, max_size=6))
+    def run(specs):
+        blocks = []
+        for spec in specs:
+            blk = [0] * 64
+            for k, v in spec:
+                blk[k] = v
+            blocks.append(blk)
+        wb = len(blocks)
+        data = encode_jpeg_gray(blocks, wb, 1)
+        w, h, px = decode_jpeg_gray(data)
+        assert (w, h) == (8 * wb, 8)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8 * wb)
+        for b, blk in enumerate(blocks):
+            coeff = np.zeros(64)
+            for i in range(64):
+                coeff[ZIGZAG[i]] = blk[i]
+            ref = np.clip(
+                np.floor(M.T @ (coeff.reshape(8, 8) * qt) @ M + 0.5) + 128,
+                0, 255,
+            )
+            assert (got[:, b * 8:(b + 1) * 8] == ref).all()
+
+    run()
