@@ -516,6 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
     "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
+    "q173_stream_sketch_replay",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7521,4 +7522,90 @@ def q172_doc_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.col("copies").cast("int"))
             ).alias("copy_no"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173: the streaming SKETCH-state runner, driver-hash-checked — the
+# companion proof to q164 for `run_incremental_sketch_view`: per-key
+# KMV states maintained across two landing waves through the real
+# foreachBatch shell + checkpoint, folded by the semilattice merge.
+# Because min-k merge is exactly lossless, the maintained estimate
+# MUST equal the one-pass sketch of everything landed — so the oracle
+# is q43b's one-pass KMV SQL verbatim (same k, same hash family).
+# Waves split by event_id parity: the fold result is split-
+# independent by the merge's associativity/commutativity.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q173_stream_sketch_replay",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               (1103515245 * {_sql_roll_of("CAST(user_id AS VARCHAR)")}
+                + 12345) % 2147483647 AS h
+        FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ),
+    a AS (
+        SELECT event_type, MAX(rn) AS n,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+        FROM r WHERE rn <= {_KMV_K}
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN n < {_KMV_K} THEN CAST(n AS BIGINT)
+                ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE) * 2147483647
+                                / CAST(hk AS DOUBLE)) AS BIGINT)
+           END AS approx_users
+    FROM a
+    """,
+)
+def q173_stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_sketch_view,
+        stream_from_files,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q173_{tag}_")
+    land, ckpt = os.path.join(root, "landing"), os.path.join(root, "ckpt")
+    view = f"q173_view_{tag}"
+    schema = "event_type string, user_id long"
+
+    def build_states(batch_df: DataFrame) -> DataFrame:
+        return kmv_state(
+            batch_df, ["event_type"], "user_id", k=_KMV_K, out_col="kmv"
+        )
+
+    for wave_filter in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        ev.where(wave_filter).select("event_type", "user_id").write.mode(
+            "append"
+        ).parquet(land)
+        run_incremental_sketch_view(
+            stream_from_files(spark, land, schema),
+            build_states, ["event_type"], "kmv",
+            lambda a, b: kmv_merge(a, b, _KMV_K),
+            ckpt, view,
+        )
+    return spark.table(view).select(
+        "event_type",
+        kmv_estimate(F.col("kmv"), _KMV_K).alias("approx_users"),
     )
