@@ -620,3 +620,135 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, query_col: str, id_col: str
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection (SRP) LSH — the LSH-bucketed candidate path
+# for embedding near-dup / ANN, complementing IVF (cell partitioning)
+# and PQ (compressed scoring). Hyperplane LSH: bit j of a vector's
+# signature is sign(v · w_j); vectors with cosine s collide on one
+# bit with probability 1 - θ(s)/π, so banding the bits gives the
+# standard LSH recall curve with candidate generation that is ONE
+# shuffle on (band, band_key) posting lists — never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def srp_plane_weight(j: int, i: int, dim: int, seed: int = 0) -> int:
+    """Component i of hyperplane j: small deterministic integer in
+    [-8, 8] from the suite's LCG scramble family — reproducible by
+    integer arithmetic in ANY engine (the SQL oracle recomputes it
+    inline), which is what makes SRP signatures cross-engine
+    hash-checkable where float RNG planes would not be."""
+    return ((1103515245 * (j * dim + i + seed) + 12345) % 2147483647) % 17 - 8
+
+
+def srp_signature_bits(
+    vec: Column, n_planes: int, dim: int, seed: int = 0
+) -> Column:
+    """Array of n_planes booleans: bit j = (v · w_j) >= 0. The plane
+    matrix is ONE literal array-of-arrays walked by a single
+    transform lambda (compact plan even at 64×64 literals); each dot
+    is an ORDERED left fold (zip_with + aggregate), so both engines
+    sum the same doubles in the same order and near-zero dots land on
+    the same side of the threshold."""
+    v = vec.cast("array<double>")
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(srp_plane_weight(j, i, dim, seed)))
+                    for i in range(dim)
+                ]
+            )
+            for j in range(n_planes)
+        ]
+    )
+    return F.transform(
+        planes,
+        lambda w: F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0,
+    )
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.4,
+    seed: int = 0,
+    round_dp: int = 4,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH banding + exact cosine
+    verify: (id_a, id_b, cos_sim) for candidate pairs colliding on
+    ANY band whose verified cosine >= threshold.
+
+    Scale shape: signatures are expression-only (no Python), band
+    keys explode to `bands` rows per vector, candidates come from
+    `pairs_from_posting_lists` (one shuffle, vectors riding along as
+    payload so the verify step needs NO extra join), `max_postings`
+    caps hot buckets exactly like the text-LSH family. Versus
+    `cosine_pairs_blocked` (exact, O(n²/B) compute) this is the
+    sub-quadratic candidate path — recall follows the banding curve
+    1-(1-(1-θ/π)^r)^b rather than being exact.
+    """
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    from redskins_rule_spark.operators.dedup import pairs_from_posting_lists
+
+    # materialize the signature ONCE per row (its 64 ordered dot folds
+    # are the expensive part) before fanning out to band rows — the
+    # generator expression would otherwise re-evaluate it per band
+    with_bits = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        srp_signature_bits(F.col(vec_col), n_planes, dim, seed).alias(
+            "__bits"
+        ),
+    )
+    bits = F.col("__bits")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (
+                        F.when(
+                            F.element_at(bits, b * r + t + 1), F.lit(1 << t)
+                        ).otherwise(F.lit(0))
+                        for t in range(r)
+                    ),
+                    F.lit(0),
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = with_bits.select(
+        F.col(id_col),
+        "__v",
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        id_col, "__v",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    cands = pairs_from_posting_lists(
+        exploded, ["band", "band_key"], id_col,
+        payload_col="__v", max_postings=max_postings,
+    ).dropDuplicates(["id_a", "id_b"])
+    sim = F.round(
+        cosine(F.col("payload_a"), F.col("payload_b")), round_dp
+    )
+    return (
+        cands.select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -516,7 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
     "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
-    "q173_stream_sketch_replay",
+    "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7608,4 +7608,90 @@ def q173_stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(view).select(
         "event_type",
         kmv_estimate(F.col("kmv"), _KMV_K).alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174: SRP (hyperplane) LSH over embeddings — the LSH-bucketed
+# candidate path for embedding near-dup, completing the similarity
+# triad (exact blocked q22, IVF cells q30, PQ q97). Plane weights are
+# small integers from the suite's LCG family, so BOTH engines compute
+# bit-identical signatures (ordered dot folds); candidates collide on
+# any 8-bit band (≈0.4% random collision per band) and are verified
+# with exact cosine. Output is the LSH-candidate ∩ verified set — the
+# banding recall curve is the documented contract, the determinism is
+# what the driver hashes.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.similarity import (  # noqa: E402
+    srp_lsh_pairs,
+    srp_plane_weight,
+)
+
+_Q174_DIM = 64
+_Q174_PLANES = 64
+_Q174_BANDS = 8
+_Q174_R = _Q174_PLANES // _Q174_BANDS
+_Q174_W = "[" + ", ".join(
+    "["
+    + ", ".join(
+        str(srp_plane_weight(j, i, _Q174_DIM)) for i in range(_Q174_DIM)
+    )
+    + "]"
+    for j in range(_Q174_PLANES)
+) + "]"
+_Q174_KEYS = ", ".join(
+    "("
+    + " + ".join(
+        f"bits[{b * _Q174_R + t + 1}] * {1 << t}" for t in range(_Q174_R)
+    )
+    + f") AS k{b}"
+    for b in range(_Q174_BANDS)
+)
+_Q174_X = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, k{b} AS band_key FROM k"
+    for b in range(_Q174_BANDS)
+)
+_Q174_FOLD = (
+    "list_reduce(list_transform(generate_series(1, {d}), j -> {a}[j] * {b}[j]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "q174_srp_lsh_pairs",
+    oracle=f"""
+    WITH w AS (SELECT {_Q174_W} AS pl),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform(pl, p -> CASE WHEN
+                   list_reduce(list_transform(generate_series(1, {_Q174_DIM}),
+                                              i -> v[i] * p[i]),
+                               (acc, x) -> acc + x) >= 0
+                   THEN 1 ELSE 0 END) AS bits
+          FROM e CROSS JOIN w),
+    k AS (SELECT vec_id, {_Q174_KEYS} FROM s),
+    x AS ({_Q174_X}),
+    p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM x a JOIN x b ON a.band = b.band
+                           AND a.band_key = b.band_key
+                           AND a.vec_id < b.vec_id),
+    pv AS (SELECT p.id_a, p.id_b, ea.v AS va, eb.v AS vb
+           FROM p JOIN e ea ON ea.vec_id = p.id_a
+                  JOIN e eb ON eb.vec_id = p.id_b)
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             ROUND({_Q174_FOLD.format(d=_Q174_DIM, a="va", b="vb")}
+                   / (sqrt({_Q174_FOLD.format(d=_Q174_DIM, a="va", b="va")})
+                    * sqrt({_Q174_FOLD.format(d=_Q174_DIM, a="vb", b="vb")})),
+                   4) AS cos_sim
+      FROM pv
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def q174_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(
+        emb, "vec_id", "embedding", dim=_Q174_DIM,
+        n_planes=_Q174_PLANES, bands=_Q174_BANDS, threshold=0.4,
     )

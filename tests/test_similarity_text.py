@@ -572,3 +572,96 @@ def test_rrf_fuse_matches_hand_computation(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([], "id")
+
+
+# --- round-5: SRP (hyperplane) LSH --------------------------------------
+
+
+def test_srp_bits_match_numpy_reference(spark):
+    """Signature bits equal sign(V @ W.T >= 0) computed by numpy for
+    the same deterministic integer planes."""
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import (
+        srp_plane_weight,
+        srp_signature_bits,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n_planes = 16, 8
+    V = rng.randn(20, dim)
+    W = np.array(
+        [[srp_plane_weight(j, i, dim) for i in range(dim)]
+         for j in range(n_planes)],
+        dtype=np.float64,
+    )
+    expect = (V @ W.T) >= 0
+
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in V[k]]) for k in range(20)],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: r.bits
+        for r in df.select(
+            "vec_id",
+            srp_signature_bits(F.col("v"), n_planes, dim).alias("bits"),
+        ).collect()
+    }
+    for k in range(20):
+        assert got[k] == [bool(b) for b in expect[k]], k
+
+
+def test_srp_lsh_finds_planted_near_dups_and_is_subquadratic(spark):
+    """A planted pair of nearly-identical vectors collides in (at
+    least) one band and survives the cosine verify; orthogonal
+    distractors with cosine < threshold never appear in the output
+    even when they share a band bucket (verify kills them)."""
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import srp_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    base = rng.randn(dim)
+    near = base + 0.01 * rng.randn(dim)  # cosine ~ 0.9999
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    rows += [
+        (k, [float(x) for x in rng.randn(dim)]) for k in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = srp_lsh_pairs(
+        df, "vec_id", "v", dim=dim, n_planes=16, bands=4, threshold=0.95
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in out}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.99
+    assert all(p == (0, 1) for p in pairs)  # distractors verified away
+
+
+def test_srp_lsh_max_postings_caps_hot_buckets(spark):
+    """All-identical vectors collide in EVERY band (one hot bucket
+    per band); with max_postings below the family size the whole
+    family is dropped, while a pair in a cool bucket still survives
+    through its own bands."""
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import srp_lsh_pairs
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    hot = [float(x) for x in rng.randn(dim)]
+    cool = rng.randn(dim)
+    rows = [(k, hot) for k in range(30)]
+    rows += [(100, [float(x) for x in cool]),
+             (101, [float(x) for x in cool + 0.001 * rng.randn(dim)])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    capped = srp_lsh_pairs(
+        df, "vec_id", "v", dim=dim, n_planes=16, bands=4,
+        threshold=0.9, max_postings=10,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    uncapped = srp_lsh_pairs(
+        df, "vec_id", "v", dim=dim, n_planes=16, bands=4, threshold=0.9
+    ).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1  # full family + the cool pair
