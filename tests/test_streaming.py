@@ -709,3 +709,72 @@ def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
     dirs = [d for d in os.listdir(view_root) if d.startswith("b")]
     assert len(dirs) == 1  # stale batch directories were dropped
     shutil.rmtree(land, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The §2.9 late-data contract, pinned explicitly: an event
+    arriving in a LATER wave whose event time is older than
+    (max event time seen − watermark) must NOT reopen or update its
+    already-closed window; an on-time event in the same wave must
+    land. Two availableNow drains against one checkpoint; watermark
+    1 hour; windows 1 hour."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stream_from_files,
+        tumbling_counts,
+    )
+
+    land = str(tmp_path / "late_landing")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    # memory sinks can't recover a checkpoint across runs; the file
+    # sink can, which the two-wave replay needs
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def wave(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "append"
+        ).parquet(land)
+        run_available_now_to_files(
+            tumbling_counts(
+                stream_from_files(spark, land, schema),
+                window="1 hour", watermark="1 hour",
+            ),
+            ckpt, out,
+        )
+
+    # wave 1: events in the 10:00 window, then a 20:00 event that
+    # advances the watermark to 19:00 — the 10:00 window closes/emits
+    wave([
+        (1, "2024-01-01 10:05:00", 7, 1.0),
+        (2, "2024-01-01 10:40:00", 7, 1.0),
+        (3, "2024-01-01 20:00:00", 7, 1.0),
+    ])
+    first = {str(r.window_start): r.n_events
+             for r in spark.read.parquet(out).collect()}
+    assert first.get("2024-01-01 10:00:00") == 2
+
+    # wave 2: one LATE event back in the closed 10:00 window (dropped
+    # by contract) + one on-time 20:30 event (kept in state), + a
+    # 23:00 event pushing the watermark past 20:xx so that window
+    # also closes and emits
+    wave([
+        (4, "2024-01-01 10:50:00", 7, 1.0),   # LATE: beyond watermark
+        (5, "2024-01-01 20:30:00", 7, 1.0),   # on time
+        (6, "2024-01-01 23:00:00", 7, 1.0),   # advances watermark
+    ])
+    rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in rows:
+        got[str(r.window_start)] = (
+            got.get(str(r.window_start), 0) + r.n_events
+        )
+    # the 10:00 window was emitted ONCE with n=2 and never re-emitted
+    # or corrected: the late event vanished
+    assert got["2024-01-01 10:00:00"] == 2
+    # the 20:00 window closed with BOTH its on-time events
+    assert got["2024-01-01 20:00:00"] == 2
