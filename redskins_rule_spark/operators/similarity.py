@@ -14,7 +14,7 @@ JVM-side, codegen'd, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -751,4 +751,71 @@ def srp_lsh_pairs(
     return (
         cands.select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def knn_label_consistency(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    round_dp: int = 4,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Label-noise screening by k-NN vote — the confident-learning-
+    style curation pass: a row whose own label disagrees with the
+    majority label of its k nearest neighbors (cosine) is a mislabel
+    candidate. Output: (id, label, knn_label, n_agree, is_suspect).
+
+    Pipeline: exact blocked pair generation (cosine >= 0 — with a
+    non-degenerate corpus every point has far more than k non-negative
+    neighbors, and restricting the candidate set keeps the pair
+    volume at half the quadratic worst case), symmetrize, per-id
+    row_number window ordered by (rounded cos desc, neighbor id) —
+    keyed by the vector id, never global — take k, majority vote with
+    (count desc, label asc) tie pinning.
+
+    Scale: candidate generation is the documented exact path
+    (`cosine_pairs_blocked`); at 100 TB swap it for `srp_lsh_pairs` /
+    IVF candidates — the vote stages are candidate-source-agnostic.
+    """
+    pairs = cosine_pairs_blocked(
+        df, id_col, vec_col, threshold=0.0,
+        num_blocks=num_blocks, round_dp=round_dp,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb").asc()
+    )
+    labels = df.select(
+        F.col(id_col).alias("nb"), F.col(label_col).alias("nb_label")
+    )
+    topk = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .join(labels, "nb")
+    )
+    votes = topk.groupBy("id", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("id").orderBy(
+        F.col("n").desc(), F.col("nb_label").asc()
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select("id", F.col("nb_label").alias("knn_label"),
+                F.col("n").alias("n_agree"))
+    )
+    own = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
+    return own.join(winner, "id").select(
+        "id", "label", "knn_label", "n_agree",
+        (F.col("label") != F.col("knn_label")).alias("is_suspect"),
     )

@@ -517,6 +517,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
     "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
+    "q175_knn_label_noise",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7695,3 +7696,58 @@ def q174_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=_Q174_DIM,
         n_planes=_Q174_PLANES, bands=_Q174_BANDS, threshold=0.4,
     )
+
+
+# ---------------------------------------------------------------------------
+# q175: k-NN label-noise screening — the confident-learning-style
+# curation pass: rows whose label disagrees with the majority label
+# of their 5 nearest neighbors (cosine) are mislabel candidates.
+# Candidates come from the exact blocked matmul (q22's operator, cos
+# >= 0 halves the pair volume; every point here has >> k non-negative
+# neighbors); ranks and votes are keyed windows with (rounded cos
+# desc, id) / (count desc, label) tie pins so both engines elect the
+# same neighbors and the same winner.
+# ---------------------------------------------------------------------------
+
+_Q175_COS = (
+    "ROUND("
+    "list_reduce(list_transform(generate_series(1, 64), j -> a.v[j] * b.v[j]), (acc, x) -> acc + x)"
+    " / (sqrt(list_reduce(list_transform(generate_series(1, 64), j -> a.v[j] * a.v[j]), (acc, x) -> acc + x))"
+    " * sqrt(list_reduce(list_transform(generate_series(1, 64), j -> b.v[j] * b.v[j]), (acc, x) -> acc + x))), 4)"
+)
+
+
+@query(
+    "q175_knn_label_noise",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_Q175_COS} AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    p2 AS (SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0),
+    sym AS (SELECT id_a AS id, id_b AS nb, cos_sim FROM p2
+            UNION ALL
+            SELECT id_b AS id, id_a AS nb, cos_sim FROM p2),
+    top AS (SELECT id, nb FROM (
+              SELECT id, nb,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY cos_sim DESC, nb) AS rn
+              FROM sym) WHERE rn <= 5),
+    v AS (SELECT t.id, e.label AS nb_label, COUNT(*) AS n
+          FROM top t JOIN e ON e.vec_id = t.nb GROUP BY 1, 2),
+    win AS (SELECT id, nb_label AS knn_label, n AS n_agree FROM (
+              SELECT id, nb_label, n,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY n DESC, nb_label) AS vr
+              FROM v) WHERE vr = 1)
+    SELECT e.vec_id AS id, e.label, w.knn_label,
+           CAST(w.n_agree AS BIGINT) AS n_agree,
+           e.label <> w.knn_label AS is_suspect
+    FROM e JOIN win w ON w.id = e.vec_id
+    """,
+)
+def q175_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import knn_label_consistency
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_label_consistency(emb, "vec_id", "embedding", "label", k=5)

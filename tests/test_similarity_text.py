@@ -665,3 +665,43 @@ def test_srp_lsh_max_postings_caps_hot_buckets(spark):
         df, "vec_id", "v", dim=dim, n_planes=16, bands=4, threshold=0.9
     ).collect()
     assert len(uncapped) == 30 * 29 // 2 + 1  # full family + the cool pair
+
+
+def test_knn_label_consistency_flags_planted_mislabel(spark):
+    """Three tight clusters; one vector carries the wrong label — it
+    must be the ONLY suspect, and its knn_label must be its cluster's
+    true label. Votes are unanimous (n_agree == k) inside clusters."""
+    import numpy as np
+
+    from redskins_rule_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+
+    rng = np.random.RandomState(2)
+    dim, per = 8, 6
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = np.zeros(dim)
+        center[c] = 10.0
+        for _ in range(per):
+            v = center + 0.05 * rng.randn(dim)
+            label = c
+            if vid == 7:  # planted mislabel inside cluster 1
+                label = 0
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, label int")
+    out = {r.id: r for r in knn_label_consistency(
+        df, "vec_id", "v", "label", k=5).collect()}
+    suspects = [i for i, r in out.items() if r.is_suspect]
+    assert suspects == [7]
+    assert out[7].knn_label == 1 and out[7].n_agree == 5
+    # everyone else's majority is their own label; cluster-1 members
+    # see the planted mislabel in their panel (n_agree 4), the other
+    # clusters vote unanimously (n_agree 5)
+    for i, r in out.items():
+        if i == 7:
+            continue
+        assert r.knn_label == r.label
+        assert r.n_agree == (4 if 6 <= i < 12 else 5), (i, r)

@@ -75,6 +75,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q154_psi": "cross joins with the 1-row reference-bounds and totals aggregates",
         "q155_kmv_setops": "theta pairing of the per-event-type sketch frame (group-count-bounded rows, k-bounded states)",
         "q168_quantile_bins": "cross join with the 1-row total-count aggregate",
+        "q175_knn_label_noise": "block-pair join over B=16 collected blocks (B^2-bounded, via q22's operator)",
         "q171_char_ngram_lm": "cross join with the 1-row corpus trigram total",
         "q172_doc_subsample": "cross join with the 1-row (Z, T) weight-normalizer aggregate (language grain upstream)",
     },
