@@ -398,3 +398,45 @@ def prune_files_by_range(
     return sorted(
         r.file for r in prune_manifest_by_range(manifest, col, lo, hi).collect()
     )
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: one DataFrame over parquet generations
+    with DIFFERENT schemas (columns added over time), via
+    `mergeSchema` — rows from generations lacking a column surface it
+    as NULL. This is the data-lake contract every long-lived landing
+    zone needs: old files stay readable forever, new columns appear
+    lake-wide without a rewrite. (Column REMOVALS/renames still need
+    a migration — merge only unions compatible schemas.)"""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant JSONL ingest: PERMISSIVE parse against an
+    explicit schema, returning (good, bad) frames — bad rows carry
+    the raw line in `corrupt_col` for quarantine/replay instead of
+    failing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    The returned frames are filters over ONE cached-free scan; write
+    `bad` to a quarantine path and reprocess after the producer fix.
+
+    Spark requires the corrupt column to be part of the schema when
+    referenced, and caching semantics around it are subtle — the
+    split is done in one pass per frame on purpose."""
+    full_schema = f"{schema}, {corrupt_col} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    # Spark disallows scans whose ONLY referenced column is the
+    # corrupt-record column — keep the parsed (all-NULL) columns in
+    # the quarantine frame so the plan stays legal without a cache
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad

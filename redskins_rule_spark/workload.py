@@ -517,7 +517,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
     "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
-    "q175_knn_label_noise",
+    "q175_knn_label_noise", "q176_schema_evolution",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7718,7 +7718,7 @@ _Q175_COS = (
 
 
 @query(
-    "q175_knn_label_noise",
+    "q175_knn_label_noise", "q176_schema_evolution",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                FROM embeddings),
@@ -7751,3 +7751,56 @@ def q175_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return knn_label_consistency(emb, "vec_id", "embedding", "label", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q176: schema-evolution scan — two parquet generations of the same
+# landing zone (generation 2 added a column) read as ONE mergeSchema
+# frame; old rows surface the new column as NULL and aggregate under
+# a 'legacy' bucket. The oracle recomputes from the source table with
+# the same generation split. This drives the data-lake contract
+# (old files readable forever, new columns lake-wide) through the
+# driver hash, not just pytest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q176_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'legacy'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q176_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.sources.io import read_parquet_evolving
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    lake = os.path.join(
+        tempfile.mkdtemp(prefix=f"q176_{uuid.uuid4().hex[:8]}_"), "lake"
+    )
+    # generation 1 (odd keys): schema WITHOUT the priority column
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "cents"
+    ).write.parquet(lake)
+    # generation 2 (even keys): priority added
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(
+        lake
+    )
+    merged = read_parquet_evolving(spark, lake)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("legacy")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )

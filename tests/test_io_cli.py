@@ -342,3 +342,44 @@ def test_prune_manifest_df_variant_matches_list_variant(spark, tmp_path):
             for r in prune_manifest_by_range(manifest, "k", lo, hi).collect()
         )
         assert as_df == as_list
+
+
+def test_read_parquet_evolving_merges_generations(spark, tmp_path):
+    """Generation 1 lacks a column generation 2 added; the merged
+    scan exposes it lake-wide with NULLs for the old rows."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.sources.io import read_parquet_evolving
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    ).write.parquet(lake)
+    spark.createDataFrame(
+        [(3, 30.0, "eu"), (4, 40.0, "us")], "k long, v double, region string"
+    ).write.mode("append").parquet(lake)
+
+    got = read_parquet_evolving(spark, lake)
+    assert set(got.columns) == {"k", "v", "region"}
+    rows = {r.k: r.region for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "eu", 4: "us"}
+    # plain read without mergeSchema may drop the new column
+    # (footer-of-first-file schema) — the evolving face is the fix
+    assert got.where(F.col("region").isNotNull()).count() == 2
+
+
+def test_read_json_tolerant_quarantines_bad_lines(spark, tmp_path):
+    from redskins_rule_spark.sources.io import read_json_tolerant
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"k": 2, "v": "b"}\n'
+        '{"k": "NOT_A_NUMBER_TYPE_MISMATCH", "v": 3}\n'
+    )
+    good, bad = read_json_tolerant(spark, str(p), "k long, v string")
+    assert {(r.k, r.v) for r in good.collect()} == {(1, "a"), (2, "b")}
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
