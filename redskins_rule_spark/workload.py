@@ -7718,7 +7718,7 @@ _Q175_COS = (
 
 
 @query(
-    "q175_knn_label_noise", "q176_schema_evolution",
+    "q175_knn_label_noise",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                FROM embeddings),
