@@ -518,6 +518,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
     "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
     "q175_knn_label_noise", "q176_schema_evolution",
+    "q177_ohlc_bars", "q178_rolling_median",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7803,4 +7804,114 @@ def q176_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177: OHLC resampling — the canonical time-series downsample
+# (open/high/low/close per hourly bar and series). Open/close are
+# rank-1 rows under the total order (us, event_id) ascending/
+# descending — window formulation in BOTH engines rather than
+# min_by/arg_min, whose composite-key tie semantics differ across
+# engines. Everything is keyed by (series, bar): no global window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q177_ohlc_bars",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id, value
+               FROM events),
+    b AS (SELECT event_type, us // 3600000000 AS bar_hour, us, event_id,
+                 value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, us // 3600000000
+                                    ORDER BY us, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, us // 3600000000
+                                    ORDER BY us DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, CAST(bar_hour AS BIGINT) AS bar_hour,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q177_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", epoch_us("ts").alias("us"), "event_id", "value"
+    )
+    bar = (F.col("us") / F.lit(3_600_000_000)).cast("long")
+    b = ev.withColumn("bar_hour", bar)
+    wa = Window.partitionBy("event_type", "bar_hour").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "bar_hour").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    ranked = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ranked.groupBy("event_type", "bar_hour").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias(
+            "close"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178: rolling median — robust smoothing over the trailing 7 events
+# per user. Spark has no windowed percentile; the k-bounded frame
+# collect + sort + EXPLICIT middle-element formula is the portable
+# form (engines disagree on median interpolation wording, so both
+# sides compute lower/upper middles identically). Frame is ROWS
+# 6 PRECEDING — bounded state, keyed by user: scale-safe.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q178_rolling_median",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+               FROM events),
+    r AS (SELECT user_id, us, event_id,
+                 list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS s
+          FROM e)
+    SELECT user_id, us, event_id,
+           CAST(len(s) AS INTEGER) AS n_win,
+           ROUND(CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+                      ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0
+                 END, 4) AS roll_med
+    FROM r
+    """,
+)
+def q178_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us"), "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    med = F.when(
+        n % 2 == 1, F.element_at(s, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(s, (n / 2).cast("int"))
+            + F.element_at(s, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return ev.select(
+        "user_id", "us", "event_id",
+        n.alias("n_win"),
+        F.round(med, 4).alias("roll_med"),
     )
