@@ -518,7 +518,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
     "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
     "q175_knn_label_noise", "q176_schema_evolution",
-    "q177_ohlc_bars", "q178_rolling_median",
+    "q177_ohlc_bars", "q178_rolling_median", "q179_embedding_curation",
     # --- sentinel never yet rotated through a second round ---
     "q33_decimal_money",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -7914,4 +7914,86 @@ def q178_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "us", "event_id",
         n.alias("n_win"),
         F.round(med, 4).alias("roll_med"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179: embedding-curation report — the embedding-side counterpart of
+# q145's text-curation composition: k-NN label-noise screen (q175's
+# operator) gates the corpus, survivors take a deterministic
+# stratified train/val split (q117's multiplicative-hash convention),
+# and the report is the per-label funnel every dataset card needs
+# (raw -> suspects dropped -> split sizes). The oracle recomputes
+# every stage, panels and votes included.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q179_embedding_curation",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_Q175_COS} AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    p2 AS (SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0),
+    sym AS (SELECT id_a AS id, id_b AS nb, cos_sim FROM p2
+            UNION ALL
+            SELECT id_b AS id, id_a AS nb, cos_sim FROM p2),
+    top AS (SELECT id, nb FROM (
+              SELECT id, nb,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY cos_sim DESC, nb) AS rn
+              FROM sym) WHERE rn <= 5),
+    v AS (SELECT t.id, e.label AS nb_label, COUNT(*) AS n
+          FROM top t JOIN e ON e.vec_id = t.nb GROUP BY 1, 2),
+    win AS (SELECT id, nb_label AS knn_label FROM (
+              SELECT id, nb_label,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY n DESC, nb_label) AS vr
+              FROM v) WHERE vr = 1),
+    flagged AS (SELECT e.vec_id, e.label,
+                       e.label <> w.knn_label AS is_suspect
+                FROM e JOIN win w ON w.id = e.vec_id),
+    split AS (SELECT vec_id, label, is_suspect,
+                     CASE WHEN (vec_id * 2654435761) % 100 < 90
+                          THEN 'train' ELSE 'val' END AS part
+              FROM flagged)
+    SELECT label,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN is_suspect THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect,
+           CAST(SUM(CASE WHEN NOT is_suspect THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(SUM(CASE WHEN NOT is_suspect AND part = 'train'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN NOT is_suspect AND part = 'val'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+    FROM split GROUP BY label
+    """,
+)
+def q179_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import knn_label_consistency
+
+    emb = table(spark, sf_dir, "embeddings")
+    flagged = knn_label_consistency(
+        emb, "vec_id", "embedding", "label", k=5
+    ).select("id", "label", "is_suspect")
+    h = (F.col("id") * 2654435761) % 100
+    part = F.when(h < 90, "train").otherwise("val")
+    clean = ~F.col("is_suspect")
+    return (
+        flagged.withColumn("part", part)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("is_suspect"), 1).otherwise(0)).alias(
+                "n_suspect"
+            ),
+            F.sum(F.when(clean, 1).otherwise(0)).alias("n_clean"),
+            F.sum(
+                F.when(clean & (F.col("part") == "train"), 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(clean & (F.col("part") == "val"), 1).otherwise(0)
+            ).alias("n_val"),
+        )
     )

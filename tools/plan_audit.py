@@ -76,6 +76,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q155_kmv_setops": "theta pairing of the per-event-type sketch frame (group-count-bounded rows, k-bounded states)",
         "q168_quantile_bins": "cross join with the 1-row total-count aggregate",
         "q175_knn_label_noise": "block-pair join over B=16 collected blocks (B^2-bounded, via q22's operator)",
+        "q179_embedding_curation": "block-pair join over B=16 collected blocks (B^2-bounded, via q22's operator inside the k-NN stage)",
         "q171_char_ngram_lm": "cross join with the 1-row corpus trigram total",
         "q172_doc_subsample": "cross join with the 1-row (Z, T) weight-normalizer aggregate (language grain upstream)",
     },
