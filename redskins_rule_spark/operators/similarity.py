@@ -768,40 +768,26 @@ def knn_label_consistency(
     majority label of its k nearest neighbors (cosine) is a mislabel
     candidate. Output: (id, label, knn_label, n_agree, is_suspect).
 
-    Pipeline: exact blocked pair generation (cosine >= 0 — with a
-    non-degenerate corpus every point has far more than k non-negative
-    neighbors, and restricting the candidate set keeps the pair
-    volume at half the quadratic worst case), symmetrize, per-id
-    row_number window ordered by (rounded cos desc, neighbor id) —
-    keyed by the vector id, never global — take k, majority vote with
-    (count desc, label asc) tie pinning.
+    Pipeline: exact blocked k-NN candidates
+    (`knn_candidates_blocked`: each block-pair task emits only
+    per-row top-k under the final total order, so candidate volume
+    is n*k*B — NOT the n^2/2 symmetric pair list), then the global
+    per-id top-k window (keyed, never global), then majority vote
+    with (count desc, label asc) tie pinning. Neighbors restricted
+    to cosine >= 0 (every point in a non-degenerate corpus has far
+    more than k such neighbors).
 
-    Scale: candidate generation is the documented exact path
-    (`cosine_pairs_blocked`); at 100 TB swap it for `srp_lsh_pairs` /
-    IVF candidates — the vote stages are candidate-source-agnostic.
+    Scale: exact even at 100 TB row volumes thanks to the block-local
+    selection; to cut the O(n^2) FLOPs too, swap the candidate source
+    for `srp_lsh_pairs` / IVF — the vote stages are agnostic.
     """
-    pairs = cosine_pairs_blocked(
-        df, id_col, vec_col, threshold=0.0,
-        num_blocks=num_blocks, round_dp=round_dp,
-    )
-    sym = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cos_sim"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cos_sim"
-        )
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cos_sim").desc(), F.col("nb").asc()
-    )
     labels = df.select(
         F.col(id_col).alias("nb"), F.col(label_col).alias("nb_label")
     )
-    topk = (
-        sym.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .join(labels, "nb")
-    )
+    topk = knn_candidates_blocked(
+        df, id_col, vec_col, k=k, num_blocks=num_blocks,
+        round_dp=round_dp, min_sim=0.0,
+    ).join(labels, "nb")
     votes = topk.groupBy("id", "nb_label").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -818,4 +804,115 @@ def knn_label_consistency(
     return own.join(winner, "id").select(
         "id", "label", "knn_label", "n_agree",
         (F.col("label") != F.col("knn_label")).alias("is_suspect"),
+    )
+
+
+def knn_candidates_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_blocks: int = 16,
+    round_dp: int = 4,
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """DIRECTED k-NN candidates (id, nb, cos_sim) with per-block
+    top-k selection — the scale-correct exact-kNN layout: the naive
+    symmetrized pair list is O(n²) ROWS (312M at 50k vectors with
+    min_sim=0), which drowns the downstream shuffle even though the
+    matmul itself is cheap. Instead each of the O(B²) block-pair
+    tasks emits only each row's local top-k, so the global candidate
+    volume is n·k·B — linear in n.
+
+    EXACTNESS: block-local selection uses the IDENTICAL total order
+    the consumer ranks by — (cosine ROUNDED to round_dp desc,
+    neighbor id asc) — so every global top-k row is inside its
+    block's top-k (restricting a total order to a subset can only
+    improve a row's rank). A raw-cosine block selection would NOT be
+    exact: rounding can tie rows across the block boundary and the
+    tie loser by id could be dropped. Neighbors below `min_sim`
+    (post-rounding) are excluded by contract.
+    """
+    packed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("blk", F.pmod(F.hash("id"), F.lit(num_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("a.items").alias("items_a"),
+            F.col("b.items").alias("items_b"),
+        )
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def block_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        def emit(ids_q, ids_c, sim, out):
+            # per-query top-k under (rounded sim desc, candidate asc);
+            # rounding here is for SELECTION only — the emitted value
+            # is the raw double, rounded downstream by F.round so the
+            # value path is identical to cosine_pairs_blocked's
+            # (numpy double -> Spark round, the precedent the q22
+            # oracle family already hash-matches)
+            r = np.floor(sim * 10.0**round_dp + 0.5) / 10.0**round_dp
+            for qi in range(r.shape[0]):
+                row = r[qi]
+                mask = row >= min_sim
+                mask &= ids_c != ids_q[qi]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids_c[idx], -row[idx]))[:k]
+                for j in idx[order]:
+                    out.append((ids_q[qi], ids_c[j], sim[qi, j]))
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ia = np.array([x["id"] for x in row["items_a"]])
+                ib = np.array([x["id"] for x in row["items_b"]])
+                va = np.array(
+                    [np.asarray(x["v"]) for x in row["items_a"]],
+                    dtype=np.float64,
+                )
+                vb = np.array(
+                    [np.asarray(x["v"]) for x in row["items_b"]],
+                    dtype=np.float64,
+                )
+                na = np.linalg.norm(va, axis=1, keepdims=True)
+                nb = np.linalg.norm(vb, axis=1, keepdims=True)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                sim = (va / na) @ (vb / nb).T
+                same = row["blk_a"] == row["blk_b"]
+                emit(ia if same else ia, ib, sim, out)
+                if not same:  # reverse direction for cross-block pairs
+                    emit(ib, ia, sim.T, out)
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["id", "nb", "cos_sim"]
+                )
+
+    cands = pairs.mapInPandas(
+        block_topk,
+        schema=f"id {id_type}, nb {id_type}, cos_sim double",
+    ).select("id", "nb", F.round("cos_sim", round_dp).alias("cos_sim"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb").asc()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
     )
