@@ -692,12 +692,19 @@ def srp_lsh_pairs(
 
     Scale shape: signatures are expression-only (no Python), band
     keys explode to `bands` rows per vector, candidates come from
-    `pairs_from_posting_lists` (one shuffle, vectors riding along as
-    payload so the verify step needs NO extra join), `max_postings`
-    caps hot buckets exactly like the text-LSH family. Versus
-    `cosine_pairs_blocked` (exact, O(n²/B) compute) this is the
-    sub-quadratic candidate path — recall follows the banding curve
-    1-(1-(1-θ/π)^r)^b rather than being exact.
+    `pairs_from_posting_lists` as ID PAIRS ONLY — carrying the
+    vectors through the pair explosion would materialize
+    |candidates|·dim·8 bytes in the posting lists (an OOM at 50k
+    vectors / 39M candidates); instead the verify step joins the
+    candidate ids against the BROADCAST vector table twice and
+    computes the cosine in-flight (map-side, nothing wide ever
+    shuffles). When the vector table outgrows a broadcast, swap the
+    probe for a bucketed equi-join on id — the candidate set stays
+    id-grain either way. `max_postings` caps hot buckets exactly
+    like the text-LSH family. Versus `cosine_pairs_blocked` (exact,
+    O(n²/B) compute) this is the sub-quadratic candidate path —
+    recall follows the banding curve 1-(1-(1-θ/π)^r)^b rather than
+    being exact.
     """
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
@@ -742,14 +749,28 @@ def srp_lsh_pairs(
         F.col("bb.band_key").alias("band_key"),
     )
     cands = pairs_from_posting_lists(
-        exploded, ["band", "band_key"], id_col,
-        payload_col="__v", max_postings=max_postings,
+        exploded.drop("__v"), ["band", "band_key"], id_col,
+        max_postings=max_postings,
     ).dropDuplicates(["id_a", "id_b"])
-    sim = F.round(
-        cosine(F.col("payload_a"), F.col("payload_b")), round_dp
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
     )
+    enriched = (
+        cands.join(
+            F.broadcast(vecs.withColumnRenamed("__vec", "__va")),
+            F.col("id_a") == F.col("__vid"),
+        )
+        .drop("__vid")
+        .join(
+            F.broadcast(vecs.withColumnRenamed("__vec", "__vb")),
+            F.col("id_b") == F.col("__vid"),
+        )
+        .drop("__vid")
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_dp)
     return (
-        cands.select("id_a", "id_b", sim.alias("cos_sim"))
+        enriched.select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
