@@ -939,3 +939,70 @@ def decode_jpeg_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def decode_stats_tolerant(
+    df: DataFrame,
+    codec: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quarantine-mode decode — the 100 TB face of the strict
+    decoders: at scale ONE corrupt payload must not kill a
+    billion-row decode job, and silently skipping it loses the
+    evidence. Per row: decode succeeds → stats with decode_error
+    NULL; decode raises ValueError (the shared codec corruption
+    contract) → NULL stats with the error message, so bad rows are
+    attributable, countable, and replayable after the producer fix —
+    the binary-column analog of sources.read_json_tolerant.
+    codec: 'png' | 'jpeg'. Unexpected exception types still
+    propagate (a decoder BUG should fail loudly, only data
+    corruption is quarantined)."""
+    if codec == "png":
+        from redskins_rule_spark.functions.png import decode_png
+
+        def one(b: bytes) -> tuple[int, int, int]:
+            meta, pixels = decode_png(b)
+            return meta.width, meta.height, sum(pixels)
+    elif codec == "jpeg":
+        from redskins_rule_spark.functions.jpeg import decode_jpeg_gray
+
+        def one(b: bytes) -> tuple[int, int, int]:
+            w, h, pixels = decode_jpeg_gray(b)
+            return w, h, sum(pixels)
+    else:
+        raise ValueError(f"unknown codec {codec!r} (use 'png' or 'jpeg')")
+
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + list(PNG_STATS_SCHEMA.fields)
+        + [T.StructField("decode_error", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, errs = [], [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); sums.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    w, h, s = one(bytes(b))
+                except ValueError as e:
+                    ws.append(None); hs.append(None); sums.append(None)
+                    errs.append(str(e)[:200])
+                else:
+                    ws.append(w); hs.append(h); sums.append(s)
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                    "decode_error": pd.array(errs, dtype="string"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -873,3 +873,33 @@ def test_jpeg_property_random_blocks_roundtrip():
             assert (got[:, b * 8:(b + 1) * 8] == ref).all()
 
     run()
+
+
+def test_decode_stats_tolerant_quarantines_corrupt_payloads(spark):
+    """One corrupt payload among good ones: strict decode would kill
+    the job; tolerant decode yields NULL stats + the error message
+    for THAT row only, for both codecs. NULL payloads stay NULL with
+    no error."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+    from redskins_rule_spark.functions.png import encode_png, synth_pixels
+    from redskins_rule_spark.operators.multimodal import (
+        decode_stats_tolerant,
+    )
+
+    good_png = encode_png(synth_pixels(20, 4, 3), 4, 3)
+    good_jpg = encode_jpeg_gray(synth_dc_blocks(20, 2, 1), 2, 1)
+    for codec, good in (("png", good_png), ("jpeg", good_jpg)):
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[:10])), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r.doc_id: r
+            for r in decode_stats_tolerant(df, codec).collect()
+        }
+        assert out[1].decode_error is None and out[1].pixel_sum is not None
+        assert out[2].pixel_sum is None and out[2].decode_error, codec
+        assert out[3].pixel_sum is None and out[3].decode_error is None
