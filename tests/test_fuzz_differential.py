@@ -1,0 +1,188 @@
+"""Randomized cross-engine differential fuzzing.
+
+The driver differential runs on FIXED testdata; these tests generate
+fresh random tables per seed (nulls in keys and values, duplicate
+keys, skewed groups, negative values) and demand Spark == DuckDB on
+them for a sample of core shapes: grouped aggregation, windowed
+top-k with ties, distinct dedup, and the as-of join operator. Money
+flows as exact cents so float summation order can't blur the
+comparison; as-of carries values through unchanged (no arithmetic),
+so doubles compare exactly.
+
+Seeds are fixed (reproducible failures) but the DATA is arbitrary —
+a cross-engine disagreement on any layout is a real semantics bug,
+the class the fixed-data differential can't explore.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SEEDS = [3, 11, 42]
+
+
+def _rand_orders(rng: np.random.Generator, n: int = 200) -> pd.DataFrame:
+    grp = rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1])
+    v = np.round(rng.normal(100.0, 75.0, n), 2)  # negatives included
+    v[rng.random(n) < 0.07] = np.nan
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 15, n).astype(np.int64),
+            "grp": grp,
+            "v": v,
+        }
+    )
+
+
+def _spark_df(spark, pdf: pd.DataFrame):
+    return spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None),
+                                 "id long, k long, grp string, v double")
+
+
+def _rows(df) -> list[tuple]:
+    def norm(x):
+        if x is None:
+            return None
+        if isinstance(x, float):
+            return round(x, 6)
+        return x
+
+    return sorted((tuple(norm(v) for v in r) for r in df), key=repr)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_grouped_agg(spark, seed):
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    sdf = _spark_df(spark, pdf)
+    got = _rows(
+        sdf.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("cents"),
+            F.count("v").alias("n_v"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            SELECT grp, COUNT(*) AS n,
+                   SUM(CAST(ROUND(v * 100) AS BIGINT)) AS cents,
+                   COUNT(v) AS n_v
+            FROM t GROUP BY grp
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_windowed_topk(spark, seed):
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    # inject exact ties so the tiebreak path is exercised every seed
+    pdf.loc[: len(pdf) // 4, "v"] = 50.0
+    sdf = _spark_df(spark, pdf)
+    cents = F.round(F.col("v") * 100).cast("long")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("cents").desc_nulls_last(), F.col("id")
+    )
+    got = _rows(
+        sdf.withColumn("cents", cents)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("grp", "id", "rn")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            SELECT grp, id, rn FROM (
+              SELECT grp, id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY grp
+                       ORDER BY CAST(ROUND(v * 100) AS BIGINT)
+                                DESC NULLS LAST, id) AS rn
+              FROM t) WHERE rn <= 3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_distinct(spark, seed):
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    sdf = _spark_df(spark, pdf)
+    got = _rows(sdf.select("k", "grp").distinct().collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(con.sql("SELECT DISTINCT k, grp FROM t").fetchall())
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_asof_join(spark, seed):
+    """The as-of operator vs DuckDB's ASOF JOIN on random (key, time)
+    layouts with duplicate times (pinned by the tiebreak) and keys
+    that match nothing."""
+    from redskins_rule_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 120, 80
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l).astype(np.int64),
+            "t": rng.integers(0, 500, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n_r).astype(np.int64),
+            "rt": rng.integers(0, 500, n_r).astype(np.int64),
+            "price": np.round(rng.random(n_r) * 100, 2),
+        }
+    )
+    # duplicate right times per key would make "the" match ambiguous —
+    # dedup to one row per (k, rt) so both engines chase one target
+    right = (
+        right.sort_values(["k", "rt", "price"])
+        .groupby(["k", "rt"], as_index=False)
+        .last()
+    )
+    sl = spark.createDataFrame(left, "k long, t long, lid long")
+    sr = spark.createDataFrame(right, "k long, rt long, price double")
+    out = asof_join(
+        sl, sr, "t", "rt", by=["k"], tolerance=100, unit="seconds",
+        direction="backward", left_keys=["lid"],
+    ).select("lid", "price")
+    got = _rows(out.collect())
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = _rows(
+        con.sql(
+            """
+            SELECT l.lid,
+                   (SELECT r.price FROM r
+                    WHERE r.k = l.k AND r.rt <= l.t
+                      AND l.t - r.rt <= 100
+                    ORDER BY r.rt DESC LIMIT 1) AS price
+            FROM l
+            """
+        ).fetchall()
+    )
+    assert got == want
