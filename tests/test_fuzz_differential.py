@@ -186,3 +186,66 @@ def test_fuzz_asof_join(spark, seed):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_rollup_with_null_groups(spark, seed):
+    """ROLLUP where a grouping column contains REAL NULLs — the
+    classic ambiguity (is a NULL row a subtotal or a data group?).
+    GROUPING() must disambiguate identically in both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    sdf = _spark_df(spark, pdf)
+    got = _rows(
+        sdf.rollup("grp")
+        .agg(
+            F.grouping("grp").cast("int").alias("is_total"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("cents"),
+        )
+        .select("grp", "is_total", "n", "cents")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            SELECT grp, CAST(GROUPING(grp) AS INTEGER) AS is_total,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(v * 100) AS BIGINT)) AS cents
+            FROM t GROUP BY ROLLUP (grp)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_forward_fill(spark, seed):
+    """The forward-fill operator vs DuckDB's IGNORE NULLS last_value
+    on random null layouts (leading nulls stay null, runs of nulls
+    carry the last observation)."""
+    from redskins_rule_spark.operators.analytic import forward_fill
+
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    sdf = _spark_df(spark, pdf)
+    out = forward_fill(
+        sdf, "v", order_by=["id"], partition_by=["k"], out="ff"
+    ).select("id", "ff")
+    got = _rows(out.collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            SELECT id,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY id
+                     ROWS UNBOUNDED PRECEDING) AS ff
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want
