@@ -249,3 +249,92 @@ def test_fuzz_forward_fill(spark, seed):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_exact_percentiles(spark, seed):
+    """Exact interpolated percentiles (Spark percentile vs DuckDB
+    quantile_cont) on random values incl. duplicates — interpolation
+    conventions must agree at 6dp on every layout."""
+    rng = np.random.default_rng(seed)
+    pdf = _rand_orders(rng)
+    pdf["v"] = np.round(rng.normal(0, 10, len(pdf)), 2)  # no nulls here
+    pdf.loc[: len(pdf) // 5, "v"] = 7.0  # duplicate mass
+    sdf = _spark_df(spark, pdf)
+    got = _rows(
+        sdf.groupBy("k")
+        .agg(
+            F.round(F.percentile("v", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("v", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("v", F.lit(0.9)), 6).alias("p90"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            SELECT k,
+                   ROUND(quantile_cont(v, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(v, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(v, 0.9), 6) AS p90
+            FROM t GROUP BY k
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_islands(spark, seed):
+    """Gaps-and-islands on random day sets with duplicates — the
+    anchor (date − dense row number) trick vs DuckDB's re-derivation,
+    for every random layout of runs and singletons."""
+    from redskins_rule_spark.operators.analytic import islands
+
+    rng = np.random.default_rng(seed)
+    n = 150
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, n).astype(np.int64),
+            "d": [
+                f"2024-{1 + int(m):02d}-{1 + int(dd):02d}"
+                for m, dd in zip(
+                    rng.integers(0, 3, n), rng.integers(0, 28, n)
+                )
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, "user_id long, d string")
+    got = _rows(
+        islands(sdf, ["user_id"], "d")
+        .select(
+            "user_id",
+            F.col("island_start").cast("string"),
+            F.col("island_end").cast("string"),
+            "island_days",
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _rows(
+        con.sql(
+            """
+            WITH days AS (SELECT DISTINCT user_id, CAST(d AS DATE) AS d
+                          FROM t),
+            r AS (SELECT user_id, d,
+                         d - CAST(ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY d)
+                             AS INTEGER) AS anchor
+                  FROM days)
+            SELECT user_id,
+                   CAST(MIN(d) AS VARCHAR) AS island_start,
+                   CAST(MAX(d) AS VARCHAR) AS island_end,
+                   COUNT(*) AS island_days
+            FROM r GROUP BY user_id, anchor
+            """
+        ).fetchall()
+    )
+    assert got == want
