@@ -440,3 +440,38 @@ def read_json_tolerant(
     # the quarantine frame so the plan stays legal without a cache
     bad = df.where(F.col(corrupt_col).isNotNull())
     return good, bad
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Media-archive ingest: Spark's built-in `binaryFile` source
+    reads whole files as rows (path, modificationTime, length,
+    content binary) — the entry point that turns an object-store
+    image/audio dump into the opaque-binary-column shape every
+    `operators/multimodal.py` stage consumes. `glob` filters by
+    filename pattern (pushed into listing via pathGlobFilter, not a
+    post-scan filter). Partition discovery and listing parallelize
+    like any file source; per-file content must fit in one row —
+    chunk multi-GB media upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    whole_file: bool = False,
+) -> DataFrame:
+    """Raw-corpus ingest: one row per line (column `value`), or one
+    row per FILE with whole_file=True — the face that lands web-crawl
+    text dumps before any schema exists. Compressed files (.gz)
+    decode transparently; pair with `F.input_file_name()` for
+    provenance."""
+    # the option spelling .option("wholetext", ...) is silently
+    # ignored by the text source — only the reader-method kwarg works
+    return spark.read.text(_paths(path), wholetext=whole_file)

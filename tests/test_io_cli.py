@@ -383,3 +383,54 @@ def test_read_json_tolerant_quarantines_bad_lines(spark, tmp_path):
     bad_rows = [r["_corrupt_record"] for r in bad.collect()]
     assert len(bad_rows) == 2
     assert any("not json" in b for b in bad_rows)
+
+
+def test_read_binary_files_feeds_real_decoder(spark, tmp_path):
+    """End-to-end media ingest: PNG files on disk -> binaryFile rows
+    -> the real PNG decoder over the content column. Glob filtering
+    excludes non-matching files at listing time."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.functions.png import encode_png, synth_pixels
+    from redskins_rule_spark.operators.multimodal import decode_png_stats
+    from redskins_rule_spark.sources.io import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    for clen in (10, 25):
+        w, h = clen % 13 + 1, clen % 7 + 1
+        (d / f"img_{clen}.png").write_bytes(
+            encode_png(synth_pixels(clen, w, h), w, h)
+        )
+    (d / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(d), glob="*.png")
+    assert df.count() == 2  # the .txt never entered the scan
+    payloads = df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.col("content").alias("payload"),
+        "length",
+    )
+    assert {r.length for r in payloads.collect()} == {
+        len((d / f"img_{c}.png").read_bytes()) for c in (10, 25)
+    }
+    stats = {
+        r.name: r
+        for r in decode_png_stats(payloads, "payload", "name").collect()
+    }
+    assert (stats["img_10.png"].width, stats["img_10.png"].height) == (11, 4)
+    assert (stats["img_25.png"].width, stats["img_25.png"].height) == (13, 5)
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from redskins_rule_spark.sources.io import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    lines = read_text_lines(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha", "beta", "gamma"
+    ]
+    whole = read_text_lines(spark, str(p), whole_file=True)
+    assert whole.count() == 1
+    assert whole.collect()[0].value == "alpha\nbeta\ngamma\n"
