@@ -319,6 +319,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (0xFF at end of data)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -359,6 +361,11 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 )
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            # 6-byte frame header + 3 bytes for the single component
+            # spec (id, sampling, Tq) — a corrupted seglen can produce
+            # a shorter body that is still "consistent" with itself
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]
             )
@@ -371,6 +378,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG profile")
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             if body[0] != 1:
                 raise ValueError("only single-component scans")
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import struct
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -955,9 +957,13 @@ def decode_stats_tolerant(
     contract) → NULL stats with the error message, so bad rows are
     attributable, countable, and replayable after the producer fix —
     the binary-column analog of sources.read_json_tolerant.
-    codec: 'png' | 'jpeg'. Unexpected exception types still
-    propagate (a decoder BUG should fail loudly, only data
-    corruption is quarantined)."""
+    codec: 'png' | 'jpeg'. ValueError is the shared codec corruption
+    contract; IndexError/struct.error are ALSO quarantined as
+    defense in depth (adversarially truncated containers can reach a
+    raw index/unpack before any validation fires — ADVICE r5), with
+    the exception TYPE recorded in decode_error so a genuine decoder
+    bug stays attributable in the quarantine output. Anything else
+    (TypeError, MemoryError, ...) still propagates loudly."""
     if codec == "png":
         from redskins_rule_spark.functions.png import decode_png
 
@@ -989,9 +995,9 @@ def decode_stats_tolerant(
                     continue
                 try:
                     w, h, s = one(bytes(b))
-                except ValueError as e:
+                except (ValueError, IndexError, struct.error) as e:
                     ws.append(None); hs.append(None); sums.append(None)
-                    errs.append(str(e)[:200])
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
                 else:
                     ws.append(w); hs.append(h); sums.append(s)
                     errs.append(None)

@@ -796,6 +796,66 @@ def test_jpeg_rejects_corruption_and_out_of_profile():
         decode_jpeg_gray(bytes(bad))
 
 
+def test_jpeg_every_truncation_raises_valueerror():
+    """ADVICE r5 (medium): EVERY prefix of a valid payload must raise
+    ValueError — the shared corruption contract decode_stats_tolerant
+    catches — never IndexError/struct.error. Before the bounds fixes,
+    a prefix ending right after a 0xFF byte hit `data[pos + 1]` raw
+    (4 such truncation points in this very payload), and a seglen-
+    consistent short SOF0/SOS body hit struct.unpack / body[8]."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    good = encode_jpeg_gray(synth_dc_blocks(10, 2, 1), 2, 1)
+    saw_ff_at_end = False
+    for cut in range(2, len(good)):
+        prefix = good[:cut]
+        if prefix.endswith(b"\xff"):
+            saw_ff_at_end = True
+        with _pytest.raises(ValueError):
+            decode_jpeg_gray(prefix)
+    assert saw_ff_at_end  # the payload really exercises the ff-at-end case
+
+    # seglen-consistent short bodies: rewrite SOF0's seglen so the body
+    # passes the length check but is too short for the 9-byte frame spec
+    sof = good.find(b"\xff\xc0")
+    short_sof = good[: sof + 2] + b"\x00\x07" + good[sof + 4 : sof + 9]
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(short_sof + good[sof + 4 + 11 :])
+    sos = good.find(b"\xff\xda")
+    short_sos = good[:sos] + b"\xff\xda\x00\x03" + good[sos + 4 : sos + 5]
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(short_sos + good[sos + 8 :])
+
+
+def test_tolerant_decode_quarantines_ff_truncation(spark):
+    """The escape ADVICE r5 described end-to-end: a payload truncated
+    right after a 0xFF must land in quarantine (decode_error set),
+    not kill the job."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+    from redskins_rule_spark.operators.multimodal import decode_stats_tolerant
+
+    good = encode_jpeg_gray(synth_dc_blocks(10, 2, 1), 2, 1)
+    cut = next(
+        c for c in range(2, len(good)) if good[:c].endswith(b"\xff")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:cut]))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_stats_tolerant(df, "jpeg").collect()}
+    assert out[1].decode_error is None and out[1].pixel_sum is not None
+    assert out[2].pixel_sum is None and out[2].decode_error is not None
+
+
 def test_jpeg_payload_decode_spark(spark):
     from redskins_rule_spark.operators.multimodal import (
         decode_jpeg_stats,
