@@ -13,7 +13,6 @@ Design rules (100 TB / always-on):
 
 from __future__ import annotations
 
-import os
 
 from collections.abc import Iterator
 
@@ -475,31 +474,60 @@ def _run_view_fold(
     memory), into a fresh per-batch directory so the write never
     clobbers the files the fold's own `base` scan is reading, then
     the temp view is repointed and stale batch directories are
-    dropped. A restarted session republishes by re-running against
-    the same checkpoint; the parquet view itself also survives the
-    session.
-    """
-    import shutil
+    dropped.
 
+    RESTART (ADVICE r5): the temp view is session-scoped, but the
+    published parquet is not. When the view is missing, `base`
+    bootstraps from the newest surviving `_view/b<id>` directory
+    whose id is STRICTLY BELOW the current batch id — equal/higher
+    ids are uncommitted leftovers of a crashed attempt at this (or a
+    later) batch, and folding them in would double-count. So a fresh
+    session re-driven against the same checkpoint resumes from the
+    previously folded state instead of silently discarding it.
+    Listing/GC go through the Hadoop FileSystem API, so the
+    checkpoint may live on any supported filesystem (hdfs://,
+    s3a://, ...), not just the local FS.
+    """
     spark = stream_df.sparkSession
-    view_root = os.path.join(checkpoint_dir, "_view")
+    view_root = checkpoint_dir.rstrip("/") + "/_view"
+
+    def hadoop_path(p: str):
+        return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def batch_dirs() -> list[tuple[int, str]]:
+        """Sorted (batch_id, uri) of the published per-batch dirs."""
+        root = hadoop_path(view_root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name[:1] == "b" and name[1:].isdigit():
+                out.append((int(name[1:]), st.getPath().toString()))
+        return sorted(out)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = build_delta(batch_df)
         try:
             base = spark.table(view_name)
-        except Exception:  # first batch: no view yet
-            base = None
+        except Exception:
+            # first batch ever, OR a restarted session: bootstrap from
+            # the newest COMMITTED publish (id < batch_id) if one exists
+            committed = [p for bid, p in batch_dirs() if bid < batch_id]
+            base = spark.read.parquet(committed[-1]) if committed else None
         updated = fold(base, delta)
         # materialize the fold BEFORE repointing the view it reads
         # from — into a NEW directory, distributed write, no collect
-        out_dir = os.path.join(view_root, f"b{batch_id}")
+        out_dir = f"{view_root}/b{batch_id}"
         updated.write.mode("overwrite").parquet(out_dir)
         spark.read.parquet(out_dir).createOrReplaceTempView(view_name)
         # previous batches' directories are now unreferenced
-        for d in os.listdir(view_root):
-            if d.startswith("b") and d != f"b{batch_id}":
-                shutil.rmtree(os.path.join(view_root, d), ignore_errors=True)
+        root = hadoop_path(view_root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for bid, p in batch_dirs():
+            if bid != batch_id:
+                fs.delete(hadoop_path(p), True)
 
     (
         stream_df.writeStream.foreachBatch(on_batch)

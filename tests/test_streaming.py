@@ -711,6 +711,62 @@ def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
     shutil.rmtree(land, ignore_errors=True)
 
 
+def test_view_fold_restart_bootstraps_from_published_parquet(spark, tmp_path):
+    """ADVICE r5: the maintained view's temp view is session-scoped
+    but its parquet publish is not — after a 'restart' (view dropped,
+    checkpoint kept) the next fold must bootstrap from the newest
+    COMMITTED `_view/b<id>` publish instead of silently resetting,
+    while an uncommitted leftover with batch id >= the current batch
+    (a crashed attempt) is ignored for bootstrap and GC'd after."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_view,
+        stream_from_files,
+    )
+
+    land = str(tmp_path / "restart_landing")
+    ckpt = str(tmp_path / "restart_ckpt")
+    view = f"mv_{uuid.uuid4().hex[:8]}"
+    schema = "k long, v double"
+
+    def build_delta(batch_df):
+        return batch_df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    spark.createDataFrame([(1, 10.0), (2, 7.0)], schema).write.mode(
+        "append").parquet(land)
+    run_incremental_view(
+        stream_from_files(spark, land, schema), build_delta,
+        ["k"], ["total"], ckpt, view,
+    )
+    assert {r.k for r in spark.table(view).collect()} == {1, 2}
+
+    # simulate a session restart: the temp view dies with the session
+    spark.catalog.dropTempView(view)
+    # plant a crashed-attempt leftover (id far beyond any committed
+    # batch): its poison rows must NOT enter the bootstrap fold
+    spark.createDataFrame(
+        [(99, 1e9, 1)], "k long, total double, n long"
+    ).write.parquet(os.path.join(ckpt, "_view", "b999"))
+
+    spark.createDataFrame([(1, 1.0), (3, 2.0)], schema).write.mode(
+        "append").parquet(land)
+    run_incremental_view(
+        stream_from_files(spark, land, schema), build_delta,
+        ["k"], ["total"], ckpt, view,
+    )
+    got = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
+    # wave-1 state survived the restart; poison never folded in
+    assert got == {1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)}
+    dirs = sorted(os.listdir(os.path.join(ckpt, "_view")))
+    assert dirs == ["b1"]  # b0 and the b999 leftover were GC'd
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """The §2.9 late-data contract, pinned explicitly: an event
     arriving in a LATER wave whose event time is older than
