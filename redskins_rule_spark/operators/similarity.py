@@ -14,6 +14,8 @@ JVM-side, codegen'd, no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -828,14 +830,58 @@ def knn_label_consistency(
     )
 
 
+def _round_half_up_like_sql(sim, dp: int):
+    """Round a float64 ndarray exactly as Spark's F.round (and
+    DuckDB's round) does — BigDecimal HALF_UP on the double's
+    SHORTEST DECIMAL representation (Java's Double.toString and
+    Python's repr both emit the unique shortest round-trip decimal,
+    so `Decimal(repr(x))` reproduces BigDecimal.valueOf(x)).
+
+    The numpy fast path floor(x*10^dp + 0.5) rounds the BINARY
+    product, which can disagree with the decimal rounding when the
+    scaled fraction sits essentially on .5 (multiplication error ~
+    1e-12 there, and HALF_UP is away-from-zero for negatives while
+    floor(+0.5) is toward +inf) — exactly the cross-block ties the
+    exact-kNN selection contract depends on (ADVICE r5). Elements
+    within 1e-9 of the boundary take the decimal slow path; for
+    continuous similarity data that is a vanishing fraction, so the
+    fast path dominates."""
+    import numpy as np
+
+    scale = 10.0 ** dp
+    scaled = sim * scale
+    r = np.floor(scaled + 0.5) / scale
+    frac = scaled - np.floor(scaled)
+    suspect = np.abs(frac - 0.5) < 1e-9
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        flat, sflat = r.reshape(-1), sim.reshape(-1)
+        for i in np.nonzero(suspect.reshape(-1))[0]:
+            flat[i] = float(
+                Decimal(repr(float(sflat[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return r
+
+
+# A packed block is ONE aggregated row; Spark's 2 GB row/buffer limit
+# applies long before executor memory does. Keep a wide margin for the
+# struct/offset overhead collect_list adds on top of the raw vectors.
+_MAX_BLOCK_BYTES = 256 << 20
+
+
 def knn_candidates_blocked(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
-    num_blocks: int = 16,
+    num_blocks: int | None = 16,
     round_dp: int = 4,
     min_sim: float = 0.0,
+    block_bytes: int = 64 << 20,
 ) -> DataFrame:
     """DIRECTED k-NN candidates (id, nb, cos_sim) with per-block
     top-k selection — the scale-correct exact-kNN layout: the naive
@@ -849,11 +895,39 @@ def knn_candidates_blocked(
     the consumer ranks by — (cosine ROUNDED to round_dp desc,
     neighbor id asc) — so every global top-k row is inside its
     block's top-k (restricting a total order to a subset can only
-    improve a row's rank). A raw-cosine block selection would NOT be
-    exact: rounding can tie rows across the block boundary and the
-    tie loser by id could be dropped. Neighbors below `min_sim`
-    (post-rounding) are excluded by contract.
+    improve a row's rank). The selection key is rounded with
+    `_round_half_up_like_sql`, the SAME decimal HALF_UP semantics as
+    the downstream F.round — a binary-only rounding could drop a
+    boundary-tied true top-k row inside its block. Neighbors below
+    `min_sim` (post-rounding) are excluded by contract.
+
+    BLOCK SIZING (VERDICT r5): each packed block is one aggregated
+    row, so its bytes are a hard Spark contract, checked in code:
+    `num_blocks=None` derives B from ceil(n·row_bytes / block_bytes)
+    (default 64 MB per block), and ANY sizing whose expected block
+    exceeds `_MAX_BLOCK_BYTES` (256 MB) raises with the minimum
+    feasible num_blocks. The sizing stats are one scalar aggregate
+    (count + max dim) — bounded metadata, never row data.
     """
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col).cast("array<double>"))).alias("dim"),
+    ).first()
+    n, dim = stats["n"] or 0, stats["dim"] or 0
+    per_row = dim * 8 + 48  # 8 B/element + struct/id/offset overhead
+    total = n * per_row
+    if num_blocks is None:
+        num_blocks = max(1, math.ceil(total / block_bytes))
+    est = math.ceil(total / num_blocks)
+    if est > _MAX_BLOCK_BYTES:
+        need = math.ceil(total / _MAX_BLOCK_BYTES)
+        raise ValueError(
+            f"knn_candidates_blocked: ~{est:,} bytes per packed block at "
+            f"num_blocks={num_blocks} exceeds the {_MAX_BLOCK_BYTES:,}-byte "
+            f"block ceiling (a block is ONE aggregated row) — pass "
+            f"num_blocks>={need}, or num_blocks=None to auto-size from "
+            f"block_bytes"
+        )
     packed = (
         df.select(
             F.col(id_col).alias("id"),
@@ -885,8 +959,10 @@ def knn_candidates_blocked(
             # is the raw double, rounded downstream by F.round so the
             # value path is identical to cosine_pairs_blocked's
             # (numpy double -> Spark round, the precedent the q22
-            # oracle family already hash-matches)
-            r = np.floor(sim * 10.0**round_dp + 0.5) / 10.0**round_dp
+            # oracle family already hash-matches). The selection key
+            # uses F.round's OWN decimal HALF_UP semantics so a
+            # boundary-tied row can't be dropped block-locally.
+            r = _round_half_up_like_sql(sim, round_dp)
             for qi in range(r.shape[0]):
                 row = r[qi]
                 mask = row >= min_sim

@@ -705,3 +705,84 @@ def test_knn_label_consistency_flags_planted_mislabel(spark):
             continue
         assert r.knn_label == r.label
         assert r.n_agree == (4 if 6 <= i < 12 else 5), (i, r)
+
+
+def test_round_half_up_like_sql_matches_spark_round(spark):
+    """ADVICE r5: the exact-kNN block-local selection key must round
+    IDENTICALLY to the downstream F.round (BigDecimal HALF_UP on the
+    shortest decimal repr) — the pure-binary floor(x*1e4+0.5) path can
+    disagree for doubles essentially on a .00005 boundary, dropping a
+    true global top-k row inside its block. Pin the helper against
+    Spark's own round over a battery of boundary-adversarial doubles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.similarity import (
+        _round_half_up_like_sql,
+    )
+
+    vals = []
+    for m in range(-60, 61):
+        x = (m + 0.5) / 1e4  # binary double nearest the decimal boundary
+        for _ in range(4):
+            x = np.nextafter(x, -np.inf)
+        for _ in range(9):  # 4 ulps below .. 4 ulps above
+            vals.append(float(x))
+            x = np.nextafter(x, np.inf)
+    vals += [i * 0.000037 - 0.001 for i in range(100)]  # plain values
+
+    got = _round_half_up_like_sql(np.array(vals, dtype=np.float64), 4)
+    exp = {
+        r.i: r.r
+        for r in spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, x double"
+        ).select("i", F.round("x", 4).alias("r")).collect()
+    }
+    mismatches = [
+        (vals[i], got[i], exp[i])
+        for i in range(len(vals))
+        if got[i] != exp[i]
+    ]
+    assert mismatches == []
+    # and the battery genuinely exercises the slow path: the naive
+    # binary rounding must disagree somewhere in it
+    naive = np.floor(np.array(vals) * 1e4 + 0.5) / 1e4
+    assert any(naive[i] != exp[i] for i in range(len(vals)))
+
+
+def test_knn_blocked_autosize_and_byte_budget(spark, monkeypatch):
+    """VERDICT r5 item 2: block packing is byte-budgeted in CODE —
+    num_blocks=None derives B from n*row_bytes/block_bytes, an
+    over-budget explicit sizing raises with the minimum feasible B,
+    and the auto-sized result is identical to an explicit one (the
+    operator is exact for ANY block count)."""
+    import pytest
+
+    from redskins_rule_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * j) % 7 + 1) for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    base = sorted(
+        (r.id, r.nb, r.cos_sim)
+        for r in similarity.knn_candidates_blocked(
+            df, "id", "v", k=3, num_blocks=4
+        ).collect()
+    )
+    # 40 rows * (8*8 + 48) B = 4480 B total -> ceil(4480/512) = 9 blocks
+    auto = sorted(
+        (r.id, r.nb, r.cos_sim)
+        for r in similarity.knn_candidates_blocked(
+            df, "id", "v", k=3, num_blocks=None, block_bytes=512
+        ).collect()
+    )
+    assert auto == base
+
+    monkeypatch.setattr(similarity, "_MAX_BLOCK_BYTES", 1000)
+    with pytest.raises(ValueError, match="block ceiling"):
+        similarity.knn_candidates_blocked(df, "id", "v", k=3, num_blocks=1)
+    # the error names the minimum feasible block count: ceil(4480/1000)=5
+    with pytest.raises(ValueError, match="num_blocks>=5"):
+        similarity.knn_candidates_blocked(df, "id", "v", k=3, num_blocks=2)
