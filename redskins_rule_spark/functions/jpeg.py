@@ -1,29 +1,36 @@
-"""Pure-Python baseline JPEG codec (grayscale, public ITU T.81 spec).
+"""Pure-Python baseline JPEG codec (grayscale + 4:2:0 color, public
+ITU T.81 spec).
 
-Closes the last open item of the compressed-codec boundary (README
-decision record; VERDICT r4 item 6): JPEG needs no external library —
-the entropy layer is canonical Huffman (spec Annex C/F), the transform
-is the 8x8 DCT-II family, and numpy (baked into the container) gives
-an exact-enough float IDCT. Scope is the smallest REAL profile:
+Closes the compressed-codec boundary (README decision record; VERDICT
+r4 item 6, r5 item 3): JPEG needs no external library — the entropy
+layer is canonical Huffman (spec Annex C/F), the transform is the 8x8
+DCT-II family, and numpy (baked into the container) gives an
+exact-enough float IDCT. Two REAL profiles:
 
-- baseline sequential DCT (SOF0), 8-bit, ONE component (grayscale) —
-  no chroma subsampling / color transform to keep decode semantics
-  integer-predictable for differential oracles;
-- standard Annex K luminance quantization + Huffman tables on the
-  encode side; the DECODER reads whatever DQT/DHT the file carries
-  (tables are parsed, never assumed);
-- image dimensions multiples of 8 (no partial-MCU edge replication).
+- baseline sequential DCT (SOF0), 8-bit, ONE component (grayscale),
+  dimensions multiples of 8;
+- baseline SOF0, THREE components (YCbCr), 4:2:0 chroma subsampling
+  (luma 2x2, chroma 1x1 — the overwhelmingly common web-JPEG layout),
+  dimensions multiples of 16 (no partial-MCU edge replication).
+  Chroma upsampling is 2x2 sample replication; YCbCr->RGB is the
+  JFIF matrix with floor(x + 0.5) rounding and [0, 255] clamping —
+  both pinned so a SQL oracle can recompute decoded pixels.
+
+The encoder writes Annex K luminance/chrominance quantization +
+Huffman tables; the DECODER reads whatever DQT/DHT the file carries
+(tables are parsed, never assumed).
 
 The synthetic payload path mirrors `functions/png.py`: blocks are
-DC-ONLY, so every decoded pixel is exactly
+DC-ONLY, so every decoded component sample is exactly
 
     clamp(round(dc * q[0] / 8) + 128)
 
-— integer arithmetic a SQL oracle can recompute, while the decoder
-still runs the full marker walk, Huffman decode (with byte
-unstuffing), dequantization, dezigzag, and a REAL 2D IDCT. Blocks
-with AC energy decode correctly too (pytest pins them against a
-direct numpy IDCT reference); they're just not used in the
+— integer arithmetic a SQL oracle can recompute (chroma synth DCs are
+multiples of 8 so dc*q[0]/8 is an exact integer under q[0] = 17 too),
+while the decoder still runs the full marker walk, Huffman decode
+(with byte unstuffing), dequantization, dezigzag, and a REAL 2D IDCT.
+Blocks with AC energy decode correctly too (pytest pins them against
+a direct numpy IDCT reference); they're just not used in the
 hash-checked oracle because float cosines aren't SQL-portable.
 
 Reference capability mapping: the reference pipeline has no media
@@ -56,7 +63,18 @@ QUANT_LUMA = [
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
-]  # raster order
+]  # raster order (Annex K Table K.1)
+
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]  # raster order (Annex K Table K.2)
 
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
@@ -86,6 +104,35 @@ _AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# chrominance Huffman tables (Annex K Tables K.4 / K.6)
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length) per the canonical assignment of
@@ -104,6 +151,8 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+_DC_ENC_C = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_ENC_C = _canonical_codes(_AC_BITS_C, _AC_VALS_C)
 
 # IDCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); block = M.T @ F @ M
 _IDCT_M = np.array(
@@ -155,6 +204,53 @@ def _amplitude(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
+def _encode_block(
+    bw: _BitWriter,
+    blk: list[int],
+    prev_dc: int,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized 8x8 block (64 zigzag coefficients)
+    against the given canonical tables; returns the new DC predictor."""
+    if len(blk) != 64:
+        raise ValueError("each block must have 64 zigzag coefficients")
+    diff = blk[0] - prev_dc
+    s = _category(diff)
+    code, length = dc_enc[s]
+    bw.write(code, length)
+    if s:
+        bw.write(_amplitude(diff, s), s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_amplitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return blk[0]
+
+
+def _dqt_segment(tq: int, q: list[int]) -> bytes:
+    return bytes([tq]) + bytes(q[ZIGZAG[i]] for i in range(64))
+
+
 def encode_jpeg_gray(
     blocks: list[list[int]],
     w_blocks: int,
@@ -178,7 +274,7 @@ def encode_jpeg_gray(
     w, h = 8 * w_blocks, 8 * h_blocks
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: Pq=0 (8-bit), Tq=0; entries in zigzag order per spec
-    dqt = bytes([0x00]) + bytes(q[ZIGZAG[i]] for i in range(64))
+    dqt = _dqt_segment(0, q)
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     # SOF0: 8-bit precision, 1 component (id 1, 1x1 sampling, Tq 0)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
@@ -196,38 +292,71 @@ def encode_jpeg_gray(
     bw = _BitWriter()
     prev_dc = 0
     for blk in blocks:
-        if len(blk) != 64:
-            raise ValueError("each block must have 64 zigzag coefficients")
-        diff = blk[0] - prev_dc
-        prev_dc = blk[0]
-        s = _category(diff)
-        code, length = _DC_ENC[s]
-        bw.write(code, length)
-        if s:
-            bw.write(_amplitude(diff, s), s)
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if blk[k]:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = blk[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = _AC_ENC[0xF0]  # ZRL
-                bw.write(code, length)
-                run -= 16
-            s = _category(v)
-            code, length = _AC_ENC[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(_amplitude(v, s), s)
-            run = 0
-        if last_nz < 63:
-            code, length = _AC_ENC[0x00]  # EOB
-            bw.write(code, length)
+        prev_dc = _encode_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    w_mcus: int,
+    h_mcus: int,
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+) -> bytes:
+    """Quantized blocks -> baseline 4:2:0 YCbCr JPEG bytes.
+
+    `y_blocks` are row-major over the LUMA block grid (2*w_mcus wide,
+    2*h_mcus tall); `cb_blocks`/`cr_blocks` are row-major over the
+    chroma grid (w_mcus x h_mcus). The encoder interleaves them in
+    MCU scan order (4 Y blocks in 2x2 raster, then Cb, then Cr per
+    MCU) with per-component DC prediction, exactly as the spec's
+    interleaved scan requires. Like the gray encoder, blocks carry
+    QUANTIZED coefficients so a test can predict the decode.
+    """
+    if len(y_blocks) != 4 * w_mcus * h_mcus:
+        raise ValueError("y_blocks count != 4 * w_mcus * h_mcus")
+    if len(cb_blocks) != w_mcus * h_mcus or len(cr_blocks) != w_mcus * h_mcus:
+        raise ValueError("chroma blocks count != w_mcus * h_mcus")
+    ql = list(quant_luma) if quant_luma is not None else QUANT_LUMA
+    qc = list(quant_chroma) if quant_chroma is not None else QUANT_CHROMA
+    if len(ql) != 64 or len(qc) != 64:
+        raise ValueError("quant tables must have 64 entries")
+
+    w, h = 16 * w_mcus, 16 * h_mcus
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = _dqt_segment(0, ql) + _dqt_segment(1, qc)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    # SOF0: Y id 1 sampling 2x2 Tq 0; Cb id 2 / Cr id 3 sampling 1x1 Tq 1
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+        + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOS: 3 components; Y uses tables 0/0, chroma 1/1
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for m in range(w_mcus * h_mcus):
+        my, mx = divmod(m, w_mcus)
+        for s in range(4):  # 2x2 luma sub-blocks, raster order
+            by, bx = divmod(s, 2)
+            gi = (my * 2 + by) * (2 * w_mcus) + (mx * 2 + bx)
+            prev[0] = _encode_block(bw, y_blocks[gi], prev[0], _DC_ENC, _AC_ENC)
+        prev[1] = _encode_block(bw, cb_blocks[m], prev[1], _DC_ENC_C, _AC_ENC_C)
+        prev[2] = _encode_block(bw, cr_blocks[m], prev[2], _DC_ENC_C, _AC_ENC_C)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -294,18 +423,15 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline grayscale JPEG bytes -> (width, height, pixel bytes).
-
-    Full marker walk (DQT/DHT/SOF0/SOS parsed from the FILE, Annex K
-    never assumed), canonical Huffman decode with byte unstuffing, DC
-    prediction, dequantize, dezigzag, numpy 2D IDCT, level shift +128,
-    clamp to [0, 255]. Pixels round as floor(x + 0.5) so DC-only
-    blocks land exactly on round(dc*q/8) + 128. Raises ValueError on
-    structural corruption; progressive / multi-component / non-8-
-    multiple dimensions raise ValueError (out of the baseline-gray
-    profile's scope).
-    """
+def _parse_baseline(data: bytes) -> dict:
+    """Marker walk shared by the gray and color decoders: DQT/DHT/
+    SOF0/SOS parsed from the FILE (Annex K never assumed), every
+    length bounds-checked so ANY truncation or seglen-inconsistent
+    body raises ValueError (the shared corruption contract the
+    tolerant decode faces catch — ADVICE r5), never IndexError/
+    struct.error. Returns quant tables, Huffman trees, frame
+    geometry, per-component specs, scan table mapping, and the
+    entropy-stream span."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -313,7 +439,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     dc_trees: dict[int, dict[tuple[int, int], int]] = {}
     ac_trees: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_q = comp_dc = comp_ac = 0
+    components: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan: list[tuple[int, int, int]] = []  # (component index, td, ta)
     scan_start = -1
 
     while pos < len(data):
@@ -361,28 +488,41 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 )
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            # 6-byte frame header + 3 bytes for the single component
-            # spec (id, sampling, Tq) — a corrupted seglen can produce
-            # a shorter body that is still "consistent" with itself
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]
             )
-            if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline")
-            if width % 8 or height % 8:
-                raise ValueError("dimensions must be multiples of 8")
-            comp_q = body[8]
+            if precision != 8:
+                raise ValueError("only 8-bit baseline supported")
+            if ncomp < 1 or len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component specs")
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                tq = body[8 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if h < 1 or v < 1:
+                    raise ValueError("invalid sampling factors")
+                components.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG profile")
         elif marker == 0xDA:  # SOS
-            if len(body) < 3:
+            if len(body) < 1:
                 raise ValueError("truncated SOS segment")
-            if body[0] != 1:
-                raise ValueError("only single-component scans")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS component specs")
+            if ns != len(components):
+                raise ValueError("scan component count != frame")
+            cid_index = {c[0]: i for i, c in enumerate(components)}
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                tt = body[2 + 2 * i]
+                if cs not in cid_index:
+                    raise ValueError("scan references unknown component")
+                scan.append((cid_index[cs], tt >> 4, tt & 0x0F))
             scan_start = pos + seglen
             break
         # APPn / COM / DRI etc: skipped (DRI irrelevant — we emit no
@@ -391,51 +531,186 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
 
     if scan_start < 0 or width < 0:
         raise ValueError("missing SOS or SOF0")
-    q = quant.get(comp_q)
-    if q is None or comp_dc not in dc_trees or comp_ac not in ac_trees:
-        raise ValueError("scan references undefined tables")
+    for _, _, _, tq in components:
+        if tq not in quant:
+            raise ValueError("component references undefined quant table")
+    for _, td, ta in scan:
+        if td not in dc_trees or ta not in ac_trees:
+            raise ValueError("scan references undefined tables")
 
     # entropy data runs until the EOI marker
     end = data.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("missing EOI")
-    br = _BitReader(data[scan_start:end])
+    return {
+        "quant": quant,
+        "dc_trees": dc_trees,
+        "ac_trees": ac_trees,
+        "width": width,
+        "height": height,
+        "components": components,
+        "scan": scan,
+        "entropy": data[scan_start:end],
+    }
 
-    wb, hb = width // 8, height // 8
-    qv = np.array(q, dtype=np.float64).reshape(8, 8)
-    pixels = np.empty((height, width), dtype=np.uint8)
-    prev_dc = 0
-    for b in range(wb * hb):
-        zz = [0] * 64
-        s = _read_huff(br, dc_trees[comp_dc])
-        diff = _extend(br.read_bits(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = _read_huff(br, ac_trees[comp_ac])
-            if rs == 0x00:  # EOB
-                break
-            run, size = rs >> 4, rs & 0x0F
-            if size == 0:
-                if run != 15:
-                    raise ValueError("invalid AC run/size")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            zz[k] = _extend(br.read_bits(size), size)
-            k += 1
-        coeff = np.zeros(64, dtype=np.float64)
-        for i in range(64):
-            coeff[ZIGZAG[i]] = zz[i]
-        f = coeff.reshape(8, 8) * qv
-        blk = _IDCT_M.T @ f @ _IDCT_M
-        blk = np.clip(np.floor(blk + 0.5) + 128, 0, 255).astype(np.uint8)
-        by, bx = divmod(b, wb)
-        pixels[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
-    return width, height, pixels.tobytes()
+
+def _decode_coeff_block(
+    br: _BitReader,
+    dc_tree: dict[tuple[int, int], int],
+    ac_tree: dict[tuple[int, int], int],
+    prev_dc: int,
+) -> tuple[list[int], int]:
+    """One block's entropy decode: DC diff + AC run/size pairs ->
+    zigzag coefficient list and the updated DC predictor."""
+    zz = [0] * 64
+    s = _read_huff(br, dc_tree)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_huff(br, ac_tree)
+        if rs == 0x00:  # EOB
+            break
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid AC run/size")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return zz, dc
+
+
+def _idct_block(zz: list[int], qv: np.ndarray) -> np.ndarray:
+    """Dequantize + dezigzag + 2D IDCT + level shift, clamped uint8.
+    Pixels round as floor(x + 0.5) so DC-only blocks land exactly on
+    round(dc*q/8) + 128."""
+    coeff = np.zeros(64, dtype=np.float64)
+    for i in range(64):
+        coeff[ZIGZAG[i]] = zz[i]
+    f = coeff.reshape(8, 8) * qv
+    blk = _IDCT_M.T @ f @ _IDCT_M
+    return np.clip(np.floor(blk + 0.5) + 128, 0, 255).astype(np.uint8)
+
+
+def _decode_planes(parsed: dict) -> list[np.ndarray]:
+    """MCU-interleaved entropy decode of all components into their
+    (possibly subsampled) uint8 planes, per-component DC prediction."""
+    comps = parsed["components"]
+    width, height = parsed["width"], parsed["height"]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if width % mcu_w or height % mcu_h:
+        raise ValueError("dimensions must be multiples of the MCU size")
+    mcux, mcuy = width // mcu_w, height // mcu_h
+
+    planes = []
+    qvs = []
+    for cid, h, v, tq in comps:
+        pw, ph = width * h // hmax, height * v // vmax
+        if pw % 8 or ph % 8:
+            raise ValueError("subsampled plane not block-aligned")
+        planes.append(np.empty((ph, pw), dtype=np.uint8))
+        qvs.append(
+            np.array(parsed["quant"][tq], dtype=np.float64).reshape(8, 8)
+        )
+
+    br = _BitReader(parsed["entropy"])
+    prev = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, td, ta in parsed["scan"]:
+                _, h, v, _ = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        zz, prev[ci] = _decode_coeff_block(
+                            br,
+                            parsed["dc_trees"][td],
+                            parsed["ac_trees"][ta],
+                            prev[ci],
+                        )
+                        blk = _idct_block(zz, qvs[ci])
+                        py, px = (my * v + by) * 8, (mx * h + bx) * 8
+                        planes[ci][py: py + 8, px: px + 8] = blk
+    return planes
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline grayscale JPEG bytes -> (width, height, pixel bytes).
+
+    Full marker walk (DQT/DHT/SOF0/SOS parsed from the FILE, Annex K
+    never assumed), canonical Huffman decode with byte unstuffing, DC
+    prediction, dequantize, dezigzag, numpy 2D IDCT, level shift +128,
+    clamp to [0, 255]. Pixels round as floor(x + 0.5) so DC-only
+    blocks land exactly on round(dc*q/8) + 128. Raises ValueError on
+    ANY structural corruption (including truncation at every byte
+    offset); progressive / multi-component / non-8-multiple
+    dimensions raise ValueError (out of the gray profile's scope).
+    """
+    parsed = _parse_baseline(data)
+    comps = parsed["components"]
+    if len(comps) != 1:
+        raise ValueError("only single-component baseline in gray profile")
+    if comps[0][1] != 1 or comps[0][2] != 1:
+        raise ValueError("gray profile requires 1x1 sampling")
+    if parsed["width"] % 8 or parsed["height"] % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    plane = _decode_planes(parsed)[0]
+    return parsed["width"], parsed["height"], plane.tobytes()
+
+
+def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline 4:2:0 YCbCr JPEG bytes -> (width, height, interleaved
+    RGB bytes).
+
+    Same shared machinery as the gray profile (full marker walk with
+    tables read from the file, canonical Huffman, per-component DC
+    prediction, dequantize + 2D IDCT per block), then:
+
+    - chroma upsampling: 2x2 SAMPLE REPLICATION (each Cb/Cr sample
+      covers its 2x2 luma neighborhood) — deterministic, so DC-only
+      payloads stay integer-predictable;
+    - YCbCr -> RGB per the JFIF matrix, computed in float64 in this
+      exact association order and rounded floor(x + 0.5) then clamped
+      to [0, 255] — the SAME expression shape a SQL oracle writes, so
+      both engines produce bit-identical doubles:
+          R = Y + 1.402*(Cr-128)
+          G = Y - 0.344136*(Cb-128) - 0.714136*(Cr-128)
+          B = Y + 1.772*(Cb-128)
+
+    Profile: exactly 3 components, luma 2x2 + chroma 1x1 sampling,
+    dimensions multiples of 16 (no partial MCU). Anything else —
+    including 4:2:2 / 4:4:4 sampling — raises ValueError.
+    """
+    parsed = _parse_baseline(data)
+    comps = parsed["components"]
+    if len(comps) != 3:
+        raise ValueError("color profile requires 3 components")
+    if (comps[0][1], comps[0][2]) != (2, 2) or any(
+        (c[1], c[2]) != (1, 1) for c in comps[1:]
+    ):
+        raise ValueError("only 4:2:0 (luma 2x2, chroma 1x1) supported")
+    if parsed["width"] % 16 or parsed["height"] % 16:
+        raise ValueError("dimensions must be multiples of 16")
+    y, cb, cr = _decode_planes(parsed)
+    cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    yf = y.astype(np.float64)
+    cbf = cb_up.astype(np.float64) - 128.0
+    crf = cr_up.astype(np.float64) - 128.0
+    r = np.clip(np.floor((yf + 1.402 * crf) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor((yf - 0.344136 * cbf - 0.714136 * crf) + 0.5), 0, 255
+    )
+    b = np.clip(np.floor((yf + 1.772 * cbf) + 0.5), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return parsed["width"], parsed["height"], rgb.tobytes()
 
 
 def synth_dc_blocks(clen: int, w_blocks: int, h_blocks: int) -> list[list[int]]:
@@ -448,3 +723,35 @@ def synth_dc_blocks(clen: int, w_blocks: int, h_blocks: int) -> list[list[int]]:
         [((clen + 7 * b) % 64) - 32] + [0] * 63
         for b in range(w_blocks * h_blocks)
     ]
+
+
+def synth_dc_blocks_color(
+    clen: int, w_mcus: int, h_mcus: int
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """Deterministic DC-only blocks for the COLOR differential
+    payload. Luma sub-block s of MCU m (both row-major) carries
+    quantized DC ((clen + 7*(4m+s)) % 64) - 32, decoding to exactly
+    2*dc + 128 under q[0]=16 — same family as the gray synth. Chroma
+    DCs are MULTIPLES OF 8 — Cb: 8*((clen+5m) % 5 - 2), Cr:
+    8*((clen+3m) % 5 - 2) — because the Annex K chroma table has
+    q[0]=17: dc*17/8 is an exact integer only when 8 | dc, which
+    keeps every decoded chroma sample (17*(dc/8) + 128, in
+    [94, 162]) on an integer, never on a .5 rounding boundary the
+    float IDCT could tip either way. The y_blocks come back in LUMA
+    GRID order (what encode_jpeg_color expects)."""
+    grid_w = 2 * w_mcus
+    y_blocks: list[list[int]] = [
+        [0] * 64 for _ in range(4 * w_mcus * h_mcus)
+    ]
+    cb_blocks: list[list[int]] = []
+    cr_blocks: list[list[int]] = []
+    for m in range(w_mcus * h_mcus):
+        my, mx = divmod(m, w_mcus)
+        for s in range(4):
+            by, bx = divmod(s, 2)
+            gi = (my * 2 + by) * grid_w + (mx * 2 + bx)
+            dc = ((clen + 7 * (4 * m + s)) % 64) - 32
+            y_blocks[gi] = [dc] + [0] * 63
+        cb_blocks.append([8 * ((clen + 5 * m) % 5 - 2)] + [0] * 63)
+        cr_blocks.append([8 * ((clen + 3 * m) % 5 - 2)] + [0] * 63)
+    return y_blocks, cb_blocks, cr_blocks

@@ -943,6 +943,101 @@ def decode_jpeg_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_jpeg_color_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL baseline 4:2:0 COLOR JPEG payload column
+    (3-component YCbCr SOF0, functions/jpeg.py — Annex K luma+chroma
+    tables, interleaved MCU scan, per-component DC prediction).
+    Geometry and block DCs derive from the source column's CHARACTER
+    length (w_mcus = clen % 3 + 1, h_mcus = clen % 2 + 1; DC formulas
+    in synth_dc_blocks_color) so integer arithmetic predicts the
+    DECODED dimensions and per-channel RGB sums while the decode side
+    runs a real Huffman + IDCT + upsample + color-convert pipeline.
+    Blocks are DC-only BY CONSTRUCTION here; AC energy is pinned
+    against a direct IDCT reference in pytest. Arrow-batched; payload
+    bytes never touch the driver."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_color,
+        synth_dc_blocks_color,
+    )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                wm, hm = clen % 3 + 1, clen % 2 + 1
+                yb, cbb, crb = synth_dc_blocks_color(clen, wm, hm)
+                payloads.append(encode_jpeg_color(yb, cbb, crb, wm, hm))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_jpeg_color_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full real 4:2:0 color JPEG decode per payload (marker walk with
+    tables read from the FILE, interleaved-MCU Huffman decode with
+    per-component DC prediction, dequantize + 2D IDCT, 2x2 chroma
+    replication upsample, JFIF YCbCr->RGB with floor(x+0.5) rounding)
+    → (id, width, height, r_sum, g_sum, b_sum). NULL payloads yield
+    NULL stats. Arrow-batched mapInPandas; pixel buffers live only
+    inside the batch."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import decode_jpeg_color
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, rs, gs, bs = [], [], [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None)
+                    rs.append(None); gs.append(None); bs.append(None)
+                    continue
+                w, h, rgb = decode_jpeg_color(bytes(b))
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(arr[:, 0].sum(dtype=np.int64)))
+                gs.append(int(arr[:, 1].sum(dtype=np.int64)))
+                bs.append(int(arr[:, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "r_sum": pd.array(rs, dtype="Int64"),
+                    "g_sum": pd.array(gs, dtype="Int64"),
+                    "b_sum": pd.array(bs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

@@ -7997,3 +7997,58 @@ def q179_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q180: REAL compressed-image decode #3 — baseline 4:2:0 COLOR JPEG
+# (functions/jpeg.py: 3-component YCbCr SOF0, Annex K luma+chroma
+# tables parsed from the file, interleaved MCU scan with per-
+# component DC prediction, dequantize + 2D IDCT, 2x2 chroma
+# replication upsample, JFIF YCbCr->RGB with floor(x+0.5) rounding).
+# Payload blocks are DC-only with chroma DCs restricted to multiples
+# of 8, so every decoded component sample is an exact integer
+# (Y = 2*dc_y + 128 under q0=16; chroma = 17*(dc/8) + 128 under
+# q0=17) and the RGB conversion is deterministic float64 arithmetic
+# both engines compute bit-identically — the oracle recomputes the
+# per-channel pixel sums from the closed form. Closes the last codec
+# seam closable in this container (VERDICT r5 item 3).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q180_jpeg_color",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 3 + 1 AS wm,
+                      length(text) % 2 + 1 AS hm
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(wm * 16 AS INTEGER) AS width,
+           CAST(hm * 16 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               + 1.402 * (17 * ((clen + 3*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               - 0.344136 * (17 * ((clen + 5*(j//4)) % 5 - 2))
+               - 0.714136 * (17 * ((clen + 3*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               + 1.772 * (17 * ((clen + 5*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS b_sum
+    FROM g
+    """,
+)
+def q180_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_color_stats,
+        with_jpeg_color_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    jpg = with_jpeg_color_payload(docs, "text", "doc_id")
+    return decode_jpeg_color_stats(jpg, "payload", "doc_id")

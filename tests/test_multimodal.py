@@ -963,3 +963,193 @@ def test_decode_stats_tolerant_quarantines_corrupt_payloads(spark):
         assert out[1].decode_error is None and out[1].pixel_sum is not None
         assert out[2].pixel_sum is None and out[2].decode_error, codec
         assert out[3].pixel_sum is None and out[3].decode_error is None
+
+
+def test_jpeg_color_dc_only_roundtrip_exact():
+    """4:2:0 color profile: DC-only payload decodes to EXACTLY the
+    closed-form RGB the SQL oracle recomputes — Y = 2*dc + 128,
+    chroma = 17*(dc/8) + 128 (synth DCs are multiples of 8 so the
+    q0=17 chroma scale stays integer), then the JFIF matrix with
+    floor(x+0.5) + clamp."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        synth_dc_blocks_color,
+    )
+
+    clen, wm, hm = 23, 2, 3
+    yb, cbb, crb = synth_dc_blocks_color(clen, wm, hm)
+    w, h, rgb = decode_jpeg_color(encode_jpeg_color(yb, cbb, crb, wm, hm))
+    assert (w, h) == (16 * wm, 16 * hm)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    for m in range(wm * hm):
+        my, mx = divmod(m, wm)
+        cb = 17 * ((clen + 5 * m) % 5 - 2)
+        cr = 17 * ((clen + 3 * m) % 5 - 2)
+        for s in range(4):
+            by, bx = divmod(s, 2)
+            y = 2 * (((clen + 7 * (4 * m + s)) % 64) - 32) + 128
+            exp = [
+                min(255, max(0, int(np.floor(y + 1.402 * cr + 0.5)))),
+                min(255, max(0, int(np.floor(
+                    y - 0.344136 * cb - 0.714136 * cr + 0.5)))),
+                min(255, max(0, int(np.floor(y + 1.772 * cb + 0.5)))),
+            ]
+            py, px = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+            blk = arr[py: py + 8, px: px + 8]
+            for c in range(3):
+                assert (blk[:, :, c] == exp[c]).all(), (m, s, c)
+
+
+def test_jpeg_color_ac_blocks_match_reference():
+    """Color blocks WITH AC energy (all three components) decode to
+    the same RGB as an independent reference built in plane space:
+    dezigzag -> dequant -> float IDCT per block placed by LUMA/CHROMA
+    GRID position (not by MCU walk — so the interleave order is
+    validated too), 2x2 repeat upsample, JFIF convert."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        ZIGZAG,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    M = np.array(
+        [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+          * np.cos((2 * x + 1) * u * np.pi / 16.0)
+          for x in range(8)] for u in range(8)]
+    )
+
+    def idct_plane(blocks, grid_w, grid_h, qt):
+        qv = np.array(qt, dtype=float).reshape(8, 8)
+        plane = np.empty((8 * grid_h, 8 * grid_w))
+        for b, blk in enumerate(blocks):
+            coeff = np.zeros(64)
+            for i in range(64):
+                coeff[ZIGZAG[i]] = blk[i]
+            px = np.clip(
+                np.floor(M.T @ (coeff.reshape(8, 8) * qv) @ M + 0.5) + 128,
+                0, 255,
+            )
+            gy, gx = divmod(b, grid_w)
+            plane[gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8] = px
+        return plane
+
+    for seed in (3, 11, 29):
+        rng = np.random.RandomState(seed)
+        wm, hm = int(rng.randint(1, 4)), int(rng.randint(1, 3))
+
+        def rand_blocks(n, dc_lo=-30, dc_hi=30):
+            out = []
+            for _ in range(n):
+                blk = [0] * 64
+                blk[0] = int(rng.randint(dc_lo, dc_hi))
+                for k in rng.choice(range(1, 64), size=5, replace=False):
+                    blk[int(k)] = int(rng.randint(-20, 20))
+                out.append(blk)
+            return out
+
+        yb = rand_blocks(4 * wm * hm)
+        cbb = rand_blocks(wm * hm, -10, 10)
+        crb = rand_blocks(wm * hm, -10, 10)
+        w, h, rgb = decode_jpeg_color(
+            encode_jpeg_color(yb, cbb, crb, wm, hm)
+        )
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+
+        yp = idct_plane(yb, 2 * wm, 2 * hm, QUANT_LUMA)
+        cbp = idct_plane(cbb, wm, hm, QUANT_CHROMA)
+        crp = idct_plane(crb, wm, hm, QUANT_CHROMA)
+        cbu = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1) - 128.0
+        cru = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1) - 128.0
+        ref = np.stack(
+            [
+                np.clip(np.floor((yp + 1.402 * cru) + 0.5), 0, 255),
+                np.clip(np.floor(
+                    (yp - 0.344136 * cbu - 0.714136 * cru) + 0.5), 0, 255),
+                np.clip(np.floor((yp + 1.772 * cbu) + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        assert (got == ref).all(), seed
+
+
+def test_jpeg_color_rejects_out_of_profile_and_truncation():
+    """Color profile inherits the hardened corruption contract: every
+    prefix raises ValueError (never IndexError/struct.error), the
+    gray decoder rejects a color payload and vice versa, and non-
+    4:2:0 sampling is out of profile."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+        synth_dc_blocks_color,
+    )
+
+    yb, cbb, crb = synth_dc_blocks_color(9, 1, 1)
+    color = encode_jpeg_color(yb, cbb, crb, 1, 1)
+    gray = encode_jpeg_gray(synth_dc_blocks(9, 2, 2), 2, 2)
+
+    for cut in range(2, len(color)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_color(color[:cut])
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(color)  # 3 components out of gray profile
+    with _pytest.raises(ValueError):
+        decode_jpeg_color(gray)  # 1 component out of color profile
+    # 4:4:4 (luma 1x1) header is parsed but out of the 4:2:0 profile
+    bad = bytearray(color)
+    sof = bad.find(b"\xff\xc0")
+    assert bad[sof + 11] == 0x22  # Y sampling byte in our layout
+    bad[sof + 11] = 0x11
+    with _pytest.raises(ValueError):
+        decode_jpeg_color(bytes(bad))
+
+
+def test_jpeg_color_payload_decode_spark(spark):
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_color_stats,
+        with_jpeg_color_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, None), (3, "x" * 31)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decode_jpeg_color_stats(
+            with_jpeg_color_payload(df, "text")
+        ).collect()
+    }
+    assert out[2].width is None and out[2].r_sum is None
+    import numpy as np
+
+    for doc_id, clen in ((1, 100), (3, 31)):
+        wm, hm = clen % 3 + 1, clen % 2 + 1
+        assert (out[doc_id].width, out[doc_id].height) == (16 * wm, 16 * hm)
+        r_sum = g_sum = b_sum = 0
+        for m in range(wm * hm):
+            cb = 17 * ((clen + 5 * m) % 5 - 2)
+            cr = 17 * ((clen + 3 * m) % 5 - 2)
+            for s in range(4):
+                y = 2 * (((clen + 7 * (4 * m + s)) % 64) - 32) + 128
+                r_sum += 64 * min(255, max(0, int(
+                    np.floor(y + 1.402 * cr + 0.5))))
+                g_sum += 64 * min(255, max(0, int(np.floor(
+                    y - 0.344136 * cb - 0.714136 * cr + 0.5))))
+                b_sum += 64 * min(255, max(0, int(
+                    np.floor(y + 1.772 * cb + 0.5))))
+        assert (out[doc_id].r_sum, out[doc_id].g_sum, out[doc_id].b_sum) \
+            == (r_sum, g_sum, b_sum), doc_id
