@@ -451,6 +451,42 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def _token_blocks(
+    df: DataFrame, id_col: str, text_col: str, block_tokens: int
+) -> DataFrame:
+    """Shared block explode for the passage-dedup family: whitespace
+    tokens → consecutive `block_tokens`-token blocks as
+    (id, idx, blk) rows. Docs with no tokens produce no rows."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    nblk = F.ceil(F.size("_tk") / F.lit(block_tokens)).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nblk - 1),
+                    lambda i: F.struct(
+                        i.alias("idx"),
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("_tk"),
+                                i * block_tokens + 1,
+                                block_tokens,
+                            ),
+                        ).alias("blk"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.idx").alias("idx"), F.col("b.blk").alias("blk"))
+    )
+
+
 def block_dedup(
     df: DataFrame,
     id_col: str,
@@ -475,34 +511,7 @@ def block_dedup(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    nblk = F.ceil(F.size("_tk") / F.lit(block_tokens)).cast("int")
-    blocks = (
-        df.select(F.col(id_col), toks.alias("_tk"))
-        .where(F.size("_tk") > 0)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), nblk - 1),
-                    lambda i: F.struct(
-                        i.alias("idx"),
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                F.col("_tk"),
-                                i * block_tokens + 1,
-                                block_tokens,
-                            ),
-                        ).alias("blk"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select(id_col, F.col("b.idx").alias("idx"), F.col("b.blk").alias("blk"))
-    )
+    blocks = _token_blocks(df, id_col, text_col, block_tokens)
     w = Window.partitionBy("blk").orderBy(id_col, "idx")
     marked = blocks.withColumn("_rn", F.row_number().over(w))
     return (
@@ -525,6 +534,76 @@ def block_dedup(
                 " ",
             ).alias("kept_text"),
         )
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-passage dedup with a configurable minimum
+    match length — the Lee-et-al.-style refinement (Deduplicating
+    Training Data Makes Language Models Better, arXiv 2107.06499) of
+    `block_dedup`: only repeated passages of at least
+    min_run * block_tokens tokens are removed, WHOLE, while short
+    incidental repeats (a single duplicated block inside otherwise
+    novel text) are kept.
+
+    Semantics at block grain: a block is a LATER DUPLICATE if an
+    identical block occurs earlier under the global (doc id, idx)
+    order — the same deterministic first-occurrence rule as
+    block_dedup; per doc, consecutive later-duplicate block indices
+    are merged into maximal spans via `analytic.int_islands`, and
+    only spans of >= min_run blocks are removed (the span IS the
+    repeated passage). min_run=1 degenerates to block_dedup's
+    per-block removal.
+
+    Plan: one explode to (doc, idx, blk) → one window partitioned by
+    BLOCK CONTENT (key grain = distinct blocks, never a global sort)
+    → islands over the |duplicates|-sized index set (per-doc window)
+    → spans exploded back to removal indices (bounded by the span
+    lengths) → one left join at block grain → per-doc ordered
+    re-assembly, no second global pass. Returns
+    (id, n_blocks, n_kept, kept_text).
+    """
+    from pyspark.sql import Window
+
+    from redskins_rule_spark.operators.analytic import int_islands
+
+    if min_run < 1:
+        raise ValueError("min_run must be >= 1")
+    blocks = _token_blocks(df, id_col, text_col, block_tokens)
+    w = Window.partitionBy("blk").orderBy(id_col, "idx")
+    marked = blocks.withColumn("_rn", F.row_number().over(w))
+    dups = marked.where(F.col("_rn") > 1).select(id_col, "idx")
+    spans = int_islands(dups, [id_col], "idx").where(
+        F.col("island_len") >= min_run
+    )
+    remove = spans.select(
+        id_col,
+        F.explode(
+            F.sequence("island_start", "island_end")
+        ).alias("idx"),
+        F.lit(True).alias("_rm"),
+    )
+    joined = marked.drop("_rn").join(remove, [id_col, "idx"], "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("_rm").isNull().cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rm").isNull(), F.struct("idx", "blk"))
+                    )
+                ),
+                lambda x: x["blk"],
+            ),
+            " ",
+        ).alias("kept_text"),
     )
 
 

@@ -8052,3 +8052,69 @@ def q180_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     jpg = with_jpeg_color_payload(docs, "text", "doc_id")
     return decode_jpeg_color_stats(jpg, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q181: exact substring-PASSAGE dedup (Lee et al., arXiv 2107.06499
+# style) — q147's block dedup generalized to a configurable minimum
+# match run: consecutive later-duplicate blocks merge into maximal
+# spans (int_islands) and only spans of >= min_run blocks (here 2,
+# i.e. >= 16-token repeated passages) are removed WHOLE; short
+# incidental repeats survive. Oracle = q147's block/window pattern
+# extended with the same gaps-and-islands span merge in SQL.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.operators.text import passage_dedup  # noqa: E402
+
+
+@query(
+    "q181_passage_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+    blocks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ') AS blk
+      FROM nz, unnest(generate_series(0,
+             CAST(ceil(len(tk) / 8.0) AS INTEGER) - 1)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, idx, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn
+      FROM blocks
+    ),
+    dups AS (SELECT doc_id, idx FROM marked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, idx,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS a
+      FROM dups
+    ),
+    spans AS (
+      SELECT doc_id, MIN(idx) AS s, MAX(idx) AS e
+      FROM isl GROUP BY doc_id, a HAVING COUNT(*) >= 2
+    ),
+    rm AS (
+      SELECT doc_id, u.i AS idx, TRUE AS is_rm
+      FROM spans, unnest(generate_series(s, e)) AS u(i)
+    ),
+    fin AS (
+      SELECT m.doc_id, m.idx, m.blk, r.is_rm
+      FROM marked m
+      LEFT JOIN rm r ON m.doc_id = r.doc_id AND m.idx = r.idx
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN is_rm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN is_rm IS NULL THEN blk END, ' '
+                               ORDER BY idx), '') AS kept_text
+    FROM fin GROUP BY doc_id
+    """,
+)
+def q181_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text", block_tokens=8, min_run=2)

@@ -550,6 +550,61 @@ def test_block_dedup_matches_python_fold(spark, docs):
         assert got[i] == (len(blocks), len(kept), " ".join(kept)), (i, docs)
 
 
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+    min_size=1, max_size=5,
+), min_run=st.sampled_from([1, 2, 3]))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_passage_dedup_matches_python_fold(spark, docs, min_run):
+    """passage_dedup == a sequential fold: global first-occurrence
+    marking (same rule as block_dedup), then per-doc maximal runs of
+    consecutive duplicate block indices, removing only runs of
+    >= min_run blocks — for ANY token layout (2-token blocks so
+    collisions are common). min_run=1 must degenerate to
+    block_dedup's per-block removal."""
+    from redskins_rule_spark.operators.text import passage_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_blocks, r.n_kept, r.kept_text)
+           for r in passage_dedup(
+               df, "doc_id", "text", block_tokens=2, min_run=min_run
+           ).collect()}
+
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        blocks = [" ".join(toks[j:j + 2]) for j in range(0, len(toks), 2)]
+        dup = []
+        for b in blocks:
+            if b in seen:
+                dup.append(True)
+            else:
+                seen.add(b)
+                dup.append(False)
+        # maximal runs of consecutive duplicate indices
+        removed = [False] * len(blocks)
+        j = 0
+        while j < len(blocks):
+            if not dup[j]:
+                j += 1
+                continue
+            k = j
+            while k < len(blocks) and dup[k]:
+                k += 1
+            if k - j >= min_run:
+                for t in range(j, k):
+                    removed[t] = True
+            j = k
+        kept = [b for b, rm in zip(blocks, removed) if not rm]
+        assert got[i] == (len(blocks), len(kept), " ".join(kept)), (
+            i, docs, min_run,
+        )
+
+
 # --- round-4-restart additions: DD sketch / bloom / profiler laws ----------
 
 

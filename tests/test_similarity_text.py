@@ -786,3 +786,36 @@ def test_knn_blocked_autosize_and_byte_budget(spark, monkeypatch):
     # the error names the minimum feasible block count: ceil(4480/1000)=5
     with pytest.raises(ValueError, match="num_blocks>=5"):
         similarity.knn_candidates_blocked(df, "id", "v", k=3, num_blocks=2)
+
+
+def test_passage_dedup_removes_long_passages_keeps_incidental(spark):
+    """The Lee-et-al. contract: a boilerplate PASSAGE (>= min_run
+    consecutive duplicate blocks) repeated in a later doc is removed
+    whole, while a single duplicated block inside otherwise novel
+    text survives; min_run=1 degenerates to block_dedup exactly."""
+    from redskins_rule_spark.operators.text import block_dedup, passage_dedup
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"  # two 4-token blocks
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " tail1 tail2 tail3 tail4"),
+            # later doc: same 8-token passage (2 dup blocks, removed
+            # whole) + one incidental repeat of a single block from
+            # doc 1's tail (kept) + novel text
+            (2, passage + " n1 n2 n3 n4 tail1 tail2 tail3 tail4 m1 m2 m3 m4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(
+        docs, "doc_id", "text", block_tokens=4, min_run=2).collect()}
+    assert out[1].n_kept == out[1].n_blocks == 3  # first occurrence intact
+    assert out[2].n_blocks == 5 and out[2].n_kept == 3
+    # the >=2-block passage is gone; the single-block repeat survived
+    assert out[2].kept_text == "n1 n2 n3 n4 tail1 tail2 tail3 tail4 m1 m2 m3 m4"
+
+    a = {(r.doc_id, r.n_blocks, r.n_kept, r.kept_text)
+         for r in passage_dedup(
+             docs, "doc_id", "text", block_tokens=4, min_run=1).collect()}
+    b = {(r.doc_id, r.n_blocks, r.n_kept, r.kept_text)
+         for r in block_dedup(docs, "doc_id", "text", block_tokens=4).collect()}
+    assert a == b
