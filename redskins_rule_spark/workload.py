@@ -8118,3 +8118,61 @@ from redskins_rule_spark.operators.text import passage_dedup  # noqa: E402
 def q181_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return passage_dedup(docs, "doc_id", "text", block_tokens=8, min_run=2)
+
+
+# ---------------------------------------------------------------------------
+# q182: QUARANTINE decode through the driver hash (VERDICT r5 item 6)
+# — a deterministic subset of the q165 JPEG payloads (doc_id % 7 = 0)
+# is corrupted by truncation to its first half, then decoded with
+# decode_stats_tolerant: good rows must hash to the q165 closed-form
+# stats, corrupt rows must land in quarantine (NULL stats, flagged)
+# WITHOUT killing the job — the at-scale contract the tolerant face
+# exists for, now driver-verified end-to-end (the ADVICE r5 truncation
+# hardening is what makes every truncation a catchable ValueError).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q182_quarantine_decode",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 4 + 1 AS wb,
+                      length(text) % 3 + 1 AS hb
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           doc_id % 7 = 0 AS is_quarantined,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(wb * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(hb * 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(list_sum(list_transform(
+                       generate_series(0, wb * hb - 1),
+                       b -> 64 * (2 * ((clen + 7 * b) % 64 - 32) + 128)))
+                     AS BIGINT)
+           END AS pixel_sum
+    FROM g
+    """,
+)
+def q182_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_stats_tolerant,
+        with_jpeg_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    jpg = with_jpeg_payload(docs, "text", "doc_id")
+    corrupted = jpg.withColumn(
+        "payload",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.expr("substring(payload, 1, CAST(length(payload)/2 AS INT))"),
+        ).otherwise(F.col("payload")),
+    )
+    stats = decode_stats_tolerant(corrupted, "jpeg", "payload", "doc_id")
+    return stats.select(
+        "doc_id",
+        F.col("decode_error").isNotNull().alias("is_quarantined"),
+        "width",
+        "height",
+        "pixel_sum",
+    )
