@@ -505,22 +505,8 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- round-5 head: the only queries with no driver CORRECTNESS row
-    #     (registered in the round-4 restart, past r04's 50-cap) ---
-    "q152_negative_samples", "q153_rrf_fusion",
-    "q154_psi", "q155_kmv_setops", "q156_interpolate",
-    "q157_dd_weighted", "q158_scene_changes", "q159_audio_segments",
-    "q160_image_dhash", "q161_bootstrap_ci", "q162_dd_ks",
-    "q163_stratified_negatives",
-    # --- new in round 5 (never driver-verified) ---
-    "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
-    "q167_pivot_longer", "q168_quantile_bins", "q169_canonical_url_dedup",
-    "q170_session_funnel", "q171_char_ngram_lm", "q172_doc_subsample",
-    "q173_stream_sketch_replay", "q174_srp_lsh_pairs",
-    "q175_knn_label_noise", "q176_schema_evolution",
-    "q177_ohlc_bars", "q178_rolling_median", "q179_embedding_curation",
-    # --- sentinel never yet rotated through a second round ---
-    "q33_decimal_money",
+    # --- new in round 6 (never driver-verified) ---
+    "q180_jpeg_color", "q181_substring_dedup", "q182_quarantine_decode",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -529,13 +515,23 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- r4-head rotation sample: keep a few of the r4-verified head in
-    #     the window so every round re-checks a slice of the last one ---
-    "q104_bpe_segment", "q107_redskins_golden", "q109_jaccard_capped",
-    "q123_png_decode", "q129_dedup_keep_best", "q145_curation_report",
-    "q148_dd_quantiles", "q149_bloom_prune", "q150_profile",
-    "q151_seeded_shuffle",
-    # 46 explicit entries above; the remaining ~4 window slots fill from
+    # --- r5-head rotation sample: a slice of last round's verified head
+    #     stays in the window as cross-round drift canaries (includes the
+    #     operators touched by this round's ADVICE/VERDICT fixes:
+    #     streaming replays, jpeg, knn/SRP, manifest prune) ---
+    "q152_negative_samples", "q158_scene_changes", "q161_bootstrap_ci",
+    "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
+    "q171_char_ngram_lm", "q173_stream_sketch_replay",
+    "q174_srp_lsh_pairs", "q175_knn_label_noise", "q176_schema_evolution",
+    "q179_embedding_curation",
+    # --- r4-and-earlier rotating sample: a DIFFERENT slice than the one
+    #     r5's window re-checked (q104/q107/q109/q123/q129/q145/q148-151)
+    #     so coverage keeps cycling through the back catalog ---
+    "q110_cdc_merge", "q115_passage_dedup", "q116_range_bin_join",
+    "q117_hash_split", "q121_record_linkage", "q124_bigram_lm",
+    "q134_pii_scrub", "q135_pit_join", "q138_triangles",
+    "q140_incremental_dedup", "q142_audio_frames", "q146_kcore",
+    # 40 explicit entries above; the remaining ~10 window slots fill from
     # registration order (q02..), all driver-green in r01/r02.
 ]
 
@@ -8068,7 +8064,7 @@ from redskins_rule_spark.operators.text import passage_dedup  # noqa: E402
 
 
 @query(
-    "q181_passage_dedup",
+    "q181_substring_dedup",
     oracle="""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
@@ -8115,7 +8111,7 @@ from redskins_rule_spark.operators.text import passage_dedup  # noqa: E402
     FROM fin GROUP BY doc_id
     """,
 )
-def q181_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q181_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return passage_dedup(docs, "doc_id", "text", block_tokens=8, min_run=2)
 

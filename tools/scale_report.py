@@ -9,6 +9,9 @@ from a judgment call into a command:
 
     python tools/scale_report.py                   # sf0.1 -> .scale/sf1
     python tools/scale_report.py --max-ratio 8
+    # x100 probe of the pair-emitter/graph families (VERDICT r5 item 5):
+    python tools/scale_report.py --scaled .scale/sf10 --factor 100 \
+        --only q19_ngram_jaccard,q20_minhash_lsh,...
 
 Interpretation notes printed with the table: near-dup pair emitters
 (q25/q25b/q19/q20/...) legitimately grow with the TRUE pair count,
@@ -26,12 +29,20 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
+def time_queries(
+    spark, sf_dir: str, only: set[str] | None = None
+) -> tuple[dict[str, float], list[str]]:
     from redskins_rule_spark import workload
 
     out: dict[str, float] = {}
     errs: list[str] = []
-    for name, fn in workload.queries().items():
+    reg = workload.queries()
+    if only is not None:
+        missing = only - set(reg)
+        if missing:
+            raise SystemExit(f"--only names unknown queries: {sorted(missing)}")
+        reg = {k: v for k, v in reg.items() if k in only}
+    for name, fn in reg.items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).count()
@@ -45,24 +56,42 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
 def main() -> int:
     base = "/root/testdata/sf0.1"
     scaled = "/root/repo/.scale/sf1"
-    max_ratio = 10.0
+    max_ratio = None
+    factor = 10.0
+    only: set[str] | None = None
     args = sys.argv[1:]
+    if "--base" in args:
+        base = args[args.index("--base") + 1]
+    if "--scaled" in args:
+        scaled = args[args.index("--scaled") + 1]
+    if "--factor" in args:
+        factor = float(args[args.index("--factor") + 1])
     if "--max-ratio" in args:
         max_ratio = float(args[args.index("--max-ratio") + 1])
+    if max_ratio is None:
+        max_ratio = factor  # linear-in-data bound by default
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
 
     if not os.path.isdir(scaled):
-        print(f"[gen] {scaled} missing — running make_scale.py")
-        import subprocess
+        if only is None and scaled.endswith("sf1"):
+            print(f"[gen] {scaled} missing — running make_scale.py")
+            import subprocess
 
-        subprocess.run(
-            [sys.executable, "/root/repo/tools/make_scale.py"], check=True
-        )
+            subprocess.run(
+                [sys.executable, "/root/repo/tools/make_scale.py"], check=True
+            )
+        else:
+            raise SystemExit(
+                f"{scaled} missing — generate it first, e.g. "
+                f"python tools/make_scale.py {base} {scaled} {int(factor)}"
+            )
 
     from redskins_rule_spark.session import get_spark
 
     spark = get_spark()
-    t_base, err_base = time_queries(spark, base)
-    t_scaled, err_scaled = time_queries(spark, scaled)
+    t_base, err_base = time_queries(spark, base, only)
+    t_scaled, err_scaled = time_queries(spark, scaled, only)
 
     rows = []
     for name, tb in t_base.items():
