@@ -94,13 +94,56 @@ def cosine_topk_for_id(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+# A packed block is ONE aggregated row; Spark's 2 GB row/buffer limit
+# applies long before executor memory does. Keep a wide margin for the
+# struct/offset overhead collect_list adds on top of the raw vectors.
+_MAX_BLOCK_BYTES = 256 << 20
+
+
+def _resolve_num_blocks(
+    df: DataFrame,
+    vec_col: str,
+    num_blocks: int | None,
+    block_bytes: int,
+    op: str,
+) -> int:
+    """Byte-budgeted block-count resolution shared by the block-packing
+    operators (VERDICT r5): a packed block is one aggregated row, so
+    its size must be a CHECKED contract — `num_blocks=None` derives B
+    from ceil(n·row_bytes / block_bytes), and ANY sizing whose expected
+    block exceeds `_MAX_BLOCK_BYTES` raises with the minimum feasible
+    count. The sizing stats are one scalar aggregate (count + max dim)
+    — bounded metadata, never row data."""
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col).cast("array<double>"))).alias("dim"),
+    ).first()
+    n, dim = stats["n"] or 0, stats["dim"] or 0
+    per_row = dim * 8 + 48  # 8 B/element + struct/id/offset overhead
+    total = n * per_row
+    if num_blocks is None:
+        num_blocks = max(1, math.ceil(total / block_bytes))
+    est = math.ceil(total / num_blocks)
+    if est > _MAX_BLOCK_BYTES:
+        need = math.ceil(total / _MAX_BLOCK_BYTES)
+        raise ValueError(
+            f"{op}: ~{est:,} bytes per packed block at "
+            f"num_blocks={num_blocks} exceeds the {_MAX_BLOCK_BYTES:,}-byte "
+            f"block ceiling (a block is ONE aggregated row) — pass "
+            f"num_blocks>={need}, or num_blocks=None to auto-size from "
+            f"block_bytes"
+        )
+    return num_blocks
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    num_blocks: int = 16,
+    num_blocks: int | None = 16,
     round_dp: int = 4,
+    block_bytes: int = 64 << 20,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold via block-matrix multiply.
 
@@ -112,12 +155,18 @@ def cosine_pairs_blocked(
     ONE vectorized numpy matmul inside mapInPandas (Arrow-batched).
 
     Scale design: work is data-parallel over block pairs; per-task
-    memory is two blocks (choose num_blocks ≈ n·d·8 / 64 MB). The
+    memory is two blocks. Block sizing is a CHECKED byte budget
+    (`_resolve_num_blocks`): num_blocks=None auto-sizes from
+    n·row_bytes / block_bytes, and an over-budget explicit sizing
+    raises rather than walking into Spark's 2 GB row ceiling. The
     all-pairs scan is the exact baseline — LSH/IVF are the 100 TB
     pruning paths. Final round+filter runs Spark-side so threshold
     semantics exactly match a SQL oracle (numpy only prefilters with
     an epsilon margin).
     """
+    num_blocks = _resolve_num_blocks(
+        df, vec_col, num_blocks, block_bytes, "cosine_pairs_blocked"
+    )
     id_type = df.schema[id_col].dataType.simpleString()
     packed = (
         df.select(
@@ -227,6 +276,7 @@ def train_ivf_centroids(
     vec_col: str,
     k: int = 16,
     iters: int = 5,
+    sample_rows: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means for IVF cells, distributed per iteration.
 
@@ -237,9 +287,31 @@ def train_ivf_centroids(
     iteration's assignment expression embeds it as literals).
 
     Deterministic: init = the k vectors with the smallest ids; no RNG.
+    `sample_rows` bounds the TRAINING set at scale (VERDICT r5 item
+    8): k-means quality saturates long before billions of rows, so
+    training every iteration on the full corpus is wasted scans.
+    When set, training runs on the rows whose xxhash64(id) falls in a
+    1/ceil(n/sample_rows) modulus slice — deterministic,
+    partitioning-independent (same hash family as the seeded-shuffle
+    operators), expression-only: one metadata count() plus a filter,
+    no global window, no sort. The sample size is ~sample_rows
+    (binomial, not exact-k — exactness buys nothing for k-means).
+    Default None preserves full-corpus training (existing hashes
+    unchanged); assignment of the FULL corpus is unaffected either
+    way.
     """
+    import math as _math
+
     import numpy as np
 
+    if sample_rows is not None:
+        if sample_rows < k:
+            raise ValueError("sample_rows must be >= k")
+        n = df.count()
+        d = max(1, _math.ceil(n / sample_rows))
+        if d > 1:
+            h = F.xxhash64(F.col(id_col).cast("string"), F.lit(7))
+            df = df.select(id_col, vec_col).where(F.pmod(h, F.lit(d)) == 0)
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -867,12 +939,6 @@ def _round_half_up_like_sql(sim, dp: int):
     return r
 
 
-# A packed block is ONE aggregated row; Spark's 2 GB row/buffer limit
-# applies long before executor memory does. Keep a wide margin for the
-# struct/offset overhead collect_list adds on top of the raw vectors.
-_MAX_BLOCK_BYTES = 256 << 20
-
-
 def knn_candidates_blocked(
     df: DataFrame,
     id_col: str,
@@ -901,33 +967,14 @@ def knn_candidates_blocked(
     boundary-tied true top-k row inside its block. Neighbors below
     `min_sim` (post-rounding) are excluded by contract.
 
-    BLOCK SIZING (VERDICT r5): each packed block is one aggregated
-    row, so its bytes are a hard Spark contract, checked in code:
-    `num_blocks=None` derives B from ceil(n·row_bytes / block_bytes)
-    (default 64 MB per block), and ANY sizing whose expected block
-    exceeds `_MAX_BLOCK_BYTES` (256 MB) raises with the minimum
-    feasible num_blocks. The sizing stats are one scalar aggregate
-    (count + max dim) — bounded metadata, never row data.
+    BLOCK SIZING (VERDICT r5): shared `_resolve_num_blocks` byte
+    budget — num_blocks=None derives B from ceil(n·row_bytes /
+    block_bytes) (default 64 MB per block); over-budget sizings raise
+    with the minimum feasible count.
     """
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.size(F.col(vec_col).cast("array<double>"))).alias("dim"),
-    ).first()
-    n, dim = stats["n"] or 0, stats["dim"] or 0
-    per_row = dim * 8 + 48  # 8 B/element + struct/id/offset overhead
-    total = n * per_row
-    if num_blocks is None:
-        num_blocks = max(1, math.ceil(total / block_bytes))
-    est = math.ceil(total / num_blocks)
-    if est > _MAX_BLOCK_BYTES:
-        need = math.ceil(total / _MAX_BLOCK_BYTES)
-        raise ValueError(
-            f"knn_candidates_blocked: ~{est:,} bytes per packed block at "
-            f"num_blocks={num_blocks} exceeds the {_MAX_BLOCK_BYTES:,}-byte "
-            f"block ceiling (a block is ONE aggregated row) — pass "
-            f"num_blocks>={need}, or num_blocks=None to auto-size from "
-            f"block_bytes"
-        )
+    num_blocks = _resolve_num_blocks(
+        df, vec_col, num_blocks, block_bytes, "knn_candidates_blocked"
+    )
     packed = (
         df.select(
             F.col(id_col).alias("id"),

@@ -819,3 +819,68 @@ def test_passage_dedup_removes_long_passages_keeps_incidental(spark):
     b = {(r.doc_id, r.n_blocks, r.n_kept, r.kept_text)
          for r in block_dedup(docs, "doc_id", "text", block_tokens=4).collect()}
     assert a == b
+
+
+def test_cosine_pairs_blocked_autosize_and_budget(spark, monkeypatch):
+    """The shared _resolve_num_blocks budget applies to
+    cosine_pairs_blocked too: auto-sizing changes only the block
+    layout, never the (exact) result; over-budget sizing raises."""
+    import pytest
+
+    from redskins_rule_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * j) % 5 + 1) for j in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    base = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs_blocked(
+            df, "id", "v", threshold=0.9, num_blocks=4
+        ).collect()
+    )
+    assert base  # non-trivial fixture
+    auto = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs_blocked(
+            df, "id", "v", threshold=0.9, num_blocks=None, block_bytes=400
+        ).collect()
+    )
+    assert auto == base
+    monkeypatch.setattr(similarity, "_MAX_BLOCK_BYTES", 500)
+    with pytest.raises(ValueError, match="cosine_pairs_blocked.*block ceiling"):
+        similarity.cosine_pairs_blocked(df, "id", "v", 0.9, num_blocks=1)
+
+
+def test_train_ivf_centroids_sample_rows(spark):
+    """sample_rows trains on a deterministic hash-modulus slice:
+    partitioning-independent (same centroids under repartition), a
+    sample covering the whole corpus (sample_rows >= n) degenerates
+    to full training, and sample_rows < k is rejected."""
+    import pytest
+
+    from redskins_rule_spark.operators.similarity import train_ivf_centroids
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    full = train_ivf_centroids(df, "vec_id", "v", k=3, iters=2)
+    degenerate = train_ivf_centroids(
+        df, "vec_id", "v", k=3, iters=2, sample_rows=60
+    )
+    assert degenerate == full
+
+    s1 = train_ivf_centroids(
+        df, "vec_id", "v", k=3, iters=2, sample_rows=20
+    )
+    s2 = train_ivf_centroids(
+        df.repartition(7), "vec_id", "v", k=3, iters=2, sample_rows=20
+    )
+    assert s1 == s2  # hash slice ignores physical layout
+    assert len(s1) == 3 and all(len(c) == 4 for c in s1)
+
+    with pytest.raises(ValueError, match="sample_rows must be >= k"):
+        train_ivf_centroids(df, "vec_id", "v", k=5, sample_rows=3)
