@@ -47,3 +47,22 @@ def test_oracles_subset_of_queries():
         "q43_approx_distinct",
         "q97_pq_ann",
     ], f"unexpected oracle-less queries: {missing}"
+
+
+def test_capability_map_is_current():
+    """CAPABILITIES.md is GENERATED from the registry + test tree
+    (tools/capability_map.py); this gate makes adding an operator or
+    query without regenerating the map a test failure, so the index
+    can never drift from the code (VERDICT r5 item 8)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "capability_map", "/root/repo/tools/capability_map.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    current = pathlib.Path("/root/repo/CAPABILITIES.md").read_text()
+    assert current == mod.build_map(), (
+        "CAPABILITIES.md stale — run `python tools/capability_map.py --write`"
+    )
