@@ -507,6 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 6 (never driver-verified) ---
     "q180_jpeg_color", "q181_substring_dedup", "q182_quarantine_decode",
+    "q183_stream_restart",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -8172,3 +8173,70 @@ def q182_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "pixel_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# q183: streaming maintained-view RESTART recovery through the driver
+# hash (ADVICE r5) — same counter-fold MV as q164, but the session
+# temp view is DROPPED between landing waves to simulate a driver
+# restart: the fold must bootstrap from the newest committed
+# `_view/b<id>` parquet publish (strictly below the current batch id)
+# instead of silently resetting, so the final view still equals the
+# full-history aggregate. Three waves, two restarts, one checkpoint.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q183_stream_restart",
+    oracle="""
+    SELECT o_custkey AS k,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q183_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_view,
+        stream_from_files,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    c1 = F.lit("1994-01-01").cast("date")
+    c2 = F.lit("1996-06-01").cast("date")
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q183_{tag}_")
+    land, ckpt = os.path.join(root, "landing"), os.path.join(root, "ckpt")
+    view = f"q183_view_{tag}"
+    schema = "k long, cents long"
+
+    def build_delta(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("k").agg(
+            F.sum("cents").alias("total_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    waves = (
+        F.col("o_orderdate") < c1,
+        (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2),
+        F.col("o_orderdate") >= c2,
+    )
+    for i, wave_filter in enumerate(waves):
+        if i:  # simulate a restart: the temp view dies with the session
+            spark.catalog.dropTempView(view)
+        orders.where(wave_filter).select("k", "cents").write.mode(
+            "append"
+        ).parquet(land)
+        run_incremental_view(
+            stream_from_files(spark, land, schema),
+            build_delta, ["k"], ["total_cents"], ckpt, view,
+        )
+    return spark.table(view).select("k", "total_cents", "n")
