@@ -759,10 +759,23 @@ def srp_lsh_pairs(
     seed: int = 0,
     round_dp: int = 4,
     max_postings: int | None = None,
+    candidate_budget: int | None = 64_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH banding + exact cosine
     verify: (id_a, id_b, cos_sim) for candidate pairs colliding on
     ANY band whose verified cosine >= threshold.
+
+    BANDING MUST SCALE WITH n (checked contract, found by the x100
+    probe): random band collisions alone produce ~bands·n²/2^(r+1)
+    candidate pairs (r = n_planes/bands bits per band key), QUADRATIC
+    in n whenever 2^r stops dominating n — 8-bit bands that are fine
+    at 20k vectors OOM the shuffle at 200k (625M random pairs).
+    Unless `max_postings` bounds every bucket (which caps pairs at
+    bands·2^r·cap²/2 independent of n), the operator raises when the
+    expected random-collision volume exceeds `candidate_budget`,
+    telling the caller the minimum n_planes — the same guard-in-code
+    policy as `_resolve_num_blocks`. The estimate costs one metadata
+    count().
 
     Scale shape: signatures are expression-only (no Python), band
     keys explode to `bands` rows per vector, candidates come from
@@ -783,6 +796,23 @@ def srp_lsh_pairs(
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
+    if candidate_budget is not None and max_postings is None:
+        n = df.count()
+        expected = bands * n * n / float(1 << (r + 1))
+        if expected > candidate_budget:
+            r_min = max(
+                r,
+                math.ceil(math.log2(bands * n * n / (2.0 * candidate_budget))),
+            )
+            raise ValueError(
+                f"srp_lsh_pairs: ~{expected:,.0f} expected random band "
+                f"collisions at n={n:,} with {r}-bit band keys exceeds "
+                f"candidate_budget={candidate_budget:,} — the candidate "
+                f"volume is quadratic in n once 2^r stops dominating it. "
+                f"Use n_planes>={bands * r_min} (>= {r_min} bits/band), or "
+                f"cap buckets with max_postings, or raise/disable "
+                f"candidate_budget"
+            )
     from redskins_rule_spark.operators.dedup import pairs_from_posting_lists
 
     # materialize the signature ONCE per row (its 64 ordered dot folds

@@ -884,3 +884,39 @@ def test_train_ivf_centroids_sample_rows(spark):
 
     with pytest.raises(ValueError, match="sample_rows must be >= k"):
         train_ivf_centroids(df, "vec_id", "v", k=5, sample_rows=3)
+
+
+def test_srp_candidate_budget_guard(spark):
+    """x100-probe finding: random band collisions are ~bands*n^2 /
+    2^(r+1) — quadratic in n once 2^r stops dominating. The guard
+    raises with the minimum n_planes before the shuffle OOMs; a
+    max_postings bucket cap (which bounds pairs independently of n)
+    disarms it; generous budgets leave small corpora untouched."""
+    import pytest
+
+    from redskins_rule_spark.operators.similarity import srp_lsh_pairs
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    # 200 vectors, 8 bands x 4-bit keys: ~2*200^2/2^5 = 10,000 expected
+    with pytest.raises(ValueError, match="n_planes>=") as ei:
+        srp_lsh_pairs(
+            df, "vec_id", "v", dim=8, n_planes=32, bands=8,
+            candidate_budget=1000,
+        )
+    assert "quadratic" in str(ei.value)
+
+    # same parameters pass with a bucket cap (pairs bounded by cap^2)
+    capped = srp_lsh_pairs(
+        df, "vec_id", "v", dim=8, n_planes=32, bands=8,
+        candidate_budget=1000, max_postings=16,
+    )
+    capped.count()  # plans and runs
+
+    # and with the default generous budget
+    ok = srp_lsh_pairs(df, "vec_id", "v", dim=8, n_planes=32, bands=8)
+    ok.count()
