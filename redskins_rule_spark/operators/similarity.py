@@ -99,6 +99,14 @@ def cosine_topk_for_id(
 # struct/offset overhead collect_list adds on top of the raw vectors.
 _MAX_BLOCK_BYTES = 256 << 20
 
+# Per-task budget for the similarity slab inside a block-pair task:
+# the query rows are CHUNKED so the numpy matrix is ~this many bytes
+# regardless of block size. Without it, the x100 probe's 12.5k-row
+# blocks made every task materialize a 1.25 GB na x nb matrix (plus
+# rounding copies) — 32 concurrent tasks invited the kernel
+# OOM-killer even though each PACKED block was only ~7 MB.
+_SIM_SLAB_BYTES = 64 << 20
+
 
 def _resolve_num_blocks(
     df: DataFrame,
@@ -215,15 +223,24 @@ def cosine_pairs_blocked(
                 nb = np.linalg.norm(vb, axis=1, keepdims=True)
                 na[na == 0] = 1.0
                 nb[nb == 0] = 1.0
-                sim = (va / na) @ (vb / nb).T
-                if row["blk_a"] == row["blk_b"]:
-                    keep = np.less.outer(ia, ib) & (sim >= margin)
-                else:
-                    keep = sim >= margin
-                ii, jj = np.nonzero(keep)
-                out_a.append(ia[ii])
-                out_b.append(ib[jj])
-                out_s.append(sim[ii, jj])
+                ua, ub = va / na, vb / nb
+                same = row["blk_a"] == row["blk_b"]
+                # chunk the a-rows so the sim slab stays bounded
+                # (_SIM_SLAB_BYTES) regardless of block size — the
+                # x100 probe's kernel-OOM lesson; per-pair results
+                # are independent, so chunking is value-invisible
+                chunk = max(1, _SIM_SLAB_BYTES // (8 * max(1, len(ib))))
+                for q0 in range(0, len(ia), chunk):
+                    sim = ua[q0: q0 + chunk] @ ub.T
+                    if same:
+                        keep = np.less.outer(ia[q0: q0 + chunk], ib)
+                        keep &= sim >= margin
+                    else:
+                        keep = sim >= margin
+                    ii, jj = np.nonzero(keep)
+                    out_a.append(ia[q0: q0 + chunk][ii])
+                    out_b.append(ib[jj])
+                    out_s.append(sim[ii, jj])
             if out_a:
                 import pandas as pd
 
@@ -1030,7 +1047,16 @@ def knn_candidates_blocked(
         import numpy as np
         import pandas as pd
 
-        def emit(ids_q, ids_c, sim, out):
+        def unit(items):
+            ids = np.array([x["id"] for x in items])
+            v = np.array(
+                [np.asarray(x["v"]) for x in items], dtype=np.float64
+            )
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return ids, v / n
+
+        def emit(ids_q, uq, ids_c, uc, out):
             # per-query top-k under (rounded sim desc, candidate asc);
             # rounding here is for SELECTION only — the emitted value
             # is the raw double, rounded downstream by F.round so the
@@ -1039,40 +1065,35 @@ def knn_candidates_blocked(
             # oracle family already hash-matches). The selection key
             # uses F.round's OWN decimal HALF_UP semantics so a
             # boundary-tied row can't be dropped block-locally.
-            r = _round_half_up_like_sql(sim, round_dp)
-            for qi in range(r.shape[0]):
-                row = r[qi]
-                mask = row >= min_sim
-                mask &= ids_c != ids_q[qi]
-                idx = np.nonzero(mask)[0]
-                if idx.size == 0:
-                    continue
-                order = np.lexsort((ids_c[idx], -row[idx]))[:k]
-                for j in idx[order]:
-                    out.append((ids_q[qi], ids_c[j], sim[qi, j]))
+            # Query rows are CHUNKED so the sim slab stays bounded
+            # (_SIM_SLAB_BYTES) no matter the block size — per-row
+            # results are independent, so chunking is value-invisible.
+            chunk = max(1, _SIM_SLAB_BYTES // (8 * max(1, len(ids_c))))
+            for q0 in range(0, len(ids_q), chunk):
+                sim = uq[q0: q0 + chunk] @ uc.T
+                r = _round_half_up_like_sql(sim, round_dp)
+                for qi in range(r.shape[0]):
+                    row = r[qi]
+                    mask = row >= min_sim
+                    mask &= ids_c != ids_q[q0 + qi]
+                    idx = np.nonzero(mask)[0]
+                    if idx.size == 0:
+                        continue
+                    order = np.lexsort((ids_c[idx], -row[idx]))[:k]
+                    for j in idx[order]:
+                        out.append((ids_q[q0 + qi], ids_c[j], sim[qi, j]))
 
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                ia = np.array([x["id"] for x in row["items_a"]])
-                ib = np.array([x["id"] for x in row["items_b"]])
-                va = np.array(
-                    [np.asarray(x["v"]) for x in row["items_a"]],
-                    dtype=np.float64,
-                )
-                vb = np.array(
-                    [np.asarray(x["v"]) for x in row["items_b"]],
-                    dtype=np.float64,
-                )
-                na = np.linalg.norm(va, axis=1, keepdims=True)
-                nb = np.linalg.norm(vb, axis=1, keepdims=True)
-                na[na == 0] = 1.0
-                nb[nb == 0] = 1.0
-                sim = (va / na) @ (vb / nb).T
-                same = row["blk_a"] == row["blk_b"]
-                emit(ia if same else ia, ib, sim, out)
-                if not same:  # reverse direction for cross-block pairs
-                    emit(ib, ia, sim.T, out)
+                ia, ua = unit(row["items_a"])
+                ib, ub = unit(row["items_b"])
+                emit(ia, ua, ib, ub, out)
+                if row["blk_a"] != row["blk_b"]:
+                    # reverse direction for cross-block pairs (second
+                    # chunked pass; re-doing the matmul beats holding
+                    # the full transposed slab)
+                    emit(ib, ub, ia, ua, out)
             if out:
                 yield pd.DataFrame(
                     out, columns=["id", "nb", "cos_sim"]

@@ -920,3 +920,42 @@ def test_srp_candidate_budget_guard(spark):
     # and with the default generous budget
     ok = srp_lsh_pairs(df, "vec_id", "v", dim=8, n_planes=32, bands=8)
     ok.count()
+
+
+def test_blocked_sim_chunking_is_value_invisible(spark, monkeypatch):
+    """The bounded sim-slab chunking (x100-probe kernel-OOM fix) must
+    not change a single emitted value: force many tiny chunks and
+    compare both blocked operators against the unchunked default."""
+    from redskins_rule_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * j) % 7 + 1) for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    knn_ref = sorted(
+        (r.id, r.nb, r.cos_sim)
+        for r in similarity.knn_candidates_blocked(
+            df, "id", "v", k=3, num_blocks=3
+        ).collect()
+    )
+    pairs_ref = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs_blocked(
+            df, "id", "v", threshold=0.9, num_blocks=3
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_SIM_SLAB_BYTES", 64)  # ~1-row chunks
+    knn_chunked = sorted(
+        (r.id, r.nb, r.cos_sim)
+        for r in similarity.knn_candidates_blocked(
+            df, "id", "v", k=3, num_blocks=3
+        ).collect()
+    )
+    pairs_chunked = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs_blocked(
+            df, "id", "v", threshold=0.9, num_blocks=3
+        ).collect()
+    )
+    assert knn_chunked == knn_ref and pairs_chunked == pairs_ref
