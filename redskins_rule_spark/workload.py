@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 6 (never driver-verified) ---
     "q180_jpeg_color", "q181_substring_dedup", "q182_quarantine_decode",
-    "q183_stream_restart",
+    "q183_stream_restart", "q184_srp_wide",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -8240,3 +8240,75 @@ def q183_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_delta, ["k"], ["total_cents"], ckpt, view,
         )
     return spark.table(view).select("k", "total_cents", "n")
+
+
+# ---------------------------------------------------------------------------
+# q184: SRP-LSH with SCALE-PARAMETERIZED banding (16-bit band keys) —
+# the configuration the x100 probe showed is required once n
+# approaches 2^r (random collisions are bands*n^2/2^(r+1); 8-bit
+# bands OOM at 200k vectors, 16-bit bands run 100x data in 6.6x
+# wall). Same plane family and verify as q174, twice the planes; the
+# driver hash proves the wide-band signatures are bit-reproducible
+# cross-engine too, so the scale remedy the banding guard recommends
+# is itself oracle-verified.
+# ---------------------------------------------------------------------------
+
+def _srp_oracle(planes: int, bands: int, dim: int, threshold: float) -> str:
+    r = planes // bands
+    w = "[" + ", ".join(
+        "[" + ", ".join(
+            str(srp_plane_weight(j, i, dim)) for i in range(dim)
+        ) + "]"
+        for j in range(planes)
+    ) + "]"
+    keys = ", ".join(
+        "(" + " + ".join(
+            f"bits[{b * r + t + 1}] * {1 << t}" for t in range(r)
+        ) + f") AS k{b}"
+        for b in range(bands)
+    )
+    x = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS band_key FROM k"
+        for b in range(bands)
+    )
+    fold = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "j -> {a}[j] * {b}[j]), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH w AS (SELECT {w} AS pl),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform(pl, p -> CASE WHEN
+                   list_reduce(list_transform(generate_series(1, {dim}),
+                                              i -> v[i] * p[i]),
+                               (acc, x) -> acc + x) >= 0
+                   THEN 1 ELSE 0 END) AS bits
+          FROM e CROSS JOIN w),
+    k AS (SELECT vec_id, {keys} FROM s),
+    x AS ({x}),
+    p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM x a JOIN x b ON a.band = b.band
+                           AND a.band_key = b.band_key
+                           AND a.vec_id < b.vec_id),
+    pv AS (SELECT p.id_a, p.id_b, ea.v AS va, eb.v AS vb
+           FROM p JOIN e ea ON ea.vec_id = p.id_a
+                  JOIN e eb ON eb.vec_id = p.id_b)
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             ROUND({fold.format(d=dim, a="va", b="vb")}
+                   / (sqrt({fold.format(d=dim, a="va", b="va")})
+                    * sqrt({fold.format(d=dim, a="vb", b="vb")})),
+                   4) AS cos_sim
+      FROM pv
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
+@query("q184_srp_wide", oracle=_srp_oracle(128, 8, 64, 0.4))
+def q184_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64,
+        n_planes=128, bands=8, threshold=0.4,
+    )
