@@ -1153,3 +1153,42 @@ def test_jpeg_color_payload_decode_spark(spark):
                     np.floor(y + 1.772 * cb + 0.5))))
         assert (out[doc_id].r_sum, out[doc_id].g_sum, out[doc_id].b_sum) \
             == (r_sum, g_sum, b_sum), doc_id
+
+
+def test_jpeg_byte_flip_fuzz_raises_only_valueerror():
+    """The quarantine contract q182 depends on, fuzzed: ANY single-
+    byte corruption of a valid gray or color payload must either
+    still decode (harmless flip in entropy padding etc.) or raise
+    ValueError — never IndexError/struct.error/anything else, which
+    would escape decode_stats_tolerant's net and kill a distributed
+    decode job. Deterministic LCG positions/values, both profiles."""
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+        synth_dc_blocks_color,
+    )
+
+    gray = encode_jpeg_gray(synth_dc_blocks(17, 3, 2), 3, 2)
+    yb, cbb, crb = synth_dc_blocks_color(17, 2, 2)
+    color = encode_jpeg_color(yb, cbb, crb, 2, 2)
+
+    state = 12345
+    for payload, decode in ((gray, decode_jpeg_gray),
+                            (color, decode_jpeg_color)):
+        for _ in range(400):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            pos = state % len(payload)
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            val = state % 256
+            bad = bytearray(payload)
+            if bad[pos] == val:
+                val = (val + 1) % 256
+            bad[pos] = val
+            try:
+                decode(bytes(bad))
+            except ValueError:
+                pass  # the quarantine contract
+            # any other exception type propagates and fails the test
