@@ -732,8 +732,12 @@ def synth_dc_blocks_color(
     payload. Luma sub-block s of MCU m (both row-major) carries
     quantized DC ((clen + 7*(4m+s)) % 64) - 32, decoding to exactly
     2*dc + 128 under q[0]=16 — same family as the gray synth. Chroma
-    DCs are MULTIPLES OF 8 — Cb: 8*((clen+5m) % 5 - 2), Cr:
-    8*((clen+3m) % 5 - 2) — because the Annex K chroma table has
+    DCs are MULTIPLES OF 8 — Cb: 8*((clen+7m) % 5 - 2), Cr:
+    8*((clen+3m) % 5 - 2) — multipliers COPRIME to the modulus so
+    both chroma DCs actually vary across MCUs and exercise the
+    chroma DC-prediction Huffman path (ADVICE r6: the earlier 5m
+    term was ≡ 0 mod 5, leaving Cb constant per image) — and
+    multiples of 8 because the Annex K chroma table has
     q[0]=17: dc*17/8 is an exact integer only when 8 | dc, which
     keeps every decoded chroma sample (17*(dc/8) + 128, in
     [94, 162]) on an integer, never on a .5 rounding boundary the
@@ -752,6 +756,6 @@ def synth_dc_blocks_color(
             gi = (my * 2 + by) * grid_w + (mx * 2 + bx)
             dc = ((clen + 7 * (4 * m + s)) % 64) - 32
             y_blocks[gi] = [dc] + [0] * 63
-        cb_blocks.append([8 * ((clen + 5 * m) % 5 - 2)] + [0] * 63)
+        cb_blocks.append([8 * ((clen + 7 * m) % 5 - 2)] + [0] * 63)
         cr_blocks.append([8 * ((clen + 3 * m) % 5 - 2)] + [0] * 63)
     return y_blocks, cb_blocks, cr_blocks

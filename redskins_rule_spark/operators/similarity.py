@@ -114,19 +114,31 @@ def _resolve_num_blocks(
     num_blocks: int | None,
     block_bytes: int,
     op: str,
+    validate: bool = True,
 ) -> int:
     """Byte-budgeted block-count resolution shared by the block-packing
     operators (VERDICT r5): a packed block is one aggregated row, so
     its size must be a CHECKED contract — `num_blocks=None` derives B
     from ceil(n·row_bytes / block_bytes), and ANY sizing whose expected
     block exceeds `_MAX_BLOCK_BYTES` raises with the minimum feasible
-    count. The sizing stats are one scalar aggregate (count + max dim)
-    — bounded metadata, never row data."""
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.size(F.col(vec_col).cast("array<double>"))).alias("dim"),
+    count.
+
+    Sizing cost (ADVICE r6): the original max(size(vec)) aggregate
+    read EVERY row's array — a full pass over the vector column before
+    any real work, exactly wrong at the 100 TB design point. Now dim
+    comes from ONE row (embedding corpora are fixed-dim; the packed
+    rows themselves still hit the hard 2 GB ceiling loudly if a wildly
+    ragged corpus defeats the estimate) and n from a column-pruned
+    count (parquet answers it from footer metadata). A caller that
+    already sized its blocks can skip even that with
+    `validate=False` + explicit num_blocks — zero pre-scans."""
+    if num_blocks is not None and not validate:
+        return num_blocks
+    head = df.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("dim")
     ).first()
-    n, dim = stats["n"] or 0, stats["dim"] or 0
+    dim = (head["dim"] if head is not None else 0) or 0
+    n = df.count()
     per_row = dim * 8 + 48  # 8 B/element + struct/id/offset overhead
     total = n * per_row
     if num_blocks is None:
@@ -152,6 +164,7 @@ def cosine_pairs_blocked(
     num_blocks: int | None = 16,
     round_dp: int = 4,
     block_bytes: int = 64 << 20,
+    validate: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold via block-matrix multiply.
 
@@ -173,7 +186,8 @@ def cosine_pairs_blocked(
     an epsilon margin).
     """
     num_blocks = _resolve_num_blocks(
-        df, vec_col, num_blocks, block_bytes, "cosine_pairs_blocked"
+        df, vec_col, num_blocks, block_bytes, "cosine_pairs_blocked",
+        validate=validate,
     )
     id_type = df.schema[id_col].dataType.simpleString()
     packed = (
@@ -326,9 +340,20 @@ def train_ivf_centroids(
             raise ValueError("sample_rows must be >= k")
         n = df.count()
         d = max(1, _math.ceil(n / sample_rows))
-        if d > 1:
+        # ADVICE r6: the modulus slice is ~binomial around sample_rows,
+        # so an unlucky (or tiny) slice can hold fewer than k rows and
+        # k-means would silently train fewer than k centroids. Verify
+        # the slice size (one count) and widen the modulus until the
+        # slice can seed k centroids; d == 1 degrades to full-corpus
+        # training, where the init check below still enforces n >= k.
+        full = df.select(id_col, vec_col)
+        while d > 1:
             h = F.xxhash64(F.col(id_col).cast("string"), F.lit(7))
-            df = df.select(id_col, vec_col).where(F.pmod(h, F.lit(d)) == 0)
+            sliced = full.where(F.pmod(h, F.lit(d)) == 0)
+            if sliced.count() >= k:
+                df = sliced
+                break
+            d //= 2
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -995,6 +1020,7 @@ def knn_candidates_blocked(
     round_dp: int = 4,
     min_sim: float = 0.0,
     block_bytes: int = 64 << 20,
+    validate: bool = True,
 ) -> DataFrame:
     """DIRECTED k-NN candidates (id, nb, cos_sim) with per-block
     top-k selection — the scale-correct exact-kNN layout: the naive
@@ -1020,7 +1046,8 @@ def knn_candidates_blocked(
     with the minimum feasible count.
     """
     num_blocks = _resolve_num_blocks(
-        df, vec_col, num_blocks, block_bytes, "knn_candidates_blocked"
+        df, vec_col, num_blocks, block_bytes, "knn_candidates_blocked",
+        validate=validate,
     )
     packed = (
         df.select(

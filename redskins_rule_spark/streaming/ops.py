@@ -522,11 +522,23 @@ def _run_view_fold(
         out_dir = f"{view_root}/b{batch_id}"
         updated.write.mode("overwrite").parquet(out_dir)
         spark.read.parquet(out_dir).createOrReplaceTempView(view_name)
-        # previous batches' directories are now unreferenced
+        # GC (ADVICE r6): this runs INSIDE on_batch, i.e. before
+        # Structured Streaming commits batch_id to its commit log. If
+        # the driver dies in that window, the engine replays the SAME
+        # batch_id, and the bootstrap above excludes b{batch_id} as
+        # uncommitted — so the newest strictly-older publish must
+        # survive this GC or the replay would fold against base=None
+        # and silently reset the view to the current delta. Keep
+        # b{batch_id} and its immediate committed predecessor; the
+        # grandparent (and any orphaned later-id leftovers) go now,
+        # and the predecessor is collected on the NEXT successful
+        # batch, when batch_id itself has provably committed.
         root = hadoop_path(view_root)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        older = [bid for bid, _ in batch_dirs() if bid < batch_id]
+        keep = {batch_id} | ({max(older)} if older else set())
         for bid, p in batch_dirs():
-            if bid != batch_id:
+            if bid not in keep:
                 fs.delete(hadoop_path(p), True)
 
     (

@@ -8029,13 +8029,13 @@ def q179_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
              j -> 64 * LEAST(255, GREATEST(0, FLOOR(
                (2 * ((clen + 7*j) % 64 - 32) + 128)
-               - 0.344136 * (17 * ((clen + 5*(j//4)) % 5 - 2))
+               - 0.344136 * (17 * ((clen + 7*(j//4)) % 5 - 2))
                - 0.714136 * (17 * ((clen + 3*(j//4)) % 5 - 2))
                + 0.5))))) AS BIGINT) AS g_sum,
            CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
              j -> 64 * LEAST(255, GREATEST(0, FLOOR(
                (2 * ((clen + 7*j) % 64 - 32) + 128)
-               + 1.772 * (17 * ((clen + 5*(j//4)) % 5 - 2))
+               + 1.772 * (17 * ((clen + 7*(j//4)) % 5 - 2))
                + 0.5))))) AS BIGINT) AS b_sum
     FROM g
     """,

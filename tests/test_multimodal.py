@@ -986,7 +986,7 @@ def test_jpeg_color_dc_only_roundtrip_exact():
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
     for m in range(wm * hm):
         my, mx = divmod(m, wm)
-        cb = 17 * ((clen + 5 * m) % 5 - 2)
+        cb = 17 * ((clen + 7 * m) % 5 - 2)
         cr = 17 * ((clen + 3 * m) % 5 - 2)
         for s in range(4):
             by, bx = divmod(s, 2)
@@ -1001,6 +1001,21 @@ def test_jpeg_color_dc_only_roundtrip_exact():
             blk = arr[py: py + 8, px: px + 8]
             for c in range(3):
                 assert (blk[:, :, c] == exp[c]).all(), (m, s, c)
+
+
+def test_jpeg_color_synth_chroma_dcs_vary_across_mcus():
+    """ADVICE r6: both chroma DC sequences must VARY across the MCUs
+    of one image. The original Cb term used multiplier 5 ≡ 0 (mod 5),
+    so Cb was constant per image, every cross-MCU Cb DC-prediction
+    diff was 0, and the chroma DC Huffman path went unexercised by
+    the differential payload. Multipliers are now coprime to the
+    modulus (Cb: 7, Cr: 3)."""
+    from redskins_rule_spark.functions.jpeg import synth_dc_blocks_color
+
+    for clen in (0, 9, 23, 100):
+        _, cbb, crb = synth_dc_blocks_color(clen, 3, 2)
+        assert len({b[0] for b in cbb}) > 1, clen
+        assert len({b[0] for b in crb}) > 1, clen
 
 
 def test_jpeg_color_ac_blocks_match_reference():
@@ -1141,7 +1156,7 @@ def test_jpeg_color_payload_decode_spark(spark):
         assert (out[doc_id].width, out[doc_id].height) == (16 * wm, 16 * hm)
         r_sum = g_sum = b_sum = 0
         for m in range(wm * hm):
-            cb = 17 * ((clen + 5 * m) % 5 - 2)
+            cb = 17 * ((clen + 7 * m) % 5 - 2)
             cr = 17 * ((clen + 3 * m) % 5 - 2)
             for s in range(4):
                 y = 2 * (((clen + 7 * (4 * m + s)) % 64) - 32) + 128

@@ -886,6 +886,82 @@ def test_train_ivf_centroids_sample_rows(spark):
         train_ivf_centroids(df, "vec_id", "v", k=5, sample_rows=3)
 
 
+def test_train_ivf_centroids_unlucky_slice_widens(spark):
+    """ADVICE r6: the hash-modulus training slice is ~binomial around
+    sample_rows — when the slice lands with fewer than k rows the
+    trainer must WIDEN the modulus (ultimately to the full corpus)
+    instead of silently training fewer than k centroids. Fixture: ids
+    chosen so the initial d=5 slice (xxhash64(id,7) % 5 == 0) holds
+    fewer than k=3 rows."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.similarity import train_ivf_centroids
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(7)), F.lit(5))
+        .alias("slot"),
+    )
+    # keep every row OUTSIDE slot 0 plus exactly one inside it: the
+    # d=ceil(n/sample_rows)=5 slice then has 1 < k rows
+    ids = [r.vec_id for r in base.where("slot != 0").collect()][:95]
+    ids += [r.vec_id for r in base.where("slot = 0").limit(1).collect()]
+    rows = [
+        (int(i), [float((i * 7 + j * 3) % 11) for j in range(4)])
+        for i in sorted(ids)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    n = df.count()
+    assert n >= 90  # sanity: d = ceil(96/20) = 5 on this fixture
+    cents = train_ivf_centroids(
+        df, "vec_id", "v", k=3, iters=2, sample_rows=20
+    )
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    assert len({tuple(c) for c in cents}) == 3  # three REAL centroids
+
+
+def test_resolve_num_blocks_cheap_sizing_and_opt_out(spark, monkeypatch):
+    """ADVICE r6: block sizing must not pre-scan the vector column.
+    Three pins: (1) auto-sizing and the over-budget ValueError still
+    work off the one-row dim probe + count; (2) the sizing plan
+    contains NO aggregate over size(v) — the old max(size(...)) read
+    every row's array; (3) explicit num_blocks + validate=False runs
+    ZERO jobs, pinned by resolving against a frame whose evaluation
+    always throws (mapInPandas that raises)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators import similarity
+
+    rows = [(i, [float(j) for j in range(6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    # (1) auto-size from byte budget; over-budget explicit raises
+    auto = similarity._resolve_num_blocks(df, "v", None, 400, "t")
+    assert auto == (30 * (6 * 8 + 48) + 399) // 400
+    with monkeypatch.context() as mp:
+        mp.setattr(similarity, "_MAX_BLOCK_BYTES", 500)
+        with pytest.raises(ValueError, match="block ceiling"):
+            similarity._resolve_num_blocks(df, "v", 1, 400, "t_over")
+    # well within the real 256 MB ceiling: explicit sizing passes
+    assert similarity._resolve_num_blocks(df, "v", 4, 64 << 20, "t") == 4
+
+    # (3) validate=False + explicit sizing: no job may run — resolve
+    # against a frame every evaluation of which raises
+    def boom(_batches):
+        raise AssertionError("sizing ran a job despite validate=False")
+        yield  # pragma: no cover
+
+    poison = df.mapInPandas(boom, schema="id long, v array<double>")
+    assert (
+        similarity._resolve_num_blocks(
+            poison, "v", 7, 400, "t", validate=False
+        )
+        == 7
+    )
+    with pytest.raises(Exception):  # sanity: the poison frame DOES throw
+        poison.count()
+
+
 def test_srp_candidate_budget_guard(spark):
     """x100-probe finding: random band collisions are ~bands*n^2 /
     2^(r+1) — quadratic in n once 2^r stops dominating. The guard

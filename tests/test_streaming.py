@@ -704,10 +704,12 @@ def test_view_republish_never_collects_the_view(spark, tmp_path, monkeypatch):
     # incremental contract: wave 2's fold input was the 2-row DELTA,
     # not the 4-row landed history — work per trigger is |view|+|batch|
     assert batch_sizes == [2, 2]
-    # the view is served from the checkpoint-adjacent parquet publish
+    # the view is served from the checkpoint-adjacent parquet publish;
+    # GC keeps the current batch + its committed predecessor (the
+    # crash-replay bootstrap source, ADVICE r6) and nothing older
     view_root = os.path.join(ckpt, "_view")
-    dirs = [d for d in os.listdir(view_root) if d.startswith("b")]
-    assert len(dirs) == 1  # stale batch directories were dropped
+    dirs = sorted(d for d in os.listdir(view_root) if d.startswith("b"))
+    assert dirs == ["b0", "b1"]
     shutil.rmtree(land, ignore_errors=True)
 
 
@@ -764,7 +766,73 @@ def test_view_fold_restart_bootstraps_from_published_parquet(spark, tmp_path):
     # wave-1 state survived the restart; poison never folded in
     assert got == {1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)}
     dirs = sorted(os.listdir(os.path.join(ckpt, "_view")))
-    assert dirs == ["b1"]  # b0 and the b999 leftover were GC'd
+    # the b999 leftover was GC'd; b0 survives as b1's committed
+    # predecessor (the crash-replay bootstrap source, ADVICE r6)
+    assert dirs == ["b0", "b1"]
+
+
+def test_view_fold_crash_replay_between_gc_and_commit(spark, tmp_path):
+    """ADVICE r6: the view GC runs INSIDE on_batch — i.e. before
+    Structured Streaming writes the batch to its commit log. A driver
+    dying in that window leaves `_view/` GC'd but the batch
+    uncommitted, so the engine REPLAYS the same batch id on restart;
+    the bootstrap excludes the equal-id publish as uncommitted, and
+    if the GC had deleted every older publish (the pre-fix behavior)
+    base would resolve to None and the view would silently reset to
+    the replayed delta. Simulate exactly that on-disk state: run two
+    waves, then delete wave 2's commit-log entry and the temp view;
+    the re-driven stream replays batch 1 and must refold its delta
+    against the surviving wave-1 publish — full history, no reset,
+    no double count."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_view,
+        stream_from_files,
+    )
+
+    land = str(tmp_path / "crash_landing")
+    ckpt = str(tmp_path / "crash_ckpt")
+    view = f"mv_{uuid.uuid4().hex[:8]}"
+    schema = "k long, v double"
+
+    def build_delta(batch_df):
+        return batch_df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    def drain():
+        run_incremental_view(
+            stream_from_files(spark, land, schema), build_delta,
+            ["k"], ["total"], ckpt, view,
+        )
+
+    spark.createDataFrame([(1, 10.0), (2, 7.0)], schema).write.mode(
+        "append").parquet(land)
+    drain()
+    spark.createDataFrame([(1, 1.0), (3, 2.0)], schema).write.mode(
+        "append").parquet(land)
+    drain()
+    assert {r.k: (r.total, r.n) for r in spark.table(view).collect()} == {
+        1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)
+    }
+
+    # forge the crash window: batch 1's offsets exist (it ran, its GC
+    # ran) but its commit record does not — the engine will replay it.
+    # Drop the Hadoop CRC sidecar too, else the local ChecksumFS
+    # rejects the replay's commit rename over the stale checksum.
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.dropTempView(view)  # the session died with the driver
+    drain()  # no new files: this drain IS the batch-1 replay
+
+    got = {r.k: (r.total, r.n) for r in spark.table(view).collect()}
+    assert got == {1: (11.0, 2), 2: (7.0, 1), 3: (2.0, 1)}
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
