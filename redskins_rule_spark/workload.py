@@ -505,7 +505,11 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- new in round 6 (never driver-verified) ---
+    # --- new in round 7 (never driver-verified) ---
+    "q185_ann_label_noise",
+    # --- round-6 head, verified in r06; kept at the head this round
+    #     because round-7 touched their operators (jpeg synth payload,
+    #     streaming GC, SRP banding) ---
     "q180_jpeg_color", "q181_substring_dedup", "q182_quarantine_decode",
     "q183_stream_restart", "q184_srp_wide",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
@@ -8311,4 +8315,63 @@ def q184_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_pairs(
         emb, "vec_id", "embedding", dim=64,
         n_planes=128, bands=8, threshold=0.4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185: ANN-SOURCED label-noise screen (VERDICT r6 item 1) — the
+# documented 100 TB swap for q175's exact-kNN candidate source,
+# driven through the driver hash instead of living as prose: the
+# SAME vote stages as q175, fed by `srp_lsh_pairs` with AUTO-BANDING
+# (n_planes=None derives bits/band from the candidate-budget formula
+# the banding guard prints, so this one registered query runs
+# unchanged from 500 vectors to the x100 probe's 200k, where r
+# widens 8 -> 12 and the candidate volume stays sub-quadratic).
+# Neighbors are band-colliding vectors with verified cosine >= 0.1
+# (strictly positive threshold: ±0.0 never reaches the rank window,
+# whose cross-engine ordering at signed zero is unspecified);
+# per-id top-5 under the exact path's total order (cos desc, nb
+# asc), then the (count desc, label asc)-pinned majority vote. Ids
+# with no surviving candidate are absent — the banding-recall
+# contract. The oracle replays the identical planes/bands/votes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q185_ann_label_noise",
+    oracle=f"""
+    WITH p2 AS ({_srp_oracle(64, 8, 64, 0.1)}),
+    e AS (SELECT vec_id, label FROM embeddings),
+    sym AS (SELECT id_a AS id, id_b AS nb, cos_sim FROM p2
+            UNION ALL
+            SELECT id_b AS id, id_a AS nb, cos_sim FROM p2),
+    top AS (SELECT id, nb FROM (
+              SELECT id, nb,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY cos_sim DESC, nb) AS rn
+              FROM sym) WHERE rn <= 5),
+    v AS (SELECT t.id, e2.label AS nb_label, COUNT(*) AS n
+          FROM top t JOIN e e2 ON e2.vec_id = t.nb GROUP BY 1, 2),
+    win AS (SELECT id, nb_label AS knn_label, n AS n_agree FROM (
+              SELECT id, nb_label, n,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY n DESC, nb_label) AS vr
+              FROM v) WHERE vr = 1)
+    SELECT e.vec_id AS id, e.label, w.knn_label,
+           CAST(w.n_agree AS BIGINT) AS n_agree,
+           e.label <> w.knn_label AS is_suspect
+    FROM e JOIN win w ON w.id = e.vec_id
+    """,
+)
+def q185_ann_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = srp_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64,
+        n_planes=None, bands=8, threshold=0.1,
+    )
+    return knn_label_consistency(
+        emb, "vec_id", "embedding", "label", k=5, candidates=pairs
     )

@@ -1035,3 +1035,112 @@ def test_blocked_sim_chunking_is_value_invisible(spark, monkeypatch):
         ).collect()
     )
     assert knn_chunked == knn_ref and pairs_chunked == pairs_ref
+
+
+def test_srp_auto_banding(spark):
+    """VERDICT r6: n_planes=None applies the banding guard's own
+    formula instead of raising. At small n the auto choice IS the
+    8-bit default (identical pairs to an explicit n_planes=64); under
+    a budget small enough that 8-bit bands would raise, auto widens r
+    and runs — and planted identical vectors (equal signatures under
+    ANY banding) are still recalled."""
+    from redskins_rule_spark.operators.similarity import srp_lsh_pairs
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)])
+        for i in range(200)
+    ]
+    # plant an exact duplicate direction: vec 200 == 2 * vec 0
+    rows.append((200, [2.0 * x for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    explicit = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in srp_lsh_pairs(
+            df, "vec_id", "v", dim=8, n_planes=64, bands=8, threshold=0.9
+        ).collect()
+    )
+    auto = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in srp_lsh_pairs(
+            df, "vec_id", "v", dim=8, n_planes=None, bands=8, threshold=0.9
+        ).collect()
+    )
+    assert auto == explicit  # generous budget -> auto == 8-bit default
+
+    # budget 1000 makes 8-bit bands raise (see the guard test); auto
+    # must instead widen r until ~8*n^2/2^(r+1) <= 1000 and run
+    tight = srp_lsh_pairs(
+        df, "vec_id", "v", dim=8, n_planes=None, bands=8,
+        threshold=0.9, candidate_budget=1000,
+    )
+    got = {(r.id_a, r.id_b) for r in tight.collect()}
+    assert (0, 200) in got  # identical vectors collide under any banding
+
+
+def test_label_noise_from_all_pairs_equals_exact(spark):
+    """The candidates= path must be PROVABLY the same computation as
+    the exact path when fed a complete candidate set: all-pairs
+    cosine (threshold 0.0 == the exact path's min_sim) through
+    topk_from_pairs + votes == knn_candidates_blocked + votes, row
+    for row."""
+    from redskins_rule_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        knn_label_consistency,
+    )
+
+    rows = [
+        (
+            i,
+            [float((i * 7 + j * 3) % 11 - 5) for j in range(6)],
+            "abc"[i % 3],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>, label string")
+
+    exact = sorted(
+        tuple(r)
+        for r in knn_label_consistency(df, "id", "v", "label", k=5).collect()
+    )
+    allpairs = cosine_pairs_blocked(df, "id", "v", threshold=0.0)
+    via = sorted(
+        tuple(r)
+        for r in knn_label_consistency(
+            df, "id", "v", "label", k=5, candidates=allpairs
+        ).collect()
+    )
+    assert via == exact
+    assert exact  # non-trivial fixture
+
+
+def test_ann_label_noise_recall_contract(spark):
+    """VERDICT r6 item 1's pytest contract: a PLANTED mislabel whose
+    neighbors share a band is found by the ANN-sourced screen. Two
+    well-separated clusters of parallel vectors (equal directions ->
+    equal SRP signatures -> guaranteed band collisions); one cluster-A
+    point carries cluster B's label."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.similarity import (
+        knn_label_consistency,
+        srp_lsh_pairs,
+    )
+
+    a_dir = [1.0, 0.5, -0.25, 2.0, 1.5, -1.0, 0.75, 0.1]
+    b_dir = [-1.0, 2.0, 1.0, -0.5, 0.25, 1.75, -2.0, 0.6]
+    rows = [(i, [x * (1.0 + i) for x in a_dir], "a") for i in range(10)]
+    rows += [(100 + i, [x * (1.0 + i) for x in b_dir], "b") for i in range(10)]
+    rows.append((999, [x * 3.5 for x in a_dir], "b"))  # the mislabel
+    df = spark.createDataFrame(rows, "id long, v array<double>, label string")
+
+    pairs = srp_lsh_pairs(
+        df, "id", "v", dim=8, n_planes=64, bands=8, threshold=0.5
+    )
+    out = knn_label_consistency(
+        df, "id", "v", "label", k=5, candidates=pairs
+    )
+    flagged = {r.id for r in out.where(F.col("is_suspect")).collect()}
+    assert 999 in flagged  # the planted mislabel is caught
+    clean = {r.id for r in out.where(~F.col("is_suspect")).collect()}
+    assert set(range(10)) <= clean  # true cluster-A members are not
