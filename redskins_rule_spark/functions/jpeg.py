@@ -5,7 +5,7 @@ Closes the compressed-codec boundary (README decision record; VERDICT
 r4 item 6, r5 item 3): JPEG needs no external library — the entropy
 layer is canonical Huffman (spec Annex C/F), the transform is the 8x8
 DCT-II family, and numpy (baked into the container) gives an
-exact-enough float IDCT. Two REAL profiles:
+exact-enough float IDCT. Three REAL profiles:
 
 - baseline sequential DCT (SOF0), 8-bit, ONE component (grayscale),
   dimensions multiples of 8;
@@ -14,7 +14,11 @@ exact-enough float IDCT. Two REAL profiles:
   dimensions multiples of 16 (no partial-MCU edge replication).
   Chroma upsampling is 2x2 sample replication; YCbCr->RGB is the
   JFIF matrix with floor(x + 0.5) rounding and [0, 255] clamping —
-  both pinned so a SQL oracle can recompute decoded pixels.
+  both pinned so a SQL oracle can recompute decoded pixels;
+- progressive DCT (SOF2), ONE component (grayscale): spectral
+  selection + successive approximation per Annex G — multi-scan
+  coefficient accumulation reconstructing bit-identical pixels to
+  the baseline profile on a complete scan script.
 
 The encoder writes Annex K luminance/chrominance quantization +
 Huffman tables; the DECODER reads whatever DQT/DHT the file carries
@@ -713,14 +717,19 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     return parsed["width"], parsed["height"], rgb.tobytes()
 
 
-def synth_dc_blocks(clen: int, w_blocks: int, h_blocks: int) -> list[list[int]]:
+def synth_dc_blocks(
+    clen: int, w_blocks: int, h_blocks: int, step: int = 7
+) -> list[list[int]]:
     """Deterministic DC-only blocks for the differential payload:
-    block b (row-major) carries quantized DC ((clen + 7b) % 64) - 32,
-    so with the Annex K table (q[0] = 16) every pixel of block b
+    block b (row-major) carries quantized DC ((clen + step*b) % 64) -
+    32, so with the Annex K table (q[0] = 16) every pixel of block b
     decodes to EXACTLY 2*dc + 128 — in [64, 190], no clamping —
-    letting integer SQL predict decoded pixel sums."""
+    letting integer SQL predict decoded pixel sums. `step` defaults
+    to the baseline payload's 7; the progressive payload uses a
+    different step so its differential is not byte-identical to the
+    baseline one."""
     return [
-        [((clen + 7 * b) % 64) - 32] + [0] * 63
+        [((clen + step * b) % 64) - 32] + [0] * 63
         for b in range(w_blocks * h_blocks)
     ]
 
@@ -759,3 +768,521 @@ def synth_dc_blocks_color(
         cb_blocks.append([8 * ((clen + 7 * m) % 5 - 2)] + [0] * 63)
         cr_blocks.append([8 * ((clen + 3 * m) % 5 - 2)] + [0] * 63)
     return y_blocks, cb_blocks, cr_blocks
+
+
+# --- progressive DCT profile (SOF2), grayscale ----------------------------
+#
+# Spectral selection + successive approximation per ITU T.81 Annex G:
+# the image's quantized coefficients arrive over MULTIPLE scans, each
+# covering a zigzag band [Ss, Se] at bit precision Al (Ah = the
+# previous precision being refined, 0 for a band's first scan). The
+# decoder accumulates every block's coefficients across scans and runs
+# the IDCT once at the end — so a complete scan script reconstructs
+# EXACTLY the same blocks as the baseline profile (pytest pins
+# progressive decode == baseline decode on identical blocks, AC energy
+# included). Profile scope: one component (grayscale), 8-multiple
+# dimensions; progressive COLOR would reuse this scan machinery over
+# the interleaved-DC walk and stays a documented seam. Encoder EOB
+# runs are capped at 1 (plain EOB0) because the Annex K AC table
+# defines no EOBn codes for n > 1; the decoder implements general
+# EOBn per the spec.
+
+_STD_PROGRESSIVE_SCANS = [
+    (0, 0, 0, 1),    # DC first pass, point transform 1
+    (1, 5, 0, 2),    # AC band 1-5 first pass, Al=2
+    (6, 63, 0, 2),   # AC band 6-63 first pass, Al=2
+    (1, 63, 2, 1),   # AC refinement 2 -> 1 (merged band)
+    (0, 0, 1, 0),    # DC refinement
+    (1, 63, 1, 0),   # AC refinement 1 -> 0
+]  # libjpeg's standard single-component script shape
+
+
+def _validate_scan_script(scans: list[tuple[int, int, int, int]]) -> None:
+    """Per-coefficient approximation chain check shared by encoder and
+    decoder: a band's first scan has Ah=0 and covers only virgin
+    positions; each refinement has Ah = previous Al and Al = Ah - 1;
+    DC (Ss=0) scans are exactly [0,0] and precede any AC scan."""
+    state: list[int | None] = [None] * 64
+    for ss, se, ah, al in scans:
+        if not (0 <= ss <= se <= 63) or al < 0 or ah < 0 or al > 13 or ah > 13:
+            raise ValueError("invalid progressive scan header")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and state[0] is None:
+            raise ValueError("AC scan before the component's DC scan")
+        band = range(ss, se + 1)
+        if ah == 0:
+            if any(state[k] is not None for k in band):
+                raise ValueError("band re-sent with Ah=0")
+        else:
+            if al != ah - 1:
+                raise ValueError("successive approximation must step by 1")
+            if any(state[k] != ah for k in band):
+                raise ValueError("refinement does not match prior precision")
+        for k in band:
+            state[k] = al
+
+
+def encode_jpeg_gray_progressive(
+    blocks: list[list[int]],
+    w_blocks: int,
+    h_blocks: int,
+    quant: list[int] | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Quantized 8x8 blocks (64 zigzag ints each, row-major layout) ->
+    progressive (SOF2) grayscale JPEG bytes.
+
+    `scans` is the scan script as (Ss, Se, Ah, Al) tuples (default:
+    the libjpeg-shaped `_STD_PROGRESSIVE_SCANS`); the script is
+    validated against the spec's approximation-chain rules. Like the
+    baseline encoders, blocks carry QUANTIZED coefficients so tests
+    and oracles can predict the decode exactly. Point transforms per
+    Annex G: DC uses arithmetic shift of the signed value; AC shifts
+    the magnitude (truncation toward zero) with the sign emitted
+    separately."""
+    if len(blocks) != w_blocks * h_blocks:
+        raise ValueError("blocks count != w_blocks * h_blocks")
+    for blk in blocks:
+        if len(blk) != 64:
+            raise ValueError("each block must have 64 zigzag coefficients")
+    q = list(quant) if quant is not None else QUANT_LUMA
+    if len(q) != 64:
+        raise ValueError("quant table must have 64 entries")
+    script = list(scans) if scans is not None else _STD_PROGRESSIVE_SCANS
+    _validate_scan_script(script)
+
+    w, h = 8 * w_blocks, 8 * h_blocks
+    out = bytearray(b"\xff\xd8")
+    dqt = _dqt_segment(0, q)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    # SOF2: 8-bit precision, 1 component (id 1, 1x1 sampling, Tq 0)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    for ss, se, ah, al in script:
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:
+            _encode_dc_first(bw, blocks, al)
+        elif ss == 0:
+            _encode_dc_refine(bw, blocks, al)
+        elif ah == 0:
+            _encode_ac_first(bw, blocks, ss, se, al)
+        else:
+            _encode_ac_refine(bw, blocks, ss, se, al)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_first(bw: _BitWriter, blocks, al: int) -> None:
+    prev = 0
+    for blk in blocks:
+        temp = blk[0] >> al  # DC point transform: ARITHMETIC shift
+        diff = temp - prev
+        prev = temp
+        s = _category(diff)
+        code, length = _DC_ENC[s]
+        bw.write(code, length)
+        if s:
+            bw.write(_amplitude(diff, s), s)
+
+
+def _encode_dc_refine(bw: _BitWriter, blocks, al: int) -> None:
+    for blk in blocks:
+        bw.write((blk[0] >> al) & 1, 1)
+
+
+def _encode_ac_first(bw: _BitWriter, blocks, ss, se, al: int) -> None:
+    """Band first pass with EOB runs capped at 1 (plain EOB0 — the
+    Annex K AC table has no EOBn codes for longer runs)."""
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            temp = abs(blk[k]) >> al  # AC magnitude truncates toward 0
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = _AC_ENC[0xF0]  # ZRL
+                bw.write(code, length)
+                r -= 16
+            v = temp if blk[k] >= 0 else -temp
+            s = _category(v)
+            code, length = _AC_ENC[(r << 4) | s]
+            bw.write(code, length)
+            bw.write(_amplitude(v, s), s)
+            r = 0
+        if r > 0:
+            code, length = _AC_ENC[0x00]  # EOB0
+            bw.write(code, length)
+
+
+def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int) -> None:
+    """Band refinement per T.81 G.1.2.3 (the libjpeg
+    encode_mcu_AC_refine shape): newly-nonzero coefficients emit
+    (run, 1) + sign, already-nonzero ones append correction bits that
+    flush after the next emitted code; EOB runs capped at 1."""
+    for blk in blocks:
+        absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob = -1  # band-relative index of the LAST newly-nonzero coeff
+        for i, a in enumerate(absval):
+            if a == 1:
+                eob = i
+        r = 0
+        pending: list[int] = []  # correction bits awaiting a flush
+        for i, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            # the decoder consumes zero runs POSITIONALLY, reading each
+            # history coefficient's correction bit as it passes it — so
+            # required ZRLs must be emitted (and pending bits flushed)
+            # before ANY nonzero coefficient, history ones included,
+            # never folded past one (unless foldable into the EOB)
+            while r > 15 and i <= eob:
+                code, length = _AC_ENC[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+            if a > 1:
+                # history coefficient: correction bit (bit Al of |coef|)
+                pending.append(a & 1)
+                continue
+            # newly nonzero at this precision
+            code, length = _AC_ENC[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if blk[ss + i] >= 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            code, length = _AC_ENC[0x00]  # EOB0
+            bw.write(code, length)
+            for bit in pending:
+                bw.write(bit, 1)
+
+
+def _parse_progressive(data: bytes) -> dict:
+    """Marker walk for the progressive (SOF2) profile: DQT/DHT/SOF2
+    plus MULTIPLE SOS segments, each carrying its own spectral band,
+    approximation bits, and entropy span (tables may be redefined
+    between scans; each scan snapshots the trees in effect). Every
+    length is bounds-checked so any truncation or corruption raises
+    ValueError — the same contract `_parse_baseline` holds."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_trees: dict[int, dict[tuple[int, int], int]] = {}
+    ac_trees: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = -1
+    components: list[tuple[int, int, int, int]] = []
+    scans: list[dict] = []
+    saw_eoi = False
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (0xFF at end of data)")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack(">H", data[pos: pos + 2])[0]
+        body = data[pos + 2: pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[i + 1: i + 65])
+                if len(zz) != 64:
+                    raise ValueError("truncated DQT")
+                raster = [0] * 64
+                for k in range(64):
+                    raster[ZIGZAG[k]] = zz[k]
+                quant[tq] = raster
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("truncated DHT")
+                (dc_trees if tc == 0 else ac_trees)[th] = _decode_tree(
+                    bits, vals
+                )
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            if components:
+                raise ValueError("duplicate SOF")
+            if len(body) < 6:
+                raise ValueError("truncated SOF2 segment")
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp < 1 or len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF2 component specs")
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                tq = body[8 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs < 1 or vs < 1:
+                    raise ValueError("invalid sampling factors")
+                components.append((cid, hs, vs, tq))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive (SOF2) JPEG")
+        elif marker == 0xDA:
+            if not components:
+                raise ValueError("SOS before SOF2")
+            if len(body) < 1:
+                raise ValueError("truncated SOS segment")
+            ns = body[0]
+            if ns < 1 or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS component specs")
+            cid_index = {c[0]: i for i, c in enumerate(components)}
+            scomps = []
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                tt = body[2 + 2 * i]
+                if cs not in cid_index:
+                    raise ValueError("scan references unknown component")
+                scomps.append((cid_index[cs], tt >> 4, tt & 0x0F))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            # entropy span: bytes until the next unstuffed marker
+            i = pos + seglen
+            while True:
+                if i + 1 >= len(data):
+                    raise ValueError("truncated JPEG scan (no terminator)")
+                if data[i] == 0xFF and data[i + 1] != 0x00:
+                    break
+                i += 2 if data[i] == 0xFF else 1
+            scans.append(
+                {
+                    "comps": scomps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ah,
+                    "al": al,
+                    # snapshot: _decode_tree builds fresh dicts, so a
+                    # later DHT rebinds the registry without mutating
+                    # the trees this scan captured
+                    "dc_trees": dict(dc_trees),
+                    "ac_trees": dict(ac_trees),
+                    "entropy": data[pos + seglen: i],
+                }
+            )
+            pos = i
+            continue
+        pos += seglen
+
+    if not saw_eoi:
+        raise ValueError("missing EOI")
+    if width < 0 or not scans:
+        raise ValueError("missing SOF2 or SOS")
+    for _, _, _, tq in components:
+        if tq not in quant:
+            raise ValueError("component references undefined quant table")
+    return {
+        "quant": quant,
+        "width": width,
+        "height": height,
+        "components": components,
+        "scans": scans,
+    }
+
+
+def decode_jpeg_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """Progressive (SOF2) grayscale JPEG bytes -> (width, height,
+    pixel bytes).
+
+    Accumulates each block's zigzag coefficients across the file's
+    scan script — DC first/refinement, AC band first passes with
+    general EOBn runs, AC refinement with correction bits (T.81
+    Annex G decode procedures) — validating the per-coefficient
+    approximation chain as it goes, then dequantizes and IDCTs once.
+    A complete script therefore reconstructs bit-identical pixels to
+    the baseline profile on the same quantized blocks (pytest-pinned,
+    AC energy included). Raises ValueError on any structural
+    corruption, exactly like the baseline decoders. Profile: one
+    component, 1x1 sampling, 8-multiple dimensions."""
+    parsed = _parse_progressive(data)
+    comps = parsed["components"]
+    if len(comps) != 1:
+        raise ValueError(
+            "progressive profile supports 1 component (grayscale)"
+        )
+    if comps[0][1] != 1 or comps[0][2] != 1:
+        raise ValueError("progressive profile requires 1x1 sampling")
+    width, height = parsed["width"], parsed["height"]
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("dimensions must be positive multiples of 8")
+    wb, hb = width // 8, height // 8
+    coeffs = [[0] * 64 for _ in range(wb * hb)]
+    state: list[int | None] = [None] * 64
+
+    for scan in parsed["scans"]:
+        if len(scan["comps"]) != 1 or scan["comps"][0][0] != 0:
+            raise ValueError("scan does not cover the single component")
+        _, td, ta = scan["comps"][0]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        _validate_scan_script_step(state, ss, se, ah, al)
+        br = _BitReader(scan["entropy"])
+        if ss == 0:
+            if ah == 0:
+                if td not in scan["dc_trees"]:
+                    raise ValueError("scan references undefined tables")
+                tree = scan["dc_trees"][td]
+                pred = 0
+                for blk in coeffs:
+                    s = _read_huff(br, tree)
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                    pred += diff
+                    blk[0] = pred << al
+            else:
+                for blk in coeffs:
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+        else:
+            if ta not in scan["ac_trees"]:
+                raise ValueError("scan references undefined tables")
+            tree = scan["ac_trees"][ta]
+            if ah == 0:
+                _decode_ac_first(br, coeffs, ss, se, al, tree)
+            else:
+                _decode_ac_refine(br, coeffs, ss, se, al, tree)
+
+    qv = np.array(
+        parsed["quant"][comps[0][3]], dtype=np.float64
+    ).reshape(8, 8)
+    plane = np.empty((height, width), dtype=np.uint8)
+    for b, zz in enumerate(coeffs):
+        by, bx = divmod(b, wb)
+        plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = _idct_block(zz, qv)
+    return width, height, plane.tobytes()
+
+
+def _validate_scan_script_step(
+    state: list[int | None], ss: int, se: int, ah: int, al: int
+) -> None:
+    """Stateful single-step version of `_validate_scan_script` used by
+    the decoder (scripts arrive one SOS at a time)."""
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+        raise ValueError("invalid progressive scan header")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and state[0] is None:
+        raise ValueError("AC scan before the component's DC scan")
+    band = range(ss, se + 1)
+    if ah == 0:
+        if any(state[k] is not None for k in band):
+            raise ValueError("band re-sent with Ah=0")
+    else:
+        if al != ah - 1:
+            raise ValueError("successive approximation must step by 1")
+        if any(state[k] != ah for k in band):
+            raise ValueError("refinement does not match prior precision")
+    for k in band:
+        state[k] = al
+
+
+def _decode_ac_first(br, coeffs, ss, se, al, tree) -> None:
+    """Band first pass with general EOBn runs (T.81 G.2.2)."""
+    eobrun = 0
+    for blk in coeffs:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _read_huff(br, tree)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+
+def _decode_ac_refine(br, coeffs, ss, se, al, tree) -> None:
+    """Band refinement with correction bits (T.81 G.2.3 / the libjpeg
+    decode_mcu_AC_refine shape)."""
+    p1 = 1 << al
+    eobrun = 0
+    for blk in coeffs:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_huff(br, tree)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # ZRL: r == 15 -> pass 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise ValueError("invalid refinement run/size")
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and not (abs(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] >= 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # remaining positions of this block: correction bits only
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and not (abs(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                k += 1
+            eobrun -= 1

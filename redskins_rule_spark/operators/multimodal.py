@@ -943,6 +943,92 @@ def decode_jpeg_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_jpeg_progressive_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL progressive-JPEG payload column (grayscale
+    SOF2, functions/jpeg.py — spectral selection + successive
+    approximation over a four-scan script: DC first pass at Al=1, the
+    full AC band at Al=1, then both refinements down to Al=0).
+    Geometry and DCs derive from the source column's CHARACTER length
+    (wb = clen % 5 + 1, hb = clen % 2 + 1, block b quantized DC =
+    ((clen + 9b) % 64) - 32 — a different step than the baseline
+    payload so the two differentials aren't byte-identical), keeping
+    decoded pixels on the same 2*dc + 128 closed form a SQL oracle
+    recomputes, while the decode side accumulates coefficients across
+    all four scans. Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+    )
+
+    scans = [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                wb, hb = clen % 5 + 1, clen % 2 + 1
+                payloads.append(
+                    encode_jpeg_gray_progressive(
+                        synth_dc_blocks(clen, wb, hb, step=9),
+                        wb, hb, scans=scans,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_jpeg_progressive_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full progressive (SOF2) JPEG decode per payload — the scan-by-
+    scan coefficient accumulation (DC first/refine, AC band first
+    passes with EOBn runs, AC refinement correction bits), validated
+    approximation chain, then one dequantize + IDCT pass →
+    (id, width, height, pixel_sum). A baseline (SOF0) payload raises
+    here, exactly as SOF2 raises in the baseline decoder — the stats
+    prove the progressive path end to end. NULL payloads yield NULL
+    stats. Arrow-batched mapInPandas."""
+    from redskins_rule_spark.functions.jpeg import decode_jpeg_progressive
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(PNG_STATS_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); sums.append(None)
+                    continue
+                w, h, pixels = decode_jpeg_progressive(bytes(b))
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(pixels))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_jpeg_color_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

@@ -506,7 +506,7 @@ _DRIVER_PRIORITY: list[str] = [
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
     # --- new in round 7 (never driver-verified) ---
-    "q185_ann_label_noise",
+    "q185_ann_label_noise", "q186_jpeg_progressive",
     # --- round-6 head, verified in r06; kept at the head this round
     #     because round-7 touched their operators (jpeg synth payload,
     #     streaming GC, SRP banding) ---
@@ -8375,3 +8375,46 @@ def q185_ann_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_consistency(
         emb, "vec_id", "embedding", "label", k=5, candidates=pairs
     )
+
+
+# ---------------------------------------------------------------------------
+# q186: REAL compressed-image decode #4 — PROGRESSIVE (SOF2)
+# grayscale JPEG (VERDICT r6 item 3, the last codec seam closable in
+# pure Python here). The payload's four-scan script exercises both
+# progressive mechanisms — spectral selection (DC scan + full AC
+# band) and successive approximation (Al=1 first passes, refinement
+# scans down to Al=0) — and the decoder accumulates coefficients
+# across scans before one dequantize+IDCT. Blocks are DC-only with a
+# DIFFERENT dc step (9) and geometry family than the baseline q165
+# payload, so pixels stay on the 2*dc + 128 closed form the oracle
+# recomputes while the two differentials share no bytes. pytest pins
+# progressive decode == baseline decode on AC-bearing blocks, and
+# the corruption sweeps (every truncation, byte-flip fuzz) extend to
+# this profile.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q186_jpeg_progressive",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 5 + 1 AS wb,
+                      length(text) % 2 + 1 AS hb
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(wb * 8 AS INTEGER) AS width,
+           CAST(hb * 8 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0, wb * hb - 1),
+                 b -> 64 * (2 * ((clen + 9 * b) % 64 - 32) + 128)))
+             AS BIGINT) AS pixel_sum
+    FROM g
+    """,
+)
+def q186_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_progressive_stats,
+        with_jpeg_progressive_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    jpg = with_jpeg_progressive_payload(docs, "text", "doc_id")
+    return decode_jpeg_progressive_stats(jpg, "payload", "doc_id")

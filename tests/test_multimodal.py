@@ -1207,3 +1207,201 @@ def test_jpeg_byte_flip_fuzz_raises_only_valueerror():
             except ValueError:
                 pass  # the quarantine contract
             # any other exception type propagates and fails the test
+
+
+# -- progressive (SOF2) JPEG -------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_on_same_blocks():
+    """The coefficient domain is shared, so a complete progressive
+    scan script must reconstruct BIT-IDENTICAL pixels to the baseline
+    profile on the same quantized blocks — AC energy, negative
+    coefficients, and long zero runs included. Exercises DC
+    first/refine, AC band first passes, and AC refinement with
+    interleaved correction bits."""
+    import random
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(7)
+    for trial in range(12):
+        wb, hb = rng.randint(1, 4), rng.randint(1, 4)
+        blocks = []
+        for _ in range(wb * hb):
+            blk = [0] * 64
+            blk[0] = rng.randint(-60, 60)
+            for k in range(1, 64):
+                if rng.random() < rng.choice([0.05, 0.3, 0.7]):
+                    blk[k] = rng.randint(-200, 200)
+            blocks.append(blk)
+        base = decode_jpeg_gray(encode_jpeg_gray(blocks, wb, hb))
+        prog = decode_jpeg_progressive(
+            encode_jpeg_gray_progressive(blocks, wb, hb)
+        )
+        assert base == prog, trial
+
+
+def test_jpeg_progressive_custom_scripts():
+    """Alternative scan scripts — spectral selection only, a deep DC
+    approximation chain, split AC bands with per-band refinement —
+    all reconstruct the baseline decode; invalid scripts (band
+    re-sent, skipped approximation step, AC before DC, multi-step Al)
+    raise ValueError."""
+    import random
+
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        decode_jpeg_progressive,
+    )
+
+    rng = random.Random(11)
+    blocks = []
+    for _ in range(9):
+        blk = [0] * 64
+        blk[0] = rng.randint(-60, 60)
+        for k in range(1, 64):
+            if rng.random() < 0.4:
+                blk[k] = rng.randint(-100, 100)
+        blocks.append(blk)
+    base = decode_jpeg_gray(encode_jpeg_gray(blocks, 3, 3))
+    good_scripts = [
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 3), (0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+         (1, 63, 0, 0)],
+        [(0, 0, 0, 1), (1, 20, 0, 1), (21, 63, 0, 1), (0, 0, 1, 0),
+         (1, 20, 1, 0), (21, 63, 1, 0)],
+    ]
+    for sc in good_scripts:
+        got = decode_jpeg_progressive(
+            encode_jpeg_gray_progressive(blocks, 3, 3, scans=sc)
+        )
+        assert got == base, sc
+
+    bad_scripts = [
+        [(1, 63, 0, 0)],                            # AC before DC
+        [(0, 0, 0, 0), (1, 63, 0, 0), (1, 5, 0, 0)],  # band re-sent
+        [(0, 0, 0, 2), (0, 0, 1, 0), (1, 63, 0, 0)],  # chain mismatch
+        [(0, 0, 0, 2), (0, 0, 2, 0), (1, 63, 0, 0)],  # Al step of 2
+        [(0, 5, 0, 0), (1, 63, 0, 0)],              # DC scan with Se>0
+    ]
+    for sc in bad_scripts:
+        with _pytest.raises(ValueError):
+            encode_jpeg_gray_progressive(blocks, 3, 3, scans=sc)
+
+
+def test_jpeg_progressive_profile_gates():
+    """Profile routing raises, never mis-decodes: the baseline decoder
+    rejects SOF2 payloads, the progressive decoder rejects SOF0."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+    )
+
+    blocks = synth_dc_blocks(10, 2, 1)
+    prog = encode_jpeg_gray_progressive(blocks, 2, 1)
+    base = encode_jpeg_gray(blocks, 2, 1)
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(prog)
+    with _pytest.raises(ValueError, match="not a progressive"):
+        decode_jpeg_progressive(base)
+
+
+def test_jpeg_progressive_every_truncation_raises_valueerror():
+    """The corruption contract extends to the progressive profile:
+    EVERY prefix of a valid multi-scan payload raises ValueError —
+    mid-segment, mid-scan-header, and mid-entropy truncations of all
+    four scans included."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+    )
+
+    good = encode_jpeg_gray_progressive(synth_dc_blocks(10, 2, 2), 2, 2)
+    for cut in range(2, len(good)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_progressive(good[:cut])
+
+
+def test_jpeg_progressive_byte_flip_fuzz_raises_only_valueerror():
+    """q182's quarantine net must hold for progressive payloads too:
+    any single-byte corruption either still decodes or raises
+    ValueError — never IndexError/struct.error. Deterministic LCG
+    positions/values over an AC-bearing payload (refinement paths in
+    the fuzz reach the correction-bit machinery)."""
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    blocks = []
+    for b in range(6):
+        blk = [0] * 64
+        blk[0] = (11 * b) % 50 - 25
+        for k in range(1, 64, 3):
+            blk[k] = ((b + 1) * k * 7) % 31 - 15
+        blocks.append(blk)
+    payload = encode_jpeg_gray_progressive(blocks, 3, 2)
+
+    state = 54321
+    for _ in range(600):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(payload)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(payload)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            decode_jpeg_progressive(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract
+        # any other exception type propagates and fails the test
+
+
+def test_jpeg_progressive_payload_roundtrip_spark(spark):
+    """The q186 faces end to end on a small frame: payloads are real
+    SOF2 files, stats equal the closed form, NULL text yields NULL
+    stats."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_progressive_stats,
+        with_jpeg_progressive_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "a much longer piece of text!"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = decode_jpeg_progressive_stats(
+        with_jpeg_progressive_payload(df, "text", "doc_id"),
+        "payload", "doc_id",
+    ).orderBy("doc_id").collect()
+    for row in out[:2]:
+        clen = len("hello") if row.doc_id == 1 else 28
+        wb, hb = clen % 5 + 1, clen % 2 + 1
+        assert (row.width, row.height) == (8 * wb, 8 * hb)
+        expect = sum(
+            64 * (2 * (((clen + 9 * b) % 64) - 32) + 128)
+            for b in range(wb * hb)
+        )
+        assert row.pixel_sum == expect
+    assert out[2].width is None and out[2].pixel_sum is None
