@@ -37,22 +37,36 @@ def chunk_tokens(
     # drop empty tokens: split('') yields [''] for empty/whitespace
     # text, which would count 1 token where the UDTF counts 0
     toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    # number of chunks: 1 + ceil(max(n - window, 0) / stride)
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
-    ).cast("int")
-    idx = F.sequence(F.lit(0), n_chunks - 1)
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias(
-                "chunk_text"
+
+    # LET-BINDING via a one-element transform (round-7 skew probe):
+    # a Column function has no projection to bind `toks` into, and a
+    # per-chunk lambda that closes over the raw filter(split(...))
+    # expression re-evaluates the split PER CHUNK — O(L²/stride) per
+    # document, invisible at uniform lengths, a wall blowup on
+    # power-law ones (see text.char_ngrams). transform(array(toks),
+    # tk -> ...) evaluates the tokenization ONCE per row and hands
+    # the inner lambdas a bound O(1) variable.
+    def chunks_of(tk: Column) -> Column:
+        n = F.size(tk)
+        # number of chunks: 1 + ceil(max(n - window, 0) / stride)
+        n_chunks = F.lit(1) + F.ceil(
+            F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+        ).cast("int")
+        idx = F.sequence(F.lit(0), n_chunks - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(tk, i * stride + 1, window)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(window)).cast("int").alias(
+                    "n_tokens"
+                ),
             ),
-            F.least(n - i * stride, F.lit(window)).cast("int").alias("n_tokens"),
-        ),
-    )
+        )
+
+    return F.element_at(F.transform(F.array(toks), chunks_of), 1)
 
 
 def chunk_documents(

@@ -451,6 +451,32 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of ALL overlapping character n-grams of a string —
+    LINEAR in string length, the skew-probe contract (round 7).
+
+    The naive construction — `transform(sequence(1, L-n+1),
+    i -> substr(s, i, n))` — is O(L²) per document: substr on a
+    variable-width UTF8 string walks from byte 0 to find character i,
+    and closing the lambda over a `split(s, '')` expression instead
+    is WORSE (the split re-evaluates per element). Invisible on
+    uniform-length fixtures; a 5.7x wall blowup on the power-law one
+    (.scale/skew0.1, 30x-stretched documents). The linear shape
+    hoists every O(L) step out of the per-element lambda: split once,
+    n shifted slices, zip_with concat — per-element work is O(1)
+    string concat only. Values are code-point-identical to the substr
+    construction (pytest-pinned, newlines included)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ca = F.split(c, "")
+    m = F.greatest(F.size(ca) - F.lit(n - 1), F.lit(0))
+    out = F.slice(ca, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(ca, k + 1, m), lambda a, b: F.concat(a, b)
+        )
+    return out
+
+
 def _token_blocks(
     df: DataFrame, id_col: str, text_col: str, block_tokens: int
 ) -> DataFrame:

@@ -4518,13 +4518,19 @@ def q114_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    n_wins = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
+    # BIND the token array in a projection before the per-window
+    # lambda references it: closing the lambda over the raw split()
+    # expression re-evaluates the split per window — O(L²) per doc,
+    # the round-7 skew probe's 5.7x finding (char_ngrams docstring)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk")
+    )
+    n_wins = F.ceil(F.size("_tk") / F.lit(8.0)).cast("int")
     passages = F.transform(
         F.sequence(F.lit(1), n_wins),
-        lambda i: F.concat_ws(" ", F.slice(t, (i - 1) * 8 + 1, 8)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), (i - 1) * 8 + 1, 8)),
     )
-    win = docs.select("doc_id", F.explode(passages).alias("passage"))
+    win = toks.select("doc_id", F.explode(passages).alias("passage"))
     return (
         win.groupBy("passage")
         .agg(
@@ -7447,14 +7453,15 @@ def q171_char_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.lower(F.col("text")).alias("lt")
     ).where(F.length("text") >= 3)
+    # char_ngrams, NOT substr-by-index: substr walks the UTF8 string
+    # from byte 0 per call, making per-doc extraction O(L²) — the
+    # round-7 skew probe measured 5.7x wall on power-law doc lengths
+    # from exactly this line's previous form
+    from redskins_rule_spark.operators.text import char_ngrams
+
     tris = t.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("lt") - 2),
-                lambda i: F.col("lt").substr(i, F.lit(3)),
-            )
-        ).alias("tri"),
+        F.explode(char_ngrams(F.col("lt"), 3)).alias("tri"),
     )
     dt = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("k"))
     corpus = dt.groupBy("tri").agg(F.sum("k").alias("n_tri"))

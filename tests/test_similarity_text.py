@@ -1220,3 +1220,104 @@ def test_cosine_pairs_copartition_equals_broadcast(spark):
         similarity.cosine_pairs_blocked(
             df, "id", "v", 0.8, num_blocks=4, strategy="nope"
         )
+
+
+def test_char_ngrams_matches_substr_construction(spark):
+    """Round-7 skew-probe fix: char_ngrams' hoisted zip_with shape
+    must be code-point-identical to the naive substr-by-index
+    construction (which is O(L²) per doc and was the 5.7x wall
+    blowup on power-law doc lengths) — newlines, unicode, short and
+    empty strings included."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.text import char_ngrams
+
+    rows = [
+        (1, "hello world"),
+        (2, "ab"),            # shorter than n -> empty
+        (3, ""),
+        (4, "line one\nline two\ttab"),
+        (5, "naïve café über"),
+        (6, "abcdefgh" * 50),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    naive = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0))),
+        lambda i: F.col("t").substr(i, F.lit(3)),
+    )
+    got = df.select(
+        "id",
+        char_ngrams(F.col("t"), 3).alias("fast"),
+        F.when(F.length("t") >= 3, naive)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("slow"),
+    ).collect()
+    for r in got:
+        assert list(r.fast) == list(r.slow), r.id
+
+    # bigrams and 4-grams too (the loop generalizes past n=3)
+    for n in (2, 4):
+        got = df.select(
+            char_ngrams(F.col("t"), n).alias("fast"),
+            F.when(
+                F.length("t") >= n,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("t") - (n - 1), F.lit(0))
+                    ),
+                    lambda i: F.col("t").substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("slow"),
+        ).collect()
+        for r in got:
+            assert list(r.fast) == list(r.slow), n
+
+
+def test_srp_hot_band_capped_by_max_postings(spark):
+    """Round-7 skew probe lever proof: a hot LSH BAND (here from a
+    cluster of shared-direction vectors, which collide in EVERY band
+    the way the skew fixture's planted 10% do) emits O(cluster²)
+    candidate pairs uncapped; max_postings bounds the hot bucket so
+    the emitted volume drops to O(cap²) while capped output stays a
+    subset of the uncapped pairs and survivors keep their exact
+    verified cosines. Partitioning-independent (deterministic cap)."""
+    from redskins_rule_spark.operators.similarity import srp_lsh_pairs
+
+    base_dir = [1.0, -0.5, 2.0, 0.25, -1.5, 0.75, -0.25, 1.25]
+    rows = [(i, [x * (1.0 + i / 100.0) for x in base_dir]) for i in range(60)]
+    rows += [
+        (1000 + i, [float((i * 13 + j * 7) % 19 - 9) for j in range(8)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in srp_lsh_pairs(
+            df, "vec_id", "v", dim=8, n_planes=64, bands=8, threshold=0.9
+        ).collect()
+    }
+    # the planted cluster alone contributes 60*59/2 pairs
+    assert len(uncapped) >= 60 * 59 // 2
+
+    capped = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in srp_lsh_pairs(
+            df, "vec_id", "v", dim=8, n_planes=64, bands=8, threshold=0.9,
+            max_postings=8,
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)          # no invented pairs
+    assert len(capped) <= 8 * 7 // 2 * 8 + 100   # O(bands * cap²), not O(n²)
+    assert len(capped) >= 8 * 7 // 2             # the hot bucket still yields
+    for k, v in capped.items():
+        assert uncapped[k] == v                  # verified cosines unchanged
+
+    capped2 = {
+        (r.id_a, r.id_b)
+        for r in srp_lsh_pairs(
+            df.repartition(7), "vec_id", "v", dim=8, n_planes=64, bands=8,
+            threshold=0.9, max_postings=8,
+        ).collect()
+    }
+    assert capped2 == set(capped)  # cap is deterministic, not arrival-order
