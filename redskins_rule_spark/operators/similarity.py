@@ -973,22 +973,27 @@ def srp_lsh_pairs(
         # caller the minimum bits/band when n outgrows the budget —
         # auto mode APPLIES that formula instead of raising: r is the
         # smallest band width (>= 8 bits) whose expected random
-        # collision volume bands·n²/2^(r+1) fits candidate_budget, so
-        # ONE registered query runs unchanged from 500 vectors to the
-        # x100 probe's 200k (r widens 8 -> 12 there). Deterministic in
-        # n; costs the same one metadata count() as the guard, and the
-        # guard is then satisfied by construction.
+        # collision volume bands·n²/2^(r+1) fits a COST target, so ONE
+        # registered query runs unchanged from 500 vectors to the x100
+        # probe's 200k (r widens 8 -> 16 there, the configuration the
+        # probe measured at 6.6x wall for 100x data). The target is
+        # max(1M, 16n) random collisions — NOT candidate_budget: the
+        # budget is the don't-OOM ceiling, and sizing to it merely
+        # avoids the crash while still shipping tens of millions of
+        # junk pairs into the verify join (the first q185 sf10 probe
+        # timed out exactly there, 39M pairs at r=12 under the 64M
+        # budget). Verify work should track the TRUE pair count, so
+        # the random-collision floor must stay O(n). Deterministic in
+        # n; one metadata count(); the guard below is then satisfied
+        # by construction (target <= budget in any sane config).
         n = df.count()
-        r = 8
+        target = max(1_000_000, 16 * n)
         if candidate_budget is not None:
-            r = max(
-                8,
-                math.ceil(
-                    math.log2(
-                        max(1.0, bands * n * n / (2.0 * candidate_budget))
-                    )
-                ),
-            )
+            target = min(target, candidate_budget)
+        r = max(
+            8,
+            math.ceil(math.log2(max(1.0, bands * n * n / (2.0 * target)))),
+        )
         n_planes = bands * r
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
