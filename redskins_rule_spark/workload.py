@@ -507,11 +507,19 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
-    # --- round-6 head, verified in r06; kept at the head this round
-    #     because round-7 touched their operators (jpeg synth payload,
-    #     streaming GC, SRP banding) ---
-    "q180_jpeg_color", "q181_substring_dedup", "q182_quarantine_decode",
-    "q183_stream_restart", "q184_srp_wide",
+    # --- round-7 TOUCHED (hash or implementation changed this round,
+    #     so r06-green status is stale): q180's payload hash CHANGED
+    #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
+    #     q74 ride the linear ngram/chunk shapes, q166 the semi-join
+    #     keep-set, q22/q174/q175/q179/q184 the similarity sizing /
+    #     auto-banding edits, q164/q173 the view-fold shell, q182/q165
+    #     the shared jpeg module ---
+    "q180_jpeg_color", "q183_stream_restart", "q171_char_ngram_lm",
+    "q115_passage_dedup", "q32_chunking", "q74_packing_quantized",
+    "q166_manifest_prune", "q22_embedding_dups", "q174_srp_lsh_pairs",
+    "q175_knn_label_noise", "q179_embedding_curation", "q184_srp_wide",
+    "q164_stream_mv_replay", "q173_stream_sketch_replay",
+    "q182_quarantine_decode", "q165_jpeg_decode",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -520,23 +528,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- r5-head rotation sample: a slice of last round's verified head
-    #     stays in the window as cross-round drift canaries (includes the
-    #     operators touched by this round's ADVICE/VERDICT fixes:
-    #     streaming replays, jpeg, knn/SRP, manifest prune) ---
-    "q152_negative_samples", "q158_scene_changes", "q161_bootstrap_ci",
-    "q164_stream_mv_replay", "q165_jpeg_decode", "q166_manifest_prune",
-    "q171_char_ngram_lm", "q173_stream_sketch_replay",
-    "q174_srp_lsh_pairs", "q175_knn_label_noise", "q176_schema_evolution",
-    "q179_embedding_curation",
-    # --- r4-and-earlier rotating sample: a DIFFERENT slice than the one
-    #     r5's window re-checked (q104/q107/q109/q123/q129/q145/q148-151)
-    #     so coverage keeps cycling through the back catalog ---
-    "q110_cdc_merge", "q115_passage_dedup", "q116_range_bin_join",
-    "q117_hash_split", "q121_record_linkage", "q124_bigram_lm",
-    "q134_pii_scrub", "q135_pit_join", "q138_triangles",
-    "q140_incremental_dedup", "q142_audio_frames", "q146_kcore",
-    # 40 explicit entries above; the remaining ~10 window slots fill from
+    # --- back-catalog rotating sample: a DIFFERENT slice than r6's
+    #     (r6 re-checked q110/q116/q117/q121/q124/q134/q135/q138/
+    #     q140/q142/q146) so coverage keeps cycling ---
+    "q26_event_windows", "q27_sessionization", "q67_funnel",
+    "q100_hopping_windows", "q108_sessionize", "q109_jaccard_capped",
+    "q123_png_decode", "q129_dedup_keep_best", "q133_curation_funnel",
+    "q143_image_patches", "q145_curation_report", "q160_image_dhash",
+    # 43 explicit entries above; the remaining ~7 window slots fill from
     # registration order (q02..), all driver-green in r01/r02.
 ]
 
