@@ -507,6 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
+    "q187_mp4_meta", "q188_mp4_frames",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8438,3 +8439,86 @@ def q186_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     jpg = with_jpeg_progressive_payload(docs, "text", "doc_id")
     return decode_jpeg_progressive_stats(jpg, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q187/q188: REAL video-container parse — ISO BMFF (MP4). The seam
+# the multimodal family documented ("video beyond GIF needs ffmpeg")
+# splits in two: the CONTAINER half (box grammar, sample tables,
+# sample extraction from mdat) is implementable from the public
+# ISO/IEC 14496-12 spec in pure Python (functions/mp4.py) and is now
+# real; only codec-level access-unit DECODE (H.264/AAC) remains a
+# seam. synth_mp4 derives every field from character length, so the
+# oracle predicts container byte length (a closed-form box-size
+# ledger), durations, track/sample counts (q187) and per-sample
+# lengths + byte sums sliced out of mdat by the resolved
+# stsc/stsz/stco table (q188) — proving the extraction reads real
+# bytes, not metadata.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q187_mp4_meta",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 7 + 2 AS nv,
+                      CASE WHEN length(text) % 3 = 0
+                           THEN length(text) % 11 + 3 ELSE 0 END AS na
+               FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, clen, nv, na,
+                      list_sum(list_transform(generate_series(0, nv - 1),
+                            i -> (clen + 3 * i) % 50 + 4)) AS sv,
+                      CASE WHEN na > 0 THEN list_sum(list_transform(
+                            generate_series(0, na - 1),
+                            i -> (clen + 5 * i) % 17 + 1)) ELSE 0 END AS sa
+               FROM g)
+    SELECT doc_id,
+           CAST(525 + 4 * nv + sv
+                + CASE WHEN na > 0 THEN 373 + 4 * na + sa ELSE 0 END
+             AS BIGINT) AS byte_len,
+           'isom' AS major_brand,
+           CAST(CASE WHEN 23 * na > 40 * nv THEN 23 * na ELSE 40 * nv END
+             AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN na > 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+           CAST(nv AS INTEGER) AS n_video_samples,
+           CAST(na AS INTEGER) AS n_audio_samples,
+           CAST(sv + sa AS BIGINT) AS mdat_bytes
+    FROM s
+    """,
+)
+def q187_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp4_meta,
+        with_mp4_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp4 = with_mp4_payload(docs, "text", "doc_id")
+    return decode_mp4_meta(mp4, "payload", "doc_id")
+
+
+@query(
+    "q188_mp4_frames",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 7 + 2 AS nv
+               FROM documents WHERE text IS NOT NULL),
+         fr AS (SELECT doc_id, clen,
+                       unnest(generate_series(0, nv - 1)) AS f
+                FROM g)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST((clen + 3 * f) % 50 + 4 AS INTEGER) AS frame_len,
+           CAST(((clen + 3 * f) % 50 + 4) * ((clen + 7 * f) % 251)
+             AS BIGINT) AS frame_sum
+    FROM fr WHERE f % 2 = 0
+    """,
+)
+def q188_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        sample_mp4_frames,
+        with_mp4_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp4 = with_mp4_payload(docs, "text", "doc_id")
+    return sample_mp4_frames(mp4, "payload", "doc_id", handler="vide", stride=2)

@@ -1405,3 +1405,177 @@ def test_jpeg_progressive_payload_roundtrip_spark(spark):
         )
         assert row.pixel_sum == expect
     assert out[2].width is None and out[2].pixel_sum is None
+
+
+# --- MP4 (ISO BMFF) container codec ---------------------------------------
+
+
+def test_mp4_roundtrip_and_size_ledger():
+    """encode→parse round-trips every field, and the container byte
+    length lands exactly on the closed-form box-size ledger the q187
+    oracle recomputes (525 + 4·n_v + S_v [+ 373 + 4·n_a + S_a])."""
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4,
+    )
+
+    for clen in (0, 1, 2, 3, 6, 17, 100, 997):
+        data = synth_mp4(clen)
+        m = parse_mp4(data)
+        nv = clen % 7 + 2
+        sv = sum((clen + 3 * i) % 50 + 4 for i in range(nv))
+        expected = 525 + 4 * nv + sv
+        if clen % 3 == 0:
+            na = clen % 11 + 3
+            sa = sum((clen + 5 * i) % 17 + 1 for i in range(na))
+            expected += 373 + 4 * na + sa
+        assert len(data) == expected
+        assert m.major_brand == "isom" and m.timescale == 1000
+        vt = next(t for t in m.tracks if t.handler == "vide")
+        assert vt.n_samples == nv and vt.duration == 40 * nv
+        assert vt.time_to_sample == ((nv, 40),)
+        # extraction returns the REAL mdat bytes, not table arithmetic
+        for fi, s in extract_samples(data, vt):
+            assert s == bytes([(clen + 7 * fi) % 251]) * ((clen + 3 * fi) % 50 + 4)
+
+
+def test_mp4_stsc_run_map_semantics():
+    """sample_locations expands multi-run stsc tables per ISO 14496-12
+    §8.7: entry i covers chunks [first_i, first_{i+1}) — a table the
+    single-chunk encoder never emits, so pin the resolver directly."""
+    from redskins_rule_spark.functions.mp4 import Mp4Track, sample_locations
+
+    # 3 chunks: chunk1 holds 2 samples, chunks 2-3 hold 1 each
+    t = Mp4Track(
+        track_id=1, handler="vide", timescale=1000, duration=160,
+        sample_sizes=(5, 6, 7, 8),
+        time_to_sample=((4, 40),),
+        sample_to_chunk=((1, 2), (2, 1)),
+        chunk_offsets=(100, 200, 300),
+    )
+    assert sample_locations(t) == [(100, 5), (105, 6), (200, 7), (300, 8)]
+    # stsc mapping fewer/more samples than stsz declares is corrupt
+    import pytest as _pytest
+
+    bad = Mp4Track(
+        track_id=1, handler="vide", timescale=1000, duration=120,
+        sample_sizes=(5, 6, 7),
+        time_to_sample=((3, 40),),
+        sample_to_chunk=((1, 1),),
+        chunk_offsets=(100,),
+    )
+    with _pytest.raises(ValueError, match="maps"):
+        sample_locations(bad)
+
+
+def test_mp4_largesize_and_size_zero_boxes():
+    """The box walker handles the spec's two special size encodings:
+    size==1 (64-bit largesize) and size==0 (extends to end)."""
+    import struct
+
+    from redskins_rule_spark.functions.mp4 import parse_mp4, synth_mp4
+
+    data = synth_mp4(11)
+    # rewrite moov (the last top-level box) as a size==0 box
+    off = 0
+    boxes = []
+    while off < len(data):
+        (sz,) = struct.unpack(">I", data[off : off + 4])
+        boxes.append((off, sz, data[off + 4 : off + 8]))
+        off += sz
+    moov_off, moov_sz, fourcc = boxes[-1]
+    assert fourcc == b"moov"
+    zero = data[:moov_off] + struct.pack(">I", 0) + data[moov_off + 4 :]
+    assert parse_mp4(zero).duration == parse_mp4(data).duration
+    # rewrite ftyp with a largesize header (size==1 + 64-bit length)
+    (ft_sz,) = struct.unpack(">I", data[0:4])
+    large = (
+        struct.pack(">I4sQ", 1, b"ftyp", ft_sz + 8)
+        + data[8:ft_sz]
+        + data[ft_sz:]
+    )
+    assert parse_mp4(large).major_brand == "isom"
+
+
+def test_mp4_every_truncation_raises_valueerror():
+    from redskins_rule_spark.functions.mp4 import parse_mp4, synth_mp4
+
+    full = synth_mp4(23)
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            parse_mp4(full[:cut])
+
+
+def test_mp4_byte_flip_fuzz_raises_only_valueerror():
+    """Shared corrupt-payload contract: any single-byte corruption
+    either parses (tables may still be self-consistent) or raises
+    ValueError — never IndexError/struct.error/hang — so tolerant
+    quarantine decode composes over MP4 unchanged."""
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4,
+    )
+
+    full = bytearray(synth_mp4(23))
+    for pos in range(len(full)):
+        for flip in (0x01, 0xFF):
+            data = bytes(
+                full[:pos] + bytes([full[pos] ^ flip]) + full[pos + 1 :]
+            )
+            try:
+                m = parse_mp4(data)
+                for t in m.tracks:
+                    extract_samples(data, t)
+            except ValueError:
+                pass
+
+
+def test_mp4_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp4_meta,
+        sample_mp4_frames,
+        with_mp4_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 9), (2, "b" * 10), (3, None)], "doc_id long, text string"
+    )
+    mp4 = with_mp4_payload(df.where("text is not null"), "text", "doc_id")
+    meta = {r.doc_id: r for r in decode_mp4_meta(mp4).collect()}
+    # clen=9: audio present (9%3==0): nv=9%7+2=4, na=9%11+3=12
+    assert meta[1].n_tracks == 2
+    assert meta[1].n_video_samples == 4 and meta[1].n_audio_samples == 12
+    assert meta[1].duration_ms == max(40 * 4, 23 * 12)
+    # clen=10: video only, nv=5
+    assert meta[2].n_tracks == 1 and meta[2].n_video_samples == 5
+    assert meta[2].duration_ms == 200
+    frames = sample_mp4_frames(mp4, stride=2).collect()
+    got = {(r.doc_id, r.frame_idx): (r.frame_len, r.frame_sum) for r in frames}
+    # doc 1 (clen=9): video frames 0 and 2 survive stride 2
+    for clen, doc in ((9, 1), (10, 2)):
+        nv = clen % 7 + 2
+        for f in range(0, nv, 2):
+            ln = (clen + 3 * f) % 50 + 4
+            assert got[(doc, f)] == (ln, ln * ((clen + 7 * f) % 251))
+    assert all(idx % 2 == 0 for (_, idx) in got)
+
+
+def test_mp4_audio_track_extraction(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        sample_mp4_frames,
+        with_mp4_payload,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 12)], "doc_id long, text string")
+    rows = sample_mp4_frames(
+        with_mp4_payload(df, "text", "doc_id"), handler="soun", stride=1
+    ).collect()
+    clen = 12
+    assert len(rows) == clen % 11 + 3
+    for r in rows:
+        ln = (clen + 5 * r.frame_idx) % 17 + 1
+        assert (r.frame_len, r.frame_sum) == (
+            ln, ln * ((clen + 11 * r.frame_idx) % 251)
+        )
