@@ -336,9 +336,12 @@ def decode_audio_meta(
 
     Output: (id_col, byte_len, sample_rate, n_channels, n_samples,
     duration_ms). `decode_backend='wav'` is a real parse of RIFF/PCM16
-    bytes (functions/wav.py); compressed codecs (mp3/flac/ogg) need
-    libraries absent from this container and raise NotImplementedError
-    at the decode site.
+    bytes (functions/wav.py); `decode_backend='mp3'` is a real MPEG-1
+    Layer III frame-header walk (functions/mp3.py — ID3v2 skip,
+    bitrate/samplerate tables, spec frame-length formula; mono, 1152
+    samples/frame). Codecs beyond those (flac/ogg/aac sample DECODE)
+    need libraries absent from this container and raise
+    NotImplementedError at the decode site.
     """
     out_schema = T.StructType(
         [df.schema[id_col]] + list(AUDIO_META_SCHEMA.fields)
@@ -348,10 +351,39 @@ def decode_audio_meta(
         from redskins_rule_spark.functions.wav import decode_wav
 
         for pdf in batches:
+            if decode_backend == "mp3":
+                from redskins_rule_spark.functions.mp3 import (
+                    SAMPLES_PER_FRAME,
+                    parse_mp3,
+                )
+
+                rows = []
+                for b in pdf[payload_col]:
+                    if b is None:
+                        rows.append((None,) * 5)
+                        continue
+                    m = parse_mp3(bytes(b))
+                    rows.append(
+                        (len(b), m.sample_rate, 1,
+                         m.n_frames * SAMPLES_PER_FRAME, m.duration_ms)
+                    )
+                meta_df = pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+                )
+                for col, dt in (
+                    ("byte_len", "Int64"), ("sample_rate", "Int32"),
+                    ("n_channels", "Int32"), ("n_samples", "Int64"),
+                    ("duration_ms", "Int64"),
+                ):
+                    meta_df[col] = pd.array(meta_df[col], dtype=dt)
+                meta_df.insert(0, id_col, pdf[id_col].values)
+                yield meta_df
+                continue
             if decode_backend != "wav":
                 raise NotImplementedError(
-                    "audio decode beyond PCM16 WAV requires a codec library "
-                    "not present in this environment; plug it in here"
+                    "audio sample DECODE beyond PCM16 WAV requires a codec "
+                    "library not present in this environment (mp3 FRAMING "
+                    "has a real path: decode_backend='mp3'); plug it in here"
                 )
             rows = []
             for b in pdf[payload_col]:
@@ -644,6 +676,135 @@ def sample_mp4_frames(
                     "frame_idx": pd.array(idxs, dtype="int32"),
                     "frame_len": pd.array(lens, dtype="int32"),
                     "frame_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# --- compressed audio framing (MP3 / MPEG-1 Layer III) ---------------------
+
+MP3_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("id3_bytes", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_kbps", T.LongType()),
+        T.StructField("is_vbr", T.BooleanType()),
+    ]
+)
+
+
+def with_mp3_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL compressed-audio payload column: a valid
+    MPEG-1 Layer III frame stream per row (functions/mp3.py — ID3v2
+    tag + spec-sized frames), derived deterministically from the
+    source column's CHARACTER length via `synth_mp3` (CBR when
+    clen % 4 == 0, VBR otherwise) — so integer arithmetic predicts
+    stream size, frame count, duration, and bitrate stats while the
+    decode side walks real sync words and length formulas."""
+    from redskins_rule_spark.functions.mp3 import synth_mp3
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp3(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_mp3_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bitrate-level stream stats per MP3 payload: frame count, exact
+    duration, summed per-frame bitrate (for exact-integer average
+    computation downstream), and a VBR flag — the header-walk-only
+    cheap path (no frame bodies touched)."""
+    out_schema = T.StructType([df.schema[id_col]] + list(MP3_STATS_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.mp3 import parse_mp3
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 7)
+                    continue
+                m = parse_mp3(bytes(b))
+                rows.append(
+                    (len(b), m.id3_bytes, m.n_frames, m.sample_rate,
+                     m.duration_ms, sum(m.bitrates_kbps), m.is_vbr)
+                )
+            meta = pd.DataFrame(
+                rows, columns=[f.name for f in MP3_STATS_SCHEMA.fields]
+            )
+            for col, dt in (
+                ("byte_len", "Int64"), ("id3_bytes", "Int32"),
+                ("n_frames", "Int32"), ("sample_rate", "Int32"),
+                ("duration_ms", "Int64"), ("sum_kbps", "Int64"),
+                ("is_vbr", "boolean"),
+            ):
+                meta[col] = pd.array(meta[col], dtype=dt)
+            meta.insert(0, id_col, pdf[id_col].values)
+            yield meta
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def sample_mp3_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = 1,
+) -> DataFrame:
+    """REAL frame extraction: slice every `stride`-th Layer III frame
+    body out of the stream by the spec length formula and emit
+    (frame_idx, body_len, body_sum) — proving the walk reads payload
+    bytes. Layer III DECODE of those bodies (huffman/IMDCT) stays the
+    documented seam."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("body_len", T.IntegerType()),
+            T.StructField("body_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.mp3 import extract_frames
+
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for i_row in range(len(pdf)):
+                b = pdf[payload_col].iloc[i_row]
+                if b is None:
+                    continue
+                for fi, body in extract_frames(bytes(b), stride=stride):
+                    ids.append(pdf[id_col].iloc[i_row])
+                    idxs.append(fi)
+                    lens.append(len(body))
+                    sums.append(sum(body))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "body_len": pd.array(lens, dtype="int32"),
+                    "body_sum": pd.array(sums, dtype="int64"),
                 }
             )
 

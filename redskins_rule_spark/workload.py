@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
-    "q187_mp4_meta", "q188_mp4_frames",
+    "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8522,3 +8522,92 @@ def q188_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp4 = with_mp4_payload(docs, "text", "doc_id")
     return sample_mp4_frames(mp4, "payload", "doc_id", handler="vide", stride=2)
+
+
+# ---------------------------------------------------------------------------
+# q189/q190: REAL compressed-audio framing — MPEG-1 Layer III (MP3).
+# Same seam-split as q187's MP4: the FRAMING half (ID3v2 skip, sync
+# words, bitrate/samplerate tables, the 144·bitrate/rate+pad length
+# formula) is public ISO/IEC 11172-3 header layout and now real pure
+# Python (functions/mp3.py); Layer III audio DECODE (huffman/IMDCT)
+# remains the seam. synth_mp3 derives everything from character
+# length — CBR stream when clen % 4 == 0, VBR otherwise — so the
+# oracle predicts stream size (ID3 + Σ spec frame lengths), duration
+# (1152-sample frames at 32 kHz → exactly 36 ms each), bitrate sums
+# and the VBR flag (q189), and per-frame body lengths + byte sums
+# sliced out of the stream (q190).
+# ---------------------------------------------------------------------------
+
+_MP3_KBPS_SQL = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+
+
+@query(
+    "q189_mp3_meta",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 13 + 2 AS n,
+                      CASE WHEN length(text) % 4 = 0 THEN 0 ELSE 1 END AS step
+               FROM documents WHERE text IS NOT NULL),
+         k AS (SELECT doc_id, clen, n, step,
+                      list_transform(generate_series(0, n - 1), i ->
+                        list_extract({_MP3_KBPS_SQL},
+                                     (clen + step * i) % 14 + 1)) AS kbps
+               FROM g)
+    SELECT doc_id,
+           CAST(10 + clen % 29
+                + list_sum(list_transform(kbps, b -> 9 * b // 2))
+                + list_sum(list_transform(generate_series(0, n - 1),
+                                          i -> (clen + i) % 2))
+             AS BIGINT) AS byte_len,
+           CAST(10 + clen % 29 AS INTEGER) AS id3_bytes,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(32000 AS INTEGER) AS sample_rate,
+           CAST(36 * n AS BIGINT) AS duration_ms,
+           CAST(list_sum(kbps) AS BIGINT) AS sum_kbps,
+           (step = 1) AS is_vbr
+    FROM k
+    """,
+)
+def q189_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp3_stats,
+        with_mp3_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp3 = with_mp3_payload(docs, "text", "doc_id")
+    return decode_mp3_stats(mp3, "payload", "doc_id")
+
+
+@query(
+    "q190_mp3_frames",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 13 + 2 AS n,
+                      CASE WHEN length(text) % 4 = 0 THEN 0 ELSE 1 END AS step
+               FROM documents WHERE text IS NOT NULL),
+         fr AS (SELECT doc_id, clen, step,
+                       unnest(generate_series(0, n - 1)) AS f
+                FROM g),
+         b AS (SELECT doc_id, f,
+                      9 * list_extract({_MP3_KBPS_SQL},
+                                       (clen + step * f) % 14 + 1) // 2
+                        + (clen + f) % 2 - 4 AS blen,
+                      (clen + 13 * f) % 251 AS fill
+               FROM fr WHERE f % 3 = 0)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(blen AS INTEGER) AS body_len,
+           CAST(blen * fill AS BIGINT) AS body_sum
+    FROM b
+    """,
+)
+def q190_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        sample_mp3_frames,
+        with_mp3_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp3 = with_mp3_payload(docs, "text", "doc_id")
+    return sample_mp3_frames(mp3, "payload", "doc_id", stride=3)

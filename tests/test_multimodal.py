@@ -247,7 +247,12 @@ def test_audio_non_wav_backend_is_explicit_stub(spark):
     )
 
     df = with_wav_payload(_docs(spark), "text")
+    # flac has no framing path: explicit stub
     with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio_meta(df, decode_backend="flac").collect()
+    # mp3 IS real since round 7 — on a WAV payload it is a real parse
+    # failure (lost sync), not a stub
+    with pytest.raises(Exception, match="sync|ValueError"):
         decode_audio_meta(df, decode_backend="mp3").collect()
 
 
@@ -1579,3 +1584,130 @@ def test_mp4_audio_track_extraction(spark):
         assert (r.frame_len, r.frame_sum) == (
             ln, ln * ((clen + 11 * r.frame_idx) % 251)
         )
+
+
+# --- MP3 (MPEG-1 Layer III) framing codec ----------------------------------
+
+
+def test_mp3_roundtrip_and_length_formula():
+    from redskins_rule_spark.functions.mp3 import (
+        BITRATE_KBPS,
+        extract_frames,
+        frame_length,
+        parse_mp3,
+        synth_mp3,
+    )
+
+    for clen in (0, 1, 4, 8, 9, 23, 100, 997):
+        data = synth_mp3(clen)
+        m = parse_mp3(data)
+        n = clen % 13 + 2
+        step = 0 if clen % 4 == 0 else 1
+        bis = [(clen + step * i) % 14 + 1 for i in range(n)]
+        assert m.n_frames == n and m.sample_rate == 32000
+        assert m.duration_ms == 36 * n  # 1152 samples @ 32 kHz exactly
+        assert m.id3_bytes == 10 + clen % 29
+        assert m.bitrates_kbps == tuple(BITRATE_KBPS[b - 1] for b in bis)
+        assert m.is_vbr == (clen % 4 != 0)
+        assert len(data) == m.id3_bytes + sum(m.frame_lengths)
+        for fi, body in extract_frames(data):
+            exp = frame_length(bis[fi], 2, (clen + fi) % 2) - 4
+            assert body == bytes([(clen + 13 * fi) % 251]) * exp
+
+
+def test_mp3_truncation_contract_frame_boundaries_are_valid():
+    """MP3 is a self-delimiting frame stream: a prefix ending exactly
+    on a frame boundary IS a valid (shorter) stream — real decoders
+    accept truncated files the same way. Every OTHER cut point must
+    raise ValueError."""
+    from redskins_rule_spark.functions.mp3 import parse_mp3, synth_mp3
+
+    full = synth_mp3(23)
+    m = parse_mp3(full)
+    boundaries = set()
+    off = m.id3_bytes
+    for fl in m.frame_lengths:
+        off += fl
+        boundaries.add(off)  # includes len(full) itself
+    for cut in range(len(full)):
+        if cut in boundaries:
+            short = parse_mp3(full[:cut])
+            assert short.n_frames < m.n_frames
+            assert short.frame_lengths == m.frame_lengths[: short.n_frames]
+        else:
+            with pytest.raises(ValueError):
+                parse_mp3(full[:cut])
+
+
+def test_mp3_profile_gates_and_bad_streams():
+    import struct
+
+    from redskins_rule_spark.functions.mp3 import parse_mp3, synth_mp3
+
+    full = bytearray(synth_mp3(8))
+    start = parse_mp3(bytes(full)).id3_bytes
+    # flip version bits to MPEG-2 (10): profile gate names the profile
+    (word,) = struct.unpack(">I", full[start : start + 4])
+    mpeg2 = struct.pack(">I", (word & ~(0b11 << 19)) | (0b10 << 19))
+    with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+        parse_mp3(bytes(full[:start]) + mpeg2 + bytes(full[start + 4 :]))
+    # layer II
+    layer2 = struct.pack(">I", (word & ~(0b11 << 17)) | (0b10 << 17))
+    with pytest.raises(ValueError, match="Layer III"):
+        parse_mp3(bytes(full[:start]) + layer2 + bytes(full[start + 4 :]))
+    # garbage after the last frame loses sync
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(bytes(full) + b"\x00\x00\x00\x00")
+    # ID3 size bytes must be syncsafe
+    bad_id3 = bytearray(full)
+    bad_id3[6] |= 0x80
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3(bytes(bad_id3))
+
+
+def test_mp3_byte_flip_fuzz_raises_only_valueerror():
+    from redskins_rule_spark.functions.mp3 import extract_frames, synth_mp3
+
+    full = bytearray(synth_mp3(23))
+    for pos in range(len(full)):
+        for flip in (0x01, 0xFF):
+            data = bytes(
+                full[:pos] + bytes([full[pos] ^ flip]) + full[pos + 1 :]
+            )
+            try:
+                extract_frames(data)
+            except ValueError:
+                pass
+
+
+def test_mp3_payload_decode_spark(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_mp3_stats,
+        sample_mp3_frames,
+        with_mp3_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 8), (2, "b" * 9)], "doc_id long, text string"
+    )
+    mp3 = with_mp3_payload(df, "text", "doc_id")
+    stats = {r.doc_id: r for r in decode_mp3_stats(mp3).collect()}
+    # clen=8: CBR (8%4==0), n=8%13+2=10 frames, bitrate idx 8%14+1=9 → 128 kbps
+    assert stats[1].n_frames == 10 and stats[1].is_vbr is False
+    assert stats[1].sum_kbps == 10 * 128 and stats[1].duration_ms == 360
+    # clen=9: VBR, n=11
+    assert stats[2].n_frames == 11 and stats[2].is_vbr is True
+    # the generic audio-meta face shares the parser (seam closed in place)
+    meta = {r.doc_id: r for r in
+            decode_audio_meta(mp3, decode_backend="mp3").collect()}
+    assert meta[1].n_samples == 10 * 1152 and meta[1].sample_rate == 32000
+    assert meta[1].n_channels == 1 and meta[1].duration_ms == 360
+    # frame extraction: stride 3 keeps frames 0,3,6,9
+    rows = [r for r in sample_mp3_frames(mp3, stride=3).collect() if r.doc_id == 1]
+    assert sorted(r.frame_idx for r in rows) == [0, 3, 6, 9]
+    from redskins_rule_spark.functions.mp3 import frame_length
+
+    for r in rows:
+        exp = frame_length((8 + 0) % 14 + 1, 2, (8 + r.frame_idx) % 2) - 4
+        assert (r.body_len, r.body_sum) == (exp, exp * ((8 + 13 * r.frame_idx) % 251))
