@@ -359,6 +359,110 @@ def bigram_lm_nll(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+    seed: int = 7,
+    out: str = "log_importance",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Data Selection via
+    Importance Resampling, Xie et al., NeurIPS 2023 — public method):
+    score each document by how much more likely its hashed n-gram
+    features are under a TARGET-domain bag-of-buckets model than under
+    the RAW corpus model, then keep the high-importance tail.
+
+      features  g ∈ unigrams ∪ bigrams of lowercase [a-z] words
+      bucket    b(g) = rolling_hash('<seed>:' || g) mod n_buckets
+                (cross-engine integer hash — functions/hashing.py)
+      weight    log w(x) = Σ_g [ln(n_t[b(g)]+1) − ln(n_r[b(g)]+1)]
+                           + |g(x)|·[ln(N_r+B) − ln(N_t+B)]
+                (Laplace-smoothed bucket unigram models; n_t counts
+                 grams of target docs, n_r counts ALL docs' grams)
+
+    Output: (id_col, n_grams, `out` rounded 4dp, keep = out > 0) —
+    keep selects documents that look more target- than raw-like;
+    resampling to an exact budget composes with the sampling
+    operators (weighted_sample_aes / with_global_index on the weight).
+    Documents with zero [a-z] words carry no features and drop out,
+    like `bigram_lm_nll`'s < 2-word docs.
+
+    Plan shape (the bigram_lm_nll pattern): ONE explode → hash agg to
+    (doc, bucket, k) — the only corpus-sized shuffle — then both
+    bucket histograms come from WINDOW sums over that same frame
+    (bucket-grain keys, B ≪ corpus), and the two corpus totals ride
+    as a broadcast single-row agg. Single-log-per-term keeps both
+    engines summing identical terms so the 4-decimal contract holds.
+    At 100 TB: B stays a few thousand, so the histogram state is KB;
+    nothing here is corpus×corpus.
+    """
+    from pyspark.sql import Window
+
+    from redskins_rule_spark.functions.hashing import rolling_hash
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    toks = df.select(
+        F.col(id_col), is_target.alias("__tgt"), words.alias("w")
+    ).where(F.size("w") >= 1)
+    grams = toks.select(
+        id_col,
+        "__tgt",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.expr(
+                    "transform(sequence(2, size(w)), i -> concat(w[i-2], ' ', w[i-1]))"
+                ),
+            )
+        ).alias("g"),
+    )
+    db = (
+        grams.withColumn(
+            "b",
+            rolling_hash(F.concat(F.lit(f"{seed}:"), F.col("g")))
+            % F.lit(n_buckets),
+        )
+        .groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    totals = db.agg(
+        F.sum("k").alias("n_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("k")).otherwise(F.lit(0))).alias(
+            "n_tgt"
+        ),
+    )
+    wb = Window.partitionBy("b")
+    scored = (
+        db.withColumn("nr", F.sum("k").over(wb))
+        .withColumn(
+            "nt",
+            F.sum(
+                F.when(F.col("__tgt"), F.col("k")).otherwise(F.lit(0))
+            ).over(wb),
+        )
+        .join(F.broadcast(totals))
+    )
+    # + 0.0 collapses IEEE negative zero (ROUND can yield -0.0 from a
+    # tiny negative sum; engines disagree on rendering it)
+    w = F.round(
+        F.sum(F.col("k") * (F.log(F.col("nt") + 1) - F.log(F.col("nr") + 1)))
+        + F.sum("k")
+        * (
+            F.log(F.first("n_raw") + F.lit(n_buckets))
+            - F.log(F.first("n_tgt") + F.lit(n_buckets))
+        ),
+        4,
+    ) + F.lit(0.0)
+    return scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_grams"),
+        w.alias(out),
+    ).withColumn("keep", F.col(out) > 0)
+
+
 # PII scrubbing: compliance pass every web-corpus pipeline runs before
 # training. Patterns are deliberately written in the RE2-compatible
 # subset (no backrefs/lookarounds) so the same pattern string runs

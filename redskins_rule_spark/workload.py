@@ -508,6 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
+    "q191_dsir_weights",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8611,3 +8612,56 @@ def q190_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp3 = with_mp3_payload(docs, "text", "doc_id")
     return sample_mp3_frames(mp3, "payload", "doc_id", stride=3)
+
+
+# ---------------------------------------------------------------------------
+# q191: DSIR-style data selection — hashed n-gram importance
+# resampling weights (Xie et al., NeurIPS 2023; public method). The
+# target domain is the corpus's English subset (lang = 'en'); every
+# document is scored by the log-ratio of Laplace-smoothed hashed-
+# bucket models target-vs-raw over its unigram+bigram features. The
+# bucket hash is the cross-engine rolling-hash family, so bucket
+# assignment matches bit-for-bit; single-log-per-term summation keeps
+# the 4-decimal rounding contract (the q124 pattern).
+# ---------------------------------------------------------------------------
+
+_Q191_ROLL = _sql_roll_of("('7:' || g)")
+
+
+@query(
+    "q191_dsir_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     t -> t <> '') AS w
+                  FROM documents),
+         gr AS (SELECT doc_id, lang,
+                       unnest(w || list_transform(generate_series(2, len(w)),
+                                    i -> w[i-1] || ' ' || w[i])) AS g
+                FROM toks WHERE len(w) >= 1),
+         db AS (SELECT doc_id, (lang = 'en') AS tgt,
+                       {_Q191_ROLL} % 256 AS b, COUNT(*) AS k
+                FROM gr GROUP BY 1, 2, 3),
+         hist AS (SELECT b, SUM(k) AS nr,
+                         SUM(CASE WHEN tgt THEN k ELSE 0 END) AS nt
+                  FROM db GROUP BY b),
+         tot AS (SELECT SUM(nr) AS n_raw, SUM(nt) AS n_tgt FROM hist),
+         sc AS (SELECT db.doc_id, SUM(db.k) AS n_grams,
+                       SUM(db.k * (ln(hist.nt + 1) - ln(hist.nr + 1))) AS s
+                FROM db JOIN hist USING (b) GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(s + n_grams * (ln(n_raw + 256) - ln(n_tgt + 256)), 4) + 0.0
+             AS log_importance,
+           (ROUND(s + n_grams * (ln(n_raw + 256) - ln(n_tgt + 256)), 4) > 0)
+             AS keep
+    FROM sc CROSS JOIN tot
+    """,
+)
+def q191_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import dsir_importance
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256, seed=7
+    )

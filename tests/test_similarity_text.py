@@ -1321,3 +1321,76 @@ def test_srp_hot_band_capped_by_max_postings(spark):
         ).collect()
     }
     assert capped2 == set(capped)  # cap is deterministic, not arrival-order
+
+
+# --- DSIR hashed n-gram importance weights ---------------------------------
+
+
+def _py_roll(s: str, base: int = 257, mod: int = 2147483647) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % mod
+    return acc
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Exact parity with an independent Python implementation of the
+    DSIR bucket-model formula on a hand-built corpus (2 target docs
+    sharing a vocabulary, 2 raw-only docs, 1 mixed, 1 no-letters doc
+    that must drop out)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.text import dsir_importance
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown dog runs", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+        (4, "le renard brun rapide", "fr"),
+        (5, "the quick renard", "de"),  # raw doc with target-like text
+        (6, "12345 !!!", "zh"),  # no [a-z] words -> drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(
+            df, "doc_id", "text", F.col("lang") == "en", n_buckets=16, seed=7
+        ).collect()
+    }
+    assert 6 not in got
+
+    # independent reference
+    def grams(text):
+        w = [t for t in re.split("[^a-z]+", text.lower()) if t]
+        return w + [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+
+    bucket = lambda g: _py_roll(f"7:{g}") % 16
+    nt, nr = Counter(), Counter()
+    for _id, text, lang in rows:
+        for g in grams(text):
+            b = bucket(g)
+            nr[b] += 1
+            if lang == "en":
+                nt[b] += 1
+    NR, NT = sum(nr.values()), sum(nt.values())
+    for _id, text, lang in rows:
+        gs = grams(text)
+        if not gs:
+            continue
+        s = sum(math.log(nt[bucket(g)] + 1) - math.log(nr[bucket(g)] + 1) for g in gs)
+        s += len(gs) * (math.log(NR + 16) - math.log(NT + 16))
+        expect = round(s, 4) + 0.0
+        assert got[_id].n_grams == len(gs)
+        assert got[_id].log_importance == pytest.approx(expect, abs=1e-9), _id
+        assert got[_id].keep == (expect > 0)
+
+    # semantics: target-vocabulary docs score above the foreign docs,
+    # and the raw doc sharing target vocabulary lands in between
+    assert got[1].log_importance > 0 and got[2].log_importance > 0
+    assert got[3].log_importance < got[5].log_importance
+    assert got[4].log_importance < got[1].log_importance

@@ -49,6 +49,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q94_ewma": "EWMA is per-user; spine build is month-grain",
         "q104_bpe_segment": "merge ranking over vocab-sized table",
         "q124_bigram_lm": "false positive: windows partition by bigram/head; the SinglePartition exchange is the 1-row vocabulary-size aggregate",
+        "q191_dsir_weights": "false positive: windows partition by hash bucket; the SinglePartition exchange is the 1-row corpus-totals aggregate",
         "q139_budget_mix": "waterfill cumsum over the source-grain relation (one row per source)",
         "q153_rrf_fusion": "rank windows over top-20 lists (k-bounded by the limit beneath)",
     },
@@ -67,6 +68,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         # join condition blk_a <= blk_b bounds it at B(B+1)/2 pairs
         "q22_embedding_dups": "block-pair join over B=16 collected blocks (B^2-bounded)",
         "q124_bigram_lm": "cross join with the 1-row vocabulary-size aggregate",
+        "q191_dsir_weights": "cross join with the 1-row (N_raw, N_tgt) corpus-totals aggregate",
         "q130_price_histogram": "cross join with the 1-row (min,max) bounds aggregate",
         "q138_triangles": "assembly of three 1-row count aggregates",
         "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
