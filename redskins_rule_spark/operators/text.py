@@ -97,6 +97,110 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_10_words: int = 1,
+    max_bullet_per_10_lines: int = 9,
+    max_ellipsis_per_10_lines: int = 3,
+    min_alpha_per_5_words: int = 4,
+    min_stopword_kinds: int = 2,
+    required_stopwords: list[str] | None = None,
+) -> dict[str, Column]:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher' §A1.1 — public method; also
+    the C4/RefinedWeb family's rule core): per-document booleans for
+    the classic web-corpus pre-filter, plus the counts they derive
+    from. Returns a dict: n_words, n_lines and one `*_ok` Column per
+    rule; AND of the `*_ok`s is the Gopher keep decision.
+
+    Every threshold is evaluated in INTEGER arithmetic (e.g.
+    "symbol-to-word ratio ≤ 0.1" as 10·symbols ≤ words·k) so the
+    booleans are bit-identical across engines — no float boundary can
+    flip a rule. All expression-only (JVM codegen; no UDFs):
+
+      words_ok     min_words ≤ |words| ≤ max_words
+      mean_len_ok  min_mwl·|words| ≤ Σ word chars ≤ max_mwl·|words|
+      symbol_ok    10·(#'#' + #'...') ≤ k·|words|
+      bullet_ok    10·lines starting -/*/• ≤ k·|lines|
+      ellipsis_ok  10·lines ending .../… ≤ k·|lines|
+      alpha_ok     5·words containing [A-Za-z] ≥ k·|words|
+      stop_ok      ≥ k distinct required stopwords present
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(tokens(c), lambda t: t != "")
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbols = (n_hash + n_ellipsis).cast("long")
+    alpha_words = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+    lower_words = F.transform(words, F.lower)
+    sw = required_stopwords or GOPHER_REQUIRED_STOPWORDS
+    stop_kinds = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in sw]),
+            lambda w: F.array_contains(lower_words, w),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_len_ok": (
+            (word_chars >= F.lit(min_mean_word_len) * n_words)
+            & (word_chars <= F.lit(max_mean_word_len) * n_words)
+        ),
+        "symbol_ok": F.lit(10) * symbols
+        <= F.lit(max_symbol_per_10_words) * n_words,
+        "bullet_ok": F.lit(10) * bullet_lines
+        <= F.lit(max_bullet_per_10_lines) * n_lines,
+        "ellipsis_ok": F.lit(10) * ellipsis_lines
+        <= F.lit(max_ellipsis_per_10_lines) * n_lines,
+        "alpha_ok": F.lit(5) * alpha_words
+        >= F.lit(min_alpha_per_5_words) * n_words,
+        "stop_ok": stop_kinds >= min_stopword_kinds,
+    }
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", keep_col: str = "gopher_pass", **kw
+) -> DataFrame:
+    """Attach every Gopher rule boolean plus the AND-of-all keep flag.
+    Map-side only — at 100 TB this is a pure scan stage that fuses
+    into whatever shuffle follows."""
+    rules = gopher_rules(text_col, **kw)
+    out = df
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    ok_cols = [n for n in rules if n.endswith("_ok")]
+    keep = ok_cols[0]
+    expr = F.col(keep)
+    for n in ok_cols[1:]:
+        expr = expr & F.col(n)
+    return out.withColumn(keep_col, expr)
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: stopword_hits(col, LANG_PROFILES[lang]) for lang in LANG_ORDER}
 

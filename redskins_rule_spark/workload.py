@@ -508,7 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
-    "q191_dsir_weights",
+    "q191_dsir_weights", "q192_gopher_rules",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8664,4 +8664,70 @@ def q191_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dsir_importance(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256, seed=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192: Gopher-style rule-based quality filtering (Rae et al. 2021
+# §A1.1; the C4/RefinedWeb rule core — public method). Each rule is a
+# named boolean; the keep decision is their AND. Every threshold is
+# INTEGER arithmetic (10·symbols ≤ k·words etc.), so no float
+# boundary can flip a rule cross-engine — the whole stage is
+# expression-only map-side work that fuses into the scan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q192_gopher_rules",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS w,
+             string_split(text, chr(10)) AS ls
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             len(ls) AS n_lines,
+             coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS wc,
+             len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bl,
+             len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS el,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+             len(list_filter(['the','and','of','to','a','in','is','it'],
+                             s -> list_contains(list_transform(w, t -> lower(t)), s))) AS sk
+      FROM d)
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_lines AS INTEGER) AS n_lines,
+           (n_words >= 5 AND n_words <= 100000) AS words_ok,
+           (wc >= 3 * n_words AND wc <= 10 * n_words) AS mean_len_ok,
+           (10 * sym <= n_words) AS symbol_ok,
+           (10 * bl <= 9 * n_lines) AS bullet_ok,
+           (10 * el <= 3 * n_lines) AS ellipsis_ok,
+           (5 * aw >= 4 * n_words) AS alpha_ok,
+           (sk >= 2) AS stop_ok,
+           ((n_words >= 5 AND n_words <= 100000)
+            AND (wc >= 3 * n_words AND wc <= 10 * n_words)
+            AND (10 * sym <= n_words)
+            AND (10 * bl <= 9 * n_lines)
+            AND (10 * el <= 3 * n_lines)
+            AND (5 * aw >= 4 * n_words)
+            AND (sk >= 2)) AS gopher_pass
+    FROM m
+    """,
+)
+def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import gopher_filter
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from redskins_rule_spark.operators.text import LANG_PROFILES
+
+    return gopher_filter(
+        docs, "text", min_words=5, required_stopwords=LANG_PROFILES["en"]
+    ).select(
+        "doc_id", "n_words", "n_lines", "words_ok", "mean_len_ok",
+        "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok",
+        "gopher_pass",
     )

@@ -1394,3 +1394,52 @@ def test_dsir_importance_matches_python_reference(spark):
     assert got[1].log_importance > 0 and got[2].log_importance > 0
     assert got[3].log_importance < got[5].log_importance
     assert got[4].log_importance < got[1].log_importance
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One hand-built document per rule violation; the clean doc
+    passes everything. Thresholds are integer arithmetic, so each
+    boundary case is exact."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.text import gopher_filter
+
+    rows = [
+        (1, "the cat and dog sat of the mat with tea"),       # clean
+        (2, "the cat"),                                        # too few words
+        (3, "the of and aa bb " + "x" * 200),                  # mean len > 10
+        (4, "the of and one two ### #### hash heavy ok"),      # symbols
+        (5, "- a\n- b\n- c\n- d\nthe of and plain line here"), # bullets 4/5 lines
+        (6, "end one...\nend two...\nthe of and plain here"),  # ellipsis 2/3 lines
+        (7, "the of 11 22 33 44 55 66 77 88"),                 # alpha 2/10 words
+        (8, "cat dog sat mat tea cup pot lid jar tin"),        # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in gopher_filter(df, "text", min_words=5).collect()
+    }
+    assert got[1].gopher_pass
+    assert all(
+        got[1][c]
+        for c in ("words_ok", "mean_len_ok", "symbol_ok", "bullet_ok",
+                  "ellipsis_ok", "alpha_ok", "stop_ok")
+    )
+    assert not got[2].words_ok and not got[2].gopher_pass
+    assert not got[3].mean_len_ok and not got[3].gopher_pass
+    # doc 4: 10 words, '#'x7 -> 10*7 > 1*10
+    assert not got[4].symbol_ok and not got[4].gopher_pass
+    # doc 5: 4 bullet lines of 5 -> 40 > 9*5=45? no: 40 <= 45 passes;
+    # recompute: bullet rule is <= 0.9 so 4/5 passes — make it fail
+    # via the stricter check below instead
+    assert got[5].n_lines == 5
+    assert not got[6].ellipsis_ok and not got[6].gopher_pass
+    assert not got[7].alpha_ok and not got[7].gopher_pass
+    assert not got[8].stop_ok and not got[8].gopher_pass
+    # bullet rule boundary: 10 lines, 10 bullets -> 100 > 90 fails
+    df2 = spark.createDataFrame(
+        [(9, "\n".join("- b%d the of and" % i for i in range(10)))],
+        "doc_id long, text string",
+    )
+    g9 = gopher_filter(df2, "text", min_words=5).collect()[0]
+    assert not g9.bullet_ok and not g9.gopher_pass
