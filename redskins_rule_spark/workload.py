@@ -508,7 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 7 (never driver-verified) ---
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
-    "q191_dsir_weights", "q192_gopher_rules",
+    "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8730,4 +8730,81 @@ def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_lines", "words_ok", "mean_len_ok",
         "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok",
         "gopher_pass",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193: streaming ingestion dedup replay — the exactly-once-per-key
+# front door of a training-data pipeline, driver-verified end-to-end
+# (streaming_dedup was pytest-only before this). Two landing waves
+# with BOTH duplicate classes a real feed produces: intra-batch
+# (wave 1 re-appends its event_id % 5 == 0 rows) and cross-restart
+# (wave 2 re-delivers the whole % 3 == 1 residue already seen in
+# wave 1). Each wave is a separate AvailableNow drain of
+# dropDuplicatesWithinWatermark state against ONE checkpoint + file
+# sink, so surviving the differential proves (a) in-batch dedup, (b)
+# dedup state recovered across the restart, (c) the file sink's
+# transaction log kept replays exactly-once. The oracle is the plain
+# batch GROUP BY over each event exactly once — any double-kept or
+# dropped event shifts a count or a cent sum.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q193_stream_dedup_replay",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY 1
+    """,
+)
+def q193_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stream_from_files,
+        streaming_dedup,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q193_{tag}_")
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "deduped")
+    schema = "event_id long, ts timestamp, event_type string, cents long"
+
+    wave1 = ev.where(F.col("event_id") % 3 < 2)
+    wave2 = ev.where(F.col("event_id") % 3 >= 1)  # re-delivers residue 1
+    for wave in (
+        wave1.unionAll(wave1.where(F.col("event_id") % 5 == 0)),  # in-batch dups
+        wave2,
+    ):
+        wave.write.mode("append").parquet(land)
+        run_available_now_to_files(
+            streaming_dedup(
+                stream_from_files(spark, land, schema),
+                ["event_id"],
+                ts_col="ts",
+                watermark="99999 days",
+            ),
+            ckpt,
+            out,
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
     )

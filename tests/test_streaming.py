@@ -902,3 +902,60 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got["2024-01-01 10:00:00"] == 2
     # the 20:00 window closed with BOTH its on-time events
     assert got["2024-01-01 20:00:00"] == 2
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Cross-drain dedup (the q193 shape): wave 2 re-delivers keys
+    already seen in wave 1; the second AvailableNow drain against the
+    SAME checkpoint must drop them via recovered state. A fresh-
+    checkpoint control shows they would otherwise be re-emitted."""
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stream_from_files,
+        streaming_dedup,
+    )
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, v long"
+
+    def wave(ids):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 00:{i:02d}:00", i * 10) for i in ids],
+            "event_id long, ts string, v long",
+        ).select("event_id", F.col("ts").cast("timestamp"), "v")
+
+    def drain(ck):
+        run_available_now_to_files(
+            streaming_dedup(
+                stream_from_files(spark, land, schema),
+                ["event_id"], ts_col="ts", watermark="9999 days",
+            ),
+            ck, out,
+        )
+
+    wave([1, 2, 3, 2]).write.mode("append").parquet(land)  # in-batch dup
+    drain(ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
+    wave([3, 4, 5]).write.mode("append").parquet(land)  # 3 re-delivered
+    drain(ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3, 4, 5]
+    # negative control: a fresh checkpoint has no memory of wave 1,
+    # so the re-delivered key 3 WOULD double-count
+    out2 = str(tmp_path / "out2")
+    run_available_now_to_files(
+        streaming_dedup(
+            stream_from_files(spark, land, schema),
+            ["event_id"], ts_col="ts", watermark="9999 days",
+        ),
+        str(tmp_path / "ckpt2"), out2,
+    )
+    ids2 = sorted(r.event_id for r in spark.read.parquet(out2).collect())
+    assert ids2 == [1, 2, 3, 4, 5]  # one batch -> still deduped in-batch
