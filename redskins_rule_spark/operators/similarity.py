@@ -1337,3 +1337,90 @@ def knn_candidates_blocked(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def axis_cell(vec: Column, n_cells: int) -> Column:
+    """Deterministic cluster assignment against FIXED axis-aligned
+    centroids (the unit basis vectors e_0..e_{n_cells-1}): cell =
+    argmax_i v[i]/‖v‖, exact ties to the HIGHER index — the same
+    pinned rule q30's IVF oracle uses, so any SQL engine reproduces
+    the partition bit-for-bit. Stands in for trained k-means cells
+    wherever the differential needs a replayable clustering; swap in
+    `train_ivf_centroids` + `ivf_assign` when determinism can be
+    engine-local."""
+    v = vec.cast("array<double>")
+    n = norm(v)
+    scores = [F.round(v[i] / n, 6) for i in range(n_cells)]
+    best = F.greatest(*scores)
+    expr = F.lit(0)
+    for i in range(n_cells):  # ascending: later (higher) index wins ties
+        expr = F.when(scores[i] == best, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 4,
+    threshold: float = 0.97,
+    round_dp: int = 4,
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic dedup of an embedding corpus by clustering, then removing
+    all-but-one of each near-identical group WITHIN a cluster — the
+    pairwise search never crosses cluster boundaries, which is the
+    method's whole scale point.
+
+    Survivor rule (pinned): id x dies iff some SMALLER id in its cell
+    has ROUND(cos, round_dp) ≥ threshold. Deterministic and
+    SQL-replayable; diverges from the paper's greedy-ball sweep only
+    on chains (a~b, b~c, a≁c kills both b and c — the standard
+    order-greedy approximation).
+
+    Output: (id_col, cell, survived) for every input row.
+
+    Scale contract: the within-cell self-join is O(Σ |cell|²). Cell
+    sizes are checked first (one bucket-grain aggregate) and any cell
+    over `max_cell_rows` raises with the remedy — more cells, or feed
+    this cell through `cosine_pairs_blocked(strategy='copartition')`
+    — rather than letting one hot cell quadratically absorb the
+    cluster (the §11.61/§11.63 guard-in-code pattern).
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("cell", axis_cell(F.col("__v"), n_cells))
+    sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.where(F.col("n") > max_cell_rows).collect()  # n_cells rows
+    if hot:
+        worst = max(r.n for r in hot)
+        raise ValueError(
+            f"semdedup: {len(hot)} cell(s) exceed max_cell_rows="
+            f"{max_cell_rows} (largest {worst}); raise n_cells, raise the "
+            "budget, or run the hot cells through "
+            "cosine_pairs_blocked(strategy='copartition')"
+        )
+    a = base.select(
+        "cell", F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        "cell", F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    killed = (
+        a.join(b, "cell")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_dp)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        killed.withColumn("__dead", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("__dead"), F.lit(True)).alias("survived"),
+    )

@@ -509,6 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
+    "q194_semdedup",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8807,4 +8808,66 @@ def q193_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("total_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194: SemDeDup — semantic dedup of an embedding corpus (Abbas et
+# al. 2023; public method): cluster, then remove all-but-one of each
+# near-identical group WITHIN a cluster, never comparing across
+# clusters. Cells are the pinned axis-aligned assignment q30's IVF
+# oracle established (argmax v[i]/‖v‖, 6dp, ties to higher index) so
+# both engines partition identically; near-dups are planted by
+# appending a deterministically perturbed copy of every 7th vector
+# (v[j] + 0.01·(j mod 3), id + 1,000,000) — the copy usually lands in
+# its source's cell and dies under the smaller-id-survives rule, plus
+# 14 natural pairs at sf0.01 cross the 0.45 rounded-cosine threshold.
+# The operator's hot-cell guard (max_cell_rows) is the §11.63
+# checked-contract pattern: one n_cells-row aggregate, raise with the
+# remedy before a hot cell can absorb the cluster quadratically.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q194_semdedup",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dup AS (SELECT vec_id + 1000000 AS vec_id,
+                        list_transform(generate_series(1, len(v)),
+                                       j -> v[j] + 0.01 * ((j - 1) % 3)) AS v
+                 FROM base WHERE vec_id % 7 = 0),
+         e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+         cells AS (SELECT vec_id, v, {_SQL_CELL_SIM} FROM e),
+         assigned AS (
+           SELECT vec_id, v, CASE{_SQL_CELL_PICK} END AS cell
+           FROM (SELECT cells.*, greatest(s0, s1, s2, s3) AS best FROM cells)),
+         killed AS (
+           SELECT DISTINCT b.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ROUND(
+                   list_reduce(list_transform(generate_series(1, len(a.v)),
+                               j -> a.v[j] * b.v[j]), (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                           (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                           (acc, x) -> acc + x))), 4) >= 0.45)
+    SELECT a.vec_id,
+           CAST(a.cell AS INTEGER) AS cell,
+           (k.vec_id IS NULL) AS survived
+    FROM assigned a LEFT JOIN killed k USING (vec_id)
+    """,
+)
+def q194_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import semdedup_survivors
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(v, (x, j) -> x + 0.01 * (j % 3))").alias("v"),
+    )
+    corpus = base.unionByName(dup)
+    return semdedup_survivors(
+        corpus, "vec_id", "v", n_cells=4, threshold=0.45
     )

@@ -1443,3 +1443,41 @@ def test_gopher_rules_each_rule_fires(spark):
     )
     g9 = gopher_filter(df2, "text", min_words=5).collect()[0]
     assert not g9.bullet_ok and not g9.gopher_pass
+
+
+def test_semdedup_survivors_hand_computed(spark):
+    """Pinned SemDeDup semantics on hand-built vectors: cell = argmax
+    axis (ties to higher index), smaller id survives, chains kill all
+    later members (order-greedy), cross-cell near-dups are NEVER
+    compared, and the hot-cell guard raises with the remedy."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cell 0
+        (2, [1.0, 0.01, 0.0, 0.0]),   # cell 0, ~dup of 1 -> dies
+        (3, [1.0, 0.02, 0.0, 0.0]),   # cell 0, ~dup of 1 and 2 -> dies
+        (4, [0.0, 1.0, 0.0, 0.0]),    # cell 1, survives
+        (5, [0.0, 0.0, 1.0, 0.001]),  # cell 2
+        (6, [0.0, 0.0, 1.0, 0.0]),    # cell 2, ~dup of 5 -> dies
+        (7, [0.0, 0.0, 0.0, 1.0]),    # cell 3 — near 5/6 in id space,
+                                      # different cell: never compared
+        (8, [0.5, 0.5, 0.5, 0.5]),    # exact 4-way tie -> cell 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: r
+        for r in semdedup_survivors(
+            df, "vec_id", "v", n_cells=4, threshold=0.97
+        ).collect()
+    }
+    assert [got[i].cell for i in (1, 4, 5, 7)] == [0, 1, 2, 3]
+    assert got[8].cell == 3  # tie pinned to the HIGHEST index
+    assert {i: got[i].survived for i in sorted(got)} == {
+        1: True, 2: False, 3: False, 4: True,
+        5: True, 6: False, 7: True, 8: True,
+    }
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semdedup_survivors(df, "vec_id", "v", n_cells=4, max_cell_rows=2)
