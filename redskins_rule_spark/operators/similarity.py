@@ -1366,6 +1366,7 @@ def semdedup_survivors(
     threshold: float = 0.97,
     round_dp: int = 4,
     max_cell_rows: int = 200_000,
+    max_cell_pairs: int = 500_000_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     semantic dedup of an embedding corpus by clustering, then removing
@@ -1381,24 +1382,37 @@ def semdedup_survivors(
 
     Output: (id_col, cell, survived) for every input row.
 
-    Scale contract: the within-cell self-join is O(Σ |cell|²). Cell
-    sizes are checked first (one bucket-grain aggregate) and any cell
-    over `max_cell_rows` raises with the remedy — more cells, or feed
-    this cell through `cosine_pairs_blocked(strategy='copartition')`
-    — rather than letting one hot cell quadratically absorb the
-    cluster (the §11.61/§11.63 guard-in-code pattern).
+    Scale contract: the within-cell self-join is O(Σ |cell|²), so the
+    binding budget is PAIR volume, not row count — a 57k-row cell
+    passes any sane row cap yet costs 1.6e9 dot products. Cell sizes
+    are checked first (one n_cells-row aggregate) and the call raises
+    with the remedy — more cells, or feed hot cells through
+    `cosine_pairs_blocked(strategy='copartition')` — when any cell
+    exceeds `max_cell_rows` OR the summed pair count exceeds
+    `max_cell_pairs` (the §11.61/§11.63 guard-in-code pattern: fail
+    with corrective parameters before the wall-clock dies).
     """
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("cell", axis_cell(F.col("__v"), n_cells))
-    sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-    hot = sizes.where(F.col("n") > max_cell_rows).collect()  # n_cells rows
-    if hot:
-        worst = max(r.n for r in hot)
+    sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    hot = [r for r in sizes if r.n > max_cell_rows]  # ≤ n_cells rows
+    total_pairs = sum(r.n * (r.n - 1) // 2 for r in sizes)
+    if hot or total_pairs > max_cell_pairs:
+        worst = max(r.n for r in sizes) if sizes else 0
+        need = max(len(sizes), 1)
+        while True:
+            # uniform-split estimate of the cell count that fits the budget
+            est = need * ((worst * len(sizes) // need) ** 2) // 2
+            if est <= max_cell_pairs or need > 1 << 20:
+                break
+            need *= 2
         raise ValueError(
-            f"semdedup: {len(hot)} cell(s) exceed max_cell_rows="
-            f"{max_cell_rows} (largest {worst}); raise n_cells, raise the "
-            "budget, or run the hot cells through "
+            f"semdedup: cell budget exceeded (largest cell {worst} rows"
+            f"{' > max_cell_rows=' + str(max_cell_rows) if hot else ''}; "
+            f"{total_pairs} within-cell pairs vs max_cell_pairs="
+            f"{max_cell_pairs}); raise n_cells to ~{need}, raise the "
+            "budget, or run hot cells through "
             "cosine_pairs_blocked(strategy='copartition')"
         )
     a = base.select(

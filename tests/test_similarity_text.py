@@ -1481,3 +1481,20 @@ def test_semdedup_survivors_hand_computed(spark):
     }
     with pytest.raises(ValueError, match="max_cell_rows"):
         semdedup_survivors(df, "vec_id", "v", n_cells=4, max_cell_rows=2)
+
+
+def test_semdedup_pair_budget_binds_before_row_cap(spark):
+    """The quadratic guard: a cell can satisfy the row cap while its
+    pair volume is already fatal — the pair budget must fire and the
+    message must carry a corrective n_cells estimate."""
+    import pytest
+
+    from redskins_rule_spark.operators.similarity import semdedup_survivors
+
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="max_cell_pairs.*n_cells"):
+        semdedup_survivors(
+            df, "vec_id", "v", n_cells=4,
+            max_cell_rows=1000, max_cell_pairs=100,
+        )
