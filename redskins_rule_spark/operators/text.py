@@ -869,3 +869,47 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
         F.sum(F.lit(1.0) / (F.lit(k) + F.col(rank_col))).alias(out_col),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "entropy",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) + type-token
+    ratio — the classic repetition/gibberish signal pair: template
+    spam has low entropy at normal length, random noise has TTR ≈ 1
+    at abnormal entropy. Tokenization = lowercase [a-z] runs (the
+    bigram_lm_nll convention).
+
+      H(doc) = ln n − (Σ_t k_t·ln k_t)/n   (n tokens, k_t per type)
+      ttr    = |types| / n
+
+    The single-log-per-term form keeps both engines summing identical
+    ln(k) terms (the q124 contract, 4dp); ttr is exact-rational →
+    4dp. Plan shape: one explode → (doc, token) hash agg → doc-grain
+    agg. Nothing leaves the document grain, so this scales as a pure
+    two-level aggregation.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(words).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return dt.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (
+            F.round(
+                F.log(F.sum("k"))
+                - F.sum(F.col("k") * F.log("k")) / F.sum("k"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias(out),
+        F.round(F.count(F.lit(1)) / F.sum("k"), 4).alias("ttr"),
+    )

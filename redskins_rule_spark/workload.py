@@ -509,7 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
-    "q194_semdedup",
+    "q194_semdedup", "q195_token_entropy",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -538,8 +538,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q100_hopping_windows", "q108_sessionize", "q109_jaccard_capped",
     "q123_png_decode", "q129_dedup_keep_best", "q133_curation_funnel",
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
-    # 43 explicit entries above; the remaining ~7 window slots fill from
-    # registration order (q02..), all driver-green in r01/r02.
+    # 52 explicit entries above — two more than the 50-entry driver
+    # window, so the LAST two back-catalog canaries intentionally
+    # overflow; they rotate back in next round.
 ]
 
 
@@ -8871,3 +8872,35 @@ def q194_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_survivors(
         corpus, "vec_id", "v", n_cells=4, threshold=0.45
     )
+
+
+# ---------------------------------------------------------------------------
+# q195: per-document token entropy + type-token ratio — the
+# repetition/gibberish quality signal pair (template spam = low H at
+# normal length; noise = TTR ≈ 1). Single-log-per-term (ln n −
+# Σ k·ln k / n) under the q124 4-decimal contract; TTR exact-rational.
+# Two-level aggregation, nothing leaves the document grain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q195_token_entropy",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS t
+                  FROM documents WHERE text IS NOT NULL),
+         dt AS (SELECT doc_id, t, COUNT(*) AS k FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(ln(SUM(k)) - SUM(k * ln(k)) / SUM(k), 4) + 0.0 AS entropy,
+           ROUND(COUNT(*) / CAST(SUM(k) AS DOUBLE), 4) AS ttr
+    FROM dt GROUP BY doc_id
+    """,
+)
+def q195_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import token_entropy
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return token_entropy(docs, "doc_id", "text")

@@ -1498,3 +1498,26 @@ def test_semdedup_pair_budget_binds_before_row_cap(spark):
             df, "vec_id", "v", n_cells=4,
             max_cell_rows=1000, max_cell_pairs=100,
         )
+
+
+def test_token_entropy_hand_computed(spark):
+    """Exact entropy/TTR on hand-built docs: uniform tokens → ln k,
+    single repeated token → 0, and a mixed case against the closed
+    form. Python's math.log is the same ln both engines use."""
+    import math
+
+    from redskins_rule_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a b c d"),            # 4 uniform -> H = ln 4, ttr 1
+        (2, "spam spam spam"),     # 1 type -> H = 0, ttr 1/3
+        (3, "x x y"),              # H = ln3 - (2 ln2)/3
+        (4, "The THE the"),        # lowercased -> one type
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1].n_tokens == 4 and got[1].n_types == 4
+    assert got[1].entropy == round(math.log(4), 4) and got[1].ttr == 1.0
+    assert got[2].entropy == 0.0 and got[2].ttr == 0.3333
+    assert got[3].entropy == round(math.log(3) - 2 * math.log(2) / 3, 4)
+    assert got[4].n_types == 1 and got[4].entropy == 0.0
