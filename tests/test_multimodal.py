@@ -1711,3 +1711,56 @@ def test_mp3_payload_decode_spark(spark):
     for r in rows:
         exp = frame_length((8 + 0) % 14 + 1, 2, (8 + r.frame_idx) % 2) - 4
         assert (r.body_len, r.body_sum) == (exp, exp * ((8 + 13 * r.frame_idx) % 251))
+
+
+def test_mp4_faststart_layout_and_unknown_boxes():
+    """Real-world files are often 'fast-start' (moov BEFORE mdat) and
+    carry boxes we don't know (free/udta). The parser must be
+    layout-independent — chunk offsets are absolute file offsets — and
+    skip unknown boxes by size. Built by reordering the encoder's
+    output and patching stco accordingly."""
+    import struct
+
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4,
+    )
+
+    data = synth_mp4(10)  # video-only (10 % 3 != 0)
+    # split top-level boxes
+    boxes, off = [], 0
+    while off < len(data):
+        (sz,) = struct.unpack(">I", data[off : off + 4])
+        boxes.append((data[off + 4 : off + 8], data[off : off + sz]))
+        off += sz
+    parts = dict(boxes)
+    ftyp, mdat, moov = parts[b"ftyp"], parts[b"mdat"], parts[b"moov"]
+    free = struct.pack(">I4s", 8 + 6, b"free") + b"PADPAD"
+    # new layout: ftyp | free | moov | free | mdat
+    # old mdat payload started at len(ftyp)+8; new start shifts by
+    # 2*len(free)+len(moov)
+    delta = 2 * len(free) + len(moov)
+    moov2 = bytearray(moov)
+    # patch every stco entry (single chunk, entry at a fixed pattern:
+    # locate 'stco' and adjust the one offset that follows)
+    i = moov2.find(b"stco")
+    while i != -1:
+        # fullbox verflags(4) + count(4) then offsets
+        (cnt,) = struct.unpack(">I", moov2[i + 8 : i + 12])
+        for j in range(cnt):
+            p = i + 12 + 4 * j
+            (v,) = struct.unpack(">I", moov2[p : p + 4])
+            moov2[p : p + 4] = struct.pack(">I", v + delta)
+        i = moov2.find(b"stco", i + 4)
+    fast = ftyp + free + bytes(moov2) + free + mdat
+    m_orig, m_fast = parse_mp4(data), parse_mp4(fast)
+    assert m_fast.duration == m_orig.duration
+    assert m_fast.mdat_bytes == m_orig.mdat_bytes
+    vt_o = next(t for t in m_orig.tracks if t.handler == "vide")
+    vt_f = next(t for t in m_fast.tracks if t.handler == "vide")
+    assert vt_f.sample_sizes == vt_o.sample_sizes
+    # the extracted sample BYTES are identical despite the move
+    assert [s for _, s in extract_samples(fast, vt_f)] == [
+        s for _, s in extract_samples(data, vt_o)
+    ]
