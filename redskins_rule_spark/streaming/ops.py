@@ -350,6 +350,33 @@ _PIT_ENRICH_SCHEMA = (
 _PIT_ENRICH_STATE = "vts array<bigint>, vid array<bigint>, vval array<double>"
 
 
+def run_available_now_update_appends(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+) -> None:
+    """Drain an UPDATE-mode stateful stream (applyInPandasWithState
+    upserts) into an append-only parquet log via foreachBatch, with
+    full checkpoint recovery across calls — the upsert-log shape a
+    key-value sink consumes. File sinks reject update mode directly;
+    foreachBatch is the supported escape hatch (same shell the
+    maintained-view runners use). Downstream, 'latest row per key'
+    reconstructs the snapshot (each upsert carries a monotone
+    n_changes, so argmax by it is the current state)."""
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_pit_enrich(
     tagged: DataFrame,
     max_versions: int = 16,

@@ -509,7 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q185_ann_label_noise", "q186_jpeg_progressive",
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
-    "q194_semdedup", "q195_token_entropy",
+    "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8904,3 +8904,87 @@ def q195_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return token_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q196: streaming CDC latest-wins replay — drives the LAST un-driver-
+# verified stateful face (stateful_cdc_latest, applyInPandasWithState)
+# through the oracle. Two landing waves split by event-id parity; the
+# second wave RE-DELIVERS every (even, %11==0) change already applied
+# in wave 1 — the at-least-once upstream a CDC pipeline actually
+# faces — so the hash proves (ts,event_id)-ordered merge never
+# regresses on replays, state recovers across the restart, and the
+# update-mode upsert log (foreachBatch append, file sinks reject
+# update directly) reconstructs the exact snapshot via latest-
+# n_changes per key. n_changes counts DELIVERED rows (including
+# replays), mirrored exactly by the oracle's UNION ALL.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q196_stream_cdc_replay",
+    oracle="""
+    WITH delivered AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 2 = 0 AND event_id % 11 = 0
+    ),
+    ranked AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM delivered)
+    SELECT user_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE ROUND(value, 2) END AS current_value,
+           ts_us AS updated_at_us,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           (event_type = 'error') AS deleted
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q196_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_update_appends,
+        stateful_cdc_latest,
+        stream_from_files,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q196_{tag}_")
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "upserts")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    waves = (
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1).unionByName(
+            # at-least-once upstream: re-deliver already-applied changes
+            ev.where((F.col("event_id") % 2 == 0) & (F.col("event_id") % 11 == 0))
+        ),
+    )
+    for wave in waves:
+        wave.write.mode("append").parquet(land)
+        run_available_now_update_appends(
+            stateful_cdc_latest(stream_from_files(spark, land, schema)),
+            ckpt,
+            out,
+        )
+    log = spark.read.parquet(out)
+    # latest upsert per key IS the snapshot: n_changes is monotone
+    return log.groupBy("user_id").agg(
+        F.expr("max_by(current_value, n_changes)").alias("current_value"),
+        F.expr("max_by(updated_at_us, n_changes)").alias("updated_at_us"),
+        F.max("n_changes").alias("n_changes"),
+        F.expr("max_by(deleted, n_changes)").alias("deleted"),
+    )

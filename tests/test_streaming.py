@@ -959,3 +959,67 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     )
     ids2 = sorted(r.event_id for r in spark.read.parquet(out2).collect())
     assert ids2 == [1, 2, 3, 4, 5]  # one batch -> still deduped in-batch
+
+
+def test_cdc_latest_replay_across_restart(spark, tmp_path):
+    """The q196 shape in miniature: update-mode upsert log via
+    foreachBatch, one checkpoint, two drains; wave 2 re-delivers an
+    already-applied change AND a stale one — neither may regress the
+    snapshot, and n_changes counts delivered rows including replays."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_update_appends,
+        stateful_cdc_latest,
+        stream_from_files,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(spec):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(minutes=m), uid, et, v)
+                for eid, m, uid, et, v in spec
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    # wave 1: u1 two upserts; u2 upsert
+    rows([(0, 0, 1, "view", 10.0), (1, 5, 1, "view", 20.0),
+          (2, 0, 2, "view", 7.0)]).write.mode("append").parquet(land)
+    run_available_now_update_appends(
+        stateful_cdc_latest(stream_from_files(spark, land, schema)), ckpt, out
+    )
+    # wave 2: re-deliver event 1 (already applied), a STALE u1 change,
+    # and a delete for u2
+    rows([(1, 5, 1, "view", 20.0), (3, 2, 1, "view", 99.0),
+          (4, 9, 2, "error", 0.0)]).write.mode("append").parquet(land)
+    run_available_now_update_appends(
+        stateful_cdc_latest(stream_from_files(spark, land, schema)), ckpt, out
+    )
+    log = spark.read.parquet(out)
+    final = {
+        r.user_id: r
+        for r in log.groupBy("user_id")
+        .agg(
+            F.expr("max_by(current_value, n_changes)").alias("current_value"),
+            F.max("n_changes").alias("n_changes"),
+            F.expr("max_by(deleted, n_changes)").alias("deleted"),
+        )
+        .collect()
+    }
+    assert final[1].current_value == 20.0  # replay + stale both ignored
+    assert final[1].n_changes == 4  # 2 + 2 delivered (replay counted)
+    assert final[1].deleted is False
+    assert final[2].current_value is None and final[2].deleted is True
+    assert final[2].n_changes == 2
