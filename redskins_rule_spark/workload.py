@@ -510,6 +510,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
     "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
+    "q197_stream_pit_replay",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -8987,4 +8988,90 @@ def q196_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(updated_at_us, n_changes)").alias("updated_at_us"),
         F.max("n_changes").alias("n_changes"),
         F.expr("max_by(deleted, n_changes)").alias("deleted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197: streaming point-in-time enrichment replay — the stream face
+# of q135 (stateful_pit_enrich, applyInPandasWithState append mode)
+# through the oracle. 'view' events are the dimension versions, all
+# other events the facts; two AvailableNow drains split BY EVENT TIME
+# (cut 2024-01-16), which pins at-arrival semantics to exact
+# event-time PIT semantics: every dim version a wave's facts can bind
+# (dim_ts <= fact_ts < cut) already landed in that wave or earlier,
+# so the hash-green differential proves the same-batch dims-first
+# ordering, the bisect version binding, and state recovery across the
+# restart all reproduce the batch operator. max_versions is set
+# effectively unbounded here — the oracle needs untrimmed semantics;
+# the bounded-state trim contract is pinned by pytest instead.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q197_stream_pit_replay",
+    oracle="""
+    WITH dims AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'view'),
+    facts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type <> 'view'),
+    bound AS (
+      SELECT f.user_id, f.event_id, f.ts_us, f.value AS fact_value,
+             d.value AS dim_value, d.ts_us AS dim_ts_us,
+             ROW_NUMBER() OVER (PARTITION BY f.user_id, f.event_id
+                                ORDER BY d.ts_us DESC, d.event_id DESC) AS rn
+      FROM facts f LEFT JOIN dims d
+        ON d.user_id = f.user_id AND d.ts_us <= f.ts_us)
+    SELECT user_id, event_id, ts_us,
+           ROUND(fact_value, 2) AS fact_value,
+           ROUND(dim_value, 2) AS dim_value,
+           dim_ts_us
+    FROM bound WHERE rn = 1
+    """,
+)
+def q197_stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stateful_pit_enrich,
+        stream_from_files,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "view").alias("is_dim"),
+        "value",
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q197_{tag}_")
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "enriched")
+    schema = (
+        "user_id long, event_id long, ts timestamp, is_dim boolean, "
+        "value double"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    for wave_filter in (F.col("ts") < cut, F.col("ts") >= cut):
+        ev.where(wave_filter).write.mode("append").parquet(land)
+        run_available_now_to_files(
+            stateful_pit_enrich(
+                stream_from_files(spark, land, schema),
+                max_versions=1_000_000,
+            ),
+            ckpt,
+            out,
+        )
+    return spark.read.parquet(out).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round("fact_value", 2).alias("fact_value"),
+        F.round("dim_value", 2).alias("dim_value"),
+        "dim_ts_us",
     )

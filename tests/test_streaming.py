@@ -1023,3 +1023,48 @@ def test_cdc_latest_replay_across_restart(spark, tmp_path):
     assert final[1].deleted is False
     assert final[2].current_value is None and final[2].deleted is True
     assert final[2].n_changes == 2
+
+
+def test_stateful_pit_enrich_max_versions_trims_oldest(spark, tmp_path):
+    """Bounded-state contract: with max_versions=2 only the two
+    LATEST dim versions survive, so a fact older than the kept window
+    emits NULL dim columns while an in-window fact binds normally."""
+    import datetime as dt
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stateful_pit_enrich,
+        stream_from_files,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # three dim versions, then facts in the same batch
+        (0, 0, True, 1.0), (1, 10, True, 2.0), (2, 20, True, 3.0),
+        (3, 5, False, 0.5),   # fact at t=5: eligible dim (t=0) TRIMMED -> NULL
+        (4, 25, False, 0.7),  # fact at t=25: binds dim t=20
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, eid, t0 + dt.timedelta(minutes=m), is_dim, v)
+            for eid, m, is_dim, v in rows
+        ],
+        "user_id long, event_id long, ts timestamp, is_dim boolean, value double",
+    )
+    land = str(tmp_path / "land")
+    df.write.parquet(land)
+    schema = (
+        "user_id long, event_id long, ts timestamp, is_dim boolean, "
+        "value double"
+    )
+    out = str(tmp_path / "out")
+    run_available_now_to_files(
+        stateful_pit_enrich(
+            stream_from_files(spark, land, schema), max_versions=2
+        ),
+        str(tmp_path / "ckpt"),
+        out,
+    )
+    got = {r.event_id: r for r in spark.read.parquet(out).collect()}
+    assert got[3].dim_value is None and got[3].dim_ts_us is None
+    assert got[4].dim_value == 3.0
