@@ -510,7 +510,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
     "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
-    "q197_stream_pit_replay",
+    "q197_stream_pit_replay", "q198_stream_totals_replay",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -9074,4 +9074,62 @@ def q197_stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fact_value", 2).alias("fact_value"),
         F.round("dim_value", 2).alias("dim_value"),
         "dim_ts_us",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198: streaming running-totals replay — the accumulator face
+# (stateful_running_totals, applyInPandasWithState update mode)
+# through the oracle: two waves, one checkpoint, upsert log via the
+# q196 runner, latest-n_events per key is the final state. The fact
+# value is fed as CENTS cast to double — float64 sums of integral
+# values are exact at any accumulation order, so the cross-engine
+# contract needs no rounding tolerance at all. (No replay wave here
+# on purpose: a counter face double-counts at-least-once upstreams by
+# design — q193's keyed dedup is the front door that owns replays.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q198_stream_totals_replay",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q198_stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_update_appends,
+        stateful_running_totals,
+        stream_from_files,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).alias("value"),  # integral doubles
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q198_{tag}_")
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "totals")
+    schema = "user_id long, event_id long, value double"
+    for wave_filter in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        ev.where(wave_filter).write.mode("append").parquet(land)
+        run_available_now_update_appends(
+            stateful_running_totals(stream_from_files(spark, land, schema)),
+            ckpt,
+            out,
+        )
+    log = spark.read.parquet(out)
+    return log.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
     )
