@@ -511,6 +511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
     "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
     "q197_stream_pit_replay", "q198_stream_totals_replay",
+    "q199_stream_join_replay",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -9132,4 +9133,94 @@ def q198_stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.expr("max_by(total_value, n_events)").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199: stream-stream interval-join replay — the last pytest-only
+# streaming face (stream_stream_join) through the oracle: clicks
+# joined to purchases by the same user within 1 hour AFTER the click.
+# Two event-time waves against one checkpoint; every cross-wave pair
+# (click in wave 1, purchase in wave 2) can only appear if the join
+# buffered the click in state across the restart, so the hash proves
+# the interval condition, both-side buffering, and recovery together.
+# Watermark is set far beyond the data span: eviction must not fire —
+# the BOUNDED-state behavior (eviction under a tight watermark) is
+# the pytest contract, the oracle needs the complete pair set.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q199_stream_join_replay",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id,
+           r.event_id AS r_event_id,
+           epoch_us(l.ts) AS ts_us,
+           epoch_us(r.ts) AS r_ts_us
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def q199_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stream_from_files,
+        stream_stream_join,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q199_{tag}_")
+    lland = os.path.join(root, "clicks")
+    rland = os.path.join(root, "purchases")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "pairs")
+    schema = "user_id long, event_id long, ts timestamp"
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    buys = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    # cut INSIDE some click->purchase window so at least one pair
+    # straddles the restart (bounded 1-row metadata collect); the
+    # oracle's pair set is wave-agnostic, so the cut only decides how
+    # much of the proof the replay exercises
+    r = buys.alias("r")
+    l = clicks.alias("l")
+    straddle = (
+        l.join(
+            r,
+            (F.col("r.user_id") == F.col("l.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .agg(F.min(F.col("r.ts")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    cut = F.lit(str(straddle) if straddle else "9999-01-01").cast("timestamp")
+    for wave_filter in (F.col("ts") < cut, F.col("ts") >= cut):
+        clicks.where(wave_filter).write.mode("append").parquet(lland)
+        buys.where(wave_filter).write.mode("append").parquet(rland)
+        run_available_now_to_files(
+            stream_stream_join(
+                stream_from_files(spark, lland, schema),
+                stream_from_files(spark, rland, schema),
+                key_cols=("user_id",),
+                within="1 hour",
+                watermark="3650 days",
+            ),
+            ckpt,
+            out,
+        )
+    return spark.read.parquet(out).select(
+        "user_id",
+        "event_id",
+        "r_event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.expr("unix_micros(r_ts)").alias("r_ts_us"),
     )

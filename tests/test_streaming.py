@@ -1068,3 +1068,55 @@ def test_stateful_pit_enrich_max_versions_trims_oldest(spark, tmp_path):
     got = {r.event_id: r for r in spark.read.parquet(out).collect()}
     assert got[3].dim_value is None and got[3].dim_ts_us is None
     assert got[4].dim_value == 3.0
+
+
+def test_stream_stream_join_buffers_across_restart(spark, tmp_path):
+    """A click landing in drain 1 must still pair with a purchase
+    landing in drain 2 (same checkpoint): the join's buffered state
+    survives the restart. Out-of-window purchases never pair."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        stream_from_files,
+        stream_stream_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def frame(spec):
+        return spark.createDataFrame(
+            [(uid, eid, t0 + dt.timedelta(minutes=m)) for uid, eid, m in spec],
+            "user_id long, event_id long, ts timestamp",
+        )
+
+    lland, rland = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def drain():
+        run_available_now_to_files(
+            stream_stream_join(
+                stream_from_files(spark, lland, schema),
+                stream_from_files(spark, rland, schema),
+                within="1 hour",
+                watermark="365 days",
+            ),
+            ckpt,
+            out,
+        )
+
+    # drain 1: clicks only — nothing can pair yet
+    frame([(1, 10, 0), (2, 20, 0)]).write.mode("append").parquet(lland)
+    frame([]).write.mode("append").parquet(rland)
+    drain()
+    assert spark.read.parquet(out).count() == 0
+    # drain 2: purchases — u1 in-window pairs with the BUFFERED click;
+    # u2's purchase is outside [ts, ts+1h] and must not pair
+    frame([(1, 11, 30), (2, 21, 90)]).write.mode("append").parquet(rland)
+    frame([]).write.mode("append").parquet(lland)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.user_id, r.event_id, r.r_event_id) for r in rows] == [(1, 10, 11)]
