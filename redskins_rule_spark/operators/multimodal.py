@@ -811,6 +811,189 @@ def sample_mp3_frames(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+# --- mixed-media front door: sniff + dispatch ------------------------------
+
+MEDIA_FORMATS = ("bmp", "png", "gif", "jpeg", "wav", "mp3", "mp4")
+
+
+def sniff_format(data: bytes) -> str:
+    """Container identification by magic bytes — the first stage of a
+    mixed-media ingestion front door. Returns one of MEDIA_FORMATS or
+    'unknown'. Pure prefix checks; never throws."""
+    if len(data) >= 8 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] >> 5) == 0b111
+    ):
+        return "mp3"
+    if data[:2] == b"BM":
+        return "bmp"
+    return "unknown"
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def sniff_media_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """The mixed-corpus decode front door: sniff each payload's format
+    by magic bytes, dispatch to the matching real codec, emit a
+    unified metadata row — images report (width, height), audio/video
+    report (n_frames, duration_ms), GIF reports all four. Unknown
+    magic → fmt='unknown'; a payload whose own codec REJECTS it
+    (truncation/corruption ValueError) → fmt='quarantined' — the
+    per-row attribution contract every codec in functions/ shares is
+    exactly what makes this dispatch safe (no exception class ever
+    kills the task). Arrow-batched mapInPandas; one payload resident
+    at a time."""
+    out_schema = T.StructType([df.schema[id_col]] + list(MEDIA_STATS_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.bmp import decode_bmp_meta
+        from redskins_rule_spark.functions.gif import decode_gif_meta
+        from redskins_rule_spark.functions.jpeg import decode_jpeg_gray
+        from redskins_rule_spark.functions.mp3 import parse_mp3
+        from redskins_rule_spark.functions.mp4 import parse_mp4
+        from redskins_rule_spark.functions.png import decode_png
+        from redskins_rule_spark.functions.wav import decode_wav
+
+        def one(data: bytes):
+            fmt = sniff_format(data)
+            w = h = nf = dur = None
+            try:
+                if fmt == "bmp":
+                    w, h, _depth = decode_bmp_meta(data)
+                elif fmt == "png":
+                    meta, _px = decode_png(data)
+                    w, h = meta.width, meta.height
+                elif fmt == "gif":
+                    m = decode_gif_meta(data)
+                    w, h, nf = m.width, m.height, m.n_frames
+                    dur = m.duration_cs * 10
+                elif fmt == "jpeg":
+                    w, h, _px = decode_jpeg_gray(data)
+                elif fmt == "wav":
+                    m, _samples = decode_wav(data)
+                    nf, dur = m.n_samples, m.duration_ms
+                elif fmt == "mp3":
+                    m = parse_mp3(data)
+                    nf, dur = m.n_frames, m.duration_ms
+                elif fmt == "mp4":
+                    m = parse_mp4(data)
+                    nf = sum(
+                        t.n_samples for t in m.tracks if t.handler == "vide"
+                    )
+                    dur = m.duration_ms
+            except ValueError:
+                return ("quarantined", None, None, None, None)
+            return (fmt, w, h, nf, dur)
+
+        for pdf in batches:
+            rows = [
+                ("missing", None, None, None, None)
+                if b is None
+                else one(bytes(b))
+                for b in pdf[payload_col]
+            ]
+            meta = pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields]
+            )
+            for col, dt in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("n_frames", "Int64"), ("duration_ms", "Int64"),
+            ):
+                meta[col] = pd.array(meta[col], dtype=dt)
+            meta.insert(0, id_col, pdf[id_col].values)
+            yield meta
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_mixed_media_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """One column, nine payload classes by `id % 9` — every real codec
+    family plus a truncated-MP4 (quarantine class) and a bad-magic
+    blob (unknown class). Each class reuses its family's established
+    deterministic generator, so the per-class oracles of
+    q23b/q123/q98/q165/q84/q189/q187 predict this mixed column too."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import encode_bmp
+    from redskins_rule_spark.functions.gif import encode_gif, synth_frames
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+    from redskins_rule_spark.functions.mp3 import synth_mp3
+    from redskins_rule_spark.functions.mp4 import synth_mp4
+    from redskins_rule_spark.functions.png import encode_png, synth_pixels
+    from redskins_rule_spark.functions.wav import encode_wav, synth_samples
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def make(doc_id: int, text: str) -> bytes:
+        clen = len(text)
+        r = doc_id % 9
+        if r == 0:
+            blen = len(text.encode("utf-8"))
+            w, h = blen % 31 + 1, blen % 17 + 1
+            ys = np.arange(h)[:, None, None]
+            xs = np.arange(w)[None, :, None]
+            cs = np.arange(3)[None, None, :]
+            return encode_bmp(((xs + ys + cs + blen) % 256).astype(np.uint8))
+        if r == 1:
+            w, h = clen % 13 + 1, clen % 7 + 1
+            return encode_png(synth_pixels(clen, w, h), w, h)
+        if r == 2:
+            w, h, nf = clen % 16 + 2, clen % 11 + 2, clen % 5 + 1
+            return encode_gif(synth_frames(clen, nf, w, h), w, h, delay_cs=4)
+        if r == 3:
+            wb, hb = clen % 4 + 1, clen % 3 + 1
+            return encode_jpeg_gray(synth_dc_blocks(clen, wb, hb), wb, hb)
+        if r == 4:
+            return encode_wav(synth_samples(clen, clen % 97 + 8), 8000, 1)
+        if r == 5:
+            return synth_mp3(clen)
+        if r == 6:
+            return synth_mp4(clen)
+        if r == 7:  # quarantine class: every mp4 prefix raises
+            full = synth_mp4(clen)
+            return full[: max(10, len(full) // 2)]
+        return b"\x00\x00??" + text.encode("utf-8")  # unknown magic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[src_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(make(int(doc_id), str(text)))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
 # --- image (PNG, DEFLATE-compressed) --------------------------------------
 
 

@@ -511,7 +511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
     "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
     "q197_stream_pit_replay", "q198_stream_totals_replay",
-    "q199_stream_join_replay",
+    "q199_stream_join_replay", "q200_media_front_door",
     # --- round-7 TOUCHED (hash or implementation changed this round,
     #     so r06-green status is stale): q180's payload hash CHANGED
     #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
@@ -9224,3 +9224,61 @@ def q199_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("ts_us"),
         F.expr("unix_micros(r_ts)").alias("r_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200: mixed-media ingestion front door — ONE binary column carrying
+# all seven real codec families (doc_id % 9 picks bmp/png/gif/jpeg/
+# wav/mp3/mp4) plus a truncated-MP4 quarantine class and a bad-magic
+# unknown class; `sniff_media_stats` magic-byte-routes every payload
+# to its codec and emits a unified metadata row. This is the corpus
+# shape a real multimodal crawl has — formats interleaved in one
+# column, corrupt rows present — and the shared ValueError contract
+# is what makes the dispatch safe (a codec REJECTING its own format
+# quarantines the row instead of killing the task). Each branch's
+# arithmetic is its family's established oracle
+# (q23b/q123/q98/q165/q84/q189/q187) assembled into one CASE.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q200_media_front_door",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen,
+                      octet_length(encode(text)) AS blen,
+                      doc_id % 9 AS r
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+      CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+             WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
+             WHEN 6 THEN 'mp4' WHEN 7 THEN 'quarantined'
+             ELSE 'unknown' END AS fmt,
+      CAST(CASE r WHEN 0 THEN blen % 31 + 1 WHEN 1 THEN clen % 13 + 1
+                  WHEN 2 THEN clen % 16 + 2
+                  WHEN 3 THEN (clen % 4 + 1) * 8 END AS INTEGER) AS width,
+      CAST(CASE r WHEN 0 THEN blen % 17 + 1 WHEN 1 THEN clen % 7 + 1
+                  WHEN 2 THEN clen % 11 + 2
+                  WHEN 3 THEN (clen % 3 + 1) * 8 END AS INTEGER) AS height,
+      CAST(CASE r WHEN 2 THEN clen % 5 + 1 WHEN 4 THEN clen % 97 + 8
+                  WHEN 5 THEN clen % 13 + 2
+                  WHEN 6 THEN clen % 7 + 2 END AS BIGINT) AS n_frames,
+      CAST(CASE r WHEN 2 THEN (clen % 5 + 1) * 40
+                  WHEN 4 THEN (clen % 97 + 8) // 8
+                  WHEN 5 THEN 36 * (clen % 13 + 2)
+                  WHEN 6 THEN CASE WHEN clen % 3 = 0
+                                    AND 23 * (clen % 11 + 3)
+                                        > 40 * (clen % 7 + 2)
+                                   THEN 23 * (clen % 11 + 3)
+                                   ELSE 40 * (clen % 7 + 2) END
+             END AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def q200_media_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        sniff_media_stats,
+        with_mixed_media_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mixed = with_mixed_media_payload(docs, "text", "doc_id")
+    return sniff_media_stats(mixed, "payload", "doc_id")

@@ -1764,3 +1764,57 @@ def test_mp4_faststart_layout_and_unknown_boxes():
     assert [s for _, s in extract_samples(fast, vt_f)] == [
         s for _, s in extract_samples(data, vt_o)
     ]
+
+
+# --- mixed-media sniff + dispatch front door --------------------------------
+
+
+def test_sniff_format_magic_bytes():
+    from redskins_rule_spark.functions.gif import encode_gif, synth_frames
+    from redskins_rule_spark.functions.mp3 import synth_mp3
+    from redskins_rule_spark.functions.mp4 import synth_mp4
+    from redskins_rule_spark.functions.png import encode_png, synth_pixels
+    from redskins_rule_spark.functions.wav import encode_wav, synth_samples
+    from redskins_rule_spark.operators.multimodal import sniff_format
+
+    assert sniff_format(encode_png(synth_pixels(9, 2, 2), 2, 2)) == "png"
+    assert sniff_format(encode_gif(synth_frames(9, 1, 2, 2), 2, 2)) == "gif"
+    assert sniff_format(encode_wav(synth_samples(9, 4), 8000, 1)) == "wav"
+    assert sniff_format(synth_mp3(9)) == "mp3"
+    assert sniff_format(synth_mp3(8)) == "mp3"  # ID3-led
+    assert sniff_format(synth_mp4(9)) == "mp4"
+    assert sniff_format(b"BM\x00\x00") == "bmp"
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"\x00\x00??junk") == "unknown"
+    assert sniff_format(b"") == "unknown"
+    # a bare MP3 frame header (no ID3) still sniffs via sync bits
+    frame_led = synth_mp3(8)
+    meta_start = 10 + 8 % 29
+    assert sniff_format(frame_led[meta_start:]) == "mp3"
+
+
+def test_media_front_door_dispatch_and_quarantine(spark):
+    """Every class of the mixed column routes to its codec; the
+    truncated-MP4 class quarantines instead of failing the task; the
+    bad-magic class reports unknown."""
+    from redskins_rule_spark.operators.multimodal import (
+        sniff_media_stats,
+        with_mixed_media_payload,
+    )
+
+    # doc_id == residue class for easy assertions; text len 10
+    df = spark.createDataFrame(
+        [(i, "abcdefghij") for i in range(9)], "doc_id long, text string"
+    )
+    mixed = with_mixed_media_payload(df, "text", "doc_id")
+    got = {r.doc_id: r for r in sniff_media_stats(mixed).collect()}
+    clen = blen = 10
+    assert (got[0].fmt, got[0].width, got[0].height) == ("bmp", blen % 31 + 1, blen % 17 + 1)
+    assert (got[1].fmt, got[1].width, got[1].height) == ("png", clen % 13 + 1, clen % 7 + 1)
+    assert (got[2].fmt, got[2].n_frames, got[2].duration_ms) == ("gif", clen % 5 + 1, (clen % 5 + 1) * 40)
+    assert (got[3].fmt, got[3].width, got[3].height) == ("jpeg", (clen % 4 + 1) * 8, (clen % 3 + 1) * 8)
+    assert (got[4].fmt, got[4].n_frames) == ("wav", clen % 97 + 8)
+    assert (got[5].fmt, got[5].n_frames) == ("mp3", clen % 13 + 2)
+    assert (got[6].fmt, got[6].n_frames) == ("mp4", clen % 7 + 2)
+    assert got[7].fmt == "quarantined" and got[7].width is None
+    assert got[8].fmt == "unknown" and got[8].duration_ms is None
