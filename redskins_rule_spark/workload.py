@@ -540,9 +540,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q100_hopping_windows", "q108_sessionize", "q109_jaccard_capped",
     "q123_png_decode", "q129_dedup_keep_best", "q133_curation_funnel",
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
-    # 52 explicit entries above — two more than the 50-entry driver
-    # window, so the LAST two back-catalog canaries intentionally
-    # overflow; they rotate back in next round.
+    # 57 explicit entries above — seven more than the 50-entry driver
+    # window: all 16 round-7 registrations and every hash-sensitive
+    # sentinel fit inside the window, so the LAST seven back-catalog
+    # canaries intentionally overflow; they rotate back in next round.
 ]
 
 
