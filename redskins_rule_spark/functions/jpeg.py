@@ -1286,3 +1286,24 @@ def _decode_ac_refine(br, coeffs, ss, se, al, tree) -> None:
                         blk[k] += p1 if blk[k] >= 0 else -p1
                 k += 1
             eobrun -= 1
+
+
+def decode_jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) of a JPEG payload under WHICHEVER of this
+    module's real profiles accepts it — the dispatch face the
+    mixed-media sniffer needs (ADVICE r7: routing every JPEG to the
+    gray profile misreported valid color/progressive payloads as
+    'quarantined'). Profiles are tried gray -> color -> progressive;
+    a payload every profile rejects raises the last ValueError, so
+    'quarantined' now means corrupt-or-out-of-profile rather than
+    merely non-gray. Trying decoders (not just sniffing the SOF
+    marker) keeps the contract that a reported payload actually
+    DECODES under the named profile."""
+    last: ValueError | None = None
+    for dec in (decode_jpeg_gray, decode_jpeg_color, decode_jpeg_progressive):
+        try:
+            w, h, _px = dec(data)
+            return w, h
+        except ValueError as e:
+            last = e
+    raise last if last is not None else ValueError("not a JPEG")

@@ -373,6 +373,12 @@ def sample_locations(track: Mp4Track) -> list[tuple[int, int]]:
     for i, (first, per_chunk) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
         for chunk in range(first, last + 1):
+            if chunk < 1:
+                # stsc chunk numbers are 1-based (ISO 14496-12 §8.7.4);
+                # a corrupt first_chunk=0 would otherwise wrap
+                # chunk_offsets[-1] into a silently wrong offset
+                # instead of the strict-parser ValueError (ADVICE r7)
+                raise ValueError("mp4: stsc chunk number below 1")
             if chunk > n_chunks:
                 raise ValueError("mp4: stsc refers past stco chunk count")
             off = track.chunk_offsets[chunk - 1]

@@ -868,7 +868,7 @@ def sniff_media_stats(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from redskins_rule_spark.functions.bmp import decode_bmp_meta
         from redskins_rule_spark.functions.gif import decode_gif_meta
-        from redskins_rule_spark.functions.jpeg import decode_jpeg_gray
+        from redskins_rule_spark.functions.jpeg import decode_jpeg_dims
         from redskins_rule_spark.functions.mp3 import parse_mp3
         from redskins_rule_spark.functions.mp4 import parse_mp4
         from redskins_rule_spark.functions.png import decode_png
@@ -888,7 +888,10 @@ def sniff_media_stats(
                     w, h, nf = m.width, m.height, m.n_frames
                     dur = m.duration_cs * 10
                 elif fmt == "jpeg":
-                    w, h, _px = decode_jpeg_gray(data)
+                    # profile chain gray -> color -> progressive
+                    # (ADVICE r7): valid color/progressive JPEGs are
+                    # real decodes here, not 'quarantined'
+                    w, h = decode_jpeg_dims(data)
                 elif fmt == "wav":
                     m, _samples = decode_wav(data)
                     nf, dur = m.n_samples, m.duration_ms

@@ -136,9 +136,18 @@ def _resolve_num_blocks(
     `validate=False` + explicit num_blocks — zero pre-scans."""
     if num_blocks is not None and not validate:
         return num_blocks, None
-    head = df.select(
-        F.size(F.col(vec_col).cast("array<double>")).alias("dim")
-    ).first()
+    # dim from one NON-NULL vector (ADVICE r7): an arbitrary first()
+    # could sample a null row and silently disable the byte budget
+    # (dim=0). Still one row, still metadata-cheap. On a RAGGED corpus
+    # the sampled dim (hence the auto-derived block count) depends on
+    # which row wins the limit-1 race — embedding corpora are fixed-dim
+    # by contract, and the hard 2 GB packed-row ceiling still fails
+    # loudly if raggedness defeats the estimate.
+    head = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col).cast("array<double>")).alias("dim"))
+        .first()
+    )
     dim = (head["dim"] if head is not None else 0) or 0
     n = df.count()
     per_row = dim * 8 + 48  # 8 B/element + struct/id/offset overhead

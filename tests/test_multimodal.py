@@ -1472,6 +1472,17 @@ def test_mp4_stsc_run_map_semantics():
     )
     with _pytest.raises(ValueError, match="maps"):
         sample_locations(bad)
+    # ADVICE r7: stsc chunk numbers are 1-based — first_chunk=0 must
+    # raise, not wrap chunk_offsets[-1] into a silently wrong offset
+    zero = Mp4Track(
+        track_id=1, handler="vide", timescale=1000, duration=120,
+        sample_sizes=(5, 6, 7),
+        time_to_sample=((3, 40),),
+        sample_to_chunk=((0, 3),),
+        chunk_offsets=(100,),
+    )
+    with _pytest.raises(ValueError, match="below 1"):
+        sample_locations(zero)
 
 
 def test_mp4_largesize_and_size_zero_boxes():
@@ -1818,3 +1829,34 @@ def test_media_front_door_dispatch_and_quarantine(spark):
     assert (got[6].fmt, got[6].n_frames) == ("mp4", clen % 7 + 2)
     assert got[7].fmt == "quarantined" and got[7].width is None
     assert got[8].fmt == "unknown" and got[8].duration_ms is None
+
+
+def test_sniff_dispatches_all_jpeg_profiles(spark):
+    """ADVICE r7: the front door used to route every JPEG to the gray
+    profile, misreporting valid color (SOF0 3-component) and
+    progressive (SOF2) payloads — both real codecs here — as
+    'quarantined'. The profile chain now decodes them; genuinely
+    corrupt JPEG bytes still quarantine."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+        synth_dc_blocks_color,
+    )
+    from redskins_rule_spark.operators.multimodal import sniff_media_stats
+
+    gray = encode_jpeg_gray(synth_dc_blocks(5, 2, 1), 2, 1)
+    y, cb, cr = synth_dc_blocks_color(5, 1, 1)
+    color = encode_jpeg_color(y, cb, cr, 1, 1)
+    prog = encode_jpeg_gray_progressive(synth_dc_blocks(5, 2, 1, step=9), 2, 1)
+    corrupt = gray[:-7]  # truncated entropy stream
+    df = spark.createDataFrame(
+        [(1, gray), (2, color), (3, prog), (4, corrupt)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in sniff_media_stats(df).collect()}
+    assert (got[1].fmt, got[1].width, got[1].height) == ("jpeg", 16, 8)
+    assert (got[2].fmt, got[2].width, got[2].height) == ("jpeg", 16, 16)
+    assert (got[3].fmt, got[3].width, got[3].height) == ("jpeg", 16, 8)
+    assert got[4].fmt == "quarantined" and got[4].width is None

@@ -962,6 +962,25 @@ def test_resolve_num_blocks_cheap_sizing_and_opt_out(spark, monkeypatch):
         poison.count()
 
 
+def test_resolve_num_blocks_skips_null_vectors(spark):
+    """ADVICE r7: the one-row dim probe must come from a NON-NULL
+    vector — a null in the sampled row made dim=0 and silently
+    disabled the byte budget. Pin by putting the null FIRST (the row
+    a bare first() returns on a local frame) and asserting the
+    auto-derived block count reflects the real 6-element dim, not the
+    48-byte null-row floor."""
+    from redskins_rule_spark.operators import similarity
+
+    rows = [(0, None)] + [
+        (i, [float(j) for j in range(6)]) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>").coalesce(1)
+    auto, total = similarity._resolve_num_blocks(df, "v", None, 200, "t")
+    # 5 rows x (6*8+48) bytes = 480 -> 3 blocks at a 200-byte budget;
+    # the null-sampled regression sized 5 x 48 = 240 -> 2 blocks
+    assert auto == 3 and total == 480
+
+
 def test_srp_candidate_budget_guard(spark):
     """x100-probe finding: random band collisions are ~bands*n^2 /
     2^(r+1) — quadratic in n once 2^r stops dominating. The guard
