@@ -931,6 +931,35 @@ def srp_signature_bits(
     )
 
 
+def srp_auto_band_bits(
+    n: int, bands: int = 8, candidate_budget: int | None = 64_000_000
+) -> int:
+    """Bits per band (r) that auto-banding (`srp_lsh_pairs` with
+    n_planes=None) resolves for a corpus of n vectors — the named
+    formula, so oracles and tests couple to THE code path rather than
+    re-deriving it (ADVICE r7: q185's oracle hardcodes 64 planes; this
+    function is what pins where that stays valid).
+
+    r is the smallest band width (>= 8 bits) whose expected random
+    collision volume bands·n²/2^(r+1) fits the cost target 16n —
+    LINEAR in n, so verify-join work tracks the true-pair count at
+    every corpus size (VERDICT r7 item 3: the old max(1M, 16n) floor
+    made small corpora pay a 1M-collision verify join — at sf0.1's
+    2k vectors that was 31 random candidates per vector where 16
+    suffice, and at sf1's 20k it held r at 11 when 13 is free).
+    Resolved values: r=8 for n <= 1024 (the oracle SFs' 500-vector
+    corpora and any smaller fixture), r=9 at 2k (sf0.1 bench), r=13
+    at 20k (sf1), r=16 at 200k — the EXACT configuration the x100
+    probe measured, so the sf10 story is unchanged by the taper."""
+    target = 16 * n
+    if candidate_budget is not None:
+        target = min(target, candidate_budget)
+    return max(
+        8,
+        math.ceil(math.log2(max(1.0, bands * n * n / (2.0 * target)))),
+    )
+
+
 def srp_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -978,31 +1007,27 @@ def srp_lsh_pairs(
     """
     auto_sized = n_planes is None
     if auto_sized:
-        # AUTO-BANDING (VERDICT r6): the banding guard below tells the
-        # caller the minimum bits/band when n outgrows the budget —
-        # auto mode APPLIES that formula instead of raising: r is the
+        # AUTO-BANDING (VERDICT r6, tapered r7 item 3): the banding
+        # guard below tells the caller the minimum bits/band when n
+        # outgrows the budget — auto mode APPLIES that formula
+        # instead of raising, via `srp_auto_band_bits`: r is the
         # smallest band width (>= 8 bits) whose expected random
-        # collision volume bands·n²/2^(r+1) fits a COST target, so ONE
-        # registered query runs unchanged from 500 vectors to the x100
-        # probe's 200k (r widens 8 -> 16 there, the configuration the
-        # probe measured at 6.6x wall for 100x data). The target is
-        # max(1M, 16n) random collisions — NOT candidate_budget: the
+        # collision volume bands·n²/2^(r+1) fits the 16n cost target,
+        # so ONE registered query runs unchanged from 500 vectors to
+        # the x100 probe's 200k (r widens 8 -> 16 there, the exact
+        # configuration the probe measured at 6.6x wall for 100x
+        # data). The target is O(n) — NOT candidate_budget: the
         # budget is the don't-OOM ceiling, and sizing to it merely
         # avoids the crash while still shipping tens of millions of
         # junk pairs into the verify join (the first q185 sf10 probe
         # timed out exactly there, 39M pairs at r=12 under the 64M
-        # budget). Verify work should track the TRUE pair count, so
-        # the random-collision floor must stay O(n). Deterministic in
-        # n; one metadata count(); the guard below is then satisfied
-        # by construction (target <= budget in any sane config).
+        # budget); and NOT the old max(1M, 16n) floor, whose fixed 1M
+        # collisions made SMALL corpora do 30-500x the verify work
+        # their true-pair volume justifies. Deterministic in n; one
+        # metadata count(); the guard below is then satisfied by
+        # construction (target <= budget in any sane config).
         n = df.count()
-        target = max(1_000_000, 16 * n)
-        if candidate_budget is not None:
-            target = min(target, candidate_budget)
-        r = max(
-            8,
-            math.ceil(math.log2(max(1.0, bands * n * n / (2.0 * target)))),
-        )
+        r = srp_auto_band_bits(n, bands, candidate_budget)
         n_planes = bands * r
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")

@@ -1056,6 +1056,29 @@ def test_blocked_sim_chunking_is_value_invisible(spark, monkeypatch):
     assert knn_chunked == knn_ref and pairs_chunked == pairs_ref
 
 
+def test_srp_auto_band_bits_taper():
+    """VERDICT r7 item 3: the auto-banding cost target is 16n (linear),
+    not the old max(1M, 16n) floor. Pins the THREE contracts the taper
+    must hold: (1) r=8 at every oracle-SF corpus size (both gate
+    fixtures hold 500 embeddings — q185's 64-plane SQL oracle is valid
+    exactly there, ADVICE r7); (2) the taper actually fires between
+    the gate scale and sf1 (r rises 9/13 at 2k/20k, where the old
+    floor pinned 8/11); (3) the x100-probe configuration is UNCHANGED
+    (r=16 at 200k), so the measured 17.3x sf10 ratio still describes
+    this code."""
+    from redskins_rule_spark.operators.similarity import srp_auto_band_bits
+
+    assert srp_auto_band_bits(500) == 8       # sf0.001 & sf0.01 gates
+    assert srp_auto_band_bits(1024) == 8      # last n the oracle covers
+    assert srp_auto_band_bits(1025) == 9
+    assert srp_auto_band_bits(2000) == 9      # sf0.1 (bench), skew0.1
+    assert srp_auto_band_bits(20000) == 13    # sf1 probe
+    assert srp_auto_band_bits(200000) == 16   # sf10 probe — unchanged
+    # the candidate_budget ceiling still dominates when tighter
+    assert srp_auto_band_bits(1000) == 8
+    assert srp_auto_band_bits(1000, 8, candidate_budget=10_000) == 9
+
+
 def test_srp_auto_banding(spark):
     """VERDICT r6: n_planes=None applies the banding guard's own
     formula instead of raising. At small n the auto choice IS the
