@@ -339,6 +339,7 @@ def _cosine_pairs_copartitioned(
     num_blocks: int,
     margin: float,
     id_type: str,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The beyond-broadcast layout of `cosine_pairs_blocked`: every
     vector explodes to its `num_blocks` pair buckets — key
@@ -347,8 +348,14 @@ def _cosine_pairs_copartitioned(
     block pair inside applyInPandas. O(B·n) shuffled rows (the
     exact-all-pairs lower bound); per-task memory is exactly the two
     blocks of one pair; NOTHING is broadcast and no collect_list row
-    exists, so the 2 GB aggregated-row ceiling doesn't apply."""
+    exists, so the 2 GB aggregated-row ceiling doesn't apply.
+
+    `group_cols` scopes the all-pairs scan WITHIN each group (the
+    bucket key becomes (group..., ba, bb)) — the SemDeDup shape,
+    where pairs never cross cluster cells. Empty = the whole frame
+    is one group (`cosine_pairs_blocked`'s layout)."""
     tagged = df.select(
+        *[F.col(g) for g in group_cols],
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("blk", F.pmod(F.hash("id"), F.lit(num_blocks)))
@@ -364,9 +371,9 @@ def _cosine_pairs_copartitioned(
         for j in range(num_blocks)
     ])
     exploded = tagged.select(
-        "id", "v", F.explode(buckets).alias("bk")
+        *group_cols, "id", "v", F.explode(buckets).alias("bk")
     ).select(
-        "id", "v",
+        *group_cols, "id", "v",
         F.col("bk.ba").alias("ba"),
         F.col("bk.bb").alias("bb"),
         F.col("bk.role").alias("role"),
@@ -376,7 +383,7 @@ def _cosine_pairs_copartitioned(
         import numpy as np
         import pandas as pd
 
-        same = key[0] == key[1]
+        same = key[-2] == key[-1]
         if same:
             a_rows = b_rows = pdf
         else:
@@ -399,7 +406,7 @@ def _cosine_pairs_copartitioned(
             }
         )
 
-    return exploded.groupBy("ba", "bb").applyInPandas(
+    return exploded.groupBy(*group_cols, "ba", "bb").applyInPandas(
         group_cosine, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
@@ -1401,6 +1408,9 @@ def semdedup_survivors(
     round_dp: int = 4,
     max_cell_rows: int = 200_000,
     max_cell_pairs: int = 500_000_000,
+    strategy: str = "blocked",
+    block_bytes: int = 64 << 20,
+    block_target_rows: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     semantic dedup of an embedding corpus by clustering, then removing
@@ -1416,55 +1426,82 @@ def semdedup_survivors(
 
     Output: (id_col, cell, survived) for every input row.
 
-    Scale contract: the within-cell self-join is O(Σ |cell|²), so the
-    binding budget is PAIR volume, not row count — a 57k-row cell
-    passes any sane row cap yet costs 1.6e9 dot products. Cell sizes
-    are checked first (one n_cells-row aggregate) and the call raises
-    with the remedy — more cells, or feed hot cells through
-    `cosine_pairs_blocked(strategy='copartition')` — when any cell
-    exceeds `max_cell_rows` OR the summed pair count exceeds
-    `max_cell_pairs` (the §11.61/§11.63 guard-in-code pattern: fail
-    with corrective parameters before the wall-clock dies).
+    Strategies (VERDICT r7 item 1 — route, don't just raise):
+
+    - 'blocked' (default): within-cell pairs via the co-partitioned
+      block-matmul layout (`_cosine_pairs_copartitioned` grouped by
+      cell) — each (cell, block-pair) task computes ONE vectorized
+      numpy matmul over two bounded blocks, `_SIM_SLAB_BYTES`-chunked,
+      so memory is O(block) regardless of cell size and a hot cell
+      costs FLOPs, not an interpreted-expression wall. This is the
+      path that RUNS the sf10 configuration (6.5e9 within-cell pairs)
+      the old guard could only refuse; the pair budgets below are not
+      consulted — quadratic-in-cell FLOPs are inherent to SemDeDup's
+      within-cell semantics and `n_cells` is the knob that bounds
+      them. Block count auto-sizes per the largest cell: the
+      `block_bytes` byte budget ∧ `block_target_rows` rows (the
+      second term keeps B·(B+1)/2 tasks per cell wide enough to fill
+      executors when one cell dominates).
+    - 'expression': the original within-cell equi-join evaluating an
+      interpreted per-pair cosine — ~10-100× the per-pair cost of the
+      matmul, kept as the cross-check face (pytest pins blocked ≡
+      expression) and for tiny corpora where spinning Python workers
+      isn't worth it. Guarded by `max_cell_rows` / `max_cell_pairs`
+      (the §11.61/§11.63 checked-contract pattern): one n_cells-row
+      aggregate up front, raise with corrective n_cells before the
+      wall-clock dies.
     """
+    if strategy not in ("blocked", "expression"):
+        raise ValueError("strategy must be 'blocked' or 'expression'")
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("cell", axis_cell(F.col("__v"), n_cells))
-    sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    hot = [r for r in sizes if r.n > max_cell_rows]  # ≤ n_cells rows
-    total_pairs = sum(r.n * (r.n - 1) // 2 for r in sizes)
-    if hot or total_pairs > max_cell_pairs:
-        worst = max(r.n for r in sizes) if sizes else 0
-        need = max(len(sizes), 1)
-        while True:
-            # uniform-split estimate of the cell count that fits the budget
-            est = need * ((worst * len(sizes) // need) ** 2) // 2
-            if est <= max_cell_pairs or need > 1 << 20:
-                break
-            need *= 2
-        raise ValueError(
-            f"semdedup: cell budget exceeded (largest cell {worst} rows"
-            f"{' > max_cell_rows=' + str(max_cell_rows) if hot else ''}; "
-            f"{total_pairs} within-cell pairs vs max_cell_pairs="
-            f"{max_cell_pairs}); raise n_cells to ~{need}, raise the "
-            "budget, or run hot cells through "
-            "cosine_pairs_blocked(strategy='copartition')"
+    if strategy == "blocked":
+        killed = _semdedup_killed_blocked(
+            base, id_col, threshold, round_dp, block_bytes,
+            block_target_rows,
         )
-    a = base.select(
-        "cell", F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
-    )
-    b = base.select(
-        "cell", F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
-    )
-    killed = (
-        a.join(b, "cell")
-        .where(F.col("__ida") < F.col("__idb"))
-        .where(
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_dp)
-            >= F.lit(threshold)
+    else:
+        sizes = (
+            base.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-    )
+        hot = [r for r in sizes if r.n > max_cell_rows]  # ≤ n_cells rows
+        total_pairs = sum(r.n * (r.n - 1) // 2 for r in sizes)
+        if hot or total_pairs > max_cell_pairs:
+            worst = max(r.n for r in sizes) if sizes else 0
+            need = max(len(sizes), 1)
+            while True:
+                # uniform-split estimate of the cell count that fits
+                # the budget
+                est = need * ((worst * len(sizes) // need) ** 2) // 2
+                if est <= max_cell_pairs or need > 1 << 20:
+                    break
+                need *= 2
+            raise ValueError(
+                f"semdedup: cell budget exceeded (largest cell {worst} "
+                f"rows"
+                f"{' > max_cell_rows=' + str(max_cell_rows) if hot else ''}; "
+                f"{total_pairs} within-cell pairs vs max_cell_pairs="
+                f"{max_cell_pairs}); raise n_cells to ~{need}, raise the "
+                "budget, or use strategy='blocked' (per-cell block "
+                "matmul — the default)"
+            )
+        a = base.select(
+            "cell", F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        )
+        b = base.select(
+            "cell", F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        )
+        killed = (
+            a.join(b, "cell")
+            .where(F.col("__ida") < F.col("__idb"))
+            .where(
+                F.round(cosine(F.col("__va"), F.col("__vb")), round_dp)
+                >= F.lit(threshold)
+            )
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+        )
     return base.join(
         killed.withColumn("__dead", F.lit(True)), id_col, "left"
     ).select(
@@ -1472,3 +1509,51 @@ def semdedup_survivors(
         "cell",
         F.coalesce(~F.col("__dead"), F.lit(True)).alias("survived"),
     )
+
+
+def _semdedup_killed_blocked(
+    base: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_dp: int,
+    block_bytes: int,
+    block_target_rows: int,
+) -> DataFrame:
+    """Dead-id frame of the blocked SemDeDup strategy: within-cell
+    pairs with ROUND(cos, dp) ≥ threshold from the cell-grouped
+    co-partitioned matmul layout; the LARGER id of each surviving
+    pair is dead (some smaller id covers it). One n_cells-row + one
+    one-row aggregate of sizing metadata; nothing corpus-sized ever
+    reaches the driver. Value path matches the expression strategy:
+    numpy double → Spark-side F.round → threshold (the q22 precedent
+    the oracle family hash-matches)."""
+    sizes = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    if not sizes:
+        return base.sparkSession.createDataFrame(
+            [], base.select(id_col).schema
+        )
+    n_max = max(r.n for r in sizes)
+    # dim from ONE non-null row (the _resolve_num_blocks doctrine:
+    # sizing must not pre-scan the vector column)
+    head = (
+        base.where(F.col("__v").isNotNull())
+        .select(F.size("__v").alias("dim"))
+        .first()
+    )
+    dim = (head["dim"] if head is not None else 0) or 0
+    per_row = dim * 8 + 48
+    num_blocks = max(
+        1,
+        math.ceil(n_max * per_row / block_bytes),
+        math.ceil(n_max / max(1, block_target_rows)),
+    )
+    margin = threshold - 0.5 * 10.0 ** (-round_dp)
+    id_type = base.schema[id_col].dataType.simpleString()
+    raw = _cosine_pairs_copartitioned(
+        base, id_col, "__v", num_blocks, margin, id_type,
+        group_cols=("cell",),
+    )
+    pairs = _orient_round_filter(raw, threshold, round_dp)
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -1521,8 +1521,23 @@ def test_semdedup_survivors_hand_computed(spark):
         1: True, 2: False, 3: False, 4: True,
         5: True, 6: False, 7: True, 8: True,
     }
+    # the hot-cell guard belongs to the expression strategy (the
+    # blocked default ROUTES hot cells instead of raising, r7 item 1)
     with pytest.raises(ValueError, match="max_cell_rows"):
-        semdedup_survivors(df, "vec_id", "v", n_cells=4, max_cell_rows=2)
+        semdedup_survivors(
+            df, "vec_id", "v", n_cells=4, max_cell_rows=2,
+            strategy="expression",
+        )
+    # same corpus through the blocked router with a 2-row cap: RUNS
+    # and produces the identical survivor map
+    routed = {
+        r.vec_id: (r.cell, r.survived)
+        for r in semdedup_survivors(
+            df, "vec_id", "v", n_cells=4, threshold=0.97,
+            max_cell_rows=2, block_target_rows=2,
+        ).collect()
+    }
+    assert routed == {i: (got[i].cell, got[i].survived) for i in got}
 
 
 def test_semdedup_pair_budget_binds_before_row_cap(spark):
@@ -1539,7 +1554,45 @@ def test_semdedup_pair_budget_binds_before_row_cap(spark):
         semdedup_survivors(
             df, "vec_id", "v", n_cells=4,
             max_cell_rows=1000, max_cell_pairs=100,
+            strategy="expression",
         )
+
+
+def test_semdedup_blocked_equals_expression(spark):
+    """VERDICT r7 item 1: the blocked (per-cell co-partitioned matmul)
+    strategy must be value-identical to the original interpreted
+    within-cell join — every (id, cell, survived) row equal on a
+    200-vector corpus with planted near-dups, natural near-threshold
+    pairs, and a multi-block split forced by block_target_rows."""
+    from redskins_rule_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 19 - 9) for j in range(8)])
+        for i in range(200)
+    ]
+    # planted near-dups of every 9th vector (usually same cell)
+    rows += [
+        (1000 + i, [x + 0.003 * ((i + j) % 2) for j, x in enumerate(v)])
+        for i, v in rows[::9]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kw = dict(n_cells=4, threshold=0.8, round_dp=4)
+    expr = {
+        r.vec_id: (r.cell, r.survived)
+        for r in semdedup_survivors(
+            df, "vec_id", "v", strategy="expression", **kw
+        ).collect()
+    }
+    blocked = {
+        r.vec_id: (r.cell, r.survived)
+        for r in semdedup_survivors(
+            df, "vec_id", "v", strategy="blocked", block_target_rows=16,
+            **kw
+        ).collect()
+    }
+    assert blocked == expr
+    assert len(expr) == len(rows)
+    assert not all(s for _, s in expr.values())  # dups actually died
 
 
 def test_token_entropy_hand_computed(spark):
