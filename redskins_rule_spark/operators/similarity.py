@@ -686,6 +686,25 @@ def train_pq_codebooks(
     return books
 
 
+def axis_pq_codebooks(
+    m: int, k: int, w: int
+) -> list[list[list[float]]]:
+    """FIXED axis-aligned PQ codebooks: every subspace's k centroids
+    are the unit basis vectors e_0..e_{k-1} (requires k <= w). No
+    training, no RNG, no engine-local state — which makes the ENTIRE
+    PQ path (encode -> ADC lookup -> top-k) replayable by a SQL
+    oracle: l2²(v_s, e_i) = Σ_t (v_t - [t==i])², an ordered fold any
+    engine reproduces, so `pq_encode`'s argmin and `pq_topk`'s LUT
+    become hash-checkable (VERDICT r7 item 6 — the q43b/q25b pattern
+    applied to PQ). k-means-trained codebooks (`train_pq_codebooks`)
+    remain the production face; these are the cross-engine
+    verification face."""
+    if k > w:
+        raise ValueError(f"axis codebooks need k <= w, got k={k} w={w}")
+    book = [[1.0 if t == i else 0.0 for t in range(w)] for i in range(k)]
+    return [book for _ in range(m)]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

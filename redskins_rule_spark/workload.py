@@ -3887,6 +3887,77 @@ def q97_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q97b: PQ with FIXED axis-aligned codebooks — the cross-engine
+# verification sibling of q97 (VERDICT r7 item 6, the q43b/q25b
+# pattern): k-means training is engine-local, so q97 is rows-only by
+# design; axis codebooks (centroid i = basis vector e_i) make encode
+# (argmin of the ROUND(l2², 9) ordered fold, ties to the SMALLER
+# index — F.array_min over struct(d, i)) and the ADC lookup table
+# SQL-expressible, so the full encode -> LUT -> top-10 path gets a
+# value hash. The query vector's components are multiples of 1/8 and
+# the centroids are 0/1, so every LUT entry and every summed ADC
+# distance is an exact dyadic rational with <= 6 decimal digits —
+# ROUND(·, 6) is the identity on both engines and the distances
+# carry ZERO float risk; only the encode folds touch corpus doubles,
+# under the same ROUND(·, 9) contract the q194/q22 family already
+# hash-matches.
+# ---------------------------------------------------------------------------
+
+_PQ_XQ = [((i * 5) % 17 - 8) / 8.0 for i in range(64)]
+
+
+def _pq_axis_oracle() -> str:
+    qlist = ", ".join(repr(x) for x in _PQ_XQ)
+    sq = (
+        "(%(v)s[g.s * 16 + t] - CASE WHEN t = g.i + 1 THEN 1.0 ELSE 0.0 END)"
+        " * "
+        "(%(v)s[g.s * 16 + t] - CASE WHEN t = g.i + 1 THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         qv AS (SELECT [{qlist}]::DOUBLE[] AS q),
+         grid AS (SELECT s.s AS s, i.i AS i
+                  FROM (SELECT unnest(generate_series(0, 3)) AS s) s,
+                       (SELECT unnest(generate_series(0, 15)) AS i) i),
+         sub AS (SELECT e.vec_id, g.s, g.i,
+                        ROUND(list_reduce(
+                            list_transform(generate_series(1, 16),
+                                           t -> {sq % {'v': 'e.v'}}),
+                            (acc, x) -> acc + x), 9) AS d
+                 FROM e, grid g),
+         codes AS (SELECT vec_id, s, i AS code FROM (
+                   SELECT vec_id, s, i,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                             ORDER BY d, i) AS rn
+                   FROM sub) WHERE rn = 1),
+         lut AS (SELECT g.s, g.i,
+                        list_reduce(
+                            list_transform(generate_series(1, 16),
+                                           t -> {sq % {'v': 'qv.q'}}),
+                            (acc, x) -> acc + x) AS dist
+                 FROM grid g, qv),
+         scored AS (SELECT c.vec_id, ROUND(SUM(l.dist), 6) AS approx_dist
+                    FROM codes c JOIN lut l ON l.s = c.s AND l.i = c.code
+                    GROUP BY c.vec_id)
+    SELECT vec_id, approx_dist FROM scored
+    ORDER BY approx_dist, vec_id LIMIT 10
+    """
+
+
+@query("q97b_pq_xengine", oracle=_pq_axis_oracle())
+def q97b_pq_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import axis_pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = axis_pq_codebooks(m=4, k=16, w=16)
+    coded = pq_encode(emb, books, "embedding")
+    return pq_topk(coded, books, _PQ_XQ, "vec_id", k=10)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video: REAL animated-GIF (GIF89a) parse. q98 is the cheap
 # header walk (no LZW touched); q99 LZW-decodes every 2nd frame and
 # checksums its pixels — both predicted exactly by integer arithmetic
@@ -9293,3 +9364,50 @@ def q200_media_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mixed = with_mixed_media_payload(docs, "text", "doc_id")
     return sniff_media_stats(mixed, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q201: SALTED shuffle join driven through the driver hash (VERDICT
+# r7 item 5 — the one scale lever that was pytest-only). The salt is
+# engine-INTERNAL: the large side scatters each row into one of 8
+# sub-keys (deterministic xxhash64 over the full row), the small
+# side replicates to all 8, and the join key becomes (custkey,
+# __salt) — so one hot customer's orders land in 8 shuffle tasks
+# instead of one straggler. Semantically the inner equi-join is
+# UNCHANGED (each large row meets each match exactly once), which is
+# exactly why the oracle is the PLAIN join: the differential proves
+# the salt never leaks into the answer. Money folds in exact cents
+# (the q164 idiom) so partial-sum order can't shift a rounding
+# boundary; the salted-exchange plan shape is pinned in
+# tests/test_bucketing_skew.py::test_salted_join_exchange_plan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q201_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q201_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        "c_mktsegment",
+    )
+    joined = salted_join(orders, cust, ["custkey"], salt=8)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -79,6 +79,40 @@ def test_salted_join_spreads_hot_key(spark):
     assert out.count() == 1000
 
 
+def test_salted_join_exchange_plan(spark):
+    """VERDICT r7 item 5: q201 drives salted_join through the driver
+    hash; this pins the PLAN half — with broadcast off, both sides
+    shuffle on (join keys + __salt), i.e. the salt actually reaches
+    the exchange partitioning, and the salted result still equals the
+    plain join."""
+    from redskins_rule_spark.operators.skew import SALT_COL
+    from redskins_rule_spark.plans.explain import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        large = spark.range(500).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(7).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        out = salted_join(large, small, ["k"], salt=8)
+        plan = formatted_plan(out)
+        salted_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "hashpartitioning" in ln and SALT_COL in ln
+        ]
+        assert len(salted_exchanges) >= 2, plan  # both join inputs
+        want = sorted(
+            (r.k, r.v, r.w) for r in large.join(small, ["k"]).collect()
+        )
+        assert sorted((r.k, r.v, r.w) for r in out.collect()) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session's AQE posture (skewJoin on) actually splits a hot
     key at runtime: final plan shows SortMergeJoin(skew=true) with a

@@ -385,6 +385,43 @@ def test_read_json_tolerant_quarantines_bad_lines(spark, tmp_path):
     assert any("not json" in b for b in bad_rows)
 
 
+def test_read_csv_tolerant_quarantines_bad_lines(spark, tmp_path):
+    """VERDICT r7 item 7: the CSV mirror of read_json_tolerant — type
+    mismatches and wrong-arity lines quarantine with the raw line
+    preserved, good rows parse, and the quarantine file replays into
+    the same splitter after a 'producer fix'."""
+    from redskins_rule_spark.sources.io import read_csv_tolerant
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,a,2.5\n"
+        "NOT_A_NUMBER,b,1.0\n"   # type mismatch in k
+        "2,c\n"                   # missing column
+        "3,d,7.25\n"
+    )
+    schema = "k long, v string, x double"
+    good, bad = read_csv_tolerant(spark, str(p), schema)
+    assert {(r.k, r.v, r.x) for r in good.collect()} == {
+        (1, "a", 2.5), (3, "d", 7.25)
+    }
+    bad_rows = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert bad_rows == ["2,c", "NOT_A_NUMBER,b,1.0"]
+    # replay: quarantined raw lines re-enter the same splitter
+    q = tmp_path / "quarantine.csv"
+    q.write_text("\n".join(bad_rows).replace("NOT_A_NUMBER", "4") + "\n")
+    regood, rebad = read_csv_tolerant(spark, str(q), schema)
+    assert {(r.k, r.v, r.x) for r in regood.collect()} == {(4, "b", 1.0)}
+    # '2,c' stays short until producer fix (collect, not count: Spark
+    # disallows corrupt-column-only queries over a raw CSV scan)
+    assert len(rebad.collect()) == 1
+    # header + sep faces
+    h = tmp_path / "hdr.csv"
+    h.write_text("k;v;x\n5;e;0.5\n")
+    hg, hb = read_csv_tolerant(spark, str(h), schema, header=True, sep=";")
+    assert [(r.k, r.v, r.x) for r in hg.collect()] == [(5, "e", 0.5)]
+    assert hb.collect() == []
+
+
 def test_read_binary_files_feeds_real_decoder(spark, tmp_path):
     """End-to-end media ingest: PNG files on disk -> binaryFile rows
     -> the real PNG decoder over the content column. Glob filtering

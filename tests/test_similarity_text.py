@@ -1558,6 +1558,36 @@ def test_semdedup_pair_budget_binds_before_row_cap(spark):
         )
 
 
+def test_axis_pq_codebooks_encode_semantics(spark):
+    """q97b's verification codebooks: centroid i = e_i, so the encode
+    argmin reduces to argmax coordinate with ties to the SMALLER
+    index (struct(d, i) min) — pinned on hand vectors, plus the
+    k <= w validation."""
+    import pytest
+
+    from redskins_rule_spark.operators.similarity import (
+        axis_pq_codebooks,
+        pq_encode,
+    )
+
+    with pytest.raises(ValueError, match="k <= w"):
+        axis_pq_codebooks(m=2, k=5, w=4)
+    books = axis_pq_codebooks(m=2, k=3, w=3)
+    assert books[0][1] == [0.0, 1.0, 0.0] and len(books) == 2
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 2.0, 0.0, 5.0, 0.0, 0.0]),   # argmax 1 / 0
+            (2, [3.0, 3.0, 0.0, 0.0, 1.0, 1.0]),   # tie -> smaller i
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: list(r.code)
+        for r in pq_encode(df, books, "v").collect()
+    }
+    assert got == {1: [1, 0], 2: [0, 1]}
+
+
 def test_semdedup_blocked_equals_expression(spark):
     """VERDICT r7 item 1: the blocked (per-cell co-partitioned matmul)
     strategy must be value-identical to the original interpreted
