@@ -5,7 +5,7 @@ Closes the compressed-codec boundary (README decision record; VERDICT
 r4 item 6, r5 item 3): JPEG needs no external library — the entropy
 layer is canonical Huffman (spec Annex C/F), the transform is the 8x8
 DCT-II family, and numpy (baked into the container) gives an
-exact-enough float IDCT. Three REAL profiles:
+exact-enough float IDCT. Four REAL profiles:
 
 - baseline sequential DCT (SOF0), 8-bit, ONE component (grayscale),
   dimensions multiples of 8;
@@ -18,7 +18,12 @@ exact-enough float IDCT. Three REAL profiles:
 - progressive DCT (SOF2), ONE component (grayscale): spectral
   selection + successive approximation per Annex G — multi-scan
   coefficient accumulation reconstructing bit-identical pixels to
-  the baseline profile on a complete scan script.
+  the baseline profile on a complete scan script;
+- progressive DCT (SOF2), THREE components (YCbCr 4:2:0):
+  interleaved DC scans (MCU walk, per-component prediction — the
+  only scan shape T.81 lets progressive interleave) plus
+  per-component AC band scans, sharing the gray profile's scan
+  accumulator and the baseline color profile's upsample + JFIF tail.
 
 The encoder writes Annex K luminance/chrominance quantization +
 Huffman tables; the DECODER reads whatever DQT/DHT the file carries
@@ -703,6 +708,15 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     if parsed["width"] % 16 or parsed["height"] % 16:
         raise ValueError("dimensions must be multiples of 16")
     y, cb, cr = _decode_planes(parsed)
+    return parsed["width"], parsed["height"], _ycbcr_420_to_rgb(y, cb, cr)
+
+
+def _ycbcr_420_to_rgb(y, cb, cr) -> bytes:
+    """Shared color tail of the baseline and progressive 4:2:0
+    decoders: 2x2 chroma sample replication, then the JFIF matrix in
+    THIS exact float64 association order with floor(x + 0.5) rounding
+    and [0, 255] clamping — the expression shape the q180/q202 SQL
+    oracles recompute, so extraction must never reorder an op."""
     cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
     cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
     yf = y.astype(np.float64)
@@ -714,7 +728,7 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     )
     b = np.clip(np.floor((yf + 1.772 * cbf) + 0.5), 0, 255)
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
-    return parsed["width"], parsed["height"], rgb.tobytes()
+    return rgb.tobytes()
 
 
 def synth_dc_blocks(
@@ -781,8 +795,10 @@ def synth_dc_blocks_color(
 # EXACTLY the same blocks as the baseline profile (pytest pins
 # progressive decode == baseline decode on identical blocks, AC energy
 # included). Profile scope: one component (grayscale), 8-multiple
-# dimensions; progressive COLOR would reuse this scan machinery over
-# the interleaved-DC walk and stays a documented seam. Encoder EOB
+# dimensions; progressive COLOR reuses this scan machinery over the
+# interleaved-DC walk further below (VERDICT r7 item 2 — the seam is
+# closed; every gray/color x baseline/progressive profile is a real
+# decode path). Encoder EOB
 # runs are capped at 1 (plain EOB0) because the Annex K AC table
 # defines no EOBn codes for n > 1; the decoder implements general
 # EOBn per the spec.
@@ -901,9 +917,12 @@ def _encode_dc_refine(bw: _BitWriter, blocks, al: int) -> None:
         bw.write((blk[0] >> al) & 1, 1)
 
 
-def _encode_ac_first(bw: _BitWriter, blocks, ss, se, al: int) -> None:
+def _encode_ac_first(bw: _BitWriter, blocks, ss, se, al: int, enc=None) -> None:
     """Band first pass with EOB runs capped at 1 (plain EOB0 — the
-    Annex K AC table has no EOBn codes for longer runs)."""
+    Annex K AC table has no EOBn codes for longer runs). `enc` picks
+    the AC Huffman table (default luma; the color progressive scans
+    pass the chroma table)."""
+    enc = _AC_ENC if enc is None else enc
     for blk in blocks:
         r = 0
         for k in range(ss, se + 1):
@@ -912,25 +931,27 @@ def _encode_ac_first(bw: _BitWriter, blocks, ss, se, al: int) -> None:
                 r += 1
                 continue
             while r > 15:
-                code, length = _AC_ENC[0xF0]  # ZRL
+                code, length = enc[0xF0]  # ZRL
                 bw.write(code, length)
                 r -= 16
             v = temp if blk[k] >= 0 else -temp
             s = _category(v)
-            code, length = _AC_ENC[(r << 4) | s]
+            code, length = enc[(r << 4) | s]
             bw.write(code, length)
             bw.write(_amplitude(v, s), s)
             r = 0
         if r > 0:
-            code, length = _AC_ENC[0x00]  # EOB0
+            code, length = enc[0x00]  # EOB0
             bw.write(code, length)
 
 
-def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int) -> None:
+def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int, enc=None) -> None:
     """Band refinement per T.81 G.1.2.3 (the libjpeg
     encode_mcu_AC_refine shape): newly-nonzero coefficients emit
     (run, 1) + sign, already-nonzero ones append correction bits that
-    flush after the next emitted code; EOB runs capped at 1."""
+    flush after the next emitted code; EOB runs capped at 1. `enc`
+    picks the AC Huffman table (default luma)."""
+    enc = _AC_ENC if enc is None else enc
     for blk in blocks:
         absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
         eob = -1  # band-relative index of the LAST newly-nonzero coeff
@@ -949,7 +970,7 @@ def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int) -> None:
             # before ANY nonzero coefficient, history ones included,
             # never folded past one (unless foldable into the EOB)
             while r > 15 and i <= eob:
-                code, length = _AC_ENC[0xF0]
+                code, length = enc[0xF0]
                 bw.write(code, length)
                 r -= 16
                 for bit in pending:
@@ -960,7 +981,7 @@ def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int) -> None:
                 pending.append(a & 1)
                 continue
             # newly nonzero at this precision
-            code, length = _AC_ENC[(r << 4) | 1]
+            code, length = enc[(r << 4) | 1]
             bw.write(code, length)
             bw.write(1 if blk[ss + i] >= 0 else 0, 1)
             for bit in pending:
@@ -968,7 +989,7 @@ def _encode_ac_refine(bw: _BitWriter, blocks, ss, se, al: int) -> None:
             pending = []
             r = 0
         if r > 0 or pending:
-            code, length = _AC_ENC[0x00]  # EOB0
+            code, length = enc[0x00]  # EOB0
             bw.write(code, length)
             for bit in pending:
                 bw.write(bit, 1)
@@ -1300,10 +1321,278 @@ def decode_jpeg_dims(data: bytes) -> tuple[int, int]:
     marker) keeps the contract that a reported payload actually
     DECODES under the named profile."""
     last: ValueError | None = None
-    for dec in (decode_jpeg_gray, decode_jpeg_color, decode_jpeg_progressive):
+    for dec in (
+        decode_jpeg_gray,
+        decode_jpeg_color,
+        decode_jpeg_progressive,
+        decode_jpeg_progressive_color,
+    ):
         try:
             w, h, _px = dec(data)
             return w, h
         except ValueError as e:
             last = e
     raise last if last is not None else ValueError("not a JPEG")
+
+
+# --- progressive COLOR (SOF2, 4:2:0) ---------------------------------------
+#
+# The composition VERDICT r7 item 2 asked for: the progressive scan
+# accumulator (above) + the 4:2:0 color plane machinery
+# (_decode_planes' geometry, _ycbcr_420_to_rgb) + an interleaved-DC
+# walk. Progressive color per T.81: DC scans MAY interleave all
+# components in MCU order (per-component prediction); AC scans are
+# ALWAYS single-component, walking that component's blocks in its own
+# raster order. With this, every image profile in the family — gray/
+# color baseline, gray/color progressive — is a real decode path.
+
+_STD_PROGRESSIVE_SCANS_COLOR = [
+    # (comp, ss, se, ah, al); comp=None = interleaved DC (all three)
+    (None, 0, 0, 0, 1),   # DC first, point transform 1, interleaved
+    (0, 1, 63, 0, 1),     # Y  AC band first pass, Al=1
+    (1, 1, 63, 0, 1),     # Cb AC band first pass, Al=1
+    (2, 1, 63, 0, 1),     # Cr AC band first pass, Al=1
+    (None, 0, 0, 1, 0),   # DC refinement, interleaved
+    (0, 1, 63, 1, 0),     # Y  AC refinement
+    (1, 1, 63, 1, 0),     # Cb AC refinement
+    (2, 1, 63, 1, 0),     # Cr AC refinement
+]
+
+
+def encode_jpeg_color_progressive(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    w_mcus: int,
+    h_mcus: int,
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+    scans: list[tuple[int | None, int, int, int, int]] | None = None,
+) -> bytes:
+    """Quantized blocks -> progressive (SOF2) 4:2:0 YCbCr JPEG bytes.
+
+    Block layouts match `encode_jpeg_color` (y_blocks row-major over
+    the luma grid, chroma row-major over the chroma grid). `scans`
+    entries are (comp, Ss, Se, Ah, Al) with comp None = interleaved
+    DC scan over all three components in MCU order (the only scan
+    shape T.81 allows to interleave progressively) and comp 0/1/2 a
+    single-component AC scan in that component's raster order. The
+    default script exercises both progressive mechanisms on both the
+    interleaved-DC and per-component-AC walks. Each component's
+    (Ss, Se, Ah, Al) sequence is validated against the spec's
+    approximation-chain rules."""
+    if len(y_blocks) != 4 * w_mcus * h_mcus:
+        raise ValueError("y_blocks count != 4 * w_mcus * h_mcus")
+    if len(cb_blocks) != w_mcus * h_mcus or len(cr_blocks) != w_mcus * h_mcus:
+        raise ValueError("chroma blocks count != w_mcus * h_mcus")
+    for blk in (*y_blocks, *cb_blocks, *cr_blocks):
+        if len(blk) != 64:
+            raise ValueError("each block must have 64 zigzag coefficients")
+    ql = list(quant_luma) if quant_luma is not None else QUANT_LUMA
+    qc = list(quant_chroma) if quant_chroma is not None else QUANT_CHROMA
+    if len(ql) != 64 or len(qc) != 64:
+        raise ValueError("quant tables must have 64 entries")
+    script = list(scans) if scans is not None else _STD_PROGRESSIVE_SCANS_COLOR
+    for comp, ss, se, ah, al in script:
+        if comp not in (None, 0, 1, 2):
+            raise ValueError("scan component must be None or 0/1/2")
+        if comp is None and ss != 0:
+            raise ValueError("only DC scans may interleave components")
+        if comp is not None and ss == 0:
+            raise ValueError(
+                "DC scans must interleave all components here (comp=None)"
+            )
+    for c in range(3):
+        _validate_scan_script(
+            [
+                (ss, se, ah, al)
+                for comp, ss, se, ah, al in script
+                if comp is None or comp == c
+            ]
+        )
+
+    comp_blocks = [y_blocks, cb_blocks, cr_blocks]
+    w, h = 16 * w_mcus, 16 * h_mcus
+    out = bytearray(b"\xff\xd8")
+    dqt = _dqt_segment(0, ql) + _dqt_segment(1, qc)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    # SOF2: Y id 1 sampling 2x2 Tq 0; Cb id 2 / Cr id 3 sampling 1x1 Tq 1
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+        + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    for comp, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if comp is None:
+            # interleaved DC scan: Ta is 0 by spec in DC scans
+            sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se, (ah << 4) | al])
+            if ah == 0:
+                _encode_dc_first_interleaved(bw, comp_blocks, w_mcus, h_mcus, al)
+            else:
+                _encode_dc_refine_interleaved(bw, comp_blocks, w_mcus, h_mcus, al)
+        else:
+            cid = comp + 1
+            tt = 0x00 if comp == 0 else 0x11
+            enc = _AC_ENC if comp == 0 else _AC_ENC_C
+            sos = bytes([1, cid, tt, ss, se, (ah << 4) | al])
+            if ah == 0:
+                _encode_ac_first(bw, comp_blocks[comp], ss, se, al, enc)
+            else:
+                _encode_ac_refine(bw, comp_blocks[comp], ss, se, al, enc)
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _mcu_block_indices(w_mcus: int, h_mcus: int):
+    """(comp, block_index) pairs in interleaved MCU scan order for the
+    4:2:0 layout: per MCU, 4 luma sub-blocks in 2x2 raster, then Cb,
+    then Cr — shared by the interleaved-DC encoder and decoder walks."""
+    grid_w = 2 * w_mcus
+    for m in range(w_mcus * h_mcus):
+        my, mx = divmod(m, w_mcus)
+        for s in range(4):
+            by, bx = divmod(s, 2)
+            yield 0, (my * 2 + by) * grid_w + (mx * 2 + bx)
+        yield 1, m
+        yield 2, m
+
+
+def _encode_dc_first_interleaved(bw, comp_blocks, w_mcus, h_mcus, al) -> None:
+    prev = [0, 0, 0]
+    for ci, bi in _mcu_block_indices(w_mcus, h_mcus):
+        blk = comp_blocks[ci][bi]
+        temp = blk[0] >> al  # DC point transform: ARITHMETIC shift
+        diff = temp - prev[ci]
+        prev[ci] = temp
+        s = _category(diff)
+        code, length = (_DC_ENC if ci == 0 else _DC_ENC_C)[s]
+        bw.write(code, length)
+        if s:
+            bw.write(_amplitude(diff, s), s)
+
+
+def _encode_dc_refine_interleaved(bw, comp_blocks, w_mcus, h_mcus, al) -> None:
+    for ci, bi in _mcu_block_indices(w_mcus, h_mcus):
+        bw.write((comp_blocks[ci][bi][0] >> al) & 1, 1)
+
+
+def decode_jpeg_progressive_color(data: bytes) -> tuple[int, int, bytes]:
+    """Progressive (SOF2) 4:2:0 YCbCr JPEG bytes -> (width, height,
+    interleaved RGB bytes).
+
+    Per-component coefficient accumulation across the scan script —
+    interleaved DC scans walk MCUs with per-component prediction;
+    single-component AC scans walk that component's own block raster
+    (exactly T.81's progressive interleave rules) — with the
+    approximation chain validated per component, then ONE dequantize
+    + IDCT pass per component and the same pinned upsample + JFIF
+    RGB tail as the baseline color profile. A complete script
+    therefore reconstructs bit-identical pixels to
+    `decode_jpeg_color` on the same quantized blocks (pytest-pinned).
+    Raises ValueError on any structural corruption. Profile: exactly
+    3 components, luma 2x2 + chroma 1x1, dimensions multiples of 16."""
+    parsed = _parse_progressive(data)
+    comps = parsed["components"]
+    if len(comps) != 3:
+        raise ValueError("color progressive profile requires 3 components")
+    if (comps[0][1], comps[0][2]) != (2, 2) or any(
+        (c[1], c[2]) != (1, 1) for c in comps[1:]
+    ):
+        raise ValueError("only 4:2:0 (luma 2x2, chroma 1x1) supported")
+    width, height = parsed["width"], parsed["height"]
+    if width <= 0 or height <= 0 or width % 16 or height % 16:
+        raise ValueError("dimensions must be positive multiples of 16")
+    w_mcus, h_mcus = width // 16, height // 16
+    n_blocks = [4 * w_mcus * h_mcus, w_mcus * h_mcus, w_mcus * h_mcus]
+    coeffs = [[[0] * 64 for _ in range(n)] for n in n_blocks]
+    states: list[list[int | None]] = [[None] * 64 for _ in range(3)]
+
+    for scan in parsed["scans"]:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        br = _BitReader(scan["entropy"])
+        if ss == 0:
+            for ci, _td, _ta in scomps:
+                _validate_scan_script_step(states[ci], ss, se, ah, al)
+            if len(scomps) > 1:
+                # interleaved DC scan: MCU walk, per-component pred
+                if [c[0] for c in scomps] != list(range(len(scomps))):
+                    raise ValueError(
+                        "interleaved scan components must follow frame order"
+                    )
+                if len(scomps) != 3:
+                    raise ValueError(
+                        "interleaved DC scan must cover all 3 components"
+                    )
+                trees = []
+                for ci, td, _ta in scomps:
+                    if td not in scan["dc_trees"]:
+                        raise ValueError("scan references undefined tables")
+                    trees.append(scan["dc_trees"][td])
+                if ah == 0:
+                    pred = [0, 0, 0]
+                    for ci, bi in _mcu_block_indices(w_mcus, h_mcus):
+                        s = _read_huff(br, trees[ci])
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred[ci] += diff
+                        coeffs[ci][bi][0] = pred[ci] << al
+                else:
+                    for ci, bi in _mcu_block_indices(w_mcus, h_mcus):
+                        if br.read_bit():
+                            coeffs[ci][bi][0] |= 1 << al
+            else:
+                # non-interleaved DC scan over one component's raster
+                ci, td, _ta = scomps[0]
+                if ah == 0:
+                    if td not in scan["dc_trees"]:
+                        raise ValueError("scan references undefined tables")
+                    tree = scan["dc_trees"][td]
+                    pred = 0
+                    for blk in coeffs[ci]:
+                        s = _read_huff(br, tree)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred += diff
+                        blk[0] = pred << al
+                else:
+                    for blk in coeffs[ci]:
+                        if br.read_bit():
+                            blk[0] |= 1 << al
+        else:
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scans must be single-component")
+            ci, _td, ta = scomps[0]
+            _validate_scan_script_step(states[ci], ss, se, ah, al)
+            if ta not in scan["ac_trees"]:
+                raise ValueError("scan references undefined tables")
+            tree = scan["ac_trees"][ta]
+            if ah == 0:
+                _decode_ac_first(br, coeffs[ci], ss, se, al, tree)
+            else:
+                _decode_ac_refine(br, coeffs[ci], ss, se, al, tree)
+
+    planes = []
+    grids = [(2 * w_mcus, 2 * h_mcus), (w_mcus, h_mcus), (w_mcus, h_mcus)]
+    for ci in range(3):
+        wb, hb = grids[ci]
+        qv = np.array(
+            parsed["quant"][comps[ci][3]], dtype=np.float64
+        ).reshape(8, 8)
+        plane = np.empty((hb * 8, wb * 8), dtype=np.uint8)
+        for b, zz in enumerate(coeffs[ci]):
+            by, bx = divmod(b, wb)
+            plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = _idct_block(
+                zz, qv
+            )
+        planes.append(plane)
+    return width, height, _ycbcr_420_to_rgb(*planes)

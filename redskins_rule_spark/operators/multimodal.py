@@ -1614,6 +1614,105 @@ def decode_jpeg_color_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_jpeg_progressive_color_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL progressive 4:2:0 COLOR JPEG payload column
+    (3-component YCbCr SOF2, functions/jpeg.py — the VERDICT r7
+    item 2 composition: interleaved-DC scans with per-component
+    prediction, per-component AC band scans, successive approximation
+    on both). Geometry derives from character length with the axes
+    SWAPPED versus the baseline color payload (w_mcus = clen % 2 + 1,
+    h_mcus = clen % 3 + 1) so the two color differentials predict
+    different answers from different payload bytes while sharing the
+    synth-block DC family (same `synth_dc_blocks_color` closed
+    forms). Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_color_progressive,
+        synth_dc_blocks_color,
+    )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                wm, hm = clen % 2 + 1, clen % 3 + 1
+                yb, cbb, crb = synth_dc_blocks_color(clen, wm, hm)
+                payloads.append(
+                    encode_jpeg_color_progressive(yb, cbb, crb, wm, hm)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_jpeg_progressive_color_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full progressive 4:2:0 color JPEG decode per payload — per-
+    component coefficient accumulation across the scan script
+    (interleaved DC walk, per-component AC bands, validated
+    approximation chains), one dequantize + IDCT per component, 2x2
+    chroma replication, JFIF YCbCr->RGB → (id, width, height, r_sum,
+    g_sum, b_sum). A baseline (SOF0) payload raises here, exactly as
+    SOF2 raises in the baseline decoders. NULL payloads yield NULL
+    stats. Arrow-batched mapInPandas."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_progressive_color,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, rs, gs, bs = [], [], [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None)
+                    rs.append(None); gs.append(None); bs.append(None)
+                    continue
+                w, h, rgb = decode_jpeg_progressive_color(bytes(b))
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(arr[:, 0].sum(dtype=np.int64)))
+                gs.append(int(arr[:, 1].sum(dtype=np.int64)))
+                bs.append(int(arr[:, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "r_sum": pd.array(rs, dtype="Int64"),
+                    "g_sum": pd.array(gs, dtype="Int64"),
+                    "b_sum": pd.array(bs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

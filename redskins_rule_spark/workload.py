@@ -9411,3 +9411,63 @@ def q201_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q202: REAL compressed-image decode #5 — PROGRESSIVE (SOF2) 4:2:0
+# COLOR JPEG (VERDICT r7 item 2, the last image-profile seam closable
+# in pure Python — with it, every profile in the family gray/color x
+# baseline/progressive is a real decode path). The scan script
+# exercises the pieces the gray progressive profile cannot:
+# INTERLEAVED DC scans (MCU walk with per-component prediction, the
+# T.81 rule that only DC scans may interleave) plus per-component AC
+# band scans, with successive approximation on both. Geometry axes
+# are SWAPPED versus baseline color q180 (wm = clen % 2 + 1,
+# hm = clen % 3 + 1) so the two differentials predict different
+# answers from different payload bytes while sharing the
+# synth_dc_blocks_color closed forms: Y sub-block j decodes to
+# 2*((clen + 7j) % 64 - 32) + 128 (q[0]=16), chroma MCU m to
+# 17*((clen + {7,3}m) % 5 - 2) + 128 offsets (q[0]=17, DCs multiples
+# of 8 keep it integer), through the pinned JFIF matrix. pytest pins
+# progressive-color decode == baseline-color decode on AC-bearing
+# blocks; truncation/byte-flip sweeps extend to this profile.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q202_jpeg_progressive_color",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 2 + 1 AS wm,
+                      length(text) % 3 + 1 AS hm
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(wm * 16 AS INTEGER) AS width,
+           CAST(hm * 16 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               + 1.402 * (17 * ((clen + 3*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               - 0.344136 * (17 * ((clen + 7*(j//4)) % 5 - 2))
+               - 0.714136 * (17 * ((clen + 3*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(generate_series(0, wm*hm*4 - 1),
+             j -> 64 * LEAST(255, GREATEST(0, FLOOR(
+               (2 * ((clen + 7*j) % 64 - 32) + 128)
+               + 1.772 * (17 * ((clen + 7*(j//4)) % 5 - 2))
+               + 0.5))))) AS BIGINT) AS b_sum
+    FROM g
+    """,
+)
+def q202_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_jpeg_progressive_color_stats,
+        with_jpeg_progressive_color_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    jpg = with_jpeg_progressive_color_payload(docs, "text", "doc_id")
+    return decode_jpeg_progressive_color_stats(jpg, "payload", "doc_id")

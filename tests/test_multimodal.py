@@ -1344,6 +1344,138 @@ def test_jpeg_progressive_every_truncation_raises_valueerror():
             decode_jpeg_progressive(good[:cut])
 
 
+def _ac_color_blocks(wm: int, hm: int, seed: int):
+    def mk(n, s0):
+        out = []
+        for b in range(n):
+            blk = [0] * 64
+            blk[0] = (s0 + 11 * b) % 50 - 25
+            for k in range(1, 64, 5):
+                blk[k] = ((b + 2) * k * s0) % 23 - 11
+            out.append(blk)
+        return out
+
+    return mk(4 * wm * hm, seed), mk(wm * hm, seed + 2), mk(wm * hm, seed + 4)
+
+
+def test_jpeg_progressive_color_equals_baseline_color():
+    """VERDICT r7 item 2: a complete progressive-color scan script
+    reconstructs bit-identical RGB to the baseline color profile on
+    the same quantized blocks — DC-only synth payloads AND blocks
+    with real AC energy (the interleaved-DC + per-component-AC walk
+    exercised end to end, refinements included)."""
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_progressive_color,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        synth_dc_blocks_color,
+    )
+
+    for clen, wm, hm in [(10, 1, 1), (25, 2, 1), (33, 3, 2), (7, 2, 3)]:
+        y, cb, cr = synth_dc_blocks_color(clen, wm, hm)
+        base = decode_jpeg_color(encode_jpeg_color(y, cb, cr, wm, hm))
+        prog = decode_jpeg_progressive_color(
+            encode_jpeg_color_progressive(y, cb, cr, wm, hm)
+        )
+        assert prog == base, (clen, wm, hm)
+    y, cb, cr = _ac_color_blocks(2, 2, 7)
+    base = decode_jpeg_color(encode_jpeg_color(y, cb, cr, 2, 2))
+    prog = decode_jpeg_progressive_color(
+        encode_jpeg_color_progressive(y, cb, cr, 2, 2)
+    )
+    assert prog == base
+
+
+def test_jpeg_progressive_color_script_and_profile_gates():
+    """Scan-script validation for the color profile (interleave rules
+    are the new surface: only DC scans may interleave, and DC scans
+    here must interleave all three components) plus profile routing —
+    the color progressive decoder rejects SOF0 and gray-SOF2
+    payloads, and vice versa."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_progressive,
+        decode_jpeg_progressive_color,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+        synth_dc_blocks_color,
+    )
+
+    y, cb, cr = synth_dc_blocks_color(9, 1, 1)
+    bad_scripts = [
+        [(0, 1, 63, 0, 0)],                          # AC before DC
+        [(0, 0, 0, 0, 0), (None, 1, 63, 0, 0)],      # interleaved AC
+        [(None, 0, 0, 0, 2), (None, 0, 0, 2, 0),
+         (0, 1, 63, 0, 0)],                          # Al step of 2
+        [(3, 1, 63, 0, 0)],                          # bad component
+    ]
+    for sc in bad_scripts:
+        with _pytest.raises(ValueError):
+            encode_jpeg_color_progressive(y, cb, cr, 1, 1, scans=sc)
+    prog_color = encode_jpeg_color_progressive(y, cb, cr, 1, 1)
+    prog_gray = encode_jpeg_gray_progressive(synth_dc_blocks(9, 2, 1), 2, 1)
+    base_color = encode_jpeg_color(y, cb, cr, 1, 1)
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_color(prog_color)
+    with _pytest.raises(ValueError, match="not a progressive"):
+        decode_jpeg_progressive_color(base_color)
+    with _pytest.raises(ValueError, match="3 components"):
+        decode_jpeg_progressive_color(prog_gray)
+    with _pytest.raises(ValueError, match="1 component"):
+        decode_jpeg_progressive(prog_color)
+
+
+def test_jpeg_progressive_color_every_truncation_raises_valueerror():
+    """The corruption contract extends to the progressive color
+    profile: EVERY prefix of a valid multi-scan payload raises
+    ValueError."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_progressive_color,
+        encode_jpeg_color_progressive,
+        synth_dc_blocks_color,
+    )
+
+    y, cb, cr = synth_dc_blocks_color(11, 2, 1)
+    good = encode_jpeg_color_progressive(y, cb, cr, 2, 1)
+    for cut in range(2, len(good)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_progressive_color(good[:cut])
+
+
+def test_jpeg_progressive_color_byte_flip_fuzz_raises_only_valueerror():
+    """Any single-byte corruption of an AC-bearing progressive color
+    payload either still decodes or raises ValueError — never
+    IndexError/struct.error (the q182 quarantine net)."""
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_progressive_color,
+        encode_jpeg_color_progressive,
+    )
+
+    y, cb, cr = _ac_color_blocks(2, 1, 9)
+    payload = encode_jpeg_color_progressive(y, cb, cr, 2, 1)
+    state = 98765
+    for _ in range(600):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(payload)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(payload)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            decode_jpeg_progressive_color(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract
+
+
 def test_jpeg_progressive_byte_flip_fuzz_raises_only_valueerror():
     """q182's quarantine net must hold for progressive payloads too:
     any single-byte corruption either still decodes or raises
@@ -1846,13 +1978,18 @@ def test_sniff_dispatches_all_jpeg_profiles(spark):
     )
     from redskins_rule_spark.operators.multimodal import sniff_media_stats
 
+    from redskins_rule_spark.functions.jpeg import (
+        encode_jpeg_color_progressive,
+    )
+
     gray = encode_jpeg_gray(synth_dc_blocks(5, 2, 1), 2, 1)
     y, cb, cr = synth_dc_blocks_color(5, 1, 1)
     color = encode_jpeg_color(y, cb, cr, 1, 1)
     prog = encode_jpeg_gray_progressive(synth_dc_blocks(5, 2, 1, step=9), 2, 1)
+    progc = encode_jpeg_color_progressive(y, cb, cr, 1, 1)
     corrupt = gray[:-7]  # truncated entropy stream
     df = spark.createDataFrame(
-        [(1, gray), (2, color), (3, prog), (4, corrupt)],
+        [(1, gray), (2, color), (3, prog), (4, corrupt), (5, progc)],
         "doc_id long, payload binary",
     )
     got = {r.doc_id: r for r in sniff_media_stats(df).collect()}
@@ -1860,3 +1997,4 @@ def test_sniff_dispatches_all_jpeg_profiles(spark):
     assert (got[2].fmt, got[2].width, got[2].height) == ("jpeg", 16, 16)
     assert (got[3].fmt, got[3].width, got[3].height) == ("jpeg", 16, 8)
     assert got[4].fmt == "quarantined" and got[4].width is None
+    assert (got[5].fmt, got[5].width, got[5].height) == ("jpeg", 16, 16)
