@@ -505,26 +505,20 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- new in round 7 (never driver-verified) ---
-    "q185_ann_label_noise", "q186_jpeg_progressive",
-    "q187_mp4_meta", "q188_mp4_frames", "q189_mp3_meta", "q190_mp3_frames",
-    "q191_dsir_weights", "q192_gopher_rules", "q193_stream_dedup_replay",
-    "q194_semdedup", "q195_token_entropy", "q196_stream_cdc_replay",
-    "q197_stream_pit_replay", "q198_stream_totals_replay",
-    "q199_stream_join_replay", "q200_media_front_door",
-    # --- round-7 TOUCHED (hash or implementation changed this round,
-    #     so r06-green status is stale): q180's payload hash CHANGED
-    #     (Cb multiplier fix), q183 rides the new GC, q171/q115/q32/
-    #     q74 ride the linear ngram/chunk shapes, q166 the semi-join
-    #     keep-set, q22/q174/q175/q179/q184 the similarity sizing /
-    #     auto-banding edits, q164/q173 the view-fold shell, q182/q165
-    #     the shared jpeg module ---
-    "q180_jpeg_color", "q183_stream_restart", "q171_char_ngram_lm",
-    "q115_passage_dedup", "q32_chunking", "q74_packing_quantized",
-    "q166_manifest_prune", "q22_embedding_dups", "q174_srp_lsh_pairs",
-    "q175_knn_label_noise", "q179_embedding_curation", "q184_srp_wide",
-    "q164_stream_mv_replay", "q173_stream_sketch_replay",
-    "q182_quarantine_decode", "q165_jpeg_decode",
+    # --- new in round 8 (never driver-verified) ---
+    "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
+    # --- round-8 TOUCHED (implementation changed this round, so
+    #     r07-green status is stale): q185/q174/q184/q175/q179 ride
+    #     the tapered SRP auto-banding + similarity-module edits,
+    #     q22 the copartition group_cols refactor + null-safe sizing,
+    #     q194 the new blocked SemDeDup default, q165/q180/q182/q186/
+    #     q200 the shared jpeg module (RGB-tail extraction, dims
+    #     dispatch chain), q187/q188 the stsc 1-based guard ---
+    "q185_ann_label_noise", "q194_semdedup", "q22_embedding_dups",
+    "q174_srp_lsh_pairs", "q175_knn_label_noise", "q184_srp_wide",
+    "q179_embedding_curation", "q165_jpeg_decode", "q180_jpeg_color",
+    "q182_quarantine_decode", "q186_jpeg_progressive",
+    "q200_media_front_door", "q187_mp4_meta", "q188_mp4_frames",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -533,17 +527,18 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- back-catalog rotating sample: a DIFFERENT slice than r6's
-    #     (r6 re-checked q110/q116/q117/q121/q124/q134/q135/q138/
-    #     q140/q142/q146) so coverage keeps cycling ---
-    "q26_event_windows", "q27_sessionization", "q67_funnel",
-    "q100_hopping_windows", "q108_sessionize", "q109_jaccard_capped",
-    "q123_png_decode", "q129_dedup_keep_best", "q133_curation_funnel",
+    # --- back-catalog rotating sample: first the seven canaries that
+    #     overflowed r7's window, then a fresh slice not re-checked
+    #     since r01 (r6 cycled q110-q146, r7 cycled q26-q160) ---
+    "q108_sessionize", "q109_jaccard_capped", "q123_png_decode",
+    "q129_dedup_keep_best", "q133_curation_funnel",
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
-    # 57 explicit entries above — seven more than the 50-entry driver
-    # window: all 16 round-7 registrations and every hash-sensitive
-    # sentinel fit inside the window, so the LAST seven back-catalog
-    # canaries intentionally overflow; they rotate back in next round.
+    "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
+    "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
+    "q10_price_buckets", "q31_window_suite", "q41_word_explode",
+    "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
+    # exactly 50 explicit entries — the whole window is pinned this
+    # round: 3 new + 14 touched + 13 sentinels + 20 rotating canaries
 ]
 
 
@@ -2734,18 +2729,22 @@ def q69_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH st AS (SELECT c_nationkey, AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sd
                 FROM customer GROUP BY 1)
-    SELECT c_custkey, ROUND((c_acctbal - mu) / sd, 4) AS z
+    SELECT c_custkey, ROUND((c_acctbal - mu) / sd, 4) + 0.0 AS z
     FROM customer JOIN st USING (c_nationkey)
     """,
 )
 def q70_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # + 0.0 on BOTH sides collapses IEEE -0.0 to 0.0 — a tiny negative
+    # z rounds to the zero the engines RENDER differently (the q191
+    # lesson, found again by the skew differential at §11.69)
     cust = table(spark, sf_dir, "customer")
     st = cust.groupBy("c_nationkey").agg(
         F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sd")
     )
     return cust.join(F.broadcast(st), "c_nationkey").select(
         "c_custkey",
-        F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        (F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 4)
+         + F.lit(0.0)).alias("z"),
     )
 
 
@@ -3491,29 +3490,56 @@ def q87_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_rank_suite",
     oracle="""
     SELECT c_custkey, n_name,
-           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume, tile
+           CASE WHEN n > 1
+                THEN (2000000 * (rn - 1) + (n - 1)) // (2 * (n - 1))
+                ELSE 0 END AS pct_rank_micros,
+           (2000000 * rn + n) // (2 * n) AS cume_micros,
+           tile
     FROM (
       SELECT c.c_custkey, n.n_name,
-             PERCENT_RANK() OVER w AS pr,
-             CUME_DIST()    OVER w AS cd,
-             NTILE(4)       OVER w AS tile
+             ROW_NUMBER()  OVER w AS rn,
+             COUNT(*)      OVER (PARTITION BY n.n_name) AS n,
+             NTILE(4)      OVER w AS tile
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal, c.c_custkey)
     ) WHERE c_custkey % 20 = 0
     """,
 )
 def q88_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percent_rank/cume_dist emit k/n DOUBLES whose 6dp rounding can
+    # land on a half-up boundary where the engines' double-rounding
+    # disagrees (found by the skew differential, §11.69: 1/750 cume
+    # values). The window order is UNIQUE (custkey tiebreak), so both
+    # ratios have row_number() numerators — emit them as EXACT
+    # integer micro-units via integer half-up division, which every
+    # engine computes identically: floor((2e6*k + n) / (2n)).
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("n_name")
+    rn = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(wp).cast("long")
+    pct = F.when(
+        n > 1,
+        F.expr(
+            "(2000000 * (rn - 1) + (n - 1)) DIV (2 * (n - 1))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey",
             "n_name",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            rn.alias("rn"),
+            n.alias("n"),
             F.ntile(4).over(w).alias("tile"),
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            pct.alias("pct_rank_micros"),
+            F.expr("(2000000 * rn + n) DIV (2 * n)").alias("cume_micros"),
+            "tile",
         )
         .where(F.col("c_custkey") % 20 == 0)
     )
