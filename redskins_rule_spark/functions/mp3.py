@@ -197,3 +197,348 @@ def synth_mp3(clen: int) -> bytes:
         for i in range(n)
     ]
     return encode_mp3(frames, id3_payload=bytes([clen % 251]) * (clen % 29))
+
+
+# --- Layer III entropy-structure layer (side info + scalefactors) ---------
+#
+# Narrows the compressed-audio seam a second notch (after the r7
+# framing layer): EVERYTHING in a Layer III frame that is fixed-width
+# bit fields — the 17-byte mono side info (ISO/IEC 11172-3 §2.4.1.7)
+# and the scalefactor section of main_data, including scfsi copy
+# semantics — is now really encoded and really decoded, bit-exact and
+# integer-only, leaving precisely the spectral Huffman payload
+# (Table B.7 codebooks) + the float reconstruction pipeline
+# (requantize/IMDCT/synthesis) as the documented seam. The synthetic
+# granules are DIGITAL SILENCE (big_values = 0 and part2_3_length ==
+# the scalefactor bit count, so the Huffman region is empty) — a
+# spec-valid stream shape real encoders emit for silent granules,
+# which is what keeps the encoder 100% format-faithful without the
+# codebooks. Profile gates (same shape as the JPEG profile gates):
+# MPEG-1 mono, long blocks (window_switching parsed, short/mixed
+# scalefactor layout raises naming the profile), main_data_begin == 0
+# (the bit-reservoir backpointer raises — reservoir reassembly is
+# part of the spectral seam).
+
+# scalefac_compress -> (slen1, slen2), ISO 11172-3 Table B.6
+SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+# long-block scalefactor bands per slen group: 0-10 use slen1,
+# 11-20 use slen2; scfsi groups are bands 0-5 / 6-10 / 11-15 / 16-20
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+@dataclass(frozen=True)
+class Mp3Granule:
+    part2_3_length: int
+    big_values: int
+    global_gain: int
+    scalefac_compress: int
+    table_select: tuple[int, int, int]
+    region0_count: int
+    region1_count: int
+    preflag: int
+    scalefac_scale: int
+    count1table_select: int
+    scalefactors: tuple[int, ...]  # 21 EFFECTIVE values (scfsi applied)
+    spectral_bits: int  # part2_3_length minus scalefactor bits
+
+
+@dataclass(frozen=True)
+class Mp3FrameInfo:
+    main_data_begin: int
+    scfsi: int  # 4 bits, group 0 = MSB
+    granules: tuple[Mp3Granule, Mp3Granule]
+
+
+class _Bits:
+    """MSB-first bit cursor (no JPEG byte-stuffing)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise ValueError("mp3: bit field overruns frame body")
+        v = 0
+        p = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = end
+        return v
+
+
+class _BitsOut:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n: int) -> None:
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"mp3: field value {value} exceeds {n} bits")
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+
+def _granule_sf_bits(scalefac_compress: int, scfsi: int, gr: int) -> int:
+    """Scalefactor bit count of one long-block granule — granule 1
+    skips the scfsi-copied groups."""
+    slen1, slen2 = SLEN[scalefac_compress]
+    bits = 0
+    for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+        if gr == 1 and (scfsi >> (3 - gi)) & 1:
+            continue
+        width = slen1 if lo < 11 else slen2
+        bits += (hi - lo) * width
+    return bits
+
+
+def encode_mp3_granules(
+    frames: list[dict],
+    bitrate_idx: int,
+    sr_idx: int,
+    id3_payload: bytes | None = None,
+) -> bytes:
+    """Mono MPEG-1 Layer III stream with REAL side info and REAL
+    scalefactor sections; spectra are digital silence (big_values=0,
+    empty Huffman region), so every emitted bit is spec-layout-true
+    without the Table B.7 codebooks.
+
+    Each frames[i] is a dict: scfsi (0-15) and per granule g in (0,1)
+    keys 'g0'/'g1', each a dict with global_gain, scalefac_compress,
+    preflag, scalefac_scale, count1table_select, and scalefactors (21
+    ints; granule-1 values inside scfsi-copied groups must EQUAL
+    granule 0's — enforced, since the stream cannot represent a
+    difference)."""
+    out = bytearray()
+    if id3_payload is not None:
+        n = len(id3_payload)
+        if n >= 1 << 28:
+            raise ValueError("mp3: ID3 tag too large for syncsafe size")
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        ) + id3_payload
+    for fr in frames:
+        scfsi = fr["scfsi"]
+        if not 0 <= scfsi <= 15:
+            raise ValueError("mp3: scfsi out of range")
+        side = _BitsOut()
+        side.write(0, 9)   # main_data_begin = 0 (no reservoir)
+        side.write(0, 5)   # private_bits (mono)
+        side.write(scfsi, 4)
+        main = _BitsOut()
+        for g in (0, 1):
+            gd = fr[f"g{g}"]
+            sfc = gd["scalefac_compress"]
+            if not 0 <= sfc <= 15:
+                raise ValueError("mp3: scalefac_compress out of range")
+            slen1, slen2 = SLEN[sfc]
+            sfs = list(gd["scalefactors"])
+            if len(sfs) != 21:
+                raise ValueError("mp3: long blocks carry 21 scalefactors")
+            part2 = _granule_sf_bits(sfc, scfsi, g)
+            side.write(part2, 12)        # part2_3_length == part2: silence
+            side.write(0, 9)             # big_values
+            side.write(gd["global_gain"], 8)
+            side.write(sfc, 4)
+            side.write(0, 1)             # window_switching_flag (long)
+            for t in (0, 0, 0):          # table_select x3 (unused: silence)
+                side.write(t, 5)
+            side.write(0, 4)             # region0_count
+            side.write(0, 3)             # region1_count
+            side.write(gd["preflag"], 1)
+            side.write(gd["scalefac_scale"], 1)
+            side.write(gd["count1table_select"], 1)
+            for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                width = slen1 if lo < 11 else slen2
+                if g == 1 and (scfsi >> (3 - gi)) & 1:
+                    if sfs[lo:hi] != list(fr["g0"]["scalefactors"])[lo:hi]:
+                        raise ValueError(
+                            "mp3: scfsi-copied group differs from granule 0"
+                        )
+                    continue
+                for b in range(lo, hi):
+                    main.write(sfs[b], width)
+        main.pad_to_byte()
+        body_len = frame_length(bitrate_idx, sr_idx, 0) - 4
+        payload = bytes(side.buf) + bytes(main.buf)
+        if len(payload) > body_len:
+            raise ValueError("mp3: side info + scalefactors exceed frame")
+        out += _header(bitrate_idx, sr_idx, 0) + payload + bytes(
+            body_len - len(payload)
+        )
+    return bytes(out)
+
+
+def parse_mp3_granules(data: bytes) -> list[Mp3FrameInfo]:
+    """REAL side-info + scalefactor decode of every frame (mono
+    MPEG-1 Layer III, long blocks): the 136-bit side info, then the
+    scalefactor section of main_data with scfsi copy semantics —
+    granule 1's copied groups take granule 0's DECODED values.
+    Returns EFFECTIVE scalefactors plus `spectral_bits`, the size of
+    the remaining Huffman spectral payload this module does not
+    decode (the documented seam; 0 for silence granules).
+
+    Profile gates, each raising ValueError naming the boundary:
+    main_data_begin > 0 (bit-reservoir reassembly belongs to the
+    spectral seam), window_switching_flag with short/mixed blocks
+    (different scalefactor layout), and any structural corruption —
+    side info overrunning the body, part2_3_length smaller than its
+    own scalefactor section, scalefactor bits overrunning main_data."""
+    out: list[Mp3FrameInfo] = []
+    for _idx, body in extract_frames(data):
+        if len(body) < 17:
+            raise ValueError("mp3: frame too short for mono side info")
+        br = _Bits(body)
+        main_data_begin = br.read(9)
+        if main_data_begin:
+            raise ValueError(
+                "mp3: bit reservoir (main_data_begin > 0) is outside the "
+                "structure profile — spectral-seam territory"
+            )
+        br.read(5)  # private_bits
+        scfsi = br.read(4)
+        sides = []
+        for g in (0, 1):
+            part23 = br.read(12)
+            big_values = br.read(9)
+            global_gain = br.read(8)
+            sfc = br.read(4)
+            ws = br.read(1)
+            if ws:
+                block_type = br.read(2)
+                if block_type == 0:
+                    raise ValueError(
+                        "mp3: window_switching with block_type 0 is invalid"
+                    )
+                raise ValueError(
+                    "mp3: short/mixed-block scalefactor layout is outside "
+                    "the long-block profile"
+                )
+            table_select = (br.read(5), br.read(5), br.read(5))
+            region0 = br.read(4)
+            region1 = br.read(3)
+            preflag = br.read(1)
+            scalefac_scale = br.read(1)
+            count1table = br.read(1)
+            sides.append(
+                (part23, big_values, global_gain, sfc, table_select,
+                 region0, region1, preflag, scalefac_scale, count1table)
+            )
+        if br.pos != 136:
+            raise ValueError("mp3: mono side info must be exactly 17 bytes")
+        mbr = _Bits(body[17:])
+        granules = []
+        g0_sfs: list[int] = []
+        for g in (0, 1):
+            (part23, big_values, global_gain, sfc, table_select,
+             region0, region1, preflag, scalefac_scale, count1table) = sides[g]
+            slen1, slen2 = SLEN[sfc]
+            sfs: list[int] = []
+            for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                if g == 1 and (scfsi >> (3 - gi)) & 1:
+                    sfs.extend(g0_sfs[lo:hi])
+                    continue
+                width = slen1 if lo < 11 else slen2
+                for _b in range(lo, hi):
+                    sfs.append(mbr.read(width))
+            part2 = _granule_sf_bits(sfc, scfsi, g)
+            if part23 < part2:
+                raise ValueError(
+                    "mp3: part2_3_length smaller than its scalefactor section"
+                )
+            spectral = part23 - part2
+            # the Huffman spectral payload is skipped, not decoded —
+            # advance the cursor so multi-granule frames stay aligned
+            if mbr.pos + spectral > 8 * len(body[17:]):
+                raise ValueError("mp3: spectral bits overrun main_data")
+            mbr.pos += spectral
+            if g == 0:
+                g0_sfs = sfs
+            granules.append(
+                Mp3Granule(
+                    part2_3_length=part23,
+                    big_values=big_values,
+                    global_gain=global_gain,
+                    scalefac_compress=sfc,
+                    table_select=table_select,
+                    region0_count=region0,
+                    region1_count=region1,
+                    preflag=preflag,
+                    scalefac_scale=scalefac_scale,
+                    count1table_select=count1table,
+                    scalefactors=tuple(sfs),
+                    spectral_bits=spectral,
+                )
+            )
+        out.append(
+            Mp3FrameInfo(
+                main_data_begin=main_data_begin,
+                scfsi=scfsi,
+                granules=(granules[0], granules[1]),
+            )
+        )
+    return out
+
+
+def synth_mp3_granules(clen: int) -> bytes:
+    """Granule-bearing stream derived from a character length, every
+    side-info and scalefactor field integer-predictable:
+
+      n = clen % 7 + 2 frames, bitrate index clen % 14 + 1, 32 kHz,
+      ID3 payload clen % 19 bytes. Frame i granule g:
+        global_gain        = (clen + 7*i + 3*g) % 256
+        scalefac_compress  = (clen + i + g) % 16
+        preflag            = (clen + i + g) % 2
+        scalefac_scale     = (clen + i) % 2
+        count1table_select = (clen + g) % 2
+        scalefactor[b]     = (clen + i + g + b) % 2^slen(b)  (0 when
+                             slen is 0); granule 1's scfsi-copied
+                             groups take granule 0's values
+        scfsi              = (5*clen + 3*i + 1) % 16  (decoupled from
+                             granule 0's scalefac_compress so a parser
+                             conflating the two fields cannot pass)
+    """
+    n = clen % 7 + 2
+    frames = []
+    for i in range(n):
+        scfsi = (5 * clen + 3 * i + 1) % 16
+        fr: dict = {"scfsi": scfsi}
+        for g in (0, 1):
+            sfc = (clen + i + g) % 16
+            slen1, slen2 = SLEN[sfc]
+            sfs = []
+            for b in range(21):
+                width = slen1 if b < 11 else slen2
+                sfs.append((clen + i + g + b) % (1 << width) if width else 0)
+            fr[f"g{g}"] = {
+                "global_gain": (clen + 7 * i + 3 * g) % 256,
+                "scalefac_compress": sfc,
+                "preflag": (clen + i + g) % 2,
+                "scalefac_scale": (clen + i) % 2,
+                "count1table_select": (clen + g) % 2,
+                "scalefactors": sfs,
+            }
+        # apply scfsi copies so the encoder's equality contract holds
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            if (scfsi >> (3 - gi)) & 1:
+                fr["g1"]["scalefactors"][lo:hi] = fr["g0"]["scalefactors"][lo:hi]
+        frames.append(fr)
+    return encode_mp3_granules(
+        frames, clen % 14 + 1, 2,
+        id3_payload=bytes([clen % 251]) * (clen % 19),
+    )

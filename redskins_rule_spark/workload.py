@@ -507,6 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
+    "q203_mp3_sideinfo",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -536,9 +537,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
-    "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
+    "q46_hash_sample", "q50_global_index",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 3 new + 14 touched + 13 sentinels + 20 rotating canaries
+    # round: 4 new + 14 touched + 13 sentinels + 19 rotating canaries
+    # (q57 rotates back next round)
 ]
 
 
@@ -9497,3 +9499,93 @@ def q202_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     jpg = with_jpeg_progressive_color_payload(docs, "text", "doc_id")
     return decode_jpeg_progressive_color_stats(jpg, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q203: REAL Layer III entropy-STRUCTURE decode — side info +
+# scalefactors (the second notch out of the compressed-audio seam
+# after q189/q190's framing layer). Everything fixed-width in an
+# MPEG-1 mono frame is really encoded and really decoded bit-exactly:
+# the 136-bit side info, scalefac_compress -> (slen1, slen2) via
+# Table B.6, the scalefactor section of main_data, and scfsi COPY
+# semantics (granule 1's copied groups take granule 0's DECODED
+# values — the oracle reproduces the copy, including granule 0's
+# DIFFERENT slen widths). Spectra are spec-valid digital silence
+# (big_values = 0, part2_3_length == scalefactor bits), so
+# spectral_bits_sum — the Huffman payload this engine does NOT
+# decode, the remaining seam — is exactly 0 and hash-checked as
+# such. All outputs are integer folds over decoded bit fields.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.functions.mp3 import SLEN as _MP3_SLEN  # noqa: E402
+
+_MP3_SLEN_VALUES = ", ".join(
+    f"({i}, {s1}, {s2})" for i, (s1, s2) in enumerate(_MP3_SLEN)
+)
+
+
+@query(
+    "q203_mp3_sideinfo",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+         slen(sfc, s1, s2) AS (VALUES {_MP3_SLEN_VALUES}),
+         fr AS (SELECT doc_id, clen, u.i AS i
+                FROM d, unnest(generate_series(0, clen % 7 + 1)) AS u(i)),
+         gr AS (SELECT f.*, gg.g FROM fr f, (VALUES (0), (1)) AS gg(g)),
+         grx AS (SELECT doc_id, clen, i, g,
+                        (5 * clen + 3 * i + 1) % 16 AS scfsi,
+                        (clen + i + g) % 16 AS sfc
+                 FROM gr),
+         band AS (SELECT gx.*, u.b AS b,
+                         CASE WHEN u.b < 6 THEN 0 WHEN u.b < 11 THEN 1
+                              WHEN u.b < 16 THEN 2 ELSE 3 END AS gi
+                  FROM grx gx, unnest(generate_series(0, 20)) AS u(b)),
+         bx AS (SELECT band.*,
+                       CASE WHEN b < 11 THEN so.s1 ELSE so.s2 END AS w_own,
+                       CASE WHEN b < 11 THEN s0.s1 ELSE s0.s2 END AS w_g0,
+                       (scfsi // CASE gi WHEN 0 THEN 8 WHEN 1 THEN 4
+                                         WHEN 2 THEN 2 ELSE 1 END) % 2
+                         AS scbit
+                FROM band
+                JOIN slen so ON so.sfc = band.sfc
+                JOIN slen s0 ON s0.sfc = (band.clen + band.i) % 16),
+         vals AS (SELECT doc_id,
+                         CASE WHEN g = 1 AND scbit = 1 THEN 0
+                              ELSE w_own END AS bits_written,
+                         CASE WHEN g = 1 AND scbit = 1 THEN
+                           CASE WHEN w_g0 = 0 THEN 0
+                                ELSE (clen + i + b) %
+                                     CASE w_g0 WHEN 1 THEN 2 WHEN 2 THEN 4
+                                               WHEN 3 THEN 8 ELSE 16 END END
+                         ELSE
+                           CASE WHEN w_own = 0 THEN 0
+                                ELSE (clen + i + g + b) %
+                                     CASE w_own WHEN 1 THEN 2 WHEN 2 THEN 4
+                                                WHEN 3 THEN 8 ELSE 16 END END
+                         END AS sf_val
+                  FROM bx),
+         bandagg AS (SELECT doc_id,
+                            CAST(SUM(bits_written) AS BIGINT) AS part23_sum,
+                            CAST(SUM(sf_val) AS BIGINT) AS sf_sum
+                     FROM vals GROUP BY 1),
+         gainagg AS (SELECT doc_id,
+                            CAST(SUM((clen + 7 * i + 3 * g) % 256) AS BIGINT)
+                              AS gain_sum
+                     FROM grx GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(d.clen % 7 + 2 AS BIGINT) AS n_frames,
+           g.gain_sum, b.part23_sum, b.sf_sum,
+           CAST(0 AS BIGINT) AS spectral_bits_sum
+    FROM d JOIN gainagg g USING (doc_id) JOIN bandagg b USING (doc_id)
+    """,
+)
+def q203_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp3_sideinfo_stats,
+        with_mp3_granule_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp3 = with_mp3_granule_payload(docs, "text", "doc_id")
+    return decode_mp3_sideinfo_stats(mp3, "payload", "doc_id")

@@ -1823,6 +1823,105 @@ def test_mp3_byte_flip_fuzz_raises_only_valueerror():
                 pass
 
 
+def test_mp3_granule_layer_roundtrip_and_gates():
+    """The Layer III entropy-structure layer: side info + scalefactor
+    fields roundtrip bit-exactly (scfsi copy semantics included — the
+    copied group takes granule 0's DECODED values under granule 0's
+    slens), and every profile gate raises naming its boundary."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        SLEN,
+        encode_mp3_granules,
+        parse_mp3_granules,
+        synth_mp3_granules,
+    )
+
+    # scfsi copy across DIFFERENT scalefac_compress values: g0 slen
+    # (4,2) vs g1 slen (0,0) — copied groups surface g0's wide values
+    g0 = {
+        "global_gain": 200, "scalefac_compress": 14, "preflag": 1,
+        "scalefac_scale": 0, "count1table_select": 1,
+        "scalefactors": [b % 16 for b in range(11)] + [b % 4 for b in range(10)],
+    }
+    g1 = dict(g0, scalefac_compress=0,
+              scalefactors=[0] * 21)
+    fr = {"scfsi": 0b1010, "g0": g0, "g1": dict(g1)}
+    # copied groups (0 and 2) must carry g0's values
+    fr["g1"]["scalefactors"] = list(fr["g1"]["scalefactors"])
+    fr["g1"]["scalefactors"][0:6] = g0["scalefactors"][0:6]
+    fr["g1"]["scalefactors"][11:16] = g0["scalefactors"][11:16]
+    data = encode_mp3_granules([fr], 5, 2)
+    (fi,) = parse_mp3_granules(data)
+    assert fi.scfsi == 0b1010 and fi.main_data_begin == 0
+    assert fi.granules[0].scalefactors == tuple(g0["scalefactors"])
+    assert fi.granules[1].scalefactors == tuple(fr["g1"]["scalefactors"])
+    assert SLEN[fi.granules[1].scalefac_compress] == (0, 0)
+    assert all(g.spectral_bits == 0 for g in fi.granules)
+    # a mismatched copied group is unrepresentable — encoder refuses
+    bad = {"scfsi": 0b1000, "g0": g0, "g1": dict(g1, scalefactors=[7] * 21)}
+    with _pytest.raises(ValueError, match="scfsi-copied"):
+        encode_mp3_granules([bad], 5, 2)
+
+    # profile gates on hand-corrupted side info
+    good = synth_mp3_granules(10)
+    from redskins_rule_spark.functions.mp3 import _id3_size
+
+    body0 = _id3_size(good)  # first frame starts after the ID3 tag
+    # main_data_begin occupies the first 9 bits after the 4-byte header
+    reservoir = bytearray(good)
+    reservoir[body0 + 4] = 0x80  # main_data_begin MSB set
+    with _pytest.raises(ValueError, match="reservoir"):
+        parse_mp3_granules(bytes(reservoir))
+
+    # truncation contract mirrors the framing layer's format-faithful
+    # shape: a cut ON a frame boundary is a valid shorter stream
+    # (real decoders accept truncated files); every OTHER cut raises
+    from redskins_rule_spark.functions.mp3 import parse_mp3
+
+    m = parse_mp3(good)
+    boundaries = set()
+    off = m.id3_bytes
+    for fl in m.frame_lengths:
+        off += fl
+        boundaries.add(off)
+    n_full = len(parse_mp3_granules(good))
+    for cut in range(1, len(good)):
+        if cut in boundaries:
+            assert len(parse_mp3_granules(good[:cut])) < n_full
+        else:
+            with _pytest.raises(ValueError):
+                parse_mp3_granules(good[:cut])
+
+
+def test_mp3_granule_byte_flip_fuzz_raises_only_valueerror():
+    """Single-byte corruption of a granule-bearing payload either
+    still parses or raises ValueError — never IndexError/struct.error
+    (side-info bit fields are range-limited, so most flips still
+    parse; part2_3_length and window-switching flips must hit the
+    checked contracts, not crash)."""
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        synth_mp3_granules,
+    )
+
+    payload = synth_mp3_granules(23)
+    state = 24680
+    for _ in range(600):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(payload)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(payload)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            parse_mp3_granules(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract
+
+
 def test_mp3_payload_decode_spark(spark):
     from redskins_rule_spark.operators.multimodal import (
         decode_audio_meta,
