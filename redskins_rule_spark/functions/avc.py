@@ -1,0 +1,363 @@
+"""H.264/AVC NAL-structure + SPS-geometry layer (public ITU-T H.264
+/ ISO/IEC 14496-10 §7 bitstream syntax).
+
+Narrows the compressed-video seam the same way functions/mp3.py's
+granule layer narrows the audio one: everything in an AVC elementary
+stream that is STRUCTURE — Annex B start-code framing, emulation-
+prevention de-escaping (00 00 03), the one-byte NAL header, and the
+Exp-Golomb-coded sequence parameter set — is really encoded and
+really decoded. Exp-Golomb is SELF-DESCRIBING (a prefix code defined
+by its own zero run, spec §9.1), so unlike the MP3 spectral layer or
+CAVLC/CABAC slice data there is no external codebook to embed: SPS
+geometry (profile/level, pic_width_in_mbs, frame cropping) decodes
+exactly from first principles. What remains of the video seam after
+this layer is precisely slice-data entropy decode (CAVLC/CABAC) and
+the transform/prediction pipeline.
+
+Profile gates (the jpeg/mp3 gate shape, each raising ValueError
+naming the boundary): high-profile SPS extensions (chroma_format_idc
+branch) and interlaced streams (frame_mbs_only_flag == 0) are
+rejected by name; PPS parsing surfaces entropy_coding_mode_flag (the
+CAVLC/CABAC selector — i.e. WHICH seam the slice data sits behind)
+plus ids, then stops at the documented boundary.
+
+Corruption contract: any truncation, junk before the first start
+code, a set forbidden_zero_bit, or an Exp-Golomb read past the RBSP
+end raises ValueError — never IndexError — matching every other
+codec in functions/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+_START3 = b"\x00\x00\x01"
+
+
+@dataclass(frozen=True)
+class AvcNal:
+    ref_idc: int
+    nal_type: int
+    rbsp: bytes  # de-escaped payload (header byte excluded)
+
+
+@dataclass(frozen=True)
+class AvcSps:
+    profile_idc: int
+    level_idc: int
+    sps_id: int
+    log2_max_frame_num: int
+    pic_order_cnt_type: int
+    max_num_ref_frames: int
+    frame_mbs_only: int
+    width: int
+    height: int
+
+
+@dataclass(frozen=True)
+class AvcPps:
+    pps_id: int
+    sps_id: int
+    entropy_coding_mode: int  # 0 = CAVLC, 1 = CABAC — the slice seam
+
+
+class _EgBits:
+    """MSB-first bit reader with Exp-Golomb ue(v)/se(v) (§9.1)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise ValueError("avc: bit field overruns RBSP")
+        v = 0
+        p = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = end
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("avc: Exp-Golomb prefix too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        # §9.1.1 mapping: 0,1,-1,2,-2,...
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _EgBitsOut:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def u(self, value: int, n: int) -> None:
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"avc: field value {value} exceeds {n} bits")
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def ue(self, value: int) -> None:
+        if value < 0:
+            raise ValueError("avc: ue(v) takes non-negative values")
+        k = value + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def se(self, value: int) -> None:
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def rbsp_trailing(self) -> bytes:
+        """Stop bit + zero alignment (§7.3.2.11), then the bytes."""
+        self.u(1, 1)
+        if self._n:
+            self.u(0, 8 - self._n)
+        return bytes(self.buf)
+
+
+def escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: any 00 00 followed by
+    00/01/02/03 becomes 00 00 03 xx (§7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def unescape_rbsp(data: bytes) -> bytes:
+    """Remove emulation-prevention bytes; a 00 00 03 followed by
+    anything above 03 is corrupt per §7.4.1.1."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if (
+            i + 2 < len(data)
+            and data[i] == 0
+            and data[i + 1] == 0
+            and data[i + 2] == 3
+        ):
+            if i + 3 < len(data) and data[i + 3] > 3:
+                raise ValueError("avc: invalid emulation-prevention escape")
+            out += b"\x00\x00"
+            i += 3
+            continue
+        if i + 2 < len(data) and data[i] == 0 and data[i + 1] == 0 and data[i + 2] <= 2:
+            # 00 00 00 / 00 00 01 / 00 00 02 must not appear inside an
+            # escaped NAL payload (§7.4.1.1 — the encoder inserts 03)
+            raise ValueError("avc: unescaped start-code emulation in RBSP")
+        out.append(data[i])
+        i += 1
+    return bytes(out)
+
+
+def encode_nal_stream(nals: list[tuple[int, int, bytes]]) -> bytes:
+    """(ref_idc, nal_type, rbsp) triples -> Annex B byte stream.
+    SPS/PPS (types 7/8) get 4-byte start codes, others 3-byte — both
+    are spec-legal; the parser accepts either."""
+    out = bytearray()
+    for ref_idc, nal_type, rbsp in nals:
+        if not 0 <= ref_idc <= 3 or not 1 <= nal_type <= 31:
+            raise ValueError("avc: NAL header field out of range")
+        if nal_type in (7, 8):
+            out += b"\x00" + _START3
+        else:
+            out += _START3
+        out.append((ref_idc << 5) | nal_type)
+        out += escape_rbsp(rbsp)
+    return bytes(out)
+
+
+def parse_nal_stream(data: bytes) -> list[AvcNal]:
+    """Annex B parse: split on start codes (3- or 4-byte), validate
+    the NAL header, de-escape each payload. Anything but leading
+    zeros before the first start code is corrupt; an empty stream or
+    an empty NAL is corrupt."""
+    if not data:
+        raise ValueError("avc: empty NAL stream")
+    first = data.find(_START3)
+    if first < 0 or any(data[:first]):
+        raise ValueError("avc: no start code at stream head")
+    starts = []
+    i = first
+    while i >= 0:
+        starts.append(i + 3)
+        i = data.find(_START3, i + 3)
+    out = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else len(data)
+        # a 4-byte start code leaves one 00 before the NEXT start code
+        if k + 1 < len(starts) and e > s and data[e - 1] == 0:
+            e -= 1
+        if e <= s:
+            raise ValueError("avc: empty NAL unit")
+        hdr = data[s]
+        if hdr & 0x80:
+            raise ValueError("avc: forbidden_zero_bit set")
+        out.append(
+            AvcNal(
+                ref_idc=(hdr >> 5) & 3,
+                nal_type=hdr & 0x1F,
+                rbsp=unescape_rbsp(data[s + 1: e]),
+            )
+        )
+    return out
+
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def encode_sps(
+    profile_idc: int,
+    level_idc: int,
+    sps_id: int,
+    log2_max_frame_num_minus4: int,
+    pic_order_cnt_type: int,
+    log2_max_poc_lsb_minus4: int,
+    max_num_ref_frames: int,
+    gaps_allowed: int,
+    pic_width_in_mbs_minus1: int,
+    pic_height_in_map_units_minus1: int,
+    direct_8x8: int,
+) -> bytes:
+    """Baseline/main-profile progressive SPS RBSP (no cropping, no
+    VUI) — §7.3.2.1.1 field for field."""
+    if profile_idc in _HIGH_PROFILES:
+        raise ValueError("avc: high-profile SPS outside this encoder")
+    w = _EgBitsOut()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(level_idc, 8)
+    w.ue(sps_id)
+    w.ue(log2_max_frame_num_minus4)
+    w.ue(pic_order_cnt_type)
+    if pic_order_cnt_type == 0:
+        w.ue(log2_max_poc_lsb_minus4)
+    elif pic_order_cnt_type == 1:
+        raise ValueError("avc: poc type 1 outside this encoder")
+    w.ue(max_num_ref_frames)
+    w.u(gaps_allowed, 1)
+    w.ue(pic_width_in_mbs_minus1)
+    w.ue(pic_height_in_map_units_minus1)
+    w.u(1, 1)  # frame_mbs_only_flag (progressive profile)
+    w.u(direct_8x8, 1)
+    w.u(0, 1)  # frame_cropping_flag
+    w.u(0, 1)  # vui_parameters_present_flag
+    return w.rbsp_trailing()
+
+
+def parse_sps(rbsp: bytes) -> AvcSps:
+    """SPS decode per §7.3.2.1.1, geometry included: width/height
+    from pic_width_in_mbs / pic_height_in_map_units with the 4:2:0
+    frame-cropping arithmetic (crop unit 2 horizontally, 2·(2 −
+    frame_mbs_only) vertically). High-profile chroma extensions and
+    interlaced streams raise naming the profile boundary."""
+    br = _EgBits(rbsp)
+    profile_idc = br.u(8)
+    br.u(8)  # constraint flags
+    level_idc = br.u(8)
+    sps_id = br.ue()
+    if profile_idc in _HIGH_PROFILES:
+        raise ValueError(
+            "avc: high-profile SPS (chroma_format_idc branch) is outside "
+            "the baseline/main structure profile"
+        )
+    log2_max_frame_num = br.ue() + 4
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        br.u(1)
+        br.se()
+        br.se()
+        for _ in range(br.ue()):
+            br.se()
+    elif poc_type > 2:
+        raise ValueError("avc: invalid pic_order_cnt_type")
+    max_num_ref = br.ue()
+    br.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw = br.ue()
+    ph = br.ue()
+    frame_mbs_only = br.u(1)
+    if not frame_mbs_only:
+        raise ValueError(
+            "avc: interlaced (frame_mbs_only_flag=0) streams are outside "
+            "the progressive structure profile"
+        )
+    br.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if br.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = br.ue(), br.ue(), br.ue(), br.ue()
+    br.u(1)  # vui_parameters_present_flag (VUI itself not parsed)
+    width = (pw + 1) * 16 - 2 * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * (ph + 1) * 16 - 2 * (
+        2 - frame_mbs_only
+    ) * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("avc: cropping exceeds coded size")
+    return AvcSps(
+        profile_idc=profile_idc,
+        level_idc=level_idc,
+        sps_id=sps_id,
+        log2_max_frame_num=log2_max_frame_num,
+        pic_order_cnt_type=poc_type,
+        max_num_ref_frames=max_num_ref,
+        frame_mbs_only=frame_mbs_only,
+        width=width,
+        height=height,
+    )
+
+
+def encode_pps(pps_id: int, sps_id: int, entropy_coding_mode: int) -> bytes:
+    """Minimal-but-real PPS head: ids + entropy_coding_mode_flag +
+    the fields through deblocking control, single slice group,
+    weighted prediction off — a decodable §7.3.2.2 prefix."""
+    w = _EgBitsOut()
+    w.ue(pps_id)
+    w.ue(sps_id)
+    w.u(entropy_coding_mode, 1)
+    w.u(0, 1)   # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)     # num_slice_groups_minus1
+    w.ue(0)     # num_ref_idx_l0_default_active_minus1
+    w.ue(0)     # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)   # weighted_pred_flag
+    w.u(0, 2)   # weighted_bipred_idc
+    w.se(0)     # pic_init_qp_minus26
+    w.se(0)     # pic_init_qs_minus26
+    w.se(0)     # chroma_qp_index_offset
+    w.u(1, 1)   # deblocking_filter_control_present_flag
+    w.u(0, 1)   # constrained_intra_pred_flag
+    w.u(0, 1)   # redundant_pic_cnt_present_flag
+    return w.rbsp_trailing()
+
+
+def parse_pps_head(rbsp: bytes) -> AvcPps:
+    """PPS ids + entropy_coding_mode_flag (which slice-entropy seam —
+    CAVLC or CABAC — the stream's slice data sits behind); parsing
+    stops there, the documented boundary."""
+    br = _EgBits(rbsp)
+    pps_id = br.ue()
+    sps_id = br.ue()
+    mode = br.u(1)
+    return AvcPps(pps_id=pps_id, sps_id=sps_id, entropy_coding_mode=mode)

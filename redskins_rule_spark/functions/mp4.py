@@ -447,3 +447,61 @@ def synth_mp4(clen: int) -> bytes:
         )
         tracks.append(Mp4TrackSpec("soun", 23, asamples))
     return encode_mp4(tracks)
+
+
+def synth_mp4_avc(clen: int) -> bytes:
+    """MP4 whose video samples carry REAL H.264 Annex B NAL streams
+    (functions/avc.py) — closed-form structure a SQL oracle predicts:
+
+      nv = clen % 6 + 2 video samples, delta 40. Sample 0 is the
+      parameter-set sample: SPS (profile 66, level clen % 45 + 10,
+      pic_width_in_mbs = clen % 5 + 1, pic_height_in_map_units =
+      clen % 3 + 1, progressive, no cropping) + PPS
+      (entropy_coding_mode = clen % 2) + one IDR slice stub (type 5,
+      ref_idc 3, (clen % 17) + 2 nonzero fill bytes). Samples i >= 1
+      are non-IDR slice stubs (type 1, ref_idc i % 3 + 1 capped at 3,
+      (clen + 3*i) % 23 + 1 fill bytes) — slice BODIES are opaque by
+      design (CAVLC/CABAC is the documented seam); every NAL header,
+      start code, and parameter-set bit is real.
+    """
+    from redskins_rule_spark.functions.avc import (
+        encode_nal_stream,
+        encode_pps,
+        encode_sps,
+    )
+
+    nv = clen % 6 + 2
+    sps = encode_sps(
+        profile_idc=66,
+        level_idc=clen % 45 + 10,
+        sps_id=clen % 4,
+        log2_max_frame_num_minus4=clen % 8,
+        pic_order_cnt_type=2,
+        log2_max_poc_lsb_minus4=0,
+        max_num_ref_frames=clen % 5,
+        gaps_allowed=clen % 2,
+        pic_width_in_mbs_minus1=clen % 5,
+        pic_height_in_map_units_minus1=clen % 3,
+        direct_8x8=clen % 2,
+    )
+    pps = encode_pps(pps_id=0, sps_id=clen % 4, entropy_coding_mode=clen % 2)
+
+    def stub(n: int, seed: int) -> bytes:
+        return bytes([(seed + 7 * j) % 253 + 1 for j in range(n)])
+
+    samples = [
+        encode_nal_stream(
+            [
+                (3, 7, sps),
+                (3, 8, pps),
+                (3, 5, stub(clen % 17 + 2, clen)),
+            ]
+        )
+    ]
+    for i in range(1, nv):
+        samples.append(
+            encode_nal_stream(
+                [(min(i % 3 + 1, 3), 1, stub((clen + 3 * i) % 23 + 1, clen + i))]
+            )
+        )
+    return encode_mp4([Mp4TrackSpec("vide", 40, tuple(samples))])

@@ -1794,6 +1794,112 @@ def decode_mp3_sideinfo_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_mp4_avc_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP4 payloads whose video samples carry REAL H.264
+    Annex B NAL streams (functions/avc.py): start codes, emulation
+    prevention, NAL headers, a decodable SPS (geometry in
+    Exp-Golomb), a decodable PPS head — slice BODIES opaque by
+    design (`functions/mp4.py synth_mp4_avc` closed forms).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp4 import synth_mp4_avc
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp4_avc(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_avc_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL container + NAL-structure + SPS-geometry decode per MP4
+    payload: box walk → sample-table slice of every video sample out
+    of mdat → Annex B NAL parse (start codes, emulation-prevention
+    de-escape, header validation) → Exp-Golomb SPS decode for
+    width/height/profile/level and PPS head for the CAVLC/CABAC
+    selector → (id, width, height, profile, level, cabac, n_nals,
+    n_idr). The video dimensions come from the STREAM's parameter
+    set, not the container's tkhd — the number a real pipeline
+    trusts. Slice-body entropy decode is the documented seam. NULL
+    payloads yield NULL stats; corrupt ones raise ValueError (wrap in
+    decode_stats_tolerant-style quarantine upstream when needed)."""
+    from redskins_rule_spark.functions.avc import (
+        parse_nal_stream,
+        parse_pps_head,
+        parse_sps,
+    )
+    from redskins_rule_spark.functions.mp4 import extract_samples, parse_mp4
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("profile", T.IntegerType()),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("cabac", T.IntegerType()),
+            T.StructField("n_nals", T.LongType()),
+            T.StructField("n_idr", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 7)
+                    continue
+                data = bytes(b)
+                meta = parse_mp4(data)
+                sps = pps = None
+                n_nals = n_idr = 0
+                for track in meta.tracks:
+                    if track.handler != "vide":
+                        continue
+                    for _i, sample in extract_samples(data, track):
+                        for nal in parse_nal_stream(sample):
+                            n_nals += 1
+                            if nal.nal_type == 7:
+                                sps = parse_sps(nal.rbsp)
+                            elif nal.nal_type == 8:
+                                pps = parse_pps_head(nal.rbsp)
+                            elif nal.nal_type == 5:
+                                n_idr += 1
+                if sps is None or pps is None:
+                    raise ValueError("avc: stream carries no SPS/PPS")
+                rows.append(
+                    (sps.width, sps.height, sps.profile_idc, sps.level_idc,
+                     pps.entropy_coding_mode, n_nals, n_idr)
+                )
+            cols = ["width", "height", "profile", "level", "cabac",
+                    "n_nals", "n_idr"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("width", "height", "profile", "level", "cabac"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in ("n_nals", "n_idr"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

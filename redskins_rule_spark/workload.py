@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
-    "q203_mp3_sideinfo",
+    "q203_mp3_sideinfo", "q204_avc_sps",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -537,10 +537,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
-    "q46_hash_sample", "q50_global_index",
+    "q46_hash_sample",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 4 new + 14 touched + 13 sentinels + 19 rotating canaries
-    # (q57 rotates back next round)
+    # round: 5 new + 14 touched + 13 sentinels + 18 rotating canaries
+    # (q50/q57 rotate back next round)
 ]
 
 
@@ -9589,3 +9589,46 @@ def q203_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp3 = with_mp3_granule_payload(docs, "text", "doc_id")
     return decode_mp3_sideinfo_stats(mp3, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q204: REAL H.264 NAL-structure + SPS-geometry decode from MP4
+# samples — the video-seam analog of q203's audio layer. The engine
+# slices every video sample out of mdat by the REAL sample table
+# (q188's machinery), parses the Annex B stream (start codes,
+# emulation-prevention de-escape, NAL header validation), and
+# Exp-Golomb-decodes the sequence parameter set — width/height come
+# from the STREAM's SPS, not the container's tkhd, which is the
+# number a real ingest pipeline trusts (containers lie; parameter
+# sets don't). Exp-Golomb is self-describing (spec §9.1), so unlike
+# CAVLC/CABAC slice data there is no codebook to embed — geometry
+# decode is exact from first principles. PPS head surfaces
+# entropy_coding_mode (WHICH slice-entropy seam the stream sits
+# behind). Slice bodies stay opaque by design — after this layer the
+# video seam is exactly slice entropy + transform/prediction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q204_avc_sps",
+    oracle="""
+    SELECT doc_id,
+           CAST((clen % 5 + 1) * 16 AS INTEGER) AS width,
+           CAST((clen % 3 + 1) * 16 AS INTEGER) AS height,
+           CAST(66 AS INTEGER) AS profile,
+           CAST(clen % 45 + 10 AS INTEGER) AS level,
+           CAST(clen % 2 AS INTEGER) AS cabac,
+           CAST(clen % 6 + 4 AS BIGINT) AS n_nals,
+           CAST(1 AS BIGINT) AS n_idr
+    FROM (SELECT doc_id, length(text) AS clen FROM documents
+          WHERE text IS NOT NULL)
+    """,
+)
+def q204_avc_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_avc_stats,
+        with_mp4_avc_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp4 = with_mp4_avc_payload(docs, "text", "doc_id")
+    return decode_avc_stats(mp4, "payload", "doc_id")

@@ -1732,6 +1732,134 @@ def test_mp4_audio_track_extraction(spark):
 # --- MP3 (MPEG-1 Layer III) framing codec ----------------------------------
 
 
+def test_avc_nal_sps_roundtrip_and_gates():
+    """The H.264 structure layer: Annex B framing + emulation
+    prevention roundtrip byte-exactly, SPS geometry decodes from
+    Exp-Golomb (cropping arithmetic included), and every profile
+    gate raises naming its boundary."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.avc import (
+        _EgBits,
+        _EgBitsOut,
+        encode_nal_stream,
+        encode_pps,
+        encode_sps,
+        escape_rbsp,
+        parse_nal_stream,
+        parse_pps_head,
+        parse_sps,
+        unescape_rbsp,
+    )
+
+    # Exp-Golomb self-inverse across the signed/unsigned maps
+    w = _EgBitsOut()
+    for v in (0, 1, 2, 7, 31, 255):
+        w.ue(v)
+    for v in (0, 1, -1, 5, -17):
+        w.se(v)
+    r = _EgBits(w.rbsp_trailing())
+    assert [r.ue() for _ in range(6)] == [0, 1, 2, 7, 31, 255]
+    assert [r.se() for _ in range(5)] == [0, 1, -1, 5, -17]
+
+    # emulation prevention: every 00 00 0x pattern escapes and returns
+    rbsp = b"\x10\x00\x00\x01\x00\x00\x00\x02\x00\x00\x03\x99\x00\x00"
+    esc = escape_rbsp(rbsp)
+    assert b"\x00\x00\x01" not in esc
+    assert unescape_rbsp(esc) == rbsp
+    with _pytest.raises(ValueError, match="emulation"):
+        unescape_rbsp(b"\x00\x00\x01")  # unescaped start code inside
+
+    sps = encode_sps(66, 30, 0, 3, 2, 0, 2, 0, 4, 2, 1)
+    pps = encode_pps(0, 0, 1)
+    stream = encode_nal_stream([(3, 7, sps), (3, 8, pps), (2, 1, b"\x9e\x42")])
+    nals = parse_nal_stream(stream)
+    assert [n.nal_type for n in nals] == [7, 8, 1]
+    assert [n.ref_idc for n in nals] == [3, 3, 2]
+    meta = parse_sps(nals[0].rbsp)
+    assert (meta.width, meta.height) == (80, 48)
+    assert (meta.profile_idc, meta.level_idc) == (66, 30)
+    assert parse_pps_head(nals[1].rbsp).entropy_coding_mode == 1
+
+    # 4:2:0 cropping arithmetic: hand-built SPS with cropping flag
+    wo = _EgBitsOut()
+    wo.u(66, 8); wo.u(0, 8); wo.u(30, 8)
+    wo.ue(0); wo.ue(0); wo.ue(2)     # ids, frame_num, poc type 2
+    wo.ue(1); wo.u(0, 1)             # refs, gaps
+    wo.ue(4); wo.ue(2)               # 5x3 macroblocks
+    wo.u(1, 1); wo.u(1, 1)           # frame_mbs_only, direct_8x8
+    wo.u(1, 1)                       # frame_cropping_flag
+    wo.ue(1); wo.ue(2); wo.ue(0); wo.ue(3)  # l/r/t/b crops
+    wo.u(0, 1)                       # vui
+    cropped = parse_sps(wo.rbsp_trailing())
+    assert cropped.width == 5 * 16 - 2 * (1 + 2)
+    assert cropped.height == 3 * 16 - 2 * (0 + 3)
+
+    # profile gates raise by name
+    with _pytest.raises(ValueError, match="high-profile"):
+        parse_sps(bytes([100]) + encode_sps(66, 30, 0, 0, 2, 0, 0, 0, 0, 0, 0)[1:])
+    inter = _EgBitsOut()
+    inter.u(66, 8); inter.u(0, 8); inter.u(30, 8)
+    inter.ue(0); inter.ue(0); inter.ue(2); inter.ue(0); inter.u(0, 1)
+    inter.ue(0); inter.ue(0); inter.u(0, 1)  # frame_mbs_only = 0
+    with _pytest.raises(ValueError, match="interlaced"):
+        parse_sps(inter.rbsp_trailing())
+    with _pytest.raises(ValueError, match="forbidden"):
+        parse_nal_stream(b"\x00\x00\x01\xe7\x42")
+    with _pytest.raises(ValueError, match="start code"):
+        parse_nal_stream(b"\x42\x00\x00\x01\x67")
+
+
+def test_avc_in_mp4_truncation_and_flip_fuzz():
+    """Corruption contract for the composed path (container → sample
+    slices → NAL parse → SPS): every payload truncation raises
+    ValueError, and single-byte flips raise only ValueError."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.avc import (
+        parse_nal_stream,
+        parse_pps_head,
+        parse_sps,
+    )
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4_avc,
+    )
+
+    def full_decode(data: bytes):
+        meta = parse_mp4(data)
+        out = []
+        for t in meta.tracks:
+            for _i, s in extract_samples(data, t):
+                for nal in parse_nal_stream(s):
+                    if nal.nal_type == 7:
+                        out.append(parse_sps(nal.rbsp))
+                    elif nal.nal_type == 8:
+                        out.append(parse_pps_head(nal.rbsp))
+        return out
+
+    good = synth_mp4_avc(19)
+    assert full_decode(good)
+    for cut in range(len(good)):
+        with _pytest.raises(ValueError):
+            full_decode(good[:cut])
+    state = 13579
+    for _ in range(500):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(good)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(good)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            full_decode(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract
+
+
 def test_mp3_roundtrip_and_length_formula():
     from redskins_rule_spark.functions.mp3 import (
         BITRATE_KBPS,
