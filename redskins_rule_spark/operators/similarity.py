@@ -1134,9 +1134,44 @@ def srp_lsh_pairs(
         )
         .drop("__vid")
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_dp)
+    # VERIFY IS VECTORIZED (round 8): the candidate volume is the
+    # whole point of this operator's cost model (target ~16n random
+    # collisions + true pairs), and evaluating an interpreted
+    # zip_with/aggregate fold per pair priced each candidate at
+    # 10-100x its numpy cost — the same per-pair-expression tax the
+    # SemDeDup router removed. One Arrow batch pass computes all
+    # cosines with row-wise einsum (sequential per-element
+    # accumulation, the left-fold order); rounding and the threshold
+    # stay Spark-side, so oracle semantics are unchanged (the q22
+    # numpy-double -> F.round precedent).
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batch_cosine(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array([np.asarray(v) for v in pdf["__va"]], dtype=np.float64)
+            vb = np.array([np.asarray(v) for v in pdf["__vb"]], dtype=np.float64)
+            dot = np.einsum("ij,ij->i", va, vb)
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            d = na * nb
+            sim = np.where(d == 0, 0.0, dot / np.where(d == 0, 1.0, d))
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sim}
+            )
+
+    raw = enriched.mapInPandas(
+        batch_cosine,
+        schema=f"id_a {id_type}, id_b {id_type}, cos_sim double",
+    )
     return (
-        enriched.select("id_a", "id_b", sim.alias("cos_sim"))
+        raw.select(
+            "id_a", "id_b", F.round("cos_sim", round_dp).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 
