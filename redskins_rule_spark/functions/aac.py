@@ -1,0 +1,195 @@
+"""ADTS/AAC framing layer (public ISO/IEC 14496-3 §1.A.2.2 — the
+Audio Data Transport Stream header that wraps raw AAC in standalone
+.aac files and broadcast streams).
+
+The AAC analog of functions/mp3.py's framing layer: every field of
+the 7-byte (9 with CRC) fixed+variable ADTS header is really encoded
+and really decoded — syncword, MPEG-4/2 ID, profile (AudioObjectType
+− 1), the sampling-frequency index table, channel configuration, the
+13-bit frame length (which INCLUDES the header, unlike MP3's
+formula-derived length), buffer fullness, and the
+raw-data-blocks-per-frame count (1024 samples per block, which is
+what makes duration integer-predictable). Frame payloads — the raw
+AAC access units — stay opaque BY DESIGN: spectral decode
+(scalefactor bands, spectral Huffman, TNS, the MDCT bank) is the
+documented seam, exactly like MP3's Table B.7 layer. When
+protection_absent is 0 the 16-bit CRC field is parsed and surfaced
+but not verified (verification is optional per the spec and belongs
+to the seam).
+
+Corruption contract: truncation at any non-frame-boundary byte, a
+broken syncword, a reserved sampling-frequency index, channel
+config 0, or a declared frame length that disagrees with the header
+size / runs past the payload raises ValueError — the shared codec
+contract of functions/.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# index 0-12 per ISO 14496-3 Table 1.18; 13/14 reserved, 15 escape
+SAMPLE_RATES_AAC = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+SAMPLES_PER_BLOCK = 1024
+
+
+@dataclass(frozen=True)
+class AdtsFrame:
+    profile: int  # AudioObjectType - 1: 0=Main, 1=LC, 2=SSR, 3=LTP
+    sr_idx: int
+    channels: int
+    frame_length: int  # header included, per the 13-bit field
+    n_blocks: int  # raw_data_blocks_in_frame (1..4)
+    crc_present: bool
+    payload: bytes  # the opaque raw AAC access unit(s) — the seam
+
+
+@dataclass(frozen=True)
+class AdtsMeta:
+    frames: tuple[AdtsFrame, ...]
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+    @property
+    def sample_rate(self) -> int:
+        return SAMPLE_RATES_AAC[self.frames[0].sr_idx]
+
+    @property
+    def n_samples(self) -> int:
+        return sum(f.n_blocks for f in self.frames) * SAMPLES_PER_BLOCK
+
+    @property
+    def duration_ms(self) -> int:
+        return self.n_samples * 1000 // self.sample_rate
+
+
+def encode_adts(
+    frames: list[tuple[int, int, int, bytes]],
+    crc_present: bool = False,
+) -> bytes:
+    """frames: (profile 0-3, sr_idx 0-12, channels 1-7, payload).
+    One raw data block per frame (the overwhelmingly common layout);
+    all frames must share sr_idx (one stream, one clock). With
+    crc_present the 16-bit CRC field is emitted as zero — parsers
+    skip it (verification is spec-optional and seam-side here)."""
+    if not frames:
+        raise ValueError("adts: at least one frame required")
+    sr0 = frames[0][1]
+    out = bytearray()
+    hdr_len = 9 if crc_present else 7
+    for profile, sr_idx, channels, payload in frames:
+        if not 0 <= profile <= 3:
+            raise ValueError("adts: profile out of range")
+        if not 0 <= sr_idx <= 12:
+            raise ValueError("adts: reserved sampling-frequency index")
+        if sr_idx != sr0:
+            raise ValueError("adts: mixed sampling-frequency indices")
+        if not 1 <= channels <= 7:
+            raise ValueError("adts: channel configuration out of range")
+        flen = hdr_len + len(payload)
+        if flen >= 1 << 13:
+            raise ValueError("adts: frame length exceeds 13 bits")
+        # fixed header: FFF | ID=0 (MPEG-4) | layer=00 | protection_absent
+        b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc_present else 1)
+        b2 = (profile << 6) | (sr_idx << 2) | (0 << 1) | (channels >> 2)
+        # variable header: frame_length(13) | fullness(11)=0x7FF (VBR)
+        # | raw_data_blocks_minus1(2)=0
+        b3 = ((channels & 3) << 6) | (0 << 5) | (0 << 4) | (0 << 3) | (
+            0 << 2
+        ) | ((flen >> 11) & 3)
+        b4 = (flen >> 3) & 0xFF
+        b5 = ((flen & 7) << 5) | 0x1F
+        b6 = (0x3F << 2) | 0
+        out += bytes([0xFF, b1, b2, b3, b4, b5, b6])
+        if crc_present:
+            out += struct.pack(">H", 0)
+        out += payload
+    return bytes(out)
+
+
+def parse_adts(data: bytes) -> AdtsMeta:
+    """Strict ADTS frame walk: validate every header field, slice
+    each frame's payload by the DECLARED 13-bit length (bounds-
+    checked against the stream), stop cleanly at end-of-stream — a
+    prefix ending exactly on a frame boundary is a valid shorter
+    stream, the same format-faithful truncation contract as MP3."""
+    if not data:
+        raise ValueError("adts: empty payload")
+    frames = []
+    pos = 0
+    sr0 = None
+    while pos < len(data):
+        if pos + 7 > len(data):
+            raise ValueError("adts: truncated header")
+        h = data[pos: pos + 7]
+        if h[0] != 0xFF or (h[1] & 0xF0) != 0xF0:
+            raise ValueError("adts: bad syncword")
+        if (h[1] >> 3) & 1:
+            raise ValueError("adts: MPEG-2 AAC (ID=1) outside profile")
+        if (h[1] >> 1) & 3:
+            raise ValueError("adts: layer bits must be 00")
+        crc_present = not (h[1] & 1)
+        profile = h[2] >> 6
+        sr_idx = (h[2] >> 2) & 0xF
+        if sr_idx > 12:
+            raise ValueError("adts: reserved sampling-frequency index")
+        if sr0 is None:
+            sr0 = sr_idx
+        elif sr_idx != sr0:
+            raise ValueError("adts: sampling-frequency index changed mid-stream")
+        channels = ((h[2] & 1) << 2) | (h[3] >> 6)
+        if channels == 0:
+            raise ValueError(
+                "adts: channel_configuration 0 (config in PCE) outside profile"
+            )
+        flen = ((h[3] & 3) << 11) | (h[4] << 3) | (h[5] >> 5)
+        n_blocks = (h[6] & 3) + 1
+        hdr_len = 9 if crc_present else 7
+        if flen < hdr_len:
+            raise ValueError("adts: frame length smaller than its header")
+        if pos + flen > len(data):
+            raise ValueError("adts: frame length overruns payload")
+        if crc_present and pos + 9 > len(data):
+            raise ValueError("adts: truncated CRC")
+        frames.append(
+            AdtsFrame(
+                profile=profile,
+                sr_idx=sr_idx,
+                channels=channels,
+                frame_length=flen,
+                n_blocks=n_blocks,
+                crc_present=crc_present,
+                payload=data[pos + hdr_len: pos + flen],
+            )
+        )
+        pos += flen
+    return AdtsMeta(frames=tuple(frames))
+
+
+def synth_adts(clen: int) -> bytes:
+    """ADTS stream derived from a character length, every header
+    field integer-predictable:
+
+      n = clen % 9 + 2 frames; profile clen % 4; sr_idx clen % 13;
+      channels clen % 7 + 1; CRC present when clen % 5 == 0;
+      frame i payload: (clen + 5*i) % 37 + 1 bytes of fill
+      (clen + 11*i) % 251 (payload byte values never matter to the
+      header walk — they are the documented raw-AAC seam)."""
+    n = clen % 9 + 2
+    crc = clen % 5 == 0
+    frames = [
+        (
+            clen % 4,
+            clen % 13,
+            clen % 7 + 1,
+            bytes([(clen + 11 * i) % 251]) * ((clen + 5 * i) % 37 + 1),
+        )
+        for i in range(n)
+    ]
+    return encode_adts(frames, crc_present=crc)

@@ -736,6 +736,7 @@ def decode_mp3_stats(
     out_schema = T.StructType([df.schema[id_col]] + list(MP3_STATS_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.aac import parse_adts
         from redskins_rule_spark.functions.mp3 import parse_mp3
 
         for pdf in batches:
@@ -813,7 +814,7 @@ def sample_mp3_frames(
 
 # --- mixed-media front door: sniff + dispatch ------------------------------
 
-MEDIA_FORMATS = ("bmp", "png", "gif", "jpeg", "wav", "mp3", "mp4")
+MEDIA_FORMATS = ("bmp", "png", "gif", "jpeg", "wav", "mp3", "mp4", "aac")
 
 
 def sniff_format(data: bytes) -> str:
@@ -830,6 +831,15 @@ def sniff_format(data: bytes) -> str:
         return "wav"
     if len(data) >= 8 and data[4:8] == b"ftyp":
         return "mp4"
+    if (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and (data[1] & 0xF0) == 0xF0
+        and ((data[1] >> 1) & 3) == 0
+    ):
+        # 0xFFF sync with layer bits 00 = ADTS; MP3's Layer III sets
+        # layer bits 01, so the two syncs never collide
+        return "aac"
     if data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] >> 5) == 0b111
     ):
@@ -897,6 +907,9 @@ def sniff_media_stats(
                     nf, dur = m.n_samples, m.duration_ms
                 elif fmt == "mp3":
                     m = parse_mp3(data)
+                    nf, dur = m.n_frames, m.duration_ms
+                elif fmt == "aac":
+                    m = parse_adts(data)
                     nf, dur = m.n_frames, m.duration_ms
                 elif fmt == "mp4":
                     m = parse_mp4(data)
@@ -1896,6 +1909,88 @@ def decode_avc_stats(
                 meta_df[c] = pd.array(meta_df[c], dtype="Int64")
             meta_df.insert(0, id_col, pdf[id_col].values)
             yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_adts_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize a REAL ADTS/AAC payload column (functions/aac.py
+    `synth_adts` closed forms — the standalone .aac stream shape a
+    crawl encounters). Arrow-batched; payloads never touch the
+    driver."""
+    from redskins_rule_spark.functions.aac import synth_adts
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_adts(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_adts_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL ADTS frame walk per payload: every fixed+variable header
+    field validated, payloads sliced by the declared 13-bit length →
+    (id, n_frames, profile, sr, channels, duration_ms,
+    payload_bytes). The raw AAC access units stay opaque (the
+    documented spectral seam); payload_bytes proves the walk slices
+    real bytes. NULL payloads yield NULL stats."""
+    from redskins_rule_spark.functions.aac import parse_adts
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("profile", T.IntegerType()),
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("payload_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                m = parse_adts(bytes(b))
+                rows.append(
+                    (
+                        m.n_frames,
+                        m.frames[0].profile,
+                        m.sample_rate,
+                        m.frames[0].channels,
+                        m.duration_ms,
+                        sum(len(f.payload) for f in m.frames),
+                    )
+                )
+            cols = ["n_frames", "profile", "sr", "channels",
+                    "duration_ms", "payload_bytes"]
+            meta = pd.DataFrame(rows, columns=cols)
+            for c in ("profile", "sr", "channels"):
+                meta[c] = pd.array(meta[c], dtype="Int32")
+            for c in ("n_frames", "duration_ms", "payload_bytes"):
+                meta[c] = pd.array(meta[c], dtype="Int64")
+            meta.insert(0, id_col, pdf[id_col].values)
+            yield meta
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 

@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
-    "q203_mp3_sideinfo", "q204_avc_sps",
+    "q203_mp3_sideinfo", "q204_avc_sps", "q205_adts_meta",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -537,10 +537,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
-    "q46_hash_sample",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 5 new + 14 touched + 13 sentinels + 18 rotating canaries
-    # (q50/q57 rotate back next round)
+    # round: 6 new + 14 touched + 13 sentinels + 17 rotating canaries
+    # (q46/q50/q57 rotate back next round)
 ]
 
 
@@ -9632,3 +9631,58 @@ def q204_avc_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp4 = with_mp4_avc_payload(docs, "text", "doc_id")
     return decode_avc_stats(mp4, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q205: REAL ADTS/AAC frame walk — the standalone .aac analog of
+# q189/q190's MP3 framing layer, completing the audio-container
+# symmetry: every fixed+variable header field (profile, the Table
+# 1.18 sampling-frequency index, channel config, the 13-bit
+# header-inclusive frame length, raw-data-block count) really
+# decodes, frames slice by the DECLARED length (bounds-checked), and
+# 1024 samples/block makes duration integer-exact. Raw AAC access
+# units stay opaque by design — the spectral seam, same boundary
+# class as MP3's Table B.7. CRC-present (9-byte-header) streams are
+# exercised via the clen % 5 == 0 class. The mixed-media sniffer now
+# distinguishes the ADTS sync (layer bits 00) from MP3's (01).
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.functions.aac import (  # noqa: E402
+    SAMPLE_RATES_AAC as _AAC_SR,
+)
+
+_AAC_SR_VALUES = ", ".join(f"({i}, {sr})" for i, sr in enumerate(_AAC_SR))
+
+
+@query(
+    "q205_adts_meta",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+         srt(idx, sr) AS (VALUES {_AAC_SR_VALUES}),
+         base AS (SELECT doc_id, clen, clen % 9 + 2 AS n, srt.sr
+                  FROM d JOIN srt ON srt.idx = d.clen % 13),
+         pay AS (SELECT doc_id,
+                        CAST(SUM((clen + 5 * u.i) % 37 + 1) AS BIGINT)
+                          AS payload_bytes
+                 FROM base, unnest(generate_series(0, n - 1)) AS u(i)
+                 GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_frames,
+           CAST(b.clen % 4 AS INTEGER) AS profile,
+           CAST(b.sr AS INTEGER) AS sr,
+           CAST(b.clen % 7 + 1 AS INTEGER) AS channels,
+           CAST(b.n * 1024 * 1000 // b.sr AS BIGINT) AS duration_ms,
+           p.payload_bytes
+    FROM base b JOIN pay p USING (doc_id)
+    """,
+)
+def q205_adts_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_adts_stats,
+        with_adts_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    aac = with_adts_payload(docs, "text", "doc_id")
+    return decode_adts_stats(aac, "payload", "doc_id")

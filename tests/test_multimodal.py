@@ -1732,6 +1732,94 @@ def test_mp4_audio_track_extraction(spark):
 # --- MP3 (MPEG-1 Layer III) framing codec ----------------------------------
 
 
+def test_adts_roundtrip_truncation_and_gates():
+    """The ADTS/AAC framing layer: header fields roundtrip exactly
+    (CRC-present 9-byte headers included), frame-boundary truncation
+    is a valid shorter stream and every other cut raises, profile
+    gates raise by name, and a byte-flip fuzz raises only
+    ValueError."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.aac import (
+        SAMPLE_RATES_AAC,
+        encode_adts,
+        parse_adts,
+        synth_adts,
+    )
+
+    for clen in (0, 7, 10, 23, 41):  # 10 exercises the CRC class
+        m = parse_adts(synth_adts(clen))
+        n = clen % 9 + 2
+        assert m.n_frames == n
+        f0 = m.frames[0]
+        assert (f0.profile, f0.sr_idx, f0.channels) == (
+            clen % 4, clen % 13, clen % 7 + 1
+        )
+        assert f0.crc_present == (clen % 5 == 0)
+        hdr = 9 if f0.crc_present else 7
+        for i, f in enumerate(m.frames):
+            assert len(f.payload) == (clen + 5 * i) % 37 + 1
+            assert f.frame_length == hdr + len(f.payload)
+        assert m.duration_ms == n * 1024 * 1000 // SAMPLE_RATES_AAC[clen % 13]
+
+    data = synth_adts(13)
+    full = parse_adts(data)
+    bounds, off = set(), 0
+    for f in full.frames:
+        off += f.frame_length
+        bounds.add(off)
+    for cut in range(1, len(data)):
+        if cut in bounds:
+            assert parse_adts(data[:cut]).n_frames < full.n_frames
+        else:
+            with _pytest.raises(ValueError):
+                parse_adts(data[:cut])
+
+    # profile gates by name
+    with _pytest.raises(ValueError, match="reserved sampling"):
+        encode_adts([(1, 13, 2, b"x")])
+    with _pytest.raises(ValueError, match="mixed sampling"):
+        encode_adts([(1, 3, 2, b"x"), (1, 4, 2, b"x")])
+    mpeg2 = bytearray(synth_adts(7))
+    mpeg2[1] |= 0x08  # ID=1 (MPEG-2)
+    with _pytest.raises(ValueError, match="MPEG-2"):
+        parse_adts(bytes(mpeg2))
+    ch0 = bytearray(synth_adts(7))
+    ch0[2] &= 0xFE
+    ch0[3] &= 0x3F  # channel_configuration -> 0
+    with _pytest.raises(ValueError, match="channel_configuration 0"):
+        parse_adts(bytes(ch0))
+
+    state = 86420
+    payload = synth_adts(29)
+    for _ in range(500):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(payload)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(payload)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            parse_adts(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract
+
+
+def test_sniff_routes_adts_vs_mp3():
+    """The two 0xFFF-sync families never collide: ADTS sets layer
+    bits 00, MP3 Layer III sets 01 — and the front door decodes both
+    to their own metadata."""
+    from redskins_rule_spark.functions.aac import synth_adts
+    from redskins_rule_spark.functions.mp3 import synth_mp3
+    from redskins_rule_spark.operators.multimodal import sniff_format
+
+    for clen in range(0, 30, 3):
+        assert sniff_format(synth_adts(clen)) == "aac", clen
+        assert sniff_format(synth_mp3(clen)) == "mp3", clen
+
+
 def test_avc_nal_sps_roundtrip_and_gates():
     """The H.264 structure layer: Annex B framing + emulation
     prevention roundtrip byte-exactly, SPS geometry decodes from
