@@ -701,8 +701,12 @@ def axis_pq_codebooks(
     verification face."""
     if k > w:
         raise ValueError(f"axis codebooks need k <= w, got k={k} w={w}")
-    book = [[1.0 if t == i else 0.0 for t in range(w)] for i in range(k)]
-    return [book for _ in range(m)]
+    # fresh inner lists per subspace — aliasing one shared book would
+    # make a caller's in-place tweak silently edit every subspace
+    return [
+        [[1.0 if t == i else 0.0 for t in range(w)] for i in range(k)]
+        for _ in range(m)
+    ]
 
 
 def pq_encode(
