@@ -29,6 +29,7 @@ codec in functions/.
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
 _START3 = b"\x00\x00\x01"
@@ -361,3 +362,157 @@ def parse_pps_head(rbsp: bytes) -> AvcPps:
     sps_id = br.ue()
     mode = br.u(1)
     return AvcPps(pps_id=pps_id, sps_id=sps_id, entropy_coding_mode=mode)
+
+
+# --- AVCC layout (ISO/IEC 14496-15): out-of-band parameter sets ----------
+#
+# Real MP4s do NOT put SPS/PPS in-band next to the slices: they ride
+# the avcC box (AVCDecoderConfigurationRecord) inside the stsd sample
+# entry, and the mdat samples are LENGTH-PREFIXED NAL units (no start
+# codes, no Annex B scan). These functions implement that second
+# framing so both real-world shapes decode: Annex B (q204) and
+# AVCC-in-MP4 (q206).
+
+
+@dataclass(frozen=True)
+class AvcConfig:
+    profile_idc: int
+    level_idc: int
+    length_size: int  # NAL length prefix bytes in samples (1, 2, or 4)
+    sps: tuple[bytes, ...]  # full NAL units (header byte + escaped RBSP)
+    pps: tuple[bytes, ...]
+
+
+def parse_nal_unit(nal: bytes) -> AvcNal:
+    """One NAL unit WITHOUT framing (the avcC / length-prefixed
+    shape): header byte + escaped payload."""
+    if not nal:
+        raise ValueError("avc: empty NAL unit")
+    if nal[0] & 0x80:
+        raise ValueError("avc: forbidden_zero_bit set")
+    return AvcNal(
+        ref_idc=(nal[0] >> 5) & 3,
+        nal_type=nal[0] & 0x1F,
+        rbsp=unescape_rbsp(nal[1:]),
+    )
+
+
+def encode_avcc(
+    sps_nals: list[bytes],
+    pps_nals: list[bytes],
+    length_size: int = 4,
+) -> bytes:
+    """AVCDecoderConfigurationRecord (§5.3.3.1): profile/compat/level
+    mirrored from the FIRST SPS (as the spec requires), reserved bits
+    set, 2-byte-length-prefixed parameter-set NAL units."""
+    if length_size not in (1, 2, 4):
+        raise ValueError("avc: length_size must be 1, 2, or 4")
+    if not sps_nals or not pps_nals:
+        raise ValueError("avc: avcC requires at least one SPS and PPS")
+    if len(sps_nals) > 31 or len(pps_nals) > 255:
+        raise ValueError("avc: too many parameter sets for avcC")
+    sps0 = parse_nal_unit(sps_nals[0])
+    if sps0.nal_type != 7:
+        raise ValueError("avc: first avcC entry must be an SPS NAL")
+    out = bytearray()
+    out.append(1)  # configurationVersion
+    out.append(sps0.rbsp[0])  # AVCProfileIndication
+    out.append(sps0.rbsp[1])  # profile_compatibility
+    out.append(sps0.rbsp[2])  # AVCLevelIndication
+    out.append(0xFC | (length_size - 1))
+    out.append(0xE0 | len(sps_nals))
+    for nal in sps_nals:
+        out += struct.pack(">H", len(nal)) + nal
+    out.append(len(pps_nals))
+    for nal in pps_nals:
+        out += struct.pack(">H", len(nal)) + nal
+    return bytes(out)
+
+
+def parse_avcc(data: bytes) -> AvcConfig:
+    """Strict AVCDecoderConfigurationRecord parse: version must be 1,
+    every parameter-set length bounds-checked, profile/level read
+    from the record header (and available for cross-checking against
+    the embedded SPS)."""
+    if len(data) < 7:
+        raise ValueError("avc: truncated avcC record")
+    if data[0] != 1:
+        raise ValueError(f"avc: avcC configurationVersion {data[0]} != 1")
+    profile, level = data[1], data[3]
+    length_size = (data[4] & 3) + 1
+    if length_size == 3:
+        raise ValueError("avc: avcC length size 3 is invalid")
+    n_sps = data[5] & 0x1F
+    pos = 6
+    sps = []
+    for _ in range(n_sps):
+        if pos + 2 > len(data):
+            raise ValueError("avc: truncated avcC SPS length")
+        (ln,) = struct.unpack(">H", data[pos: pos + 2])
+        pos += 2
+        if pos + ln > len(data):
+            raise ValueError("avc: avcC SPS overruns record")
+        sps.append(data[pos: pos + ln])
+        pos += ln
+    if pos >= len(data):
+        raise ValueError("avc: truncated avcC PPS count")
+    n_pps = data[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        if pos + 2 > len(data):
+            raise ValueError("avc: truncated avcC PPS length")
+        (ln,) = struct.unpack(">H", data[pos: pos + 2])
+        pos += 2
+        if pos + ln > len(data):
+            raise ValueError("avc: avcC PPS overruns record")
+        pps.append(data[pos: pos + ln])
+        pos += ln
+    if not sps or not pps:
+        raise ValueError("avc: avcC carries no SPS or no PPS")
+    return AvcConfig(
+        profile_idc=profile,
+        level_idc=level,
+        length_size=length_size,
+        sps=tuple(sps),
+        pps=tuple(pps),
+    )
+
+
+def encode_nal_stream_avcc(
+    nals: list[tuple[int, int, bytes]], length_size: int = 4
+) -> bytes:
+    """(ref_idc, nal_type, rbsp) -> length-prefixed sample bytes (the
+    AVCC mdat shape; no start codes)."""
+    if length_size not in (1, 2, 4):
+        raise ValueError("avc: length_size must be 1, 2, or 4")
+    out = bytearray()
+    for ref_idc, nal_type, rbsp in nals:
+        if not 0 <= ref_idc <= 3 or not 1 <= nal_type <= 31:
+            raise ValueError("avc: NAL header field out of range")
+        nal = bytes([(ref_idc << 5) | nal_type]) + escape_rbsp(rbsp)
+        if len(nal) >= 1 << (8 * length_size):
+            raise ValueError("avc: NAL exceeds the length prefix")
+        out += len(nal).to_bytes(length_size, "big") + nal
+    return bytes(out)
+
+
+def parse_nal_stream_avcc(data: bytes, length_size: int) -> list[AvcNal]:
+    """Length-prefixed NAL walk: each prefix bounds-checked against
+    the sample; trailing garbage after the last NAL is corrupt."""
+    if length_size not in (1, 2, 4):
+        raise ValueError("avc: length_size must be 1, 2, or 4")
+    out = []
+    pos = 0
+    while pos < len(data):
+        if pos + length_size > len(data):
+            raise ValueError("avc: truncated NAL length prefix")
+        ln = int.from_bytes(data[pos: pos + length_size], "big")
+        pos += length_size
+        if ln == 0 or pos + ln > len(data):
+            raise ValueError("avc: NAL length overruns sample")
+        out.append(parse_nal_unit(data[pos: pos + ln]))
+        pos += ln
+    if not out:
+        raise ValueError("avc: sample carries no NAL units")
+    return out

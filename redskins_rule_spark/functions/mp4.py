@@ -57,6 +57,11 @@ class Mp4TrackSpec:
     timescale: int = 1000
     width: int = 320  # vide only
     height: int = 240
+    # raw AVCDecoderConfigurationRecord: when set (vide only), stsd
+    # carries a REAL avc1 VisualSampleEntry + avcC box — the
+    # out-of-band parameter-set layout real MP4s use — and the
+    # samples are expected to be AVCC length-prefixed NAL units
+    avcc: bytes | None = None
 
     @property
     def duration(self) -> int:
@@ -77,6 +82,7 @@ class Mp4Track:
     # stsc entries as (first_chunk, samples_per_chunk) runs (desc idx dropped)
     sample_to_chunk: tuple[tuple[int, int], ...]
     chunk_offsets: tuple[int, ...]
+    avcc: bytes | None = None  # raw avcC record when stsd carries avc1
 
     @property
     def n_samples(self) -> int:
@@ -131,8 +137,25 @@ def _tkhd(track_id: int, duration: int, spec: Mp4TrackSpec) -> bytes:
 
 
 def _stbl(spec: Mp4TrackSpec, chunk_offset: int) -> bytes:
-    fmt = b"mp4v" if spec.handler == "vide" else b"mp4a"
-    entry = struct.pack(">I4s", 16, fmt) + b"\x00" * 6 + struct.pack(">H", 1)
+    if spec.avcc is not None and spec.handler == "vide":
+        # REAL avc1 VisualSampleEntry (ISO 14496-15 §5.3.4): the full
+        # 70-byte visual record + the avcC configuration box — the
+        # out-of-band parameter-set layout actual encoders write
+        avcc_box = _box(b"avcC", spec.avcc)
+        visual = (
+            b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
+            + struct.pack(">HH", spec.width, spec.height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0)                        # reserved
+            + struct.pack(">H", 1)                        # frame_count
+            + b"\x00" * 32                               # compressorname
+            + struct.pack(">Hh", 0x0018, -1)              # depth, pre_defined
+        )
+        entry = _box(b"avc1", visual + avcc_box)
+    else:
+        fmt = b"mp4v" if spec.handler == "vide" else b"mp4a"
+        entry = struct.pack(">I4s", 16, fmt) + b"\x00" * 6 + struct.pack(">H", 1)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     n = len(spec.samples)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, spec.sample_delta))
@@ -251,16 +274,40 @@ def _fullbox(data: bytes, start: int, what: str) -> tuple[int, int, int]:
 def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     track_id = duration = timescale = None
     handler = None
+    avcc: bytes | None = None
     sizes: tuple[int, ...] = ()
     stts: tuple[tuple[int, int], ...] = ()
     stsc: tuple[tuple[int, int], ...] = ()
     stco: tuple[int, ...] = ()
 
     def visit(s: int, e: int) -> None:
-        nonlocal track_id, duration, timescale, handler, sizes, stts, stsc, stco
+        nonlocal track_id, duration, timescale, handler, sizes, stts, \
+            stsc, stco, avcc
         for cc, b, be in _walk(data, s, e):
             if cc in (b"mdia", b"minf", b"stbl"):
                 visit(b, be)
+            elif cc == b"stsd":
+                _, _, p = _fullbox(data, b, "stsd")
+                (n_entries,) = struct.unpack(">I", _need(data, p, 4, "stsd"))
+                if n_entries < 1:
+                    raise ValueError("mp4: stsd with no sample entries")
+                # first entry: size + fourcc, then format-specific body
+                esize, efmt = struct.unpack(
+                    ">I4s", _need(data, p + 4, 8, "stsd entry")
+                )
+                if esize < 16 or p + 4 + esize > be:
+                    raise ValueError("mp4: stsd entry overruns box")
+                if efmt == b"avc1":
+                    # skip the 70-byte VisualSampleEntry record (after
+                    # the 8-byte reserved/dref prefix), then walk the
+                    # config boxes for avcC
+                    q = p + 12 + 8 + 70
+                    eend = p + 4 + esize
+                    for cc2, b2, be2 in _walk(data, q, eend):
+                        if cc2 == b"avcC":
+                            avcc = data[b2:be2]
+                    if avcc is None:
+                        raise ValueError("mp4: avc1 entry without avcC")
             elif cc == b"tkhd":
                 v, _, p = _fullbox(data, b, "tkhd")
                 if v != 0:
@@ -309,6 +356,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     return Mp4Track(
         track_id=track_id,
         handler=handler,
+        avcc=avcc,
         timescale=timescale,
         duration=duration,
         sample_sizes=tuple(sizes),
@@ -505,3 +553,68 @@ def synth_mp4_avc(clen: int) -> bytes:
             )
         )
     return encode_mp4([Mp4TrackSpec("vide", 40, tuple(samples))])
+
+
+def synth_mp4_avcc(clen: int) -> bytes:
+    """MP4 in the REAL-WORLD AVC layout: parameter sets OUT-OF-BAND
+    in the stsd avc1 entry's avcC record, mdat samples as
+    length-prefixed NAL units (no start codes). Closed forms:
+
+      length_size = 2 when clen is odd else 4; SPS geometry
+      pic_width_in_mbs = clen % 7 + 1, pic_height_in_map_units =
+      clen % 2 + 1; level clen % 40 + 11; PPS entropy_coding_mode =
+      (clen + 1) % 2. nv = clen % 5 + 2 samples, one slice-stub NAL
+      each (sample 0 IDR type 5, others type 1), stub i =
+      (clen + 3*i) % 29 + 1 nonzero fill bytes.
+    """
+    from redskins_rule_spark.functions.avc import (
+        encode_avcc,
+        encode_nal_stream_avcc,
+        encode_pps,
+        encode_sps,
+        escape_rbsp,
+    )
+
+    length_size = 2 if clen % 2 else 4
+    sps = encode_sps(
+        profile_idc=66,
+        level_idc=clen % 40 + 11,
+        sps_id=0,
+        log2_max_frame_num_minus4=clen % 8,
+        pic_order_cnt_type=2,
+        log2_max_poc_lsb_minus4=0,
+        max_num_ref_frames=clen % 4,
+        gaps_allowed=0,
+        pic_width_in_mbs_minus1=clen % 7,
+        pic_height_in_map_units_minus1=clen % 2,
+        direct_8x8=1,
+    )
+    pps = encode_pps(pps_id=0, sps_id=0, entropy_coding_mode=(clen + 1) % 2)
+    avcc = encode_avcc(
+        [bytes([(3 << 5) | 7]) + escape_rbsp(sps)],
+        [bytes([(3 << 5) | 8]) + escape_rbsp(pps)],
+        length_size=length_size,
+    )
+
+    def stub(n: int, seed: int) -> bytes:
+        return bytes([(seed + 5 * j) % 251 + 1 for j in range(n)])
+
+    nv = clen % 5 + 2
+    samples = []
+    for i in range(nv):
+        ntype = 5 if i == 0 else 1
+        samples.append(
+            encode_nal_stream_avcc(
+                [(3 if i == 0 else 2, ntype, stub((clen + 3 * i) % 29 + 1, clen + i))],
+                length_size,
+            )
+        )
+    return encode_mp4(
+        [
+            Mp4TrackSpec(
+                "vide", 40, tuple(samples),
+                width=(clen % 7 + 1) * 16, height=(clen % 2 + 1) * 16,
+                avcc=avcc,
+            )
+        ]
+    )

@@ -1995,6 +1995,108 @@ def decode_adts_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_mp4_avcc_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP4 payloads in the REAL-WORLD AVC layout:
+    parameter sets out-of-band in the stsd avc1 entry's avcC record,
+    mdat samples as length-prefixed NAL units
+    (`functions/mp4.py synth_mp4_avcc` closed forms). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp4 import synth_mp4_avcc
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp4_avcc(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_avcc_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL out-of-band AVC config decode per MP4 payload: stsd walk
+    → avcC record parse → Exp-Golomb SPS/PPS decode for geometry and
+    the CAVLC/CABAC selector, then the LENGTH-PREFIXED NAL walk over
+    every mdat video sample (the AVCC framing — no start codes) →
+    (id, width, height, profile, level, cabac, length_size, n_nals,
+    n_idr). Together with `decode_avc_stats` (Annex B, in-band
+    parameter sets) both real-world AVC shapes decode; slice bodies
+    remain the documented seam."""
+    from redskins_rule_spark.functions.avc import (
+        parse_avcc,
+        parse_nal_stream_avcc,
+        parse_nal_unit,
+        parse_pps_head,
+        parse_sps,
+    )
+    from redskins_rule_spark.functions.mp4 import extract_samples, parse_mp4
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("profile", T.IntegerType()),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("cabac", T.IntegerType()),
+            T.StructField("length_size", T.IntegerType()),
+            T.StructField("n_nals", T.LongType()),
+            T.StructField("n_idr", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 8)
+                    continue
+                data = bytes(b)
+                meta = parse_mp4(data)
+                track = next(
+                    (t for t in meta.tracks if t.avcc is not None), None
+                )
+                if track is None:
+                    raise ValueError("avc: no avc1 track with avcC config")
+                cfg = parse_avcc(track.avcc)
+                sps = parse_sps(parse_nal_unit(cfg.sps[0]).rbsp)
+                pps = parse_pps_head(parse_nal_unit(cfg.pps[0]).rbsp)
+                n_nals = n_idr = 0
+                for _i, sample in extract_samples(data, track):
+                    for nal in parse_nal_stream_avcc(sample, cfg.length_size):
+                        n_nals += 1
+                        n_idr += nal.nal_type == 5
+                rows.append(
+                    (sps.width, sps.height, cfg.profile_idc, cfg.level_idc,
+                     pps.entropy_coding_mode, cfg.length_size, n_nals, n_idr)
+                )
+            cols = ["width", "height", "profile", "level", "cabac",
+                    "length_size", "n_nals", "n_idr"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols[:6]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in cols[6:]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

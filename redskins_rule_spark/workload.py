@@ -508,6 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
     "q203_mp3_sideinfo", "q204_avc_sps", "q205_adts_meta",
+    "q206_avcc_config",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -536,10 +537,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
-    "q10_price_buckets", "q31_window_suite", "q41_word_explode",
+    "q10_price_buckets", "q31_window_suite",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 6 new + 14 touched + 13 sentinels + 17 rotating canaries
-    # (q46/q50/q57 rotate back next round)
+    # round: 7 new + 14 touched + 13 sentinels + 16 rotating canaries
+    # (q41/q46/q50/q57 rotate back next round)
 ]
 
 
@@ -9686,3 +9687,46 @@ def q205_adts_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     aac = with_adts_payload(docs, "text", "doc_id")
     return decode_adts_stats(aac, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q206: REAL-WORLD AVC-in-MP4 layout — parameter sets OUT-OF-BAND.
+# q204 proved the Annex B shape (in-band SPS/PPS, start codes); real
+# MP4s instead carry SPS/PPS in the stsd avc1 entry's avcC record
+# (ISO 14496-15) and frame their mdat samples as LENGTH-PREFIXED NAL
+# units — a different container walk (stsd sample-entry parse), a
+# different record format (AVCDecoderConfigurationRecord with
+# 2-byte-length parameter sets), and a different NAL framing (length
+# prefixes, 2- or 4-byte both exercised, no start-code scan). The
+# SPS/PPS Exp-Golomb machinery is SHARED with q204 — one decode
+# path, two real-world transports. Geometry formulas differ from
+# q204's so the two differentials decouple. Slice bodies remain the
+# documented seam.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q206_avcc_config",
+    oracle="""
+    SELECT doc_id,
+           CAST((clen % 7 + 1) * 16 AS INTEGER) AS width,
+           CAST((clen % 2 + 1) * 16 AS INTEGER) AS height,
+           CAST(66 AS INTEGER) AS profile,
+           CAST(clen % 40 + 11 AS INTEGER) AS level,
+           CAST((clen + 1) % 2 AS INTEGER) AS cabac,
+           CAST(CASE WHEN clen % 2 = 1 THEN 2 ELSE 4 END AS INTEGER)
+             AS length_size,
+           CAST(clen % 5 + 2 AS BIGINT) AS n_nals,
+           CAST(1 AS BIGINT) AS n_idr
+    FROM (SELECT doc_id, length(text) AS clen FROM documents
+          WHERE text IS NOT NULL)
+    """,
+)
+def q206_avcc_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_avcc_stats,
+        with_mp4_avcc_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp4 = with_mp4_avcc_payload(docs, "text", "doc_id")
+    return decode_avcc_stats(mp4, "payload", "doc_id")

@@ -1948,6 +1948,84 @@ def test_avc_in_mp4_truncation_and_flip_fuzz():
             pass  # the quarantine contract
 
 
+def test_avcc_out_of_band_config_and_length_prefixed_samples():
+    """The real-world AVC-in-MP4 layout: avcC record roundtrips
+    (parameter sets out-of-band, profile/level mirrored from the
+    embedded SPS), length-prefixed NAL walks are bounds-checked (a
+    prefix overrun, zero length, or trailing garbage raises), and
+    the composed payload passes the truncation + flip-fuzz
+    contract."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.avc import (
+        encode_avcc,
+        encode_nal_stream_avcc,
+        escape_rbsp,
+        encode_pps,
+        encode_sps,
+        parse_avcc,
+        parse_nal_stream_avcc,
+        parse_nal_unit,
+        parse_pps_head,
+        parse_sps,
+    )
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4_avcc,
+    )
+
+    sps = encode_sps(66, 21, 0, 0, 2, 0, 1, 0, 9, 5, 1)
+    pps = encode_pps(0, 0, 0)
+    sn = bytes([(3 << 5) | 7]) + escape_rbsp(sps)
+    pn = bytes([(3 << 5) | 8]) + escape_rbsp(pps)
+    rec = encode_avcc([sn], [pn], length_size=2)
+    cfg = parse_avcc(rec)
+    assert (cfg.profile_idc, cfg.level_idc, cfg.length_size) == (66, 21, 2)
+    got = parse_sps(parse_nal_unit(cfg.sps[0]).rbsp)
+    assert (got.width, got.height) == (160, 96)
+    assert parse_pps_head(parse_nal_unit(cfg.pps[0]).rbsp).entropy_coding_mode == 0
+    for cut in range(len(rec)):
+        with _pytest.raises(ValueError):
+            parse_avcc(rec[:cut])
+
+    stream = encode_nal_stream_avcc([(3, 5, b"\x9e"), (2, 1, b"\x11\x22")], 2)
+    assert [n.nal_type for n in parse_nal_stream_avcc(stream, 2)] == [5, 1]
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        parse_nal_stream_avcc(stream[:-1], 2)
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        parse_nal_stream_avcc(stream + b"\x00", 2)
+
+    def full_decode(data: bytes):
+        meta = parse_mp4(data)
+        track = next(t for t in meta.tracks if t.avcc is not None)
+        cfg = parse_avcc(track.avcc)
+        out = [parse_sps(parse_nal_unit(cfg.sps[0]).rbsp)]
+        for _i, s in extract_samples(data, track):
+            out.extend(parse_nal_stream_avcc(s, cfg.length_size))
+        return out
+
+    good = synth_mp4_avcc(17)
+    assert full_decode(good)
+    for cut in range(len(good)):
+        with _pytest.raises((ValueError, StopIteration)):
+            full_decode(good[:cut])
+    state = 97531
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(good)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(good)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            full_decode(bytes(bad))
+        except (ValueError, StopIteration):
+            pass  # quarantine contract (StopIteration = avcC box gone)
+
+
 def test_mp3_roundtrip_and_length_formula():
     from redskins_rule_spark.functions.mp3 import (
         BITRATE_KBPS,
