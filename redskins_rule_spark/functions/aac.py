@@ -193,3 +193,154 @@ def synth_adts(clen: int) -> bytes:
         for i in range(n)
     ]
     return encode_adts(frames, crc_present=crc)
+
+
+# --- MP4 esds / AudioSpecificConfig (out-of-band AAC config) --------------
+#
+# The AAC counterpart of the avcC layer: inside MP4, AAC carries no
+# ADTS headers — the decoder config rides the stsd mp4a entry's esds
+# box as an MPEG-4 Systems descriptor chain (ES_Descriptor ->
+# DecoderConfigDescriptor -> DecoderSpecificInfo) whose payload is
+# the bit-packed AudioSpecificConfig (ISO 14496-3 §1.6.2.1). Both
+# the descriptor walk (7-bit continuation lengths) and the
+# bit-packed config are pure structure — really encoded, really
+# decoded; the raw access units in mdat remain the spectral seam.
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    audio_object_type: int  # 1=Main, 2=LC, 3=SSR, 4=LTP
+    sr_idx: int
+    channels: int
+
+    @property
+    def sample_rate(self) -> int:
+        return SAMPLE_RATES_AAC[self.sr_idx]
+
+
+def encode_audio_specific_config(
+    audio_object_type: int, sr_idx: int, channels: int
+) -> bytes:
+    """AudioSpecificConfig: AOT(5) + freqIdx(4) + channelConfig(4) +
+    GASpecificConfig (frameLength/dependsOnCore/extension = 0) —
+    2 bytes for the GA profile family."""
+    if not 1 <= audio_object_type <= 4:
+        raise ValueError("aac: audioObjectType outside the GA profile family")
+    if not 0 <= sr_idx <= 12:
+        raise ValueError("aac: reserved sampling-frequency index")
+    if not 1 <= channels <= 7:
+        raise ValueError("aac: channel configuration out of range")
+    bits = (
+        (audio_object_type << 11) | (sr_idx << 7) | (channels << 3) | 0
+    )
+    return bits.to_bytes(2, "big")
+
+
+def parse_audio_specific_config(data: bytes) -> AudioConfig:
+    if len(data) < 2:
+        raise ValueError("aac: truncated AudioSpecificConfig")
+    bits = int.from_bytes(data[:2], "big")
+    aot = bits >> 11
+    sr_idx = (bits >> 7) & 0xF
+    channels = (bits >> 3) & 0xF
+    if aot == 31 or sr_idx == 15:
+        raise ValueError(
+            "aac: escape-coded AOT/frequency outside the GA structure profile"
+        )
+    if not 1 <= aot <= 4:
+        raise ValueError("aac: audioObjectType outside the GA profile family")
+    if sr_idx > 12:
+        raise ValueError("aac: reserved sampling-frequency index")
+    if not 1 <= channels <= 7:
+        raise ValueError("aac: channel configuration out of range")
+    return AudioConfig(
+        audio_object_type=aot, sr_idx=sr_idx, channels=channels
+    )
+
+
+def _desc(tag: int, body: bytes) -> bytes:
+    """MPEG-4 Systems descriptor with minimal-length encoding."""
+    size = len(body)
+    lenbytes = bytearray()
+    lenbytes.append(size & 0x7F)
+    size >>= 7
+    while size:
+        lenbytes.insert(0, 0x80 | (size & 0x7F))
+        size >>= 7
+    return bytes([tag]) + bytes(lenbytes) + body
+
+
+def _read_desc(data: bytes, pos: int) -> tuple[int, int, int]:
+    """(tag, body_start, body_end) of the descriptor at pos; the
+    7-bit continuation length is capped at 4 bytes per the spec."""
+    if pos >= len(data):
+        raise ValueError("aac: truncated descriptor tag")
+    tag = data[pos]
+    pos += 1
+    size = 0
+    for i in range(4):
+        if pos >= len(data):
+            raise ValueError("aac: truncated descriptor length")
+        b = data[pos]
+        pos += 1
+        size = (size << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    else:
+        raise ValueError("aac: descriptor length exceeds 4 bytes")
+    if pos + size > len(data):
+        raise ValueError("aac: descriptor body overruns esds")
+    return tag, pos, pos + size
+
+
+def encode_esds(config: bytes, es_id: int = 1) -> bytes:
+    """esds BOX body (version/flags + ES_Descriptor chain): the
+    DecoderConfigDescriptor declares MPEG-4 Audio (OTI 0x40,
+    streamType 5) and wraps `config` (an AudioSpecificConfig) in
+    DecoderSpecificInfo; SLConfig predefined=2 closes the chain."""
+    dsi = _desc(0x05, config)
+    dcd = _desc(
+        0x04,
+        bytes([0x40, (5 << 2) | 1]) + b"\x00\x00\x00"  # OTI, stream, buf
+        + b"\x00\x00\x00\x00" * 2  # max/avg bitrate
+        + dsi,
+    )
+    sl = _desc(0x06, b"\x02")
+    es = _desc(0x03, struct.pack(">HB", es_id, 0) + dcd + sl)
+    return b"\x00\x00\x00\x00" + es  # fullbox version/flags
+
+
+def parse_esds(body: bytes) -> AudioConfig:
+    """Walk the descriptor chain of an esds box body down to the
+    AudioSpecificConfig. Strict: wrong tags, OTI other than MPEG-4
+    Audio, and any length inconsistency raise ValueError."""
+    if len(body) < 4:
+        raise ValueError("aac: truncated esds fullbox header")
+    tag, b, e = _read_desc(body, 4)
+    if tag != 0x03:
+        raise ValueError("aac: esds must start with an ES_Descriptor")
+    if e - b < 3:
+        raise ValueError("aac: truncated ES_Descriptor")
+    flags = body[b + 2]
+    pos = b + 3
+    if flags & 0x80:
+        pos += 2  # dependsOn_ES_ID
+    if flags & 0x40:
+        if pos >= e:
+            raise ValueError("aac: truncated URL descriptor")
+        pos += 1 + body[pos]
+    if flags & 0x20:
+        pos += 2  # OCR_ES_ID
+    tag, b2, e2 = _read_desc(body, pos)
+    if tag != 0x04:
+        raise ValueError("aac: expected DecoderConfigDescriptor")
+    if e2 - b2 < 13:
+        raise ValueError("aac: truncated DecoderConfigDescriptor")
+    if body[b2] != 0x40:
+        raise ValueError(
+            f"aac: objectTypeIndication 0x{body[b2]:02x} is not MPEG-4 Audio"
+        )
+    tag, b3, e3 = _read_desc(body, b2 + 13)
+    if tag != 0x05:
+        raise ValueError("aac: expected DecoderSpecificInfo")
+    return parse_audio_specific_config(body[b3:e3])

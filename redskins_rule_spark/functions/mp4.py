@@ -62,6 +62,10 @@ class Mp4TrackSpec:
     # out-of-band parameter-set layout real MP4s use — and the
     # samples are expected to be AVCC length-prefixed NAL units
     avcc: bytes | None = None
+    # raw esds BOX BODY (fullbox header + descriptor chain): when set
+    # (soun only), stsd carries a REAL mp4a AudioSampleEntry + esds —
+    # how MP4 declares the AAC decoder config (no ADTS in-container)
+    esds: bytes | None = None
 
     @property
     def duration(self) -> int:
@@ -83,6 +87,7 @@ class Mp4Track:
     sample_to_chunk: tuple[tuple[int, int], ...]
     chunk_offsets: tuple[int, ...]
     avcc: bytes | None = None  # raw avcC record when stsd carries avc1
+    esds: bytes | None = None  # raw esds box body when stsd carries mp4a
 
     @property
     def n_samples(self) -> int:
@@ -153,6 +158,17 @@ def _stbl(spec: Mp4TrackSpec, chunk_offset: int) -> bytes:
             + struct.pack(">Hh", 0x0018, -1)              # depth, pre_defined
         )
         entry = _box(b"avc1", visual + avcc_box)
+    elif spec.esds is not None and spec.handler == "soun":
+        # REAL mp4a AudioSampleEntry (ISO 14496-14 §5.6): the 20-byte
+        # audio record + the esds configuration box
+        esds_box = _full(b"esds", 0, 0, spec.esds[4:])
+        audio = (
+            b"\x00" * 6 + struct.pack(">H", 1)        # reserved + dref
+            + struct.pack(">HHI", 0, 0, 0)             # version/rev/vendor
+            + struct.pack(">HHHH", 2, 16, 0, 0)        # ch/bits/compid/pkt
+            + struct.pack(">I", 44100 << 16)           # samplerate 16.16
+        )
+        entry = _box(b"mp4a", audio + esds_box)
     else:
         fmt = b"mp4v" if spec.handler == "vide" else b"mp4a"
         entry = struct.pack(">I4s", 16, fmt) + b"\x00" * 6 + struct.pack(">H", 1)
@@ -275,6 +291,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     track_id = duration = timescale = None
     handler = None
     avcc: bytes | None = None
+    esds: bytes | None = None
     sizes: tuple[int, ...] = ()
     stts: tuple[tuple[int, int], ...] = ()
     stsc: tuple[tuple[int, int], ...] = ()
@@ -282,7 +299,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
 
     def visit(s: int, e: int) -> None:
         nonlocal track_id, duration, timescale, handler, sizes, stts, \
-            stsc, stco, avcc
+            stsc, stco, avcc, esds
         for cc, b, be in _walk(data, s, e):
             if cc in (b"mdia", b"minf", b"stbl"):
                 visit(b, be)
@@ -297,6 +314,19 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
                 )
                 if esize < 16 or p + 4 + esize > be:
                     raise ValueError("mp4: stsd entry overruns box")
+                if efmt == b"mp4a" and esize > 36:
+                    # 8-byte reserved/dref + 20-byte audio record,
+                    # then the config boxes — walk for esds
+                    q = p + 12 + 8 + 20
+                    eend = p + 4 + esize
+                    for cc2, b2, be2 in _walk(data, q, eend):
+                        if cc2 == b"esds":
+                            v2, fl2, p2 = _fullbox(data, b2, "esds")
+                            # re-prefix the fullbox header so the raw
+                            # body round-trips through parse_esds
+                            esds = struct.pack(
+                                ">I", (v2 << 24) | fl2
+                            ) + data[p2:be2]
                 if efmt == b"avc1":
                     # skip the 70-byte VisualSampleEntry record (after
                     # the 8-byte reserved/dref prefix), then walk the
@@ -357,6 +387,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
         track_id=track_id,
         handler=handler,
         avcc=avcc,
+        esds=esds,
         timescale=timescale,
         duration=duration,
         sample_sizes=tuple(sizes),
@@ -615,6 +646,42 @@ def synth_mp4_avcc(clen: int) -> bytes:
                 "vide", 40, tuple(samples),
                 width=(clen % 7 + 1) * 16, height=(clen % 2 + 1) * 16,
                 avcc=avcc,
+            )
+        ]
+    )
+
+
+def synth_mp4_aac(clen: int) -> bytes:
+    """MP4 in the real-world AAC layout: decoder config OUT-OF-BAND
+    in the stsd mp4a entry's esds descriptor chain; mdat samples are
+    raw access units (opaque — the spectral seam). Closed forms:
+
+      AudioSpecificConfig: audioObjectType clen % 3 + 1,
+      sampling-frequency index clen % 13, channels clen % 7 + 1.
+      na = clen % 8 + 2 samples, delta 1024 ticks at the config's
+      sample rate as track timescale (so duration is sample-exact);
+      sample i = (clen + 9*i) % 31 + 1 fill bytes.
+    """
+    from redskins_rule_spark.functions.aac import (
+        SAMPLE_RATES_AAC,
+        encode_audio_specific_config,
+        encode_esds,
+    )
+
+    asc = encode_audio_specific_config(
+        clen % 3 + 1, clen % 13, clen % 7 + 1
+    )
+    na = clen % 8 + 2
+    samples = tuple(
+        bytes([(clen + 13 * i) % 251]) * ((clen + 9 * i) % 31 + 1)
+        for i in range(na)
+    )
+    return encode_mp4(
+        [
+            Mp4TrackSpec(
+                "soun", 1024, samples,
+                timescale=SAMPLE_RATES_AAC[clen % 13],
+                esds=encode_esds(asc),
             )
         ]
     )

@@ -2097,6 +2097,91 @@ def decode_avcc_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_mp4_aac_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP4 payloads in the real-world AAC layout: decoder
+    config out-of-band in the stsd mp4a entry's esds descriptor chain
+    (`functions/mp4.py synth_mp4_aac` closed forms). Arrow-batched."""
+    from redskins_rule_spark.functions.mp4 import synth_mp4_aac
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp4_aac(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_mp4_aac_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL out-of-band AAC config decode per MP4 payload: stsd walk
+    → esds descriptor chain (7-bit continuation lengths, tag
+    validation, MPEG-4-Audio OTI check) → bit-packed
+    AudioSpecificConfig → (id, aot, sr, channels, n_samples,
+    sample_bytes). With q205's ADTS walk both real-world AAC
+    transports decode; the raw access units remain the spectral
+    seam. NULL payloads yield NULL stats."""
+    from redskins_rule_spark.functions.aac import parse_esds
+    from redskins_rule_spark.functions.mp4 import extract_samples, parse_mp4
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("aot", T.IntegerType()),
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 5)
+                    continue
+                data = bytes(b)
+                meta = parse_mp4(data)
+                track = next(
+                    (t for t in meta.tracks if t.esds is not None), None
+                )
+                if track is None:
+                    raise ValueError("aac: no mp4a track with esds config")
+                cfg = parse_esds(track.esds)
+                total = sum(
+                    len(s) for _i, s in extract_samples(data, track)
+                )
+                rows.append(
+                    (cfg.audio_object_type, cfg.sample_rate, cfg.channels,
+                     track.n_samples, total)
+                )
+            cols = ["aot", "sr", "channels", "n_samples", "sample_bytes"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols[:3]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in cols[3:]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

@@ -508,7 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
     "q203_mp3_sideinfo", "q204_avc_sps", "q205_adts_meta",
-    "q206_avcc_config",
+    "q206_avcc_config", "q207_esds_config",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -537,10 +537,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
-    "q10_price_buckets", "q31_window_suite",
+    "q10_price_buckets",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 7 new + 14 touched + 13 sentinels + 16 rotating canaries
-    # (q41/q46/q50/q57 rotate back next round)
+    # round: 8 new + 14 touched + 13 sentinels + 15 rotating canaries
+    # (q31/q41/q46/q50/q57 rotate back next round)
 ]
 
 
@@ -9730,3 +9730,47 @@ def q206_avcc_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp4 = with_mp4_avcc_payload(docs, "text", "doc_id")
     return decode_avcc_stats(mp4, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q207: out-of-band AAC config — the audio counterpart of q206.
+# Inside MP4, AAC carries no ADTS headers: the decoder config rides
+# the stsd mp4a entry's esds box as an MPEG-4 Systems descriptor
+# chain (ES_Descriptor → DecoderConfigDescriptor(OTI 0x40) →
+# DecoderSpecificInfo) whose payload is the bit-packed
+# AudioSpecificConfig. Both the descriptor walk (7-bit continuation
+# lengths, tag/OTI validation) and the config bits really decode;
+# together with q205's ADTS walk, BOTH real-world AAC transports are
+# structure-real, and the raw access units remain the spectral seam.
+# The track timescale equals the config's sample rate with 1024-tick
+# deltas, so n_samples is sample-exact from the sample table.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q207_esds_config",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+         srt(idx, sr) AS (VALUES {_AAC_SR_VALUES}),
+         base AS (SELECT doc_id, clen, clen % 8 + 2 AS n, srt.sr
+                  FROM d JOIN srt ON srt.idx = d.clen % 13)
+    SELECT b.doc_id,
+           CAST(b.clen % 3 + 1 AS INTEGER) AS aot,
+           CAST(b.sr AS INTEGER) AS sr,
+           CAST(b.clen % 7 + 1 AS INTEGER) AS channels,
+           CAST(b.n AS BIGINT) AS n_samples,
+           (SELECT CAST(SUM((b.clen + 9 * u.i) % 31 + 1) AS BIGINT)
+            FROM unnest(generate_series(0, b.n - 1)) AS u(i))
+             AS sample_bytes
+    FROM base b
+    """,
+)
+def q207_esds_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp4_aac_stats,
+        with_mp4_aac_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp4 = with_mp4_aac_payload(docs, "text", "doc_id")
+    return decode_mp4_aac_stats(mp4, "payload", "doc_id")

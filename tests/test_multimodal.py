@@ -1820,6 +1820,71 @@ def test_sniff_routes_adts_vs_mp3():
         assert sniff_format(synth_mp3(clen)) == "mp3", clen
 
 
+def test_esds_audio_config_roundtrip_and_gates():
+    """The out-of-band AAC config layer: AudioSpecificConfig bits and
+    the esds descriptor chain roundtrip exactly, every truncation of
+    the chain raises, profile gates raise by name, and the composed
+    MP4 path (stsd → esds → config + sample slices) holds the
+    corruption contract."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.aac import (
+        SAMPLE_RATES_AAC,
+        encode_audio_specific_config,
+        encode_esds,
+        parse_esds,
+    )
+    from redskins_rule_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+        synth_mp4_aac,
+    )
+
+    for aot, sr, ch in ((1, 0, 1), (2, 4, 2), (3, 12, 7), (4, 7, 5)):
+        cfg = parse_esds(encode_esds(encode_audio_specific_config(aot, sr, ch)))
+        assert (cfg.audio_object_type, cfg.sr_idx, cfg.channels) == (aot, sr, ch)
+        assert cfg.sample_rate == SAMPLE_RATES_AAC[sr]
+    body = encode_esds(encode_audio_specific_config(2, 4, 2))
+    for cut in range(len(body)):
+        with _pytest.raises(ValueError):
+            parse_esds(body[:cut])
+    with _pytest.raises(ValueError, match="GA profile"):
+        encode_audio_specific_config(5, 4, 2)
+    # wrong OTI: patch DecoderConfigDescriptor's objectTypeIndication
+    bad = bytearray(body)
+    oti_pos = bad.index(0x40, 4)
+    bad[oti_pos] = 0x21  # H.264 OTI in an audio chain
+    with _pytest.raises(ValueError, match="not MPEG-4 Audio"):
+        parse_esds(bytes(bad))
+
+    def full_decode(data: bytes):
+        meta = parse_mp4(data)
+        track = next(t for t in meta.tracks if t.esds is not None)
+        cfg = parse_esds(track.esds)
+        return cfg, [s for _i, s in extract_samples(data, track)]
+
+    good = synth_mp4_aac(23)
+    cfg, samples = full_decode(good)
+    assert cfg.audio_object_type == 23 % 3 + 1 and len(samples) == 23 % 8 + 2
+    for cut in range(len(good)):
+        with _pytest.raises((ValueError, StopIteration)):
+            full_decode(good[:cut])
+    state = 11223
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(good)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad2 = bytearray(good)
+        if bad2[pos] == val:
+            val = (val + 1) % 256
+        bad2[pos] = val
+        try:
+            full_decode(bytes(bad2))
+        except (ValueError, StopIteration):
+            pass  # quarantine contract
+
+
 def test_avc_nal_sps_roundtrip_and_gates():
     """The H.264 structure layer: Annex B framing + emulation
     prevention roundtrip byte-exactly, SPS geometry decodes from
