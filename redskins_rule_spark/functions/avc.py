@@ -60,6 +60,10 @@ class AvcPps:
     pps_id: int
     sps_id: int
     entropy_coding_mode: int  # 0 = CAVLC, 1 = CABAC — the slice seam
+    # full-parse fields (None when only the head was read)
+    pic_init_qp: int | None = None
+    deblocking_control: int | None = None
+    weighted_pred: int | None = None
 
 
 class _EgBits:
@@ -356,12 +360,50 @@ def encode_pps(pps_id: int, sps_id: int, entropy_coding_mode: int) -> bytes:
 def parse_pps_head(rbsp: bytes) -> AvcPps:
     """PPS ids + entropy_coding_mode_flag (which slice-entropy seam —
     CAVLC or CABAC — the stream's slice data sits behind); parsing
-    stops there, the documented boundary."""
+    stops there. Use `parse_pps` for the complete §7.3.2.2 record."""
     br = _EgBits(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
     mode = br.u(1)
     return AvcPps(pps_id=pps_id, sps_id=sps_id, entropy_coding_mode=mode)
+
+
+def parse_pps(rbsp: bytes) -> AvcPps:
+    """Complete picture-parameter-set parse per §7.3.2.2 through the
+    redundant_pic_cnt flag — everything this module's encoder writes.
+    Slice-group maps (num_slice_groups > 1, the FMO feature no
+    mainstream encoder emits) raise naming the profile boundary;
+    pic_init_qp is range-checked per the spec (26 + offset in
+    [0, 51])."""
+    br = _EgBits(rbsp)
+    pps_id = br.ue()
+    sps_id = br.ue()
+    mode = br.u(1)
+    br.u(1)  # bottom_field_pic_order_in_frame_present_flag
+    if br.ue():  # num_slice_groups_minus1
+        raise ValueError(
+            "avc: slice groups (FMO) are outside the structure profile"
+        )
+    br.ue()  # num_ref_idx_l0_default_active_minus1
+    br.ue()  # num_ref_idx_l1_default_active_minus1
+    weighted_pred = br.u(1)
+    br.u(2)  # weighted_bipred_idc
+    qp = 26 + br.se()  # pic_init_qp_minus26
+    if not 0 <= qp <= 51:
+        raise ValueError("avc: pic_init_qp out of the [0, 51] range")
+    br.se()  # pic_init_qs_minus26
+    br.se()  # chroma_qp_index_offset
+    deblocking = br.u(1)
+    br.u(1)  # constrained_intra_pred_flag
+    br.u(1)  # redundant_pic_cnt_present_flag
+    return AvcPps(
+        pps_id=pps_id,
+        sps_id=sps_id,
+        entropy_coding_mode=mode,
+        pic_init_qp=qp,
+        deblocking_control=deblocking,
+        weighted_pred=weighted_pred,
+    )
 
 
 # --- AVCC layout (ISO/IEC 14496-15): out-of-band parameter sets ----------

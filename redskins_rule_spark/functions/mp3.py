@@ -542,3 +542,131 @@ def synth_mp3_granules(clen: int) -> bytes:
         frames, clen % 14 + 1, 2,
         id3_payload=bytes([clen % 251]) * (clen % 19),
     )
+
+
+# --- ID3v2.3 text frames (the tag BODY, previously opaque) ----------------
+#
+# The framing layer skips ID3v2 tags by their syncsafe size; this
+# layer decodes what is inside — the metadata a real audio-crawl
+# pipeline actually wants (title/album/artist/track). ID3v2.3 per
+# the public informal standard id3.org/id3v2.3.0: 10-byte tag header
+# (version 3, syncsafe total size), then frames of 4-char id +
+# 4-byte PLAIN big-endian size (v2.3 — only v2.4 made frame sizes
+# syncsafe) + 2 flag bytes; text frames (T***) carry an encoding
+# byte then the value. Profile gates raise by name: v2.4 tags,
+# unsynchronisation, extended headers, and compressed/encrypted
+# frames are all outside the structure profile; encodings 0
+# (ISO-8859-1) and 3 (UTF-8) decode, UTF-16 (1/2) is surfaced as
+# undecoded (value None) rather than guessed.
+
+_ID3_TEXT_ENCODINGS = {0: "latin-1", 3: "utf-8"}
+
+
+def encode_id3v23(frames: list[tuple[str, str]], padding: int = 0) -> bytes:
+    """ID3v2.3 tag from (frame_id, text) pairs — text frames only
+    (id starting with 'T'), encoding 0 (ISO-8859-1)."""
+    body = bytearray()
+    for fid, text in frames:
+        if len(fid) != 4 or not fid.startswith("T") or not fid.isalnum():
+            raise ValueError(f"id3: {fid!r} is not a text frame id")
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii") + struct.pack(">I", len(payload))
+        body += b"\x00\x00" + payload
+    body += b"\x00" * padding
+    n = len(body)
+    if n >= 1 << 28:
+        raise ValueError("id3: tag too large for syncsafe size")
+    syncsafe = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return b"ID3" + bytes([3, 0, 0]) + syncsafe + bytes(body)
+
+
+def parse_id3v23_frames(data: bytes) -> list[tuple[str, str | None]]:
+    """Frame walk of a leading ID3v2.3 tag: (frame_id, text) for
+    decodable text frames, (frame_id, None) for non-text frames and
+    UTF-16 values; [] when no tag leads the payload. Bounds-checked
+    throughout; padding terminates the walk."""
+    if len(data) < 3 or data[:3] != b"ID3":
+        return []
+    if len(data) < 10:
+        raise ValueError("mp3: truncated ID3v2 header")
+    version = data[3]
+    if version == 4:
+        raise ValueError(
+            "id3: v2.4 tags (syncsafe frame sizes) are outside the v2.3 "
+            "structure profile"
+        )
+    if version != 3:
+        raise ValueError(f"id3: unsupported ID3v2.{version} tag")
+    flags = data[5]
+    if flags & 0x80:
+        raise ValueError("id3: unsynchronisation is outside the profile")
+    if flags & 0x40:
+        raise ValueError("id3: extended headers are outside the profile")
+    if any(b & 0x80 for b in data[6:10]):
+        raise ValueError("mp3: ID3v2 size bytes not syncsafe")
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("mp3: ID3v2 tag overruns payload")
+    out: list[tuple[str, str | None]] = []
+    pos = 10
+    while pos < end:
+        if data[pos] == 0:
+            break  # padding
+        if pos + 10 > end:
+            raise ValueError("id3: truncated frame header")
+        fid = data[pos: pos + 4]
+        if not all(65 <= b <= 90 or 48 <= b <= 57 for b in fid):
+            raise ValueError(f"id3: invalid frame id {fid!r}")
+        (fsize,) = struct.unpack(">I", data[pos + 4: pos + 8])
+        fflags = data[pos + 8: pos + 10]
+        if fflags[1] & 0xC0:
+            raise ValueError(
+                "id3: compressed/encrypted frames are outside the profile"
+            )
+        fstart = pos + 10
+        if fstart + fsize > end:
+            raise ValueError("id3: frame size overruns tag")
+        name = fid.decode("ascii")
+        value: str | None = None
+        if name.startswith("T") and fsize >= 1:
+            enc = data[fstart]
+            codec = _ID3_TEXT_ENCODINGS.get(enc)
+            if codec is not None:
+                raw = data[fstart + 1: fstart + fsize]
+                try:
+                    value = raw.split(b"\x00", 1)[0].decode(codec, "strict")
+                except UnicodeDecodeError as e:
+                    # shared codec contract: corruption is ALWAYS a
+                    # ValueError, never a task-killing exception class
+                    raise ValueError(
+                        f"id3: undecodable {codec} text in {name}"
+                    ) from e
+        out.append((name, value))
+        pos = fstart + fsize
+    return out
+
+
+def synth_mp3_tagged(clen: int) -> bytes:
+    """Frame stream led by a REAL ID3v2.3 tag whose text frames are
+    integer-predictable: TIT2 = 't' + clen % 97, TALB = 'a' +
+    clen % 13, TRCK = clen % 30 + 1, plus clen % 7 padding bytes;
+    audio = clen % 5 + 2 CBR frames at 32 kHz (bitrate index
+    clen % 14 + 1, fill (clen + 3*i) % 251)."""
+    tag = encode_id3v23(
+        [
+            ("TIT2", f"t{clen % 97}"),
+            ("TALB", f"a{clen % 13}"),
+            ("TRCK", str(clen % 30 + 1)),
+        ],
+        padding=clen % 7,
+    )
+    n = clen % 5 + 2
+    frames = [
+        (clen % 14 + 1, 2, 0, (clen + 3 * i) % 251) for i in range(n)
+    ]
+    # encode_mp3 wraps a RAW id3 payload; splice the real tag instead
+    audio = encode_mp3(frames)
+    return tag + audio

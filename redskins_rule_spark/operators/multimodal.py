@@ -2182,6 +2182,90 @@ def decode_mp4_aac_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_tagged_mp3_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP3 payloads led by a REAL ID3v2.3 tag with
+    closed-form text frames (`functions/mp3.py synth_mp3_tagged`).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp3 import synth_mp3_tagged
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp3_tagged(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_id3_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL ID3v2.3 tag-body decode per payload — the metadata walk a
+    real audio-crawl pipeline runs before anything touches samples:
+    frame headers validated, text frames decoded (ISO-8859-1/UTF-8),
+    plus the audio framing layer's frame count → (id, title, album,
+    track, n_tag_frames, n_audio_frames). Missing frames surface as
+    NULL. NULL payloads yield NULL stats."""
+    from redskins_rule_spark.functions.mp3 import (
+        parse_id3v23_frames,
+        parse_mp3,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("title", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("track", T.StringType()),
+            T.StructField("n_tag_frames", T.LongType()),
+            T.StructField("n_audio_frames", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 5)
+                    continue
+                data = bytes(b)
+                frames = dict(parse_id3v23_frames(data))
+                m = parse_mp3(data)
+                rows.append(
+                    (
+                        frames.get("TIT2"),
+                        frames.get("TALB"),
+                        frames.get("TRCK"),
+                        len(frames),
+                        m.n_frames,
+                    )
+                )
+            cols = ["title", "album", "track", "n_tag_frames",
+                    "n_audio_frames"]
+            meta = pd.DataFrame(rows, columns=cols)
+            for c in cols[:3]:
+                meta[c] = pd.array(meta[c], dtype="string")
+            for c in cols[3:]:
+                meta[c] = pd.array(meta[c], dtype="Int64")
+            meta.insert(0, id_col, pdf[id_col].values)
+            yield meta
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_stats_tolerant(
     df: DataFrame,
     codec: str,

@@ -508,7 +508,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 8 (never driver-verified) ---
     "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
     "q203_mp3_sideinfo", "q204_avc_sps", "q205_adts_meta",
-    "q206_avcc_config", "q207_esds_config",
+    "q206_avcc_config", "q207_esds_config", "q208_id3_tags",
     # --- round-8 TOUCHED (implementation changed this round, so
     #     r07-green status is stale): q185/q174/q184/q175/q179 ride
     #     the tapered SRP auto-banding + similarity-module edits,
@@ -537,10 +537,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q143_image_patches", "q145_curation_report", "q160_image_dhash",
     "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
     "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
-    "q10_price_buckets",
     # exactly 50 explicit entries — the whole window is pinned this
-    # round: 8 new + 14 touched + 13 sentinels + 15 rotating canaries
-    # (q31/q41/q46/q50/q57 rotate back next round)
+    # round: 9 new + 14 touched + 13 sentinels + 14 rotating canaries
+    # (q10/q31/q41/q46/q50/q57 rotate back next round)
 ]
 
 
@@ -9774,3 +9773,39 @@ def q207_esds_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp4 = with_mp4_aac_payload(docs, "text", "doc_id")
     return decode_mp4_aac_stats(mp4, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q208: ID3v2.3 tag-BODY decode — the metadata layer of the audio
+# family (the framing layer has skipped tags by syncsafe size since
+# q189; now the inside decodes too). Frame headers validated, v2.3's
+# PLAIN big-endian frame sizes (only v2.4 made them syncsafe — a
+# classic parser bug this differential would catch), text frames
+# decoded from ISO-8859-1, padding terminated. v2.4 tags,
+# unsynchronisation, extended headers, and compressed/encrypted
+# frames raise naming the profile boundary. The oracle recomputes
+# the title/album/track strings and both frame counts from clen.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q208_id3_tags",
+    oracle="""
+    SELECT doc_id,
+           't' || CAST(clen % 97 AS VARCHAR) AS title,
+           'a' || CAST(clen % 13 AS VARCHAR) AS album,
+           CAST(clen % 30 + 1 AS VARCHAR) AS track,
+           CAST(3 AS BIGINT) AS n_tag_frames,
+           CAST(clen % 5 + 2 AS BIGINT) AS n_audio_frames
+    FROM (SELECT doc_id, length(text) AS clen FROM documents
+          WHERE text IS NOT NULL)
+    """,
+)
+def q208_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_id3_stats,
+        with_tagged_mp3_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp3 = with_tagged_mp3_payload(docs, "text", "doc_id")
+    return decode_id3_stats(mp3, "payload", "doc_id")

@@ -1732,6 +1732,75 @@ def test_mp4_audio_track_extraction(spark):
 # --- MP3 (MPEG-1 Layer III) framing codec ----------------------------------
 
 
+def test_id3v23_frame_walk_and_gates():
+    """The tag-body layer: text frames roundtrip, padding terminates
+    the walk, v2.3's PLAIN frame sizes are honored, and every profile
+    gate raises by name (v2.4, unsynchronisation, extended header,
+    compressed frames, bad frame ids, overruns)."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        encode_id3v23,
+        parse_id3v23_frames,
+        parse_mp3,
+        synth_mp3_tagged,
+    )
+
+    tag = encode_id3v23(
+        [("TIT2", "Hello"), ("TALB", "World"), ("TXXX", "x=1")], padding=5
+    )
+    assert parse_id3v23_frames(tag + b"\xff\xfb") == [
+        ("TIT2", "Hello"), ("TALB", "World"), ("TXXX", "x=1")
+    ]
+    assert parse_id3v23_frames(b"\xff\xfb\x90\x00") == []  # no tag
+    # UTF-8 (encoding 3) decodes; UTF-16 (1) surfaces as None
+    hand = bytearray(encode_id3v23([("TIT2", "ab")]))
+    hand[20] = 3  # encoding byte inside the only frame
+    assert parse_id3v23_frames(bytes(hand)) == [("TIT2", "ab")]
+    hand[20] = 1
+    assert parse_id3v23_frames(bytes(hand)) == [("TIT2", None)]
+
+    v24 = bytearray(tag)
+    v24[3] = 4
+    with _pytest.raises(ValueError, match="v2.4"):
+        parse_id3v23_frames(bytes(v24))
+    unsync = bytearray(tag)
+    unsync[5] = 0x80
+    with _pytest.raises(ValueError, match="unsynchronisation"):
+        parse_id3v23_frames(bytes(unsync))
+    comp = bytearray(tag)
+    comp[19] = 0x80  # first frame's format flags: compressed
+    with _pytest.raises(ValueError, match="compressed"):
+        parse_id3v23_frames(bytes(comp))
+    badid = bytearray(tag)
+    badid[10] = 0x20  # frame id byte -> space
+    with _pytest.raises(ValueError, match="frame id"):
+        parse_id3v23_frames(bytes(badid))
+    overrun = bytearray(tag)
+    overrun[14:18] = (10 ** 6).to_bytes(4, "big")  # frame size huge
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_id3v23_frames(bytes(overrun))
+
+    # composed synth: tag decodes AND the audio framing still walks
+    data = synth_mp3_tagged(23)
+    assert dict(parse_id3v23_frames(data))["TIT2"] == "t23"
+    assert parse_mp3(data).n_frames == 23 % 5 + 2
+    state = 31415
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        pos = state % len(data)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        val = state % 256
+        bad = bytearray(data)
+        if bad[pos] == val:
+            val = (val + 1) % 256
+        bad[pos] = val
+        try:
+            parse_id3v23_frames(bytes(bad))
+        except ValueError:
+            pass  # the shared quarantine contract (never Unicode/Index)
+
+
 def test_adts_roundtrip_truncation_and_gates():
     """The ADTS/AAC framing layer: header fields roundtrip exactly
     (CRC-present 9-byte headers included), frame-boundary truncation
@@ -1933,6 +2002,12 @@ def test_avc_nal_sps_roundtrip_and_gates():
     assert (meta.width, meta.height) == (80, 48)
     assert (meta.profile_idc, meta.level_idc) == (66, 30)
     assert parse_pps_head(nals[1].rbsp).entropy_coding_mode == 1
+    # full §7.3.2.2 parse: every field the encoder writes decodes
+    from redskins_rule_spark.functions.avc import parse_pps
+
+    full_pps = parse_pps(nals[1].rbsp)
+    assert (full_pps.pic_init_qp, full_pps.deblocking_control,
+            full_pps.weighted_pred) == (26, 1, 0)
 
     # 4:2:0 cropping arithmetic: hand-built SPS with cropping flag
     wo = _EgBitsOut()
