@@ -265,6 +265,7 @@ def encode_jpeg_gray(
     w_blocks: int,
     h_blocks: int,
     quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Quantized 8x8 blocks (each 64 ints in ZIGZAG order, row-major
     block layout) -> baseline grayscale JPEG bytes.
@@ -295,12 +296,22 @@ def encode_jpeg_gray(
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     # SOS: 1 component, DC/AC table 0, spectral selection 0..63
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in blocks:
+    for m, blk in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            # F.2.2.5: byte-align, emit RST((m/Ri - 1) mod 8), reset
+            # the DC prediction — real-world JPEGs use DRI routinely
+            bw.flush()
+            bw.buf += bytes(
+                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+            )
+            prev_dc = 0
         prev_dc = _encode_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
     bw.flush()
     out += bw.buf
@@ -316,6 +327,7 @@ def encode_jpeg_color(
     h_mcus: int,
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Quantized blocks -> baseline 4:2:0 YCbCr JPEG bytes.
 
@@ -352,6 +364,8 @@ def encode_jpeg_color(
         + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS: 3 components; Y uses tables 0/0, chroma 1/1
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -359,6 +373,12 @@ def encode_jpeg_color(
     bw = _BitWriter()
     prev = [0, 0, 0]
     for m in range(w_mcus * h_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes(
+                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+            )
+            prev = [0, 0, 0]
         my, mx = divmod(m, w_mcus)
         for s in range(4):  # 2x2 luma sub-blocks, raster order
             by, bx = divmod(s, 2)
@@ -403,6 +423,22 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, n: int) -> None:
+        """Byte-align (discarding the encoder's 1-fill pad bits) and
+        consume the RSTn marker the restart interval demands — the
+        wrong modulo counter or a missing marker is corrupt (F.2.2.5:
+        markers carry the interval count mod 8 precisely so decoders
+        can detect dropped/duplicated restart segments)."""
+        self._nbits = 0
+        self._acc = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG entropy stream at restart")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"expected RST{n} marker at byte {self.pos} of scan"
+            )
+        self.pos += 2
 
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -451,6 +487,7 @@ def _parse_baseline(data: bytes) -> dict:
     components: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
     scan: list[tuple[int, int, int]] = []  # (component index, td, ta)
     scan_start = -1
+    restart_interval = 0
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -534,8 +571,14 @@ def _parse_baseline(data: bytes) -> dict:
                 scan.append((cid_index[cs], tt >> 4, tt & 0x0F))
             scan_start = pos + seglen
             break
-        # APPn / COM / DRI etc: skipped (DRI irrelevant — we emit no
-        # restart markers; stray RSTn in the scan raises in _BitReader)
+        if marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            restart_interval = struct.unpack(">H", body)[0]
+            pos += seglen
+            continue
+        # APPn / COM etc: skipped (a stray RSTn inside a scan with
+        # DRI=0 still raises in _BitReader)
         pos += seglen
 
     if scan_start < 0 or width < 0:
@@ -559,6 +602,7 @@ def _parse_baseline(data: bytes) -> dict:
         "height": height,
         "components": components,
         "scan": scan,
+        "restart_interval": restart_interval,
         "entropy": data[scan_start:end],
     }
 
@@ -632,8 +676,16 @@ def _decode_planes(parsed: dict) -> list[np.ndarray]:
 
     br = _BitReader(parsed["entropy"])
     prev = [0] * len(comps)
+    ri = parsed.get("restart_interval", 0)
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_count and mcu_count % ri == 0:
+                # F.2.2.5: byte-align, consume RST(m), reset every
+                # component's DC prediction
+                br.expect_restart((mcu_count // ri - 1) % 8)
+                prev = [0] * len(comps)
+            mcu_count += 1
             for ci, td, ta in parsed["scan"]:
                 _, h, v, _ = comps[ci]
                 for by in range(v):

@@ -1358,6 +1358,66 @@ def _ac_color_blocks(wm: int, hm: int, seed: int):
     return mk(4 * wm * hm, seed), mk(wm * hm, seed + 2), mk(wm * hm, seed + 4)
 
 
+def test_jpeg_restart_intervals_roundtrip_and_gates():
+    """DRI/RSTn support for the baseline profiles — the real-world
+    JPEG feature (most camera/encoder output uses restart markers):
+    any interval decodes to the identical pixels as the unrestarted
+    stream (DC prediction reset at every marker, RSTn modulo-8
+    cycling past 8 restarts), and the marker contract is CHECKED —
+    a wrong-sequence RSTn, a missing marker, and a stray RSTn in a
+    DRI=0 stream all raise ValueError."""
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        synth_dc_blocks_color,
+    )
+
+    blocks = []
+    for b in range(12):
+        blk = [0] * 64
+        blk[0] = (9 + 11 * b) % 50 - 25
+        for k in range(1, 64, 3):
+            blk[k] = ((b + 1) * k * 7) % 31 - 15
+        blocks.append(blk)
+    base = decode_jpeg_gray(encode_jpeg_gray(blocks, 4, 3))
+    for ri in (1, 2, 3, 5, 12, 100):
+        got = decode_jpeg_gray(
+            encode_jpeg_gray(blocks, 4, 3, restart_interval=ri)
+        )
+        assert got == base, ri
+    y, cb, cr = synth_dc_blocks_color(21, 3, 2)
+    cbase = decode_jpeg_color(encode_jpeg_color(y, cb, cr, 3, 2))
+    for ri in (1, 2, 4):
+        got = decode_jpeg_color(
+            encode_jpeg_color(y, cb, cr, 3, 2, restart_interval=ri)
+        )
+        assert got == cbase, ri
+
+    # marker-sequence contract: swap the first two RST markers
+    payload = bytearray(encode_jpeg_gray(blocks, 4, 3, restart_interval=2))
+    p0 = payload.index(b"\xff\xd0")
+    p1 = payload.index(b"\xff\xd1")
+    payload[p0 + 1], payload[p1 + 1] = payload[p1 + 1], payload[p0 + 1]
+    with _pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg_gray(bytes(payload))
+    # stray RSTn with DRI=0 still raises (the pre-existing contract)
+    plain = bytearray(encode_jpeg_gray(blocks, 4, 3))
+    sos_end = plain.index(b"\xff\xda")
+    plain[sos_end + 20] = 0xFF
+    plain[sos_end + 21] = 0xD3
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(plain))
+    # truncation contract extends to DRI payloads
+    good = encode_jpeg_gray(blocks, 4, 3, restart_interval=3)
+    for cut in range(2, len(good)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_gray(good[:cut])
+
+
 def test_jpeg_progressive_color_equals_baseline_color():
     """VERDICT r7 item 2: a complete progressive-color scan script
     reconstructs bit-identical RGB to the baseline color profile on
