@@ -183,6 +183,15 @@ def encode_nal_stream(nals: list[tuple[int, int, bytes]]) -> bytes:
     for ref_idc, nal_type, rbsp in nals:
         if not 0 <= ref_idc <= 3 or not 1 <= nal_type <= 31:
             raise ValueError("avc: NAL header field out of range")
+        if rbsp and rbsp[-1] == 0:
+            # rbsp_trailing_bits (§7.3.2.11) guarantees every RBSP's
+            # last byte is nonzero; without enforcing it here the
+            # parser's 4-byte-start-code heuristic strips a trailing
+            # 00 as framing and the round-trip silently loses a byte
+            # (ADVICE r8)
+            raise ValueError(
+                "avc: RBSP must end nonzero (rbsp_trailing_bits)"
+            )
         if nal_type in (7, 8):
             out += b"\x00" + _START3
         else:

@@ -1361,17 +1361,56 @@ def _decode_ac_refine(br, coeffs, ss, se, al, tree) -> None:
             eobrun -= 1
 
 
+def _sniff_sof(data: bytes) -> tuple[int, int] | None:
+    """Cheap marker walk to (sof_marker, n_components), or None when
+    the pre-SOS structure is too broken to name a profile — the
+    dispatch key for decode_jpeg_dims. Reads headers only; never
+    touches entropy data."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:
+            return None  # SOS/EOI/RST before any SOF
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        if seg_len < 2:
+            return None
+        if marker in (0xC0, 0xC2):
+            if pos + 9 >= len(data):
+                return None
+            return marker, data[pos + 9]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # a SOF profile this module does not decode
+        pos += 2 + seg_len
+    return None
+
+
 def decode_jpeg_dims(data: bytes) -> tuple[int, int]:
     """(width, height) of a JPEG payload under WHICHEVER of this
     module's real profiles accepts it — the dispatch face the
     mixed-media sniffer needs (ADVICE r7: routing every JPEG to the
     gray profile misreported valid color/progressive payloads as
-    'quarantined'). Profiles are tried gray -> color -> progressive;
-    a payload every profile rejects raises the last ValueError, so
-    'quarantined' now means corrupt-or-out-of-profile rather than
-    merely non-gray. Trying decoders (not just sniffing the SOF
-    marker) keeps the contract that a reported payload actually
-    DECODES under the named profile."""
+    'quarantined'). ADVICE r8: the SOF marker + component count is
+    sniffed FIRST and the one matching profile runs — so a corrupt
+    baseline-gray payload raises the GRAY decoder's diagnostic (not
+    the last profile in a try-chain) and the sniffer hot path never
+    pays up to four full pixel decodes. The gray->color->progressive
+    try-chain survives only as the fallback for payloads whose
+    pre-SOS markers are too broken to name a profile; either way a
+    reported payload actually DECODES under the named profile."""
+    key = _sniff_sof(data)
+    dispatch = {
+        (0xC0, 1): decode_jpeg_gray,
+        (0xC0, 3): decode_jpeg_color,
+        (0xC2, 1): decode_jpeg_progressive,
+        (0xC2, 3): decode_jpeg_progressive_color,
+    }
+    if key in dispatch:
+        w, h, _px = dispatch[key](data)
+        return w, h
     last: ValueError | None = None
     for dec in (
         decode_jpeg_gray,

@@ -736,7 +736,6 @@ def decode_mp3_stats(
     out_schema = T.StructType([df.schema[id_col]] + list(MP3_STATS_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from redskins_rule_spark.functions.aac import parse_adts
         from redskins_rule_spark.functions.mp3 import parse_mp3
 
         for pdf in batches:
@@ -876,6 +875,7 @@ def sniff_media_stats(
     out_schema = T.StructType([df.schema[id_col]] + list(MEDIA_STATS_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redskins_rule_spark.functions.aac import parse_adts
         from redskins_rule_spark.functions.bmp import decode_bmp_meta
         from redskins_rule_spark.functions.gif import decode_gif_meta
         from redskins_rule_spark.functions.jpeg import decode_jpeg_dims

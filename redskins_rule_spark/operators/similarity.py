@@ -1482,7 +1482,9 @@ def semdedup_survivors(
     on chains (a~b, b~c, a≁c kills both b and c — the standard
     order-greedy approximation).
 
-    Output: (id_col, cell, survived) for every input row.
+    Output: (id_col, cell, survived) for every input row. Null
+    vectors are never compared (both strategies): they survive, with
+    the default cell 0 — the documented null policy (ADVICE r8).
 
     Strategies (VERDICT r7 item 1 — route, don't just raise):
 
@@ -1585,7 +1587,13 @@ def _semdedup_killed_blocked(
     reaches the driver. Value path matches the expression strategy:
     numpy double → Spark-side F.round → threshold (the q22 precedent
     the oracle family hash-matches)."""
-    sizes = base.groupBy("cell").agg(
+    # Null policy (ADVICE r8): a null vector can neither kill nor die
+    # — the expression strategy gets this for free (null cosine fails
+    # the threshold filter); here the matmul kernel would die on
+    # np.asarray(None), so nulls are filtered before the layout and
+    # their rows surface as survived=True like every uncompared row.
+    nn = base.where(F.col("__v").isNotNull())
+    sizes = nn.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n")
     ).collect()
     if not sizes:
@@ -1595,11 +1603,7 @@ def _semdedup_killed_blocked(
     n_max = max(r.n for r in sizes)
     # dim from ONE non-null row (the _resolve_num_blocks doctrine:
     # sizing must not pre-scan the vector column)
-    head = (
-        base.where(F.col("__v").isNotNull())
-        .select(F.size("__v").alias("dim"))
-        .first()
-    )
+    head = nn.select(F.size("__v").alias("dim")).first()
     dim = (head["dim"] if head is not None else 0) or 0
     per_row = dim * 8 + 48
     num_blocks = max(
@@ -1610,7 +1614,7 @@ def _semdedup_killed_blocked(
     margin = threshold - 0.5 * 10.0 ** (-round_dp)
     id_type = base.schema[id_col].dataType.simpleString()
     raw = _cosine_pairs_copartitioned(
-        base, id_col, "__v", num_blocks, margin, id_type,
+        nn, id_col, "__v", num_blocks, margin, id_type,
         group_cols=("cell",),
     )
     pairs = _orient_round_filter(raw, threshold, round_dp)

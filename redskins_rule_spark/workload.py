@@ -556,6 +556,39 @@ def oracles() -> dict[str, str]:
     return _ordered(ORACLES)
 
 
+def _q185_bound_reason(n: int) -> str | None:
+    """q185's SQL oracle replays a FIXED 64-plane signature (8 bands
+    x 8 bits); the engine auto-tapers bits/band with corpus size, so
+    the differential is valid only while srp_auto_band_bits(n, 8) ==
+    8, i.e. n <= 1024 (ADVICE r8: the bound now lives in code, not
+    comments)."""
+    from redskins_rule_spark.operators.similarity import srp_auto_band_bits
+
+    r = srp_auto_band_bits(n, bands=8)
+    if r != 8:
+        return (
+            "fixed-64-plane oracle requires srp_auto_band_bits(n, 8) == 8 "
+            f"(n <= 1024); fixture has n={n} embeddings -> r={r}"
+        )
+    return None
+
+
+def oracle_bounds() -> dict:
+    """Validity predicates for scale-bounded oracles: name ->
+    callable(spark, sf_dir) returning None (oracle valid on this
+    fixture) or a named skip reason. The local gate
+    (tools/check_correctness.py) consults this before running a
+    bounded differential, so scale/skew fixture runs SKIP by name
+    instead of false-failing — the engine-side query itself is
+    fixture-agnostic and still runs everywhere."""
+
+    def q185(spark, sf_dir: str):
+        n = table(spark, sf_dir, "embeddings").count()
+        return _q185_bound_reason(n)
+
+    return {"q185_ann_label_noise": q185}
+
+
 # ===========================================================================
 # North-star extension queries (training-data pipeline operators)
 # ===========================================================================
@@ -9809,3 +9842,59 @@ def q208_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp3 = with_tagged_mp3_payload(docs, "text", "doc_id")
     return decode_id3_stats(mp3, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q37b: greedy sequence packing, CROSS-ENGINE face (VERDICT r8 item 1
+# — retire q37's rows-only status the q25b/q43b/q97b way). q37's
+# production face hash-groups chunks via xxhash64 (engine-local) and
+# packs inside applyInPandas; this sibling drives the IDENTICAL
+# greedy fold (operators/chunking.py::pack_chunks — next-fit: a chunk
+# that would overflow the budget opens a new pack; order pinned by
+# (doc_id) within an explicit cross-engine group doc_id % 8) with
+# every engine-local choice replaced by replayable arithmetic. The
+# oracle replays the sequential fold as a DuckDB RECURSIVE CTE over
+# the same (grp, rn) order — the pack fold is a linear recurrence,
+# exactly what recursive SQL expresses — and the result is checked
+# PER ROW (doc_id -> pack_id), not per aggregate, so any mis-ordered
+# or mis-reset fold state flips the hash.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q37b_packing_xengine",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS grp,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fold AS (
+      SELECT grp, rn, doc_id, n_tokens, 0 AS pack_id, n_tokens AS used
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN f.used > 0 AND f.used + t.n_tokens > 160
+                  THEN f.pack_id + 1 ELSE f.pack_id END,
+             CASE WHEN f.used > 0 AND f.used + t.n_tokens > 160
+                  THEN t.n_tokens ELSE f.used + t.n_tokens END
+      FROM fold f JOIN t ON t.grp = f.grp AND t.rn = f.rn + 1
+    )
+    SELECT doc_id, grp, CAST(pack_id AS INTEGER) AS pack_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM fold
+    """,
+)
+def q37b_packing_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    items = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("grp"),
+        token_count("text").cast("int").alias("n_tokens"),
+    )
+    packed = pack_chunks(
+        items, "n_tokens", budget=160, group_col="grp", order_cols=["doc_id"]
+    )
+    return packed.select("doc_id", "grp", "pack_id", "n_tokens")

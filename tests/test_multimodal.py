@@ -2591,3 +2591,89 @@ def test_sniff_dispatches_all_jpeg_profiles(spark):
     assert (got[3].fmt, got[3].width, got[3].height) == ("jpeg", 16, 8)
     assert got[4].fmt == "quarantined" and got[4].width is None
     assert (got[5].fmt, got[5].width, got[5].height) == ("jpeg", 16, 16)
+
+
+def test_sniff_dispatches_adts(spark):
+    """ADVICE r8 (high): the front door's 'aac' branch called
+    parse_adts without importing it into sniff_media_stats.run — any
+    ADTS payload died with NameError (which the ValueError quarantine
+    does not catch) instead of decoding. Pin the branch end-to-end:
+    a valid ADTS stream reports its frame count and duration; a
+    mid-frame truncation quarantines."""
+    from redskins_rule_spark.functions.aac import parse_adts, synth_adts
+    from redskins_rule_spark.operators.multimodal import sniff_media_stats
+
+    good = synth_adts(10)
+    expect = parse_adts(good)
+    df = spark.createDataFrame(
+        [(1, good), (2, good[:-3])], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in sniff_media_stats(df).collect()}
+    assert (got[1].fmt, got[1].n_frames, got[1].duration_ms) == (
+        "aac", expect.n_frames, expect.duration_ms
+    )
+    assert got[2].fmt == "quarantined" and got[2].n_frames is None
+
+
+def test_avc_encoder_rejects_zero_terminated_rbsp():
+    """ADVICE r8: an RBSP ending in 0x00 would round-trip through the
+    Annex B stream with its last byte silently stripped (the parser's
+    4-byte-start-code heuristic treats a 00 before the next start
+    code as framing). Spec-valid RBSPs end nonzero
+    (rbsp_trailing_bits); the encoder now enforces the guarantee."""
+    import pytest
+
+    from redskins_rule_spark.functions.avc import (
+        encode_nal_stream,
+        parse_nal_stream,
+    )
+
+    with pytest.raises(ValueError, match="rbsp_trailing_bits"):
+        encode_nal_stream([(1, 7, b"\x42\x00")])
+    # nonzero-terminated payloads of both start-code classes still
+    # round-trip byte-exact
+    nals = [(1, 7, b"\x42\x01\x80"), (0, 6, b"\x05\x01\x80")]
+    got = parse_nal_stream(encode_nal_stream(nals))
+    assert [(n.ref_idc, n.nal_type, n.rbsp) for n in got] == nals
+
+
+def test_jpeg_dims_dispatches_on_sniffed_sof():
+    """ADVICE r8: decode_jpeg_dims used to run a four-profile
+    try-chain on every payload (up to four full pixel decodes in the
+    sniffer hot path) and re-raise only the LAST profile's error on
+    corrupt input. It now sniffs the SOF marker + component count and
+    runs the one matching profile, so a corrupt payload surfaces ITS
+    profile's diagnostic; marker-broken payloads still fall back to
+    the chain."""
+    import pytest
+
+    from redskins_rule_spark.functions.jpeg import (
+        _sniff_sof,
+        decode_jpeg_color,
+        decode_jpeg_dims,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        synth_dc_blocks,
+        synth_dc_blocks_color,
+    )
+
+    gray = encode_jpeg_gray(synth_dc_blocks(5, 2, 1), 2, 1)
+    y, cb, cr = synth_dc_blocks_color(5, 1, 1)
+    color = encode_jpeg_color(y, cb, cr, 1, 1)
+    prog = encode_jpeg_gray_progressive(synth_dc_blocks(5, 2, 1, step=9), 2, 1)
+    assert _sniff_sof(gray) == (0xC0, 1)
+    assert _sniff_sof(color) == (0xC0, 3)
+    assert _sniff_sof(prog) == (0xC2, 1)
+    assert decode_jpeg_dims(gray) == (16, 8)
+    assert decode_jpeg_dims(color) == (16, 16)
+    # corrupt COLOR payload raises the color decoder's own diagnostic
+    with pytest.raises(ValueError) as exc:
+        decode_jpeg_dims(color[:-5])
+    with pytest.raises(ValueError) as direct:
+        decode_jpeg_color(color[:-5])
+    assert str(exc.value) == str(direct.value)
+    # marker-level corruption (no SOF nameable) still raises
+    assert _sniff_sof(b"\xff\xd8\xff\xd9") is None
+    with pytest.raises(ValueError):
+        decode_jpeg_dims(b"\xff\xd8\xff\xd9")

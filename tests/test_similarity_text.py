@@ -1646,3 +1646,32 @@ def test_token_entropy_hand_computed(spark):
     assert got[2].entropy == 0.0 and got[2].ttr == 0.3333
     assert got[3].entropy == round(math.log(3) - 2 * math.log(2) / 3, 4)
     assert got[4].n_types == 1 and got[4].entropy == 0.0
+
+
+def test_semdedup_null_vectors_survive_both_strategies(spark):
+    """ADVICE r8: strategy='blocked' crashed on null vectors
+    (np.asarray(None) in the matmul kernel) where the expression path
+    silently dropped them via null cosine. Pinned policy: a null
+    vector is never compared — it survives (cell 0) — and both
+    strategies agree on the full survivor map around it."""
+    from redskins_rule_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),  # dies to 1
+        (3, None),                   # null: survives, cell 0
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {}
+    for strat in ("blocked", "expression"):
+        out[strat] = {
+            r.vec_id: (r.cell, r.survived)
+            for r in semdedup_survivors(
+                df, "vec_id", "v", n_cells=4, threshold=0.97,
+                strategy=strat,
+            ).collect()
+        }
+    assert out["blocked"] == out["expression"]
+    assert out["blocked"][3] == (0, True)
+    assert out["blocked"][2][1] is False and out["blocked"][1][1] is True

@@ -66,3 +66,17 @@ def test_capability_map_is_current():
     assert current == mod.build_map(), (
         "CAPABILITIES.md stale — run `python tools/capability_map.py --write`"
     )
+
+
+def test_q185_oracle_bound_in_code():
+    """ADVICE r8: q185's gate-scale coupling (fixed 64-plane oracle
+    valid only while srp_auto_band_bits(n, 8) == 8) is enforced by
+    oracle_bounds(), not comments — both gate fixtures pass the
+    bound, the sf0.1/skew count (2000) names its skip."""
+    from redskins_rule_spark.workload import _q185_bound_reason, oracle_bounds
+
+    assert _q185_bound_reason(500) is None
+    assert _q185_bound_reason(1024) is None
+    reason = _q185_bound_reason(2000)
+    assert reason is not None and "n=2000" in reason
+    assert "q185_ann_label_noise" in oracle_bounds()

@@ -94,6 +94,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, os_ = workload.queries(), workload.oracles()
+    bounds = workload.oracle_bounds()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -107,6 +108,11 @@ def main() -> int:
         if name not in os_:
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
+        if name in bounds:
+            reason = bounds[name](spark, sf_dir)
+            if reason is not None:
+                print(f"[skip-oracle] {name}: {reason} ({len(sdf)} rows ran)")
+                continue
         try:
             odf = con.sql(os_[name]).df()
         except Exception as e:
