@@ -505,22 +505,13 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- new in round 8 (never driver-verified) ---
-    "q97b_pq_xengine", "q201_salted_join", "q202_jpeg_progressive_color",
-    "q203_mp3_sideinfo", "q204_avc_sps", "q205_adts_meta",
-    "q206_avcc_config", "q207_esds_config", "q208_id3_tags",
-    # --- round-8 TOUCHED (implementation changed this round, so
-    #     r07-green status is stale): q185/q174/q184/q175/q179 ride
-    #     the tapered SRP auto-banding + similarity-module edits,
-    #     q22 the copartition group_cols refactor + null-safe sizing,
-    #     q194 the new blocked SemDeDup default, q165/q180/q182/q186/
-    #     q200 the shared jpeg module (RGB-tail extraction, dims
-    #     dispatch chain), q187/q188 the stsc 1-based guard ---
-    "q185_ann_label_noise", "q194_semdedup", "q22_embedding_dups",
-    "q174_srp_lsh_pairs", "q175_knn_label_noise", "q184_srp_wide",
-    "q179_embedding_curation", "q165_jpeg_decode", "q180_jpeg_color",
-    "q182_quarantine_decode", "q186_jpeg_progressive",
-    "q200_media_front_door", "q187_mp4_meta", "q188_mp4_frames",
+    # --- never driver-verified: q37b registered in round 9 but the
+    #     window was not rotated that round (VERDICT r9 item 2), plus
+    #     every round-10 registration ---
+    "q37b_packing_xengine",
+    # --- canaries queued since r8 (rotated out of that window) ---
+    "q10_price_buckets", "q31_window_suite", "q41_word_explode",
+    "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -529,17 +520,22 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- back-catalog rotating sample: first the seven canaries that
-    #     overflowed r7's window, then a fresh slice not re-checked
-    #     since r01 (r6 cycled q110-q146, r7 cycled q26-q160) ---
-    "q108_sessionize", "q109_jaccard_capped", "q123_png_decode",
-    "q129_dedup_keep_best", "q133_curation_funnel",
-    "q143_image_patches", "q145_curation_report", "q160_image_dhash",
-    "q02_top_orders", "q03_region_revenue", "q04_top_order_per_customer",
-    "q05_order_gaps", "q07_forward_fill", "q09_union_dedup",
-    # exactly 50 explicit entries — the whole window is pinned this
-    # round: 9 new + 14 touched + 13 sentinels + 14 rotating canaries
-    # (q10/q31/q41/q46/q50/q57 rotate back next round)
+    # --- back-catalog rotating sample: a fresh slice not driver
+    #     re-checked since r01 (r6 cycled q110-q146, r7 cycled
+    #     q26-q160, r8 cycled q02-q09 + q108-q160 canaries) ---
+    "q13_election_days", "q14_year_join", "q15_token_stats",
+    "q16_quality", "q17_lang_id", "q18_dedup_exact",
+    "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
+    "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
+    "q32_chunking", "q33_decimal_money", "q34_map_props",
+    "q35_percentiles", "q36_semi_anti", "q39_unpivot",
+    "q40_stats_agg", "q42_band_join", "q44_cube",
+    "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
+    "q49_monthly_revenue", "q51_grouping_sets", "q52_array_hof",
+    "q53_asof_nearest", "q55_exists_priority", "q56_small_qty_revenue",
+    # exactly 50 explicit entries — 1 never-verified + 6 canaries +
+    # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
+    # at the HEAD on registration day (drop tail entries to stay at 50).
 ]
 
 
