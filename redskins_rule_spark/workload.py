@@ -509,6 +509,8 @@ _DRIVER_PRIORITY: list[str] = [
     #     window was not rotated that round (VERDICT r9 item 2), plus
     #     every round-10 registration ---
     "q37b_packing_xengine",
+    # --- new in round 10 (never driver-verified) ---
+    "q104b_bpe_xengine",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -532,7 +534,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
     "q49_monthly_revenue", "q51_grouping_sets", "q52_array_hof",
-    "q53_asof_nearest", "q55_exists_priority", "q56_small_qty_revenue",
+    "q53_asof_nearest", "q55_exists_priority",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -4224,6 +4226,78 @@ def q104_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=6)
     seg = bpe_segment(docs, merges, "text", "doc_id")
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_bpe_tokens"),
+        char_fingerprint(F.concat_ws(" ", F.col("tokens"))).alias("tokens_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE segmentation with a FIXED merge table — the cross-engine sibling
+# that retires q104's rows-only status (the q25b/q43b/q97b/q37b
+# pattern). The engine applies the exact production fold
+# (`operators/bpe.py::bpe_segment` — greedy left-to-right
+# non-overlapping merge per round); the oracle replays each round as
+# a chained string `replace()` over a delimiter-encoded symbol
+# string: every symbol is wrapped as SEP||sym||SEP (SEP = chr(31),
+# absent from the corpus), so the pattern SEP||l||SEP||SEP||r||SEP
+# matches exactly a symbol EQUAL to l followed by a symbol EQUAL to
+# r (never a suffix/prefix), and SQL replace()'s
+# scan-left-resume-after-replacement semantics are precisely the
+# fold's greedy non-overlapping pass (the just-merged symbol l||r
+# can never re-merge in the same round: that would need l||r == l).
+# Equivalence is property-tested against the pure-Python fold in
+# tests/test_bpe.py. The merge table chains deliberately
+# (t+h -> th+e</w>) and includes (a,</w>) vs the 2-char symbol 'ta'
+# to prove symbol-identity (not substring) matching.
+# ---------------------------------------------------------------------------
+
+_Q104B_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "l"),
+    ("t", "a"), ("ta", "b"), ("a", "</w>"), ("g", "g"),
+]
+
+
+def _q104b_sql_tokens() -> str:
+    """DuckDB expression: word `w` -> delimiter-encoded symbol string
+    after replaying _Q104B_MERGES in order."""
+    e = (
+        "chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) "
+        "|| chr(31) || chr(31) || '</w>' || chr(31)"
+    )
+    for l, r in _Q104B_MERGES:
+        pat = f"chr(31)||'{l}'||chr(31)||chr(31)||'{r}'||chr(31)"
+        rep = f"chr(31)||'{l}{r}'||chr(31)"
+        e = f"replace({e}, {pat}, {rep})"
+    return e
+
+
+@query(
+    "q104b_bpe_xengine",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, pos, w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                     generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+              FROM documents)
+        WHERE length(w) > 0),
+    enc AS (SELECT doc_id, pos, {_q104b_sql_tokens()} AS e FROM words),
+    tok AS (SELECT doc_id, pos,
+                   trim(replace(e, chr(31)||chr(31), ' '), chr(31)) AS tok_str,
+                   len(string_split(e, chr(31)||chr(31))) AS n_toks
+            FROM enc),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+                   string_agg(tok_str, ' ' ORDER BY pos) AS s
+            FROM tok GROUP BY doc_id)
+    SELECT doc_id, n_bpe_tokens, {_SQL_POLYHASH} AS tokens_fp FROM agg
+    """,
+)
+def q104b_bpe_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, _Q104B_MERGES, "text", "doc_id")
     return seg.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_bpe_tokens"),

@@ -37,3 +37,61 @@ def test_bpe_segment_roundtrip_chars(spark):
     for i, t in enumerate(texts):
         restored = "".join(tok for tok in seg[i]).replace("</w>", " ").strip()
         assert restored == " ".join(t.split())
+
+
+# --- q104b oracle-equivalence: the greedy merge fold vs the
+# delimiter-encoded string-replace replay the DuckDB oracle uses
+# (SQL replace() shares Python str.replace's scan-left,
+# resume-after-replacement, non-overlapping semantics) ---
+
+SEP = "\x1f"
+
+
+def _fold_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    seq = list(word) + ["</w>"]
+    for l, r in merges:
+        out: list[str] = []
+        for t in seq:
+            if out and out[-1] == l and t == r:
+                out[-1] = l + r
+            else:
+                out.append(t)
+        seq = out
+    return seq
+
+
+def _replace_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    e = SEP + (SEP + SEP).join(list(word)) + SEP + SEP + "</w>" + SEP
+    for l, r in merges:
+        e = e.replace(SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
+    return e.replace(SEP + SEP, " ").strip(SEP).split(" ")
+
+
+def test_q104b_fold_equals_replace_encoding_fixed_table():
+    from redskins_rule_spark.workload import _Q104B_MERGES
+
+    for w in ["the", "table", "data", "small", "value", "a", "agg",
+              "aaa", "tata", "thth", "ethe", "ggg", "gggg", "taa", "ata"]:
+        assert _replace_segment(w, _Q104B_MERGES) == _fold_segment(w, _Q104B_MERGES)
+
+
+def test_q104b_fold_equals_replace_encoding_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from("thegal")
+    merges = st.lists(
+        st.tuples(
+            st.text(sym, min_size=1, max_size=2),
+            st.one_of(st.text(sym, min_size=1, max_size=2), st.just("</w>")),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(sym, min_size=1, max_size=10), merges)
+    def check(word, ms):
+        assert _replace_segment(word, ms) == _fold_segment(word, ms)
+
+    check()
