@@ -492,6 +492,9 @@ def _parse_baseline(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: markers may be preceded by fill bytes (0xFF)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG (0xFF at end of data)")
         marker = data[pos + 1]
@@ -1068,6 +1071,9 @@ def _parse_progressive(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: markers may be preceded by fill bytes (0xFF)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG (0xFF at end of data)")
         marker = data[pos + 1]
@@ -1371,6 +1377,13 @@ def _sniff_sof(data: bytes) -> tuple[int, int] | None:
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
+            return None
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes
+        # (repeated 0xFF) — skip them so the byte after the LAST 0xFF
+        # is classified, not a fill byte read as a marker (ADVICE r9).
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
             return None
         marker = data[pos + 1]
         if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:

@@ -550,8 +550,25 @@ def queries() -> dict[str, QueryFn]:
     return _ordered(QUERIES)
 
 
+# Bounded oracles are TAGGED in the registry itself (ADVICE r9): any
+# harness that iterates oracles() directly — not just the callers that
+# know to consult oracle_bounds() — sees the validity bound as a
+# leading SQL comment (legal SQL, ignored by DuckDB, results
+# unchanged). oracle_bounds() below remains the executable predicate.
+_ORACLE_BOUND_TAGS: dict[str, str] = {
+    "q185_ann_label_noise": (
+        "-- SCALE-BOUNDED ORACLE: replays a FIXED 64-plane SRP signature;\n"
+        "-- valid only while srp_auto_band_bits(n_embeddings, 8) == 8,\n"
+        "-- i.e. n_embeddings <= 1024. Consult\n"
+        "-- workload.oracle_bounds()['q185_ann_label_noise'](spark, sf_dir)\n"
+        "-- before running this differential on any other fixture.\n"
+    ),
+}
+
+
 def oracles() -> dict[str, str]:
-    return _ordered(ORACLES)
+    reg = _ordered(ORACLES)
+    return {k: _ORACLE_BOUND_TAGS.get(k, "") + v for k, v in reg.items()}
 
 
 def _q185_bound_reason(n: int) -> str | None:

@@ -2677,3 +2677,30 @@ def test_jpeg_dims_dispatches_on_sniffed_sof():
     assert _sniff_sof(b"\xff\xd8\xff\xd9") is None
     with pytest.raises(ValueError):
         decode_jpeg_dims(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_sniff_skips_fill_bytes():
+    """ADVICE r9: T.81 B.1.1.2 allows fill bytes (repeated 0xFF)
+    before any marker. The sniff walk used to classify the fill byte
+    itself as a marker (and read a garbage segment length), dropping
+    such payloads to the four-decoder fallback chain. It now skips
+    fill bytes; the decoders themselves also accept the payload."""
+    from redskins_rule_spark.functions.jpeg import (
+        _sniff_sof,
+        decode_jpeg_dims,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    gray = encode_jpeg_gray(synth_dc_blocks(5, 2, 1), 2, 1)
+    assert gray[:2] == b"\xff\xd8"
+    # inject fill bytes before the first segment marker after SOI
+    padded = gray[:2] + b"\xff\xff\xff" + gray[2:]
+    assert _sniff_sof(padded) == (0xC0, 1)
+    assert decode_jpeg_dims(padded) == (16, 8)
+    # baseline decoder tolerates the same padding (marker-walk parity)
+    w, h, _ = decode_jpeg_gray(gray)
+    assert (w, h) == (16, 8)
+    # fill bytes truncating at end-of-buffer: sniff returns None, no IndexError
+    assert _sniff_sof(gray[:2] + b"\xff\xff") is None

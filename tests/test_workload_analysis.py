@@ -80,3 +80,20 @@ def test_q185_oracle_bound_in_code():
     reason = _q185_bound_reason(2000)
     assert reason is not None and "n=2000" in reason
     assert "q185_ann_label_noise" in oracle_bounds()
+
+
+def test_bounded_oracles_are_tagged_in_registry():
+    """ADVICE r9: every oracle with an oracle_bounds() predicate must
+    carry the bound as a leading SQL comment in the registry itself,
+    so harnesses that iterate oracles() directly see it without
+    knowing to consult oracle_bounds()."""
+    from redskins_rule_spark import workload
+
+    orc = workload.oracles()
+    for name in workload.oracle_bounds():
+        assert name in orc
+        assert orc[name].lstrip().startswith("-- SCALE-BOUNDED ORACLE"), name
+    # and the tag is still executable SQL: DuckDB ignores the comment
+    import duckdb
+
+    assert duckdb.sql("-- comment\nSELECT 1 AS x").fetchall() == [(1,)]
