@@ -53,6 +53,9 @@ class AvcSps:
     frame_mbs_only: int
     width: int
     height: int
+    # poc-type-0 lsb width — needed to parse slice headers (None for
+    # other poc types)
+    log2_max_poc_lsb: int | None = None
 
 
 @dataclass(frozen=True)
@@ -98,6 +101,23 @@ class _EgBits:
         # §9.1.1 mapping: 0,1,-1,2,-2,...
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
+    def align_zero(self) -> None:
+        """pcm_alignment_zero_bit run (§7.3.5): skip to the next byte
+        boundary, requiring every padding bit to be 0."""
+        while self.pos & 7:
+            if self.u(1):
+                raise ValueError("avc: non-zero pcm alignment bit")
+
+    def bytes_aligned(self, n: int) -> bytes:
+        """Read n raw bytes at a byte-aligned position (I_PCM samples)."""
+        if self.pos & 7:
+            raise ValueError("avc: raw byte read at unaligned position")
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("avc: I_PCM samples overrun RBSP")
+        self.pos += 8 * n
+        return self.data[start: start + n]
+
 
 class _EgBitsOut:
     def __init__(self) -> None:
@@ -126,6 +146,18 @@ class _EgBitsOut:
 
     def se(self, value: int) -> None:
         self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def align_zero(self) -> None:
+        """pcm_alignment_zero_bit run (§7.3.5): pad with 0 to the
+        next byte boundary."""
+        if self._n:
+            self.u(0, 8 - self._n)
+
+    def bytes_aligned(self, data: bytes) -> None:
+        """Write raw bytes at a byte-aligned position (I_PCM samples)."""
+        if self._n:
+            raise ValueError("avc: raw byte write at unaligned position")
+        self.buf.extend(data)
 
     def rbsp_trailing(self) -> bytes:
         """Stop bit + zero alignment (§7.3.2.11), then the bytes."""
@@ -299,8 +331,9 @@ def parse_sps(rbsp: bytes) -> AvcSps:
         )
     log2_max_frame_num = br.ue() + 4
     poc_type = br.ue()
+    log2_max_poc_lsb = None
     if poc_type == 0:
-        br.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
         br.u(1)
         br.se()
@@ -340,6 +373,7 @@ def parse_sps(rbsp: bytes) -> AvcSps:
         frame_mbs_only=frame_mbs_only,
         width=width,
         height=height,
+        log2_max_poc_lsb=log2_max_poc_lsb,
     )
 
 
@@ -412,6 +446,260 @@ def parse_pps(rbsp: bytes) -> AvcPps:
         pic_init_qp=qp,
         deblocking_control=deblocking,
         weighted_pred=weighted_pred,
+    )
+
+
+# --- I_PCM slice layer: real pixels from the video seam ------------------
+#
+# §7.4.5 gives I slices one macroblock type that needs NO entropy
+# decode at all: mb_type 25 (I_PCM) — byte-aligned raw 8-bit samples,
+# 256 luma + 64 Cb + 64 Cr per macroblock (4:2:0). An IDR slice made
+# entirely of I_PCM macroblocks is therefore fully decodable from the
+# bitstream syntax this module already implements (Exp-Golomb header,
+# emulation-prevention framing), producing REAL pixel planes — the
+# same notch the JPEG family proves on the image seam. What remains
+# of the video seam after this layer is exactly CAVLC/CABAC-coded
+# macroblocks and the transform/prediction pipeline (still raised by
+# name below). Per the conservative §7.4.5 constraint the encoder
+# rejects sample value 0 (the pre-escaping start-code guard in the
+# original spec text); the decoder accepts any byte — liberal in,
+# strict out.
+
+_MB_TYPE_I_PCM = 25
+
+
+@dataclass(frozen=True)
+class AvcIpcmFrame:
+    width: int
+    height: int
+    n_mbs: int
+    qp: int  # pic_init_qp + slice_qp_delta
+    frame_num: int
+    idr_pic_id: int
+    y: bytes   # luma plane, raster order, width x height
+    cb: bytes  # chroma planes, raster order, (width/2) x (height/2)
+    cr: bytes
+
+
+def encode_ipcm_slice(
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    mb_w: int,
+    mb_h: int,
+    *,
+    pps_id: int = 0,
+    frame_num: int = 0,
+    idr_pic_id: int = 0,
+    qp_delta: int = 0,
+    log2_max_frame_num: int = 4,
+    log2_max_poc_lsb: int = 4,
+) -> bytes:
+    """IDR I-slice RBSP whose every macroblock is I_PCM (§7.3.3 header
+    + §7.3.5 slice data): raw planes in, decodable slice out. Planes
+    are raster-order 8-bit samples — y is (16·mb_w)×(16·mb_h), cb/cr
+    are (8·mb_w)×(8·mb_h)."""
+    w_px, h_px = 16 * mb_w, 16 * mb_h
+    if len(y) != w_px * h_px:
+        raise ValueError("avc: luma plane size mismatch")
+    if len(cb) != w_px * h_px // 4 or len(cr) != w_px * h_px // 4:
+        raise ValueError("avc: chroma plane size mismatch")
+    if 0 in y or 0 in cb or 0 in cr:
+        raise ValueError(
+            "avc: I_PCM sample value 0 is forbidden (§7.4.5)"
+        )
+    w = _EgBitsOut()
+    # slice_header (§7.3.3) — IDR, CAVLC, progressive, poc type 0
+    w.ue(0)                       # first_mb_in_slice
+    w.ue(7)                       # slice_type: I (all slices I)
+    w.ue(pps_id)
+    w.u(frame_num, log2_max_frame_num)
+    w.ue(idr_pic_id)
+    w.u(0, log2_max_poc_lsb)      # pic_order_cnt_lsb
+    w.u(0, 1)                     # no_output_of_prior_pics_flag
+    w.u(0, 1)                     # long_term_reference_flag
+    w.se(qp_delta)                # slice_qp_delta
+    w.ue(1)                       # disable_deblocking_filter_idc = 1
+    # slice_data (§7.3.5): raster macroblocks, each I_PCM
+    half = w_px // 2
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            w.ue(_MB_TYPE_I_PCM)
+            w.align_zero()
+            rows = []
+            for ry in range(16):
+                base = (mby * 16 + ry) * w_px + mbx * 16
+                rows.append(y[base: base + 16])
+            for plane in (cb, cr):
+                for ry in range(8):
+                    base = (mby * 8 + ry) * half + mbx * 8
+                    rows.append(plane[base: base + 8])
+            w.bytes_aligned(b"".join(rows))
+    return w.rbsp_trailing()
+
+
+def decode_ipcm_slice(rbsp: bytes, sps: AvcSps, pps: AvcPps) -> AvcIpcmFrame:
+    """Decode an all-I_PCM IDR slice back to pixel planes. Any
+    non-I_PCM macroblock raises naming the CAVLC/CABAC seam; header
+    fields are validated against the SPS/PPS actually in the stream."""
+    if pps.entropy_coding_mode != 0:
+        raise ValueError(
+            "avc: CABAC slice data is outside the I_PCM profile "
+            "(entropy seam)"
+        )
+    if pps.pic_init_qp is None or pps.deblocking_control is None:
+        raise ValueError("avc: I_PCM decode needs a fully parsed PPS")
+    if sps.log2_max_poc_lsb is None:
+        raise ValueError("avc: poc type != 0 outside the I_PCM profile")
+    br = _EgBits(rbsp)
+    if br.ue() != 0:
+        raise ValueError("avc: multi-slice pictures outside this profile")
+    slice_type = br.ue()
+    if slice_type % 5 != 2:
+        raise ValueError(
+            "avc: non-I slice data is outside the I_PCM profile "
+            "(CAVLC/CABAC entropy seam)"
+        )
+    if br.ue() != pps.pps_id:
+        raise ValueError("avc: slice references an unknown PPS")
+    frame_num = br.u(sps.log2_max_frame_num)
+    idr_pic_id = br.ue()
+    br.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
+    br.u(1)  # no_output_of_prior_pics_flag
+    br.u(1)  # long_term_reference_flag
+    qp = pps.pic_init_qp + br.se()
+    if not 0 <= qp <= 51:
+        raise ValueError("avc: slice qp out of the [0, 51] range")
+    if pps.deblocking_control:
+        if br.ue() != 1:  # disable_deblocking_filter_idc
+            br.se()  # slice_alpha_c0_offset_div2
+            br.se()  # slice_beta_offset_div2
+    mb_w, mb_h = sps.width // 16, sps.height // 16
+    if sps.width % 16 or sps.height % 16:
+        raise ValueError("avc: cropped frames outside the I_PCM profile")
+    w_px, half = sps.width, sps.width // 2
+    yb = bytearray(w_px * sps.height)
+    cbb = bytearray(w_px * sps.height // 4)
+    crb = bytearray(w_px * sps.height // 4)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            mb_type = br.ue()
+            if mb_type != _MB_TYPE_I_PCM:
+                raise ValueError(
+                    f"avc: mb_type {mb_type} needs CAVLC residual "
+                    "decode — outside the I_PCM profile (entropy seam)"
+                )
+            br.align_zero()
+            samples = br.bytes_aligned(256 + 2 * 64)
+            for ry in range(16):
+                base = (mby * 16 + ry) * w_px + mbx * 16
+                yb[base: base + 16] = samples[ry * 16: ry * 16 + 16]
+            for k, plane in ((0, cbb), (1, crb)):
+                off = 256 + 64 * k
+                for ry in range(8):
+                    base = (mby * 8 + ry) * half + mbx * 8
+                    plane[base: base + 8] = samples[
+                        off + ry * 8: off + ry * 8 + 8
+                    ]
+    # rbsp_slice_trailing_bits: stop bit then zero padding (§7.3.2.10)
+    if br.u(1) != 1:
+        raise ValueError("avc: missing rbsp stop bit after slice data")
+    while br.pos & 7:
+        if br.u(1):
+            raise ValueError("avc: non-zero rbsp trailing bit")
+    if br.pos != 8 * len(rbsp):
+        raise ValueError("avc: trailing bytes after slice data")
+    return AvcIpcmFrame(
+        width=sps.width,
+        height=sps.height,
+        n_mbs=mb_w * mb_h,
+        qp=qp,
+        frame_num=frame_num,
+        idr_pic_id=idr_pic_id,
+        y=bytes(yb),
+        cb=bytes(cbb),
+        cr=bytes(crb),
+    )
+
+
+def encode_avc_ipcm(
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    mb_w: int,
+    mb_h: int,
+    *,
+    level_idc: int = 10,
+    qp_delta: int = 0,
+    idr_pic_id: int = 0,
+) -> bytes:
+    """Self-contained Annex B elementary stream: SPS + PPS(CAVLC) +
+    one all-I_PCM IDR slice carrying the given planes."""
+    sps = encode_sps(66, level_idc, 0, 0, 0, 0, 1, 0, mb_w - 1, mb_h - 1, 1)
+    pps = encode_pps(0, 0, 0)
+    slc = encode_ipcm_slice(
+        y, cb, cr, mb_w, mb_h, qp_delta=qp_delta, idr_pic_id=idr_pic_id
+    )
+    return encode_nal_stream([(3, 7, sps), (3, 8, pps), (3, 5, slc)])
+
+
+def decode_avc_ipcm(data: bytes) -> AvcIpcmFrame:
+    """Decode an Annex B stream whose IDR slice is all-I_PCM back to
+    pixel planes; SPS/PPS must precede the slice (in-band, the q204
+    transport). Raises ValueError (never IndexError) on corruption,
+    and names the entropy seam on any non-I_PCM macroblock."""
+    sps: AvcSps | None = None
+    pps: AvcPps | None = None
+    for nal in parse_nal_stream(data):
+        if nal.nal_type == 7:
+            sps = parse_sps(nal.rbsp)
+        elif nal.nal_type == 8:
+            pps = parse_pps(nal.rbsp)
+        elif nal.nal_type == 5:
+            if sps is None or pps is None:
+                raise ValueError("avc: IDR slice before SPS/PPS")
+            return decode_ipcm_slice(nal.rbsp, sps, pps)
+        elif nal.nal_type == 1:
+            raise ValueError(
+                "avc: non-IDR slice is outside the I_PCM profile"
+            )
+    raise ValueError("avc: stream carries no IDR slice")
+
+
+def synth_ipcm_planes(clen: int) -> tuple[bytes, bytes, bytes, int, int]:
+    """Deterministic pixel planes from one integer (the oracle's
+    closed form): mb grid (clen%3+1)×(clen%2+1); sample value at
+    plane raster position i (width w) is
+    (clen + A·(i%w) + B·(i÷w)) % 255 + 1 with (A,B) = (7,13) luma,
+    (5,11) Cb, (3,17) Cr — always in [1,255], never the forbidden 0.
+    Returns (y, cb, cr, mb_w, mb_h)."""
+    mb_w, mb_h = clen % 3 + 1, clen % 2 + 1
+    w, h = 16 * mb_w, 16 * mb_h
+
+    def plane(width: int, height: int, a: int, b: int) -> bytes:
+        return bytes(
+            (clen + a * (i % width) + b * (i // width)) % 255 + 1
+            for i in range(width * height)
+        )
+
+    return (
+        plane(w, h, 7, 13),
+        plane(w // 2, h // 2, 5, 11),
+        plane(w // 2, h // 2, 3, 17),
+        mb_w,
+        mb_h,
+    )
+
+
+def synth_avc_ipcm(clen: int) -> bytes:
+    """Closed-form Annex B I_PCM stream for the q209 differential:
+    planes from `synth_ipcm_planes`, qp_delta = clen%5 − 2 (so
+    qp = 24 + clen%5), idr_pic_id = clen%8."""
+    y, cb, cr, mb_w, mb_h = synth_ipcm_planes(clen)
+    return encode_avc_ipcm(
+        y, cb, cr, mb_w, mb_h,
+        qp_delta=clen % 5 - 2,
+        idr_pic_id=clen % 8,
     )
 
 

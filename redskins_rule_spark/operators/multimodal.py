@@ -1913,6 +1913,90 @@ def decode_avc_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_avc_ipcm_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize Annex B H.264 streams whose IDR slice is all-I_PCM
+    macroblocks — REAL pixels behind the video seam
+    (functions/avc.py `synth_avc_ipcm` closed forms). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.avc import synth_avc_ipcm
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_avc_ipcm(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_avc_ipcm_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL pixel decode through the H.264 seam: Annex B NAL walk →
+    Exp-Golomb SPS/PPS → IDR slice header → per-macroblock I_PCM raw
+    samples reassembled into raster planes — then the cross-engine
+    position-weighted fingerprint (Σ v[i]·(1 + i%64) mod 2^31−1, the
+    char_fingerprint arithmetic) over each plane, vectorized with
+    numpy. NULL payloads yield NULL stats; corrupt ones raise
+    ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.avc import decode_avc_ipcm
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_mbs", T.IntegerType()),
+            T.StructField("qp", T.IntegerType()),
+            T.StructField("y_fp", T.LongType()),
+            T.StructField("cb_fp", T.LongType()),
+            T.StructField("cr_fp", T.LongType()),
+        ]
+    )
+
+    def fp(plane: bytes) -> int:
+        v = np.frombuffer(plane, dtype=np.uint8).astype(np.int64)
+        w = 1 + (np.arange(v.size, dtype=np.int64) % 64)
+        return int((v * w).sum() % 2147483647)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 7)
+                    continue
+                f = decode_avc_ipcm(bytes(b))
+                rows.append(
+                    (f.width, f.height, f.n_mbs, f.qp,
+                     fp(f.y), fp(f.cb), fp(f.cr))
+                )
+            cols = ["width", "height", "n_mbs", "qp", "y_fp", "cb_fp", "cr_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("width", "height", "n_mbs", "qp"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in ("y_fp", "cb_fp", "cr_fp"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

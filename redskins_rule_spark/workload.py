@@ -510,7 +510,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     every round-10 registration ---
     "q37b_packing_xengine",
     # --- new in round 10 (never driver-verified) ---
-    "q104b_bpe_xengine",
+    "q104b_bpe_xengine", "q209_avc_ipcm",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -534,7 +534,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
     "q49_monthly_revenue", "q51_grouping_sets", "q52_array_hof",
-    "q53_asof_nearest", "q55_exists_priority",
+    "q53_asof_nearest",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -9985,3 +9985,62 @@ def q37b_packing_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         items, "n_tokens", budget=160, group_col="grp", order_cols=["doc_id"]
     )
     return packed.select("doc_id", "grp", "pack_id", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# q209: REAL PIXELS through the H.264 seam — I_PCM macroblocks.
+# §7.4.5 mb_type 25 is the one I-slice macroblock that carries raw
+# byte-aligned samples instead of CAVLC/CABAC-coded residuals, so an
+# all-I_PCM IDR slice decodes to exact pixel planes with zero entropy
+# tables: Annex B NAL walk → Exp-Golomb SPS/PPS → slice header →
+# per-MB raw samples reassembled into raster planes (the MB↔plane
+# spatial mapping is what the fingerprint checks). The oracle replays
+# the synth planes closed-form: sample at raster i of a width-w plane
+# is (clen + A·(i%w) + B·(i÷w)) % 255 + 1, position-weighted by the
+# char_fingerprint arithmetic. qp = pic_init_qp(26) + slice_qp_delta
+# (clen%5 − 2). What remains of the video seam after this query is
+# exactly CAVLC/CABAC residual decode — still raised by name.
+# ---------------------------------------------------------------------------
+
+
+def _q209_fp_sql(a: int, b: int, w: str, n: str) -> str:
+    """Closed-form fingerprint of a synth plane: width expr `w`,
+    element-count expr `n`, coefficients (a, b)."""
+    return (
+        f"CAST(SUM(CASE WHEN u.i < {n} THEN "
+        f"((clen + {a} * (u.i % ({w})) + {b} * (u.i // ({w}))) % 255 + 1) "
+        f"* (1 + u.i % 64) ELSE 0 END) % 2147483647 AS BIGINT)"
+    )
+
+
+@query(
+    "q209_avc_ipcm",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, length(text) AS clen,
+                         16 * (length(text) % 3 + 1) AS w,
+                         16 * (length(text) % 2 + 1) AS h
+                  FROM documents WHERE text IS NOT NULL),
+    pay AS (SELECT doc_id,
+                   {_q209_fp_sql(7, 13, "w", "w * h")} AS y_fp,
+                   {_q209_fp_sql(5, 11, "w // 2", "(w * h) // 4")} AS cb_fp,
+                   {_q209_fp_sql(3, 17, "w // 2", "(w * h) // 4")} AS cr_fp
+            FROM base, unnest(generate_series(0, w * h - 1)) AS u(i)
+            GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.w AS INTEGER) AS width,
+           CAST(b.h AS INTEGER) AS height,
+           CAST((b.clen % 3 + 1) * (b.clen % 2 + 1) AS INTEGER) AS n_mbs,
+           CAST(24 + b.clen % 5 AS INTEGER) AS qp,
+           p.y_fp, p.cb_fp, p.cr_fp
+    FROM base b JOIN pay p USING (doc_id)
+    """,
+)
+def q209_avc_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_avc_ipcm_stats,
+        with_avc_ipcm_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_avc_ipcm_payload(docs, "text", "doc_id")
+    return decode_avc_ipcm_stats(payloads, "payload", "doc_id")

@@ -2704,3 +2704,131 @@ def test_jpeg_sniff_skips_fill_bytes():
     assert (w, h) == (16, 8)
     # fill bytes truncating at end-of-buffer: sniff returns None, no IndexError
     assert _sniff_sof(gray[:2] + b"\xff\xff") is None
+
+
+# --- q209: I_PCM slice layer (real pixels through the H.264 seam) ---
+
+
+def _ipcm_planes(mb_w, mb_h, seed=11):
+    W, H = 16 * mb_w, 16 * mb_h
+    y = bytes((7 * (i % W) + 13 * (i // W) + seed) % 255 + 1 for i in range(W * H))
+    cb = bytes((5 * (i % (W // 2)) + 11 * (i // (W // 2)) + seed) % 255 + 1
+               for i in range(W * H // 4))
+    cr = bytes((3 * (i % (W // 2)) + 17 * (i // (W // 2)) + seed) % 255 + 1
+               for i in range(W * H // 4))
+    return y, cb, cr
+
+
+def test_avc_ipcm_roundtrip_planes():
+    from redskins_rule_spark.functions.avc import decode_avc_ipcm, encode_avc_ipcm
+
+    for mb_w, mb_h in [(1, 1), (3, 2), (2, 1)]:
+        y, cb, cr = _ipcm_planes(mb_w, mb_h)
+        stream = encode_avc_ipcm(y, cb, cr, mb_w, mb_h, qp_delta=-2, idr_pic_id=5)
+        f = decode_avc_ipcm(stream)
+        assert (f.width, f.height) == (16 * mb_w, 16 * mb_h)
+        assert (f.n_mbs, f.qp, f.idr_pic_id) == (mb_w * mb_h, 24, 5)
+        assert f.y == y and f.cb == cb and f.cr == cr
+
+
+def test_avc_ipcm_truncation_sweep_raises_valueerror():
+    import pytest
+
+    from redskins_rule_spark.functions.avc import decode_avc_ipcm, encode_avc_ipcm
+
+    y, cb, cr = _ipcm_planes(2, 1)
+    stream = encode_avc_ipcm(y, cb, cr, 2, 1)
+    for cut in range(1, len(stream)):
+        with pytest.raises(ValueError):
+            decode_avc_ipcm(stream[:cut])
+
+
+def test_avc_ipcm_rejects_forbidden_zero_sample():
+    import pytest
+
+    from redskins_rule_spark.functions.avc import encode_avc_ipcm
+
+    y, cb, cr = _ipcm_planes(1, 1)
+    with pytest.raises(ValueError, match="forbidden"):
+        encode_avc_ipcm(b"\x00" + y[1:], cb, cr, 1, 1)
+
+
+def test_avc_ipcm_names_entropy_seam_on_coded_macroblock():
+    """A non-I_PCM mb_type means CAVLC residual decode — the seam must
+    be raised BY NAME, not as a generic parse error."""
+    import pytest
+
+    from redskins_rule_spark.functions.avc import (
+        _EgBitsOut,
+        decode_ipcm_slice,
+        encode_pps,
+        encode_sps,
+        parse_pps,
+        parse_sps,
+    )
+
+    sps = parse_sps(encode_sps(66, 10, 0, 0, 0, 0, 1, 0, 0, 0, 1))
+    pps = parse_pps(encode_pps(0, 0, 0))
+    w = _EgBitsOut()
+    w.ue(0); w.ue(7); w.ue(0)      # first_mb, slice_type I, pps_id
+    w.u(0, 4); w.ue(0); w.u(0, 4)  # frame_num, idr_pic_id, poc_lsb
+    w.u(0, 1); w.u(0, 1)           # dec_ref_pic_marking (IDR)
+    w.se(0); w.ue(1)               # qp_delta, deblocking off
+    w.ue(0)                        # mb_type 0 = I_4x4 — entropy-coded
+    with pytest.raises(ValueError, match="entropy seam"):
+        decode_ipcm_slice(w.rbsp_trailing(), sps, pps)
+
+
+def test_avc_ipcm_rejects_cabac_pps():
+    import pytest
+
+    from redskins_rule_spark.functions.avc import (
+        decode_ipcm_slice,
+        encode_ipcm_slice,
+        encode_pps,
+        encode_sps,
+        parse_pps,
+        parse_sps,
+    )
+
+    y, cb, cr = _ipcm_planes(1, 1)
+    rbsp = encode_ipcm_slice(y, cb, cr, 1, 1)
+    sps = parse_sps(encode_sps(66, 10, 0, 0, 0, 0, 1, 0, 0, 0, 1))
+    cabac_pps = parse_pps(encode_pps(0, 0, 1))
+    with pytest.raises(ValueError, match="CABAC"):
+        decode_ipcm_slice(rbsp, sps, cabac_pps)
+
+
+def test_avc_ipcm_bitflip_never_misdecodes_silently_or_crashes():
+    """Flip every byte of the header region (pre-PCM) — the decode
+    must either raise ValueError or produce a frame; never
+    IndexError/struct.error."""
+    from redskins_rule_spark.functions.avc import decode_avc_ipcm, encode_avc_ipcm
+
+    y, cb, cr = _ipcm_planes(1, 1)
+    stream = bytearray(encode_avc_ipcm(y, cb, cr, 1, 1))
+    for pos in range(min(60, len(stream))):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0x5A
+        try:
+            decode_avc_ipcm(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_avc_ipcm_synth_matches_closed_form():
+    """synth_avc_ipcm's planes follow the documented closed form the
+    q209 oracle replays."""
+    from redskins_rule_spark.functions.avc import decode_avc_ipcm, synth_avc_ipcm
+
+    for clen in (0, 1, 17, 64, 253):
+        f = decode_avc_ipcm(synth_avc_ipcm(clen))
+        mb_w, mb_h = clen % 3 + 1, clen % 2 + 1
+        W = 16 * mb_w
+        assert (f.width, f.height) == (W, 16 * mb_h)
+        assert f.qp == 24 + clen % 5
+        assert f.idr_pic_id == clen % 8
+        assert f.y == bytes(
+            (clen + 7 * (i % W) + 13 * (i // W)) % 255 + 1
+            for i in range(W * 16 * mb_h)
+        )
