@@ -229,6 +229,50 @@ SLEN = (
 _SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
 
 
+# --- count1-region Huffman (ISO 11172-3 Table B.7, tables A/B) ------------
+#
+# The spectral payload of a Layer III granule is big_values pairs,
+# then "count1" QUADRUPLES of |v|,|w|,|x|,|y| ∈ {0,1} (+ a sign bit
+# per nonzero), then implicit zeros. The two count1 codebooks are the
+# one part of Table B.7 that is small enough to carry as public spec
+# text: table A below (a Kraft-exact 16-entry prefix code — one 1-bit,
+# four 4-bit, five 5-bit, six 6-bit words), and table B, which is
+# trivially the 4-bit one's complement of the (v,w,x,y) nibble. With
+# these, granules whose big_values == 0 decode their ENTIRE spectrum
+# exactly; big-values pair tables (the 32-table bulk of B.7) remain
+# the documented seam.
+
+# vwxy nibble -> (hlen, hcod), count1 table A
+_COUNT1_A: dict[int, tuple[int, int]] = {
+    0b0000: (1, 0b1),
+    0b0001: (4, 0b0101),
+    0b0010: (4, 0b0100),
+    0b0011: (5, 0b00101),
+    0b0100: (4, 0b0110),
+    0b0101: (6, 0b000101),
+    0b0110: (5, 0b00100),
+    0b0111: (6, 0b000100),
+    0b1000: (4, 0b0111),
+    0b1001: (5, 0b00011),
+    0b1010: (5, 0b00110),
+    0b1011: (6, 0b000000),
+    0b1100: (5, 0b00111),
+    0b1101: (6, 0b000010),
+    0b1110: (6, 0b000001),
+    0b1111: (6, 0b000011),
+}
+_COUNT1_A_DECODE = {(ln, code): v for v, (ln, code) in _COUNT1_A.items()}
+assert sum(2.0 ** -ln for ln, _ in _COUNT1_A.values()) == 1.0  # Kraft-exact
+
+
+def _count1_quad_bits(quad: tuple[int, int, int, int], table: int) -> int:
+    """Encoded size of one quadruple: codeword + one sign bit per
+    nonzero component."""
+    nibble = sum((1 << (3 - k)) if quad[k] else 0 for k in range(4))
+    hlen = 4 if table else _COUNT1_A[nibble][0]
+    return hlen + sum(1 for v in quad if v)
+
+
 @dataclass(frozen=True)
 class Mp3Granule:
     part2_3_length: int
@@ -243,6 +287,9 @@ class Mp3Granule:
     count1table_select: int
     scalefactors: tuple[int, ...]  # 21 EFFECTIVE values (scfsi applied)
     spectral_bits: int  # part2_3_length minus scalefactor bits
+    # decoded count1 quadruples (v,w,x,y each in {-1,0,1}) when the
+    # caller asked for spectral decode; None in structure-only parses
+    count1: tuple[tuple[int, int, int, int], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -323,7 +370,15 @@ def encode_mp3_granules(
     preflag, scalefac_scale, count1table_select, and scalefactors (21
     ints; granule-1 values inside scfsi-copied groups must EQUAL
     granule 0's — enforced, since the stream cannot represent a
-    difference)."""
+    difference).
+
+    A granule dict may also carry 'count1': a list of (v,w,x,y)
+    quadruples with components in {-1, 0, 1}, Huffman-coded into the
+    spectral region with the granule's count1table_select (Table B.7
+    A/B) + one sign bit per nonzero — so part2_3_length exceeds the
+    scalefactor bits by exactly the count1 bits and the stream is no
+    longer silence. big_values stays 0: the pair tables remain the
+    documented seam."""
     out = bytearray()
     if id3_payload is not None:
         n = len(id3_payload)
@@ -350,8 +405,16 @@ def encode_mp3_granules(
             sfs = list(gd["scalefactors"])
             if len(sfs) != 21:
                 raise ValueError("mp3: long blocks carry 21 scalefactors")
+            quads = [tuple(q) for q in gd.get("count1", [])]
+            table = gd["count1table_select"]
+            for quad in quads:
+                if len(quad) != 4 or any(v not in (-1, 0, 1) for v in quad):
+                    raise ValueError(
+                        "mp3: count1 quadruples take components in {-1,0,1}"
+                    )
+            c1_bits = sum(_count1_quad_bits(q, table) for q in quads)
             part2 = _granule_sf_bits(sfc, scfsi, g)
-            side.write(part2, 12)        # part2_3_length == part2: silence
+            side.write(part2 + c1_bits, 12)  # part2_3_length
             side.write(0, 9)             # big_values
             side.write(gd["global_gain"], 8)
             side.write(sfc, 4)
@@ -373,6 +436,18 @@ def encode_mp3_granules(
                     continue
                 for b in range(lo, hi):
                     main.write(sfs[b], width)
+            for quad in quads:
+                nibble = sum(
+                    (1 << (3 - k)) if quad[k] else 0 for k in range(4)
+                )
+                if table:
+                    main.write(nibble ^ 0b1111, 4)  # table B: complement
+                else:
+                    hlen, hcod = _COUNT1_A[nibble]
+                    main.write(hcod, hlen)
+                for v in quad:
+                    if v:
+                        main.write(1 if v < 0 else 0, 1)
         main.pad_to_byte()
         body_len = frame_length(bitrate_idx, sr_idx, 0) - 4
         payload = bytes(side.buf) + bytes(main.buf)
@@ -384,7 +459,9 @@ def encode_mp3_granules(
     return bytes(out)
 
 
-def parse_mp3_granules(data: bytes) -> list[Mp3FrameInfo]:
+def parse_mp3_granules(
+    data: bytes, decode_count1: bool = False
+) -> list[Mp3FrameInfo]:
     """REAL side-info + scalefactor decode of every frame (mono
     MPEG-1 Layer III, long blocks): the 136-bit side info, then the
     scalefactor section of main_data with scfsi copy semantics —
@@ -398,7 +475,14 @@ def parse_mp3_granules(data: bytes) -> list[Mp3FrameInfo]:
     spectral seam), window_switching_flag with short/mixed blocks
     (different scalefactor layout), and any structural corruption —
     side info overrunning the body, part2_3_length smaller than its
-    own scalefactor section, scalefactor bits overrunning main_data."""
+    own scalefactor section, scalefactor bits overrunning main_data.
+
+    With decode_count1=True the spectral region is DECODED, not
+    skipped, for granules whose big_values == 0: the count1
+    quadruple Huffman run (Table B.7 A/B + sign bits) must consume
+    part2_3_length exactly, and each granule's quadruples land in
+    `Mp3Granule.count1`. A granule with big_values > 0 raises naming
+    the big-values pair-table seam."""
     out: list[Mp3FrameInfo] = []
     for _idx, body in extract_frames(data):
         if len(body) < 17:
@@ -462,11 +546,47 @@ def parse_mp3_granules(data: bytes) -> list[Mp3FrameInfo]:
                     "mp3: part2_3_length smaller than its scalefactor section"
                 )
             spectral = part23 - part2
-            # the Huffman spectral payload is skipped, not decoded —
-            # advance the cursor so multi-granule frames stay aligned
             if mbr.pos + spectral > 8 * len(body[17:]):
                 raise ValueError("mp3: spectral bits overrun main_data")
-            mbr.pos += spectral
+            count1_quads: tuple[tuple[int, int, int, int], ...] | None = None
+            if decode_count1:
+                if big_values:
+                    raise ValueError(
+                        "mp3: big-values pair tables (Table B.7 bulk) are "
+                        "outside the count1 profile — spectral-seam "
+                        "territory"
+                    )
+                end = mbr.pos + spectral
+                quads: list[tuple[int, int, int, int]] = []
+                while mbr.pos < end:
+                    if count1table:  # table B: 4-bit one's complement
+                        nibble = mbr.read(4) ^ 0b1111
+                    else:  # table A: walk the prefix code (max 6 bits)
+                        ln, code = 1, mbr.read(1)
+                        while (ln, code) not in _COUNT1_A_DECODE:
+                            if ln >= 6:
+                                raise ValueError(
+                                    "mp3: invalid count1 table-A codeword"
+                                )
+                            code = (code << 1) | mbr.read(1)
+                            ln += 1
+                        nibble = _COUNT1_A_DECODE[(ln, code)]
+                    vals = []
+                    for k in range(4):
+                        if (nibble >> (3 - k)) & 1:
+                            vals.append(-1 if mbr.read(1) else 1)
+                        else:
+                            vals.append(0)
+                    if mbr.pos > end:
+                        raise ValueError(
+                            "mp3: count1 quadruple overruns part2_3_length"
+                        )
+                    quads.append((vals[0], vals[1], vals[2], vals[3]))
+                count1_quads = tuple(quads)
+            else:
+                # the Huffman spectral payload is skipped, not decoded —
+                # advance the cursor so multi-granule frames stay aligned
+                mbr.pos += spectral
             if g == 0:
                 g0_sfs = sfs
             granules.append(
@@ -483,6 +603,7 @@ def parse_mp3_granules(data: bytes) -> list[Mp3FrameInfo]:
                     count1table_select=count1table,
                     scalefactors=tuple(sfs),
                     spectral_bits=spectral,
+                    count1=count1_quads,
                 )
             )
         out.append(
@@ -542,6 +663,59 @@ def synth_mp3_granules(clen: int) -> bytes:
         frames, clen % 14 + 1, 2,
         id3_payload=bytes([clen % 251]) * (clen % 19),
     )
+
+
+def synth_mp3_count1(clen: int) -> bytes:
+    """Count1-bearing stream from one integer (the q210 oracle's
+    closed form): n = clen%5 + 2 frames, bitrate index clen%14 + 1,
+    32 kHz. Frame i granule g carries nq = (clen+i+g)%5 + 1 count1
+    quadruples; quadruple q's components are
+
+        v = (clen + 3q + i + g) % 3 − 1
+        w = (clen + 5q + 2i)    % 3 − 1
+        x = (clen + 7q + 3i + g) % 3 − 1
+        y = (clen + 11q + 4i)   % 3 − 1
+
+    (each in {−1,0,1}); count1table_select = (clen+g)%2 so BOTH
+    Table B.7 codebooks (A prefix code, B complement) are exercised
+    in every payload. Scalefactor fields follow the
+    synth_mp3_granules formulas with decoupling offsets."""
+    n = clen % 5 + 2
+    frames = []
+    for i in range(n):
+        scfsi = (3 * clen + 5 * i + 2) % 16
+        fr: dict = {"scfsi": scfsi}
+        for g in (0, 1):
+            sfc = (clen + 2 * i + g) % 16
+            slen1, slen2 = SLEN[sfc]
+            sfs = []
+            for b in range(21):
+                width = slen1 if b < 11 else slen2
+                sfs.append((clen + 2 * i + g + b) % (1 << width) if width else 0)
+            nq = (clen + i + g) % 5 + 1
+            quads = [
+                (
+                    (clen + 3 * q + i + g) % 3 - 1,
+                    (clen + 5 * q + 2 * i) % 3 - 1,
+                    (clen + 7 * q + 3 * i + g) % 3 - 1,
+                    (clen + 11 * q + 4 * i) % 3 - 1,
+                )
+                for q in range(nq)
+            ]
+            fr[f"g{g}"] = {
+                "global_gain": (clen + 5 * i + 7 * g) % 256,
+                "scalefac_compress": sfc,
+                "preflag": (clen + i + g) % 2,
+                "scalefac_scale": (clen + i) % 2,
+                "count1table_select": (clen + g) % 2,
+                "scalefactors": sfs,
+                "count1": quads,
+            }
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            if (scfsi >> (3 - gi)) & 1:
+                fr["g1"]["scalefactors"][lo:hi] = fr["g0"]["scalefactors"][lo:hi]
+        frames.append(fr)
+    return encode_mp3_granules(frames, clen % 14 + 1, 2)
 
 
 # --- ID3v2.3 text frames (the tag BODY, previously opaque) ----------------

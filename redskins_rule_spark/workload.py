@@ -510,7 +510,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     every round-10 registration ---
     "q37b_packing_xengine",
     # --- new in round 10 (never driver-verified) ---
-    "q104b_bpe_xengine", "q209_avc_ipcm",
+    "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -534,7 +534,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
     "q49_monthly_revenue", "q51_grouping_sets", "q52_array_hof",
-    "q53_asof_nearest",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -10044,3 +10043,60 @@ def q209_avc_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_avc_ipcm_payload(docs, "text", "doc_id")
     return decode_avc_ipcm_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q210: REAL SPECTRAL VALUES through the MP3 seam — the count1 region.
+# A Layer III granule's spectrum is big_values Huffman pairs, then
+# "count1" quadruples (v,w,x,y each in {−1,0,1}) coded with the two
+# small Table B.7 count1 codebooks (A: Kraft-exact 16-word prefix
+# code; B: the 4-bit one's complement) plus a sign bit per nonzero.
+# Granules with big_values = 0 therefore decode their ENTIRE spectrum
+# exactly — real quantized spectral values out of a real Huffman
+# decode, with the 32 big-values pair tables remaining the documented
+# seam. The oracle replays the synth quadruple formulas closed-form;
+# every output is an integer. Both codebooks are exercised in every
+# payload (count1table_select alternates per granule).
+# ---------------------------------------------------------------------------
+
+_Q210_VALS = (
+    "(clen + 3 * q + i + g) % 3 - 1",
+    "(clen + 5 * q + 2 * i) % 3 - 1",
+    "(clen + 7 * q + 3 * i + g) % 3 - 1",
+    "(clen + 11 * q + 4 * i) % 3 - 1",
+)
+
+
+@query(
+    "q210_mp3_count1",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cells AS (SELECT doc_id, clen, f.i, gg.g, u.q,
+                     {_Q210_VALS[0]} AS v, {_Q210_VALS[1]} AS w,
+                     {_Q210_VALS[2]} AS x, {_Q210_VALS[3]} AS y
+              FROM d,
+                   unnest(generate_series(0, clen % 5 + 1)) AS f(i),
+                   unnest([0, 1]) AS gg(g),
+                   unnest(generate_series(0, (clen + f.i + gg.g) % 5)) AS u(q))
+    SELECT doc_id,
+           CAST(clen % 5 + 2 AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_quads,
+           CAST(SUM(v + w + x + y) AS BIGINT) AS sum_vals,
+           CAST(SUM((v < 0)::INT + (w < 0)::INT + (x < 0)::INT
+                    + (y < 0)::INT) AS BIGINT) AS n_neg,
+           CAST(SUM((64 * i + 32 * g + q + 1)
+                    * (v + 2 * w + 3 * x + 4 * y)) AS BIGINT) AS fp
+    FROM cells
+    GROUP BY doc_id, clen
+    """,
+)
+def q210_mp3_count1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp3_count1_stats,
+        with_mp3_count1_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_mp3_count1_payload(docs, "text", "doc_id")
+    return decode_mp3_count1_stats(payloads, "payload", "doc_id")

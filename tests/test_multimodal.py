@@ -2832,3 +2832,151 @@ def test_avc_ipcm_synth_matches_closed_form():
             (clen + 7 * (i % W) + 13 * (i // W)) % 255 + 1
             for i in range(W * 16 * mb_h)
         )
+
+
+# --- q210: count1-region Huffman decode (Table B.7 A/B) ---
+
+
+def test_mp3_count1_roundtrip_both_tables():
+    from redskins_rule_spark.functions.mp3 import (
+        encode_mp3_granules,
+        parse_mp3_granules,
+    )
+
+    quads_a = [(1, 0, -1, 1), (0, 0, 0, 0), (-1, -1, 1, 0)]
+    quads_b = [(0, 1, 0, -1), (1, 1, 1, 1)]
+    fr = {"scfsi": 0}
+    for g, (table, quads) in enumerate(((0, quads_a), (1, quads_b))):
+        fr[f"g{g}"] = {
+            "global_gain": 100 + g,
+            "scalefac_compress": 13,  # slen (3,3): all 21 bands 3-bit
+            "preflag": 0,
+            "scalefac_scale": 0,
+            "count1table_select": table,
+            "scalefactors": [b % 8 for b in range(21)],
+            "count1": quads,
+        }
+    data = encode_mp3_granules([fr], 5, 2)
+    frames = parse_mp3_granules(data, decode_count1=True)
+    assert list(frames[0].granules[0].count1) == quads_a
+    assert list(frames[0].granules[1].count1) == quads_b
+    # structure-only parse skips the spectra but reports their size
+    skipped = parse_mp3_granules(data)
+    assert skipped[0].granules[0].count1 is None
+    assert skipped[0].granules[0].spectral_bits > 0
+
+
+def test_mp3_count1_table_a_is_kraft_exact_prefix_code():
+    from redskins_rule_spark.functions.mp3 import _COUNT1_A
+
+    codes = {(ln, code) for ln, code in _COUNT1_A.values()}
+    assert len(codes) == 16
+    assert sum(2.0 ** -ln for ln, _ in codes) == 1.0
+    for ln1, c1 in codes:
+        for ln2, c2 in codes:
+            if ln1 < ln2:
+                assert (c2 >> (ln2 - ln1)) != c1, "prefix collision"
+
+
+def test_mp3_count1_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redskins_rule_spark.functions.mp3 import (
+        encode_mp3_granules,
+        parse_mp3_granules,
+    )
+
+    quad = st.tuples(*[st.sampled_from((-1, 0, 1))] * 4)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(quad, max_size=8), st.lists(quad, max_size=8),
+           st.integers(0, 1), st.integers(0, 1))
+    def check(qa, qb, ta, tb):
+        fr = {"scfsi": 0}
+        for g, (t, qs) in enumerate(((ta, qa), (tb, qb))):
+            fr[f"g{g}"] = {
+                "global_gain": 0,
+                "scalefac_compress": 0,
+                "preflag": 0,
+                "scalefac_scale": 0,
+                "count1table_select": t,
+                "scalefactors": [0] * 21,
+                "count1": qs,
+            }
+        frames = parse_mp3_granules(
+            encode_mp3_granules([fr], 10, 2), decode_count1=True
+        )
+        assert list(frames[0].granules[0].count1) == qa
+        assert list(frames[0].granules[1].count1) == qb
+
+    check()
+
+
+def test_mp3_count1_big_values_raises_by_name():
+    """A big_values > 0 granule cannot be spectrally decoded without
+    the 32 pair tables — the seam must be raised by name."""
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        synth_mp3_granules,
+    )
+
+    data = bytearray(synth_mp3_granules(3))
+    # synth silence streams have big_values = 0; force it nonzero in
+    # the first granule's side info (bits 18-26 of the frame body =
+    # bytes 4.. of the stream after the 4-byte header; ID3 absent for
+    # clen=3? clen%19=3 bytes of ID3 + 10 header) — instead flip via
+    # the encoder: structure parse still works, count1 decode raises.
+    frames = parse_mp3_granules(bytes(data), decode_count1=True)
+    assert frames  # silence decodes fine (empty quad runs)
+
+    from redskins_rule_spark.functions.mp3 import _Bits, extract_frames
+
+    # locate the first frame body and set its granule-0 big_values
+    idx, body = extract_frames(bytes(data))[0]
+    pos = data.find(body)
+    # big_values is bits [30, 39) of the body (9+5+4+12 = 30)
+    b = bytearray(body)
+    b[3] |= 0b00000010  # sets a bit inside the 9-bit big_values field
+    mutated = bytes(data[:pos]) + bytes(b) + bytes(data[pos + len(body):])
+    with pytest.raises(ValueError, match="big-values"):
+        parse_mp3_granules(mutated, decode_count1=True)
+
+
+def test_mp3_count1_truncation_raises_valueerror():
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        synth_mp3_count1,
+    )
+
+    data = synth_mp3_count1(23)
+    for cut in range(4, len(data), 11):
+        try:
+            parse_mp3_granules(data[:cut], decode_count1=True)
+        except ValueError:
+            pass
+
+
+def test_mp3_count1_synth_matches_closed_form():
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        synth_mp3_count1,
+    )
+
+    clen = 41
+    frames = parse_mp3_granules(synth_mp3_count1(clen), decode_count1=True)
+    assert len(frames) == clen % 5 + 2
+    i, g = 1, 1
+    gr = frames[i].granules[g]
+    nq = (clen + i + g) % 5 + 1
+    assert list(gr.count1) == [
+        ((clen + 3 * q + i + g) % 3 - 1,
+         (clen + 5 * q + 2 * i) % 3 - 1,
+         (clen + 7 * q + 3 * i + g) % 3 - 1,
+         (clen + 11 * q + 4 * i) % 3 - 1)
+        for q in range(nq)
+    ]
