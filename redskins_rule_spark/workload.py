@@ -511,6 +511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q37b_packing_xengine",
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
+    "q211_stream_session_replay",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -533,7 +534,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
-    "q49_monthly_revenue", "q51_grouping_sets", "q52_array_hof",
+    "q49_monthly_revenue", "q51_grouping_sets",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -10100,3 +10101,98 @@ def q210_mp3_count1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_mp3_count1_payload(docs, "text", "doc_id")
     return decode_mp3_count1_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q211: streaming SESSION WINDOWS across restarts (r8 directive 6
+# resolved BUILD, not why-not). `F.session_window` + append mode
+# through ONE checkpoint and four available-now drains: wave 1 is all
+# events with ts < cut, wave 2 the rest (sessions straddling the cut
+# prove the state store merges windows ACROSS restarts — the one
+# semantics q27's batch face cannot cover), then two far-future
+# sentinel events (user_id = −1) whose only job is to push the
+# watermark past every real session's end + gap. The sentinel-flush
+# makes the append-mode emission set DETERMINISTIC — exactly "every
+# real session" — so the oracle is the q27 gap-islands replay over
+# the whole events table, decoupled from watermark/batch-boundary
+# evolution (each drain is one batch: availableNow without
+# maxFilesPerTrigger takes all pending files at once; wave 2 is never
+# late because the cut is on EVENT TIME, so drain 1's watermark
+# max(wave1.ts) − delay sits below the cut). Two sentinels because a
+# window closed by batch N's watermark emits in batch N+1.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q211_stream_session_replay",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        sessionized_counts,
+        stream_from_files,
+    )
+
+    gap, delay = "30 minutes", "2 hours"
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    # sentinel spacing: gap + watermark delay + 1h of slack, twice
+    step = datetime.timedelta(hours=3, minutes=30)
+    sentinels = [
+        (int(-1 - k), hi + (k + 1) * step, int(-1)) for k in (0, 1)
+    ]
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q211_{tag}_")
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "sessions")
+    schema = "event_id long, ts timestamp, user_id long"
+    waves = (
+        ev.where(F.col("ts") < F.lit(cut)),
+        ev.where(F.col("ts") >= F.lit(cut)),
+        spark.createDataFrame([sentinels[0]], schema),
+        spark.createDataFrame([sentinels[1]], schema),
+    )
+    for wave in waves:
+        wave.write.mode("append").parquet(land)
+        run_available_now_to_files(
+            sessionized_counts(
+                stream_from_files(spark, land, schema),
+                gap=gap,
+                watermark=delay,
+            ),
+            ckpt,
+            out,
+        )
+    emitted = spark.read.parquet(out).where(F.col("user_id") >= 0)
+    return emitted.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

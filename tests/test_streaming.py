@@ -1120,3 +1120,56 @@ def test_stream_stream_join_buffers_across_restart(spark, tmp_path):
     drain()
     rows = spark.read.parquet(out).collect()
     assert [(r.user_id, r.event_id, r.r_event_id) for r in rows] == [(1, 10, 11)]
+
+
+def test_session_windows_merge_across_restarts(spark, tmp_path):
+    """q211's core claim: a session whose events are split across two
+    available-now drains (one checkpoint) emits as ONE merged window,
+    and the far-future sentinel events deterministically flush every
+    real session out of append-mode state."""
+    import datetime
+
+    from redskins_rule_spark.streaming.ops import (
+        run_available_now_to_files,
+        sessionized_counts,
+        stream_from_files,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+    gap = datetime.timedelta(minutes=30)
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1: events at t0 and t0+10min land in DIFFERENT drains but
+    # the same session; user 2: two sessions an hour apart in drain 1
+    waves = [
+        mk([(1, t0, 1), (10, t0, 2), (11, t0 + 2 * gap, 2)]),
+        mk([(2, t0 + gap / 3, 1)]),
+        mk([(90, t0 + datetime.timedelta(hours=6), -1)]),
+        mk([(91, t0 + datetime.timedelta(hours=12), -1)]),
+    ]
+    for wave in waves:
+        wave.coalesce(1).write.mode("append").parquet(land)
+        run_available_now_to_files(
+            sessionized_counts(
+                stream_from_files(spark, land, schema),
+                gap="30 minutes",
+                watermark="2 hours",
+            ),
+            ckpt,
+            out,
+        )
+    rows = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    assert rows == {
+        (1, t0, 2),               # merged ACROSS the restart
+        (2, t0, 1),
+        (2, t0 + 2 * gap, 1),
+    }
