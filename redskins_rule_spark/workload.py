@@ -512,6 +512,9 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay",
+    # --- round-10 TOUCHED: q63 moved to exact integer micro-units
+    #     after its sf1 half-cent-boundary divergence ---
+    "q63_nation_volume",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -534,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
-    "q49_monthly_revenue", "q51_grouping_sets",
+    "q49_monthly_revenue",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -2516,7 +2519,13 @@ def q62_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- exact integer micro-units (price cents x discount pct),
+           -- half-up to whole cents in INTEGER arithmetic: float SUM
+           -- order diverges across engines at sf1 scale, landing on
+           -- opposite sides of the half-cent boundary
+           ((CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) + 5000) // 10000) / 100.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2551,9 +2560,18 @@ def q63_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).cast("long").alias("micro")
+        )
+        # exact integer micro-units, half-up to whole cents with
+        # INTEGER division (micro is always positive), then one shared
+        # float divide: both engines derive the double from the SAME
+        # bigint, so the rendered value is bit-identical at every SF
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            (F.expr("(micro + 5000) div 10000") / F.lit(100.0)).alias("revenue"),
         )
     )
 
