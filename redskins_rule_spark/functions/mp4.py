@@ -651,6 +651,48 @@ def synth_mp4_avcc(clen: int) -> bytes:
     )
 
 
+def synth_mp4_ipcm(clen: int) -> bytes:
+    """MP4 (avcC layout) whose single IDR video sample carries a REAL
+    all-I_PCM slice — decodable pixels inside a decodable container.
+    Closed forms shared with functions/avc.py `synth_avc_ipcm`:
+    planes from `synth_ipcm_planes(clen)`, qp_delta = clen%5 − 2,
+    idr_pic_id = clen%8; length_size = 2 when clen is odd else 4;
+    level clen % 40 + 11."""
+    from redskins_rule_spark.functions.avc import (
+        encode_avcc,
+        encode_ipcm_slice,
+        encode_nal_stream_avcc,
+        encode_pps,
+        encode_sps,
+        escape_rbsp,
+        synth_ipcm_planes,
+    )
+
+    length_size = 2 if clen % 2 else 4
+    y, cb, cr, mb_w, mb_h = synth_ipcm_planes(clen)
+    sps = encode_sps(66, clen % 40 + 11, 0, 0, 0, 0, 1, 0,
+                     mb_w - 1, mb_h - 1, 1)
+    pps = encode_pps(0, 0, 0)
+    slc = encode_ipcm_slice(
+        y, cb, cr, mb_w, mb_h, qp_delta=clen % 5 - 2, idr_pic_id=clen % 8
+    )
+    avcc = encode_avcc(
+        [bytes([(3 << 5) | 7]) + escape_rbsp(sps)],
+        [bytes([(3 << 5) | 8]) + escape_rbsp(pps)],
+        length_size=length_size,
+    )
+    sample = encode_nal_stream_avcc([(3, 5, slc)], length_size)
+    return encode_mp4(
+        [
+            Mp4TrackSpec(
+                "vide", 40, (sample,),
+                width=16 * mb_w, height=16 * mb_h,
+                avcc=avcc,
+            )
+        ]
+    )
+
+
 def synth_mp4_aac(clen: int) -> bytes:
     """MP4 in the real-world AAC layout: decoder config OUT-OF-BAND
     in the stsd mp4a entry's esds descriptor chain; mdat samples are

@@ -511,7 +511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q37b_packing_xengine",
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
-    "q211_stream_session_replay",
+    "q211_stream_session_replay", "q212_mp4_ipcm",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units
     #     after its sf1 half-cent-boundary divergence ---
     "q63_nation_volume",
@@ -537,7 +537,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
     "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
-    "q49_monthly_revenue",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -10214,3 +10213,49 @@ def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212: I_PCM pixels through the MP4/avcC transport — the end-to-end
+# video path. q209 proves the pixels through the Annex B elementary
+# stream; q206 proves the avcC out-of-band config; this composes
+# them: ISO BMFF box walk → stsd avc1 avcC record → SPS/PPS from the
+# OUT-OF-BAND sets → length-prefixed NAL walk over the real mdat
+# sample → all-I_PCM IDR slice decode to raster planes. Same plane
+# closed forms as q209 plus the avcC length_size; only CAVLC/CABAC
+# residual decode remains behind the seam.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q212_mp4_ipcm",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, length(text) AS clen,
+                         16 * (length(text) % 3 + 1) AS w,
+                         16 * (length(text) % 2 + 1) AS h
+                  FROM documents WHERE text IS NOT NULL),
+    pay AS (SELECT doc_id,
+                   {_q209_fp_sql(7, 13, "w", "w * h")} AS y_fp,
+                   {_q209_fp_sql(5, 11, "w // 2", "(w * h) // 4")} AS cb_fp,
+                   {_q209_fp_sql(3, 17, "w // 2", "(w * h) // 4")} AS cr_fp
+            FROM base, unnest(generate_series(0, w * h - 1)) AS u(i)
+            GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.w AS INTEGER) AS width,
+           CAST(b.h AS INTEGER) AS height,
+           CAST((b.clen % 3 + 1) * (b.clen % 2 + 1) AS INTEGER) AS n_mbs,
+           CAST(24 + b.clen % 5 AS INTEGER) AS qp,
+           CAST(CASE WHEN b.clen % 2 = 1 THEN 2 ELSE 4 END AS INTEGER)
+               AS length_size,
+           p.y_fp, p.cb_fp, p.cr_fp
+    FROM base b JOIN pay p USING (doc_id)
+    """,
+)
+def q212_mp4_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp4_ipcm_stats,
+        with_mp4_ipcm_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_mp4_ipcm_payload(docs, "text", "doc_id")
+    return decode_mp4_ipcm_stats(payloads, "payload", "doc_id")

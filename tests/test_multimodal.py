@@ -2980,3 +2980,58 @@ def test_mp3_count1_synth_matches_closed_form():
          (clen + 11 * q + 4 * i) % 3 - 1)
         for q in range(nq)
     ]
+
+
+def test_mp4_ipcm_pixels_roundtrip_through_container():
+    """q212: planes encoded into an MP4 (avcC layout, length-prefixed
+    NAL) decode back bit-exact through the full container path."""
+    from redskins_rule_spark.functions.avc import synth_ipcm_planes
+    from redskins_rule_spark.functions.mp4 import synth_mp4_ipcm
+
+    from redskins_rule_spark.functions.avc import (
+        decode_ipcm_slice,
+        parse_avcc,
+        parse_nal_stream_avcc,
+        parse_nal_unit,
+        parse_pps,
+        parse_sps,
+    )
+    from redskins_rule_spark.functions.mp4 import extract_samples, parse_mp4
+
+    for clen in (0, 1, 17, 64):
+        data = synth_mp4_ipcm(clen)
+        y, cb, cr, mb_w, mb_h = synth_ipcm_planes(clen)
+        meta = parse_mp4(data)
+        track = next(t for t in meta.tracks if t.avcc is not None)
+        cfg = parse_avcc(track.avcc)
+        assert cfg.length_size == (2 if clen % 2 else 4)
+        sps = parse_sps(parse_nal_unit(cfg.sps[0]).rbsp)
+        pps = parse_pps(parse_nal_unit(cfg.pps[0]).rbsp)
+        (_i, sample), = extract_samples(data, track)
+        (nal,) = parse_nal_stream_avcc(sample, cfg.length_size)
+        frame = decode_ipcm_slice(nal.rbsp, sps, pps)
+        assert (frame.width, frame.height) == (16 * mb_w, 16 * mb_h)
+        assert frame.qp == 24 + clen % 5
+        assert frame.y == y and frame.cb == cb and frame.cr == cr
+
+
+def test_mp4_ipcm_truncation_raises_valueerror():
+    from redskins_rule_spark.functions.mp4 import synth_mp4_ipcm
+    from redskins_rule_spark.operators.multimodal import decode_mp4_ipcm_stats  # noqa: F401
+
+    from redskins_rule_spark.functions.avc import (
+        parse_avcc,
+        parse_nal_stream_avcc,
+    )
+    from redskins_rule_spark.functions.mp4 import extract_samples, parse_mp4
+
+    data = synth_mp4_ipcm(9)
+    for cut in range(8, len(data), 37):
+        try:
+            meta = parse_mp4(data[:cut])
+            track = next(t for t in meta.tracks if t.avcc is not None)
+            cfg = parse_avcc(track.avcc)
+            for _i, sample in extract_samples(data[:cut], track):
+                parse_nal_stream_avcc(sample, cfg.length_size)
+        except (ValueError, StopIteration):
+            pass
