@@ -264,6 +264,26 @@ _COUNT1_A: dict[int, tuple[int, int]] = {
 _COUNT1_A_DECODE = {(ln, code): v for v, (ln, code) in _COUNT1_A.items()}
 assert sum(2.0 ** -ln for ln, _ in _COUNT1_A.values()) == 1.0  # Kraft-exact
 
+# big-values pair table 1 (Table B.7): the one pair codebook small
+# enough to carry as spec text — |x|,|y| ∈ {0,1}, no linbits/ESC.
+# Granules whose big-values pairs fit in ±1 therefore decode fully;
+# tables 2-31 (+ linbits escapes) remain the documented seam.
+_BIGV_T1: dict[tuple[int, int], tuple[int, int]] = {
+    (0, 0): (1, 0b1),
+    (0, 1): (3, 0b001),
+    (1, 0): (2, 0b01),
+    (1, 1): (3, 0b000),
+}
+_BIGV_T1_DECODE = {(ln, code): xy for xy, (ln, code) in _BIGV_T1.items()}
+assert sum(2.0 ** -ln for ln, _ in _BIGV_T1.values()) == 1.0  # Kraft-exact
+
+
+def _bigv_pair_bits(pair: tuple[int, int]) -> int:
+    x, y = pair
+    return _BIGV_T1[(1 if x else 0, 1 if y else 0)][0] + (
+        (1 if x else 0) + (1 if y else 0)
+    )
+
 
 def _count1_quad_bits(quad: tuple[int, int, int, int], table: int) -> int:
     """Encoded size of one quadruple: codeword + one sign bit per
@@ -290,6 +310,9 @@ class Mp3Granule:
     # decoded count1 quadruples (v,w,x,y each in {-1,0,1}) when the
     # caller asked for spectral decode; None in structure-only parses
     count1: tuple[tuple[int, int, int, int], ...] | None = None
+    # decoded big-values pairs (x,y each in {-1,0,1}, pair table 1)
+    # when the caller asked for spectral decode; None otherwise
+    big_pairs: tuple[tuple[int, int], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -412,14 +435,25 @@ def encode_mp3_granules(
                     raise ValueError(
                         "mp3: count1 quadruples take components in {-1,0,1}"
                     )
+            pairs = [tuple(p) for p in gd.get("big_pairs", [])]
+            for pair in pairs:
+                if len(pair) != 2 or any(v not in (-1, 0, 1) for v in pair):
+                    raise ValueError(
+                        "mp3: table-1 big-values pairs take components "
+                        "in {-1,0,1}"
+                    )
+            if len(pairs) > 288:
+                raise ValueError("mp3: big_values exceeds 288 pairs")
+            bv_bits = sum(_bigv_pair_bits(p) for p in pairs)
             c1_bits = sum(_count1_quad_bits(q, table) for q in quads)
             part2 = _granule_sf_bits(sfc, scfsi, g)
-            side.write(part2 + c1_bits, 12)  # part2_3_length
-            side.write(0, 9)             # big_values
+            side.write(part2 + bv_bits + c1_bits, 12)  # part2_3_length
+            side.write(len(pairs), 9)    # big_values
             side.write(gd["global_gain"], 8)
             side.write(sfc, 4)
             side.write(0, 1)             # window_switching_flag (long)
-            for t in (0, 0, 0):          # table_select x3 (unused: silence)
+            # table_select x3: pair table 1 when big-values present
+            for t in ((1, 1, 1) if pairs else (0, 0, 0)):
                 side.write(t, 5)
             side.write(0, 4)             # region0_count
             side.write(0, 3)             # region1_count
@@ -436,6 +470,13 @@ def encode_mp3_granules(
                     continue
                 for b in range(lo, hi):
                     main.write(sfs[b], width)
+            for pair in pairs:  # big-values region precedes count1
+                x, y = pair
+                hlen, hcod = _BIGV_T1[(1 if x else 0, 1 if y else 0)]
+                main.write(hcod, hlen)
+                for v in pair:
+                    if v:
+                        main.write(1 if v < 0 else 0, 1)
             for quad in quads:
                 nibble = sum(
                     (1 << (3 - k)) if quad[k] else 0 for k in range(4)
@@ -549,14 +590,38 @@ def parse_mp3_granules(
             if mbr.pos + spectral > 8 * len(body[17:]):
                 raise ValueError("mp3: spectral bits overrun main_data")
             count1_quads: tuple[tuple[int, int, int, int], ...] | None = None
+            big_pairs_out: tuple[tuple[int, int], ...] | None = None
             if decode_count1:
-                if big_values:
+                end = mbr.pos + spectral
+                if big_values and table_select != (1, 1, 1):
                     raise ValueError(
-                        "mp3: big-values pair tables (Table B.7 bulk) are "
-                        "outside the count1 profile — spectral-seam "
+                        "mp3: big-values pair tables 2-31 (Table B.7 bulk) "
+                        "are outside the table-1 profile — spectral-seam "
                         "territory"
                     )
-                end = mbr.pos + spectral
+                bpairs: list[tuple[int, int]] = []
+                for _p in range(big_values):
+                    ln, code = 1, mbr.read(1)
+                    while (ln, code) not in _BIGV_T1_DECODE:
+                        if ln >= 3:
+                            raise ValueError(
+                                "mp3: invalid big-values table-1 codeword"
+                            )
+                        code = (code << 1) | mbr.read(1)
+                        ln += 1
+                    xy = _BIGV_T1_DECODE[(ln, code)]
+                    vals2 = []
+                    for mag in xy:
+                        if mag:
+                            vals2.append(-1 if mbr.read(1) else 1)
+                        else:
+                            vals2.append(0)
+                    if mbr.pos > end:
+                        raise ValueError(
+                            "mp3: big-values pair overruns part2_3_length"
+                        )
+                    bpairs.append((vals2[0], vals2[1]))
+                big_pairs_out = tuple(bpairs)
                 quads: list[tuple[int, int, int, int]] = []
                 while mbr.pos < end:
                     if count1table:  # table B: 4-bit one's complement
@@ -604,6 +669,7 @@ def parse_mp3_granules(
                     scalefactors=tuple(sfs),
                     spectral_bits=spectral,
                     count1=count1_quads,
+                    big_pairs=big_pairs_out,
                 )
             )
         out.append(
@@ -710,6 +776,62 @@ def synth_mp3_count1(clen: int) -> bytes:
                 "count1table_select": (clen + g) % 2,
                 "scalefactors": sfs,
                 "count1": quads,
+            }
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            if (scfsi >> (3 - gi)) & 1:
+                fr["g1"]["scalefactors"][lo:hi] = fr["g0"]["scalefactors"][lo:hi]
+        frames.append(fr)
+    return encode_mp3_granules(frames, clen % 14 + 1, 2)
+
+
+def synth_mp3_bigv(clen: int) -> bytes:
+    """Streams whose granules carry BOTH spectral regions — table-1
+    big-values pairs then count1 quadruples (the q213 oracle's closed
+    forms): n = clen%4 + 2 frames; frame i granule g has
+    np = (clen+2i+g)%6 + 1 pairs and nq = (clen+i+g)%4 quadruples
+    (nq may be 0 — a pairs-only granule);
+
+        pair p:  x = (clen + 2p + i) % 3 − 1, y = (clen + 3p + g) % 3 − 1
+        quad q:  v = (clen + 3q + i + g) % 3 − 1
+                 w = (clen + 5q + 2i) % 3 − 1
+                 x = (clen + 7q + 3i + g) % 3 − 1
+                 y = (clen + 11q + 4i) % 3 − 1
+
+    count1table_select = (clen + i) % 2."""
+    n = clen % 4 + 2
+    frames = []
+    for i in range(n):
+        scfsi = (7 * clen + 3 * i + 4) % 16
+        fr: dict = {"scfsi": scfsi}
+        for g in (0, 1):
+            sfc = (clen + 3 * i + g) % 16
+            slen1, slen2 = SLEN[sfc]
+            sfs = []
+            for b in range(21):
+                width = slen1 if b < 11 else slen2
+                sfs.append((clen + 3 * i + g + b) % (1 << width) if width else 0)
+            np_ = (clen + 2 * i + g) % 6 + 1
+            nq = (clen + i + g) % 4
+            fr[f"g{g}"] = {
+                "global_gain": (clen + 9 * i + 2 * g) % 256,
+                "scalefac_compress": sfc,
+                "preflag": (clen + i) % 2,
+                "scalefac_scale": (clen + g) % 2,
+                "count1table_select": (clen + i) % 2,
+                "scalefactors": sfs,
+                "big_pairs": [
+                    ((clen + 2 * p + i) % 3 - 1, (clen + 3 * p + g) % 3 - 1)
+                    for p in range(np_)
+                ],
+                "count1": [
+                    (
+                        (clen + 3 * q + i + g) % 3 - 1,
+                        (clen + 5 * q + 2 * i) % 3 - 1,
+                        (clen + 7 * q + 3 * i + g) % 3 - 1,
+                        (clen + 11 * q + 4 * i) % 3 - 1,
+                    )
+                    for q in range(nq)
+                ],
             }
         for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
             if (scfsi >> (3 - gi)) & 1:

@@ -2079,6 +2079,96 @@ def decode_mp3_count1_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_mp3_bigv_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP3 streams whose granules carry BOTH spectral
+    regions — table-1 big-values pairs and count1 quadruples
+    (functions/mp3.py `synth_mp3_bigv` closed forms). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp3 import synth_mp3_bigv
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp3_bigv(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_mp3_bigv_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FULL spectral decode of both regions through the MP3 seam:
+    table-1 big-values pairs then count1 quadruples, with integer
+    aggregates per doc — pair/quad counts, signed sums, and two
+    position-weighted fingerprints (pairs: Σ (64i+32g+p+1)·(x+2y);
+    quads: Σ (64i+32g+q+1)·(v+2w+3x+4y)). NULL payloads yield NULL
+    stats; corrupt ones raise ValueError."""
+    from redskins_rule_spark.functions.mp3 import parse_mp3_granules
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_pairs", T.LongType()),
+            T.StructField("n_quads", T.LongType()),
+            T.StructField("sum_pairs", T.LongType()),
+            T.StructField("sum_quads", T.LongType()),
+            T.StructField("pair_fp", T.LongType()),
+            T.StructField("quad_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 7)
+                    continue
+                frames = parse_mp3_granules(bytes(b), decode_count1=True)
+                n_pairs = n_quads = sum_pairs = sum_quads = 0
+                pair_fp = quad_fp = 0
+                for i, fr in enumerate(frames):
+                    for g in (0, 1):
+                        gr = fr.granules[g]
+                        for p, (x, y) in enumerate(gr.big_pairs):
+                            n_pairs += 1
+                            sum_pairs += x + y
+                            pair_fp += (64 * i + 32 * g + p + 1) * (x + 2 * y)
+                        for q, (v, w, x, y) in enumerate(gr.count1):
+                            n_quads += 1
+                            sum_quads += v + w + x + y
+                            quad_fp += (64 * i + 32 * g + q + 1) * (
+                                v + 2 * w + 3 * x + 4 * y
+                            )
+                rows.append(
+                    (len(frames), n_pairs, n_quads, sum_pairs, sum_quads,
+                     pair_fp, quad_fp)
+                )
+            cols = ["n_frames", "n_pairs", "n_quads", "sum_pairs",
+                    "sum_quads", "pair_fp", "quad_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

@@ -511,7 +511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q37b_packing_xengine",
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
-    "q211_stream_session_replay", "q212_mp4_ipcm",
+    "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units
     #     after its sf1 half-cent-boundary divergence ---
     "q63_nation_volume",
@@ -536,7 +536,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
-    "q45_merge_upsert", "q47_edit_distance", "q48_multi_distinct",
+    "q45_merge_upsert", "q47_edit_distance",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -10259,3 +10259,71 @@ def q212_mp4_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_mp4_ipcm_payload(docs, "text", "doc_id")
     return decode_mp4_ipcm_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q213: BOTH MP3 spectral regions — table-1 big-values pairs + count1
+# quadruples. Table B.7's pair table 1 is the one big-values codebook
+# small enough to carry as spec text (4 entries, Kraft-exact, no
+# linbits/ESC), so granules whose pairs fit in ±1 now decode their
+# big-values region too: after q210, the MP3 seam narrows to pair
+# tables 2-31 (+ linbits escapes) and the float reconstruction
+# pipeline. The oracle replays both regions' synth formulas
+# closed-form; all-integer outputs; both count1 codebooks and
+# pairs-only granules (nq = 0) occur across every payload.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q213_mp3_bigvalues",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    pcells AS (SELECT doc_id, clen, f.i, gg.g, u.p,
+                      (clen + 2 * u.p + f.i) % 3 - 1 AS x,
+                      (clen + 3 * u.p + gg.g) % 3 - 1 AS y
+               FROM d,
+                    unnest(generate_series(0, clen % 4 + 1)) AS f(i),
+                    unnest([0, 1]) AS gg(g),
+                    unnest(generate_series(0, (clen + 2 * f.i + gg.g) % 6))
+                        AS u(p)),
+    qcells AS (SELECT doc_id, clen, f.i, gg.g, u.q,
+                      {_Q210_VALS[0]} AS v, {_Q210_VALS[1]} AS w,
+                      {_Q210_VALS[2]} AS x, {_Q210_VALS[3]} AS y
+               FROM d,
+                    unnest(generate_series(0, clen % 4 + 1)) AS f(i),
+                    unnest([0, 1]) AS gg(g),
+                    unnest(generate_series(0, (clen + f.i + gg.g) % 4 - 1))
+                        AS u(q)),
+    pa AS (SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  CAST(SUM(x + y) AS BIGINT) AS sum_pairs,
+                  CAST(SUM((64 * i + 32 * g + p + 1) * (x + 2 * y))
+                       AS BIGINT) AS pair_fp
+           FROM pcells GROUP BY doc_id),
+    qa AS (SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_quads,
+                  CAST(SUM(v + w + x + y) AS BIGINT) AS sum_quads,
+                  CAST(SUM((64 * i + 32 * g + q + 1)
+                           * (v + 2 * w + 3 * x + 4 * y)) AS BIGINT)
+                      AS quad_fp
+           FROM qcells GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.clen % 4 + 2 AS BIGINT) AS n_frames,
+           pa.n_pairs,
+           COALESCE(qa.n_quads, 0) AS n_quads,
+           pa.sum_pairs,
+           COALESCE(qa.sum_quads, 0) AS sum_quads,
+           pa.pair_fp,
+           COALESCE(qa.quad_fp, 0) AS quad_fp
+    FROM d JOIN pa USING (doc_id) LEFT JOIN qa USING (doc_id)
+    """,
+)
+def q213_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp3_bigv_stats,
+        with_mp3_bigv_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_mp3_bigv_payload(docs, "text", "doc_id")
+    return decode_mp3_bigv_stats(payloads, "payload", "doc_id")

@@ -3035,3 +3035,100 @@ def test_mp4_ipcm_truncation_raises_valueerror():
                 parse_nal_stream_avcc(sample, cfg.length_size)
         except (ValueError, StopIteration):
             pass
+
+
+# --- q213: big-values pair table 1 ---
+
+
+def test_mp3_bigv_roundtrip_with_count1():
+    from redskins_rule_spark.functions.mp3 import (
+        encode_mp3_granules,
+        parse_mp3_granules,
+    )
+
+    pairs = [(1, -1), (0, 0), (-1, 0), (1, 1), (0, -1)]
+    quads = [(1, 0, -1, 1)]
+    fr = {"scfsi": 0}
+    for g in (0, 1):
+        fr[f"g{g}"] = {
+            "global_gain": 9, "scalefac_compress": 13, "preflag": 0,
+            "scalefac_scale": 0, "count1table_select": g,
+            "scalefactors": [b % 8 for b in range(21)],
+            "big_pairs": pairs if g == 0 else [],
+            "count1": quads,
+        }
+    out = parse_mp3_granules(
+        encode_mp3_granules([fr], 5, 2), decode_count1=True
+    )
+    g0, g1 = out[0].granules
+    assert list(g0.big_pairs) == pairs and g0.big_values == 5
+    assert g1.big_pairs == () and list(g1.count1) == quads
+
+
+def test_mp3_bigv_table1_is_kraft_exact_prefix_code():
+    from redskins_rule_spark.functions.mp3 import _BIGV_T1
+
+    codes = {(ln, code) for ln, code in _BIGV_T1.values()}
+    assert len(codes) == 4
+    assert sum(2.0 ** -ln for ln, _ in codes) == 1.0
+    for ln1, c1 in codes:
+        for ln2, c2 in codes:
+            if ln1 < ln2:
+                assert (c2 >> (ln2 - ln1)) != c1, "prefix collision"
+
+
+def test_mp3_bigv_other_tables_raise_by_name():
+    """A stream selecting pair tables other than 1 cannot decode its
+    big-values region — the tables-2-31 seam must be raised by name
+    (structure-only parse of the same stream still succeeds)."""
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        encode_mp3_granules,
+        parse_mp3_granules,
+    )
+
+    fr = {"scfsi": 0}
+    for g in (0, 1):
+        fr[f"g{g}"] = {
+            "global_gain": 1, "scalefac_compress": 0, "preflag": 0,
+            "scalefac_scale": 0, "count1table_select": 0,
+            "scalefactors": [0] * 21,
+            "big_pairs": [(1, 0)],
+        }
+    data = bytearray(encode_mp3_granules([fr], 10, 2))
+    # flip granule 0's table_select from (1,1,1) to another table by
+    # toggling a bit: side info bits 18..58 are granule 0's fields;
+    # table_select starts at bit 18+12+9+8+4+1 = 52 (3 x 5 bits)
+    from redskins_rule_spark.functions.mp3 import extract_frames
+
+    idx, body = extract_frames(bytes(data))[0]
+    pos = bytes(data).find(body)
+    b = bytearray(body)
+    # table_select[0] bits 52..57: bit 52 is in byte 6, bit 4 (52//8=6, 52%8=4)
+    b[6] ^= 0b00000100  # toggles a table_select bit -> no longer 1
+    mutated = bytes(data[:pos]) + bytes(b) + bytes(data[pos + len(body):])
+    assert parse_mp3_granules(mutated)  # structure layer unaffected
+    with pytest.raises(ValueError, match="tables 2-31"):
+        parse_mp3_granules(mutated, decode_count1=True)
+
+
+def test_mp3_bigv_synth_matches_closed_form():
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        synth_mp3_bigv,
+    )
+
+    clen = 29
+    frames = parse_mp3_granules(synth_mp3_bigv(clen), decode_count1=True)
+    assert len(frames) == clen % 4 + 2
+    for i, fr in enumerate(frames):
+        for g in (0, 1):
+            gr = fr.granules[g]
+            np_ = (clen + 2 * i + g) % 6 + 1
+            nq = (clen + i + g) % 4
+            assert list(gr.big_pairs) == [
+                ((clen + 2 * p + i) % 3 - 1, (clen + 3 * p + g) % 3 - 1)
+                for p in range(np_)
+            ]
+            assert len(gr.count1) == nq
