@@ -512,9 +512,10 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
-    # --- round-10 TOUCHED: q63 moved to exact integer micro-units
-    #     after its sf1 half-cent-boundary divergence ---
-    "q63_nation_volume",
+    # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
+    #     q136 to nearest-rank integer-cents cuts, after their sf1
+    #     float-boundary divergences ---
+    "q63_nation_volume", "q136_winsorize",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -536,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
-    "q45_merge_upsert", "q47_edit_distance",
+    "q45_merge_upsert",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -5687,39 +5688,84 @@ def q135_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q136_winsorize",
     oracle="""
-    WITH q AS (
-      SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY 1
-    )
+    -- nearest-rank cuts over an INTEGER-CENTS histogram: the sf1
+    -- differential caught interpolated quantile_cont/percentile
+    -- landing one ulp apart across engines while 50+ rows sat
+    -- EXACTLY at the cut (value has 2-decimal mass points), flipping
+    -- n_clipped. Order statistics at ceil(n/20) / ceil(19n/20) are
+    -- integer-exact in both engines; all sums are exact integers.
+    WITH e AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+    h AS (SELECT event_type, cents, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    cum AS (SELECT event_type, cents,
+                   SUM(c) OVER (PARTITION BY event_type
+                                ORDER BY cents) AS cum
+            FROM h),
+    q AS (SELECT cum.event_type,
+                 MIN(CASE WHEN cum >= (n.n + 19) // 20
+                          THEN cents END) AS lo,
+                 MIN(CASE WHEN cum >= (19 * n.n + 19) // 20
+                          THEN cents END) AS hi
+          FROM cum JOIN n USING (event_type) GROUP BY 1)
     SELECT e.event_type,
-           ROUND(AVG(e.value), 4) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 4) AS mean_winsor,
-           CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi
+           ROUND(SUM(e.cents) / (100.0 * COUNT(*)), 4) AS mean_raw,
+           ROUND(SUM(LEAST(GREATEST(e.cents, q.lo), q.hi))
+                 / (100.0 * COUNT(*)), 4) AS mean_winsor,
+           CAST(SUM(CASE WHEN e.cents < q.lo OR e.cents > q.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            COUNT(*) AS n
-    FROM events e JOIN q USING (event_type)
+    FROM e JOIN q USING (event_type)
     GROUP BY e.event_type
     """,
 )
 def q136_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    q = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.05).alias("lo"),
-        F.percentile("value", 0.95).alias("hi"),
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
+    # value-domain histogram (bounded by the cents domain, NOT the row
+    # count — scale-safe), then cumulative counts per type to read the
+    # nearest-rank order statistics at ceil(n/20) and ceil(19n/20).
+    # The window partitions on event_type over the SMALL histogram.
+    hist = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("cents")),
+    )
+    n_per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        cum.join(F.broadcast(n_per), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("cents"))
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(19 * n + 19) div 20"),
+                    F.col("cents"),
+                )
+            ).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
     return (
         ev.join(F.broadcast(q), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("mean_raw"),
+            # exact integer sums; one shared float divide per column so
+            # both engines derive the double from the same integers
             F.round(
-                F.avg(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))),
-                4,
+                F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1))), 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped) / (F.lit(100.0) * F.count(F.lit(1))), 4
             ).alias("mean_winsor"),
             F.sum(
-                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
                 .cast("int")
             ).cast("long").alias("n_clipped"),
             F.count(F.lit(1)).alias("n"),
