@@ -344,3 +344,222 @@ def parse_esds(body: bytes) -> AudioConfig:
     if tag != 0x05:
         raise ValueError("aac: expected DecoderSpecificInfo")
     return parse_audio_specific_config(body[b3:e3])
+
+
+# --- raw_data_block structure layer: silent SCEs (zero codebooks) ---------
+#
+# The AAC counterpart of MP3's silence granules (q203): a
+# single_channel_element whose every section selects the ZERO
+# codebook (sect_cb = 0) transmits NO scalefactor data and NO
+# spectral data (ISO/IEC 14496-3 §4.4.2 / 13818-7 §6.3: zero-codebook
+# bands skip both), so the ENTIRE element is fixed-width fields plus
+# the section-run structure — decodable with zero Huffman tables.
+# Everything here is really encoded and really decoded: the
+# raw_data_block element walk (id_syn_ele until ID_END), the SCE's
+# instance tag and global gain, ics_info for long windows, and
+# section_data with its 5-bit escape runs (max_sfb > 31 exercises the
+# escape). What remains of the AAC seam after this layer is exactly
+# the scalefactor + spectral Huffman codebooks (any nonzero sect_cb,
+# short-window grouping, and the float reconstruction) — raised by
+# name. FIL elements are walked by their declared count.
+
+_AAC_ID_SCE, _AAC_ID_FIL, _AAC_ID_END = 0, 6, 7
+
+
+@dataclass(frozen=True)
+class AacSilentSce:
+    instance_tag: int
+    global_gain: int
+    window_sequence: int
+    window_shape: int
+    max_sfb: int
+    sections: tuple[tuple[int, int], ...]  # (sect_cb, sect_len) runs
+
+
+class _AacBits:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise ValueError("aac: bit field overruns raw_data_block")
+        v = 0
+        p = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = end
+        return v
+
+
+class _AacBitsOut:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n: int) -> None:
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"aac: field value {value} exceeds {n} bits")
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def pad_to_byte(self) -> bytes:
+        if self._n:
+            self.write(0, 8 - self._n)
+        return bytes(self.buf)
+
+
+def encode_aac_silent_block(sces: list[dict]) -> bytes:
+    """One byte-aligned raw_data_block of silent SCEs + ID_END. Each
+    sce dict: instance_tag (0-15), global_gain (0-255), window_shape
+    (0/1), max_sfb (1-49, long windows), n_sections (runs splitting
+    max_sfb as-evenly-as-possible, every run ZERO codebook)."""
+    w = _AacBitsOut()
+    for sce in sces:
+        max_sfb = sce["max_sfb"]
+        ns = sce["n_sections"]
+        if not 1 <= ns <= max_sfb:
+            raise ValueError("aac: n_sections must be in [1, max_sfb]")
+        w.write(_AAC_ID_SCE, 3)
+        w.write(sce["instance_tag"], 4)
+        w.write(sce["global_gain"], 8)
+        # ics_info, long windows (ONLY_LONG_SEQUENCE = 0)
+        w.write(0, 1)              # ics_reserved_bit
+        w.write(0, 2)              # window_sequence
+        w.write(sce["window_shape"], 1)
+        w.write(max_sfb, 6)
+        w.write(0, 1)              # predictor_data_present
+        # section_data: runs of (cb=0, len) with 5-bit escape lengths
+        base, rem = divmod(max_sfb, ns)
+        for s in range(ns):
+            run = base + (1 if s < rem else 0)
+            w.write(0, 4)          # sect_cb = ZERO_HCB
+            left = run
+            while left >= 31:
+                w.write(31, 5)
+                left -= 31
+            w.write(left, 5)
+        w.write(0, 1)              # pulse_data_present
+        w.write(0, 1)              # tns_data_present
+        w.write(0, 1)              # gain_control_data_present
+        # zero-codebook bands: no scale_factor_data, no spectral_data
+    w.write(_AAC_ID_END, 3)
+    return w.pad_to_byte()
+
+
+def parse_aac_silent_block(payload: bytes) -> list[AacSilentSce]:
+    """Decode a raw_data_block of silent SCEs. Profile gates raise by
+    name: any nonzero sect_cb (scalefactor + spectral Huffman — the
+    codebook seam), short/mixed windows (grouped scalefactor layout),
+    predictor/pulse/TNS/gain-control side data, and element types
+    other than SCE/FIL/END."""
+    br = _AacBits(payload)
+    out: list[AacSilentSce] = []
+    while True:
+        ele = br.read(3)
+        if ele == _AAC_ID_END:
+            break
+        if ele == _AAC_ID_FIL:
+            cnt = br.read(4)
+            if cnt == 15:
+                cnt += br.read(8) - 1
+            for _ in range(cnt):
+                br.read(8)
+            continue
+        if ele != _AAC_ID_SCE:
+            raise ValueError(
+                f"aac: element type {ele} is outside the silent-SCE "
+                "structure profile"
+            )
+        tag = br.read(4)
+        gain = br.read(8)
+        if br.read(1):
+            raise ValueError("aac: ics_reserved_bit must be 0")
+        wseq = br.read(2)
+        wshape = br.read(1)
+        if wseq == 2:
+            raise ValueError(
+                "aac: short-window grouped scalefactor layout is outside "
+                "the long-window structure profile"
+            )
+        max_sfb = br.read(6)
+        if br.read(1):
+            raise ValueError(
+                "aac: predictor data is outside the structure profile"
+            )
+        sections: list[tuple[int, int]] = []
+        k = 0
+        while k < max_sfb:
+            cb = br.read(4)
+            sect_len = 0
+            while True:
+                incr = br.read(5)
+                sect_len += incr
+                if incr != 31:
+                    break
+            if sect_len == 0:
+                raise ValueError("aac: zero-length section run")
+            if cb != 0:
+                raise ValueError(
+                    f"aac: sect_cb {cb} needs the scalefactor + spectral "
+                    "Huffman codebooks — outside the silent-SCE profile "
+                    "(codebook seam)"
+                )
+            sections.append((cb, sect_len))
+            k += sect_len
+        if k != max_sfb:
+            raise ValueError("aac: section runs overrun max_sfb")
+        if br.read(1):
+            raise ValueError("aac: pulse data is outside the profile")
+        if br.read(1):
+            raise ValueError("aac: TNS data is outside the profile")
+        if br.read(1):
+            raise ValueError("aac: gain control is outside the profile")
+        out.append(
+            AacSilentSce(
+                instance_tag=tag,
+                global_gain=gain,
+                window_sequence=wseq,
+                window_shape=wshape,
+                max_sfb=max_sfb,
+                sections=tuple(sections),
+            )
+        )
+    return out
+
+
+def synth_adts_silent(clen: int) -> bytes:
+    """ADTS stream whose payloads are REAL silent raw_data_blocks
+    (the q214 oracle's closed forms): n = clen%6 + 2 frames, profile
+    clen%4, sr_idx clen%13, mono SCE per frame; frame f's SCE has
+
+        instance_tag  = (clen + f) % 16
+        global_gain   = (clen + 3f) % 256
+        window_shape  = (clen + f) % 2
+        max_sfb       = (clen + 5f) % 42 + 4   (crosses 31: escape runs)
+        n_sections    = (clen + f) % 3 + 1
+    """
+    n = clen % 6 + 2
+    frames = []
+    for f in range(n):
+        block = encode_aac_silent_block(
+            [
+                {
+                    "instance_tag": (clen + f) % 16,
+                    "global_gain": (clen + 3 * f) % 256,
+                    "window_shape": (clen + f) % 2,
+                    "max_sfb": (clen + 5 * f) % 42 + 4,
+                    "n_sections": (clen + f) % 3 + 1,
+                }
+            ]
+        )
+        frames.append((clen % 4, clen % 13, 1, block))
+    return encode_adts(frames, crc_present=False)

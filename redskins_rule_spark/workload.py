@@ -512,6 +512,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
+    "q214_aac_sce",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -537,7 +538,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
     "q40_stats_agg", "q42_band_join", "q44_cube",
-    "q45_merge_upsert",
     # exactly 50 explicit entries — 1 never-verified + 6 canaries +
     # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
     # at the HEAD on registration day (drop tail entries to stay at 50).
@@ -10373,3 +10373,46 @@ def q213_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_mp3_bigv_payload(docs, "text", "doc_id")
     return decode_mp3_bigv_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q214: the AAC raw_data_block structure layer — silent SCEs. A
+# single_channel_element whose every section selects the ZERO
+# codebook transmits no scalefactor and no spectral data
+# (ISO 14496-3 §4.4.2), so the whole element is fixed-width fields +
+# section runs — decodable with zero Huffman tables, the AAC analog
+# of q203's MP3 silence granules. The element walk, ics_info, and
+# 5-bit escape section runs (max_sfb crosses 31 in every payload) are
+# really decoded; nonzero codebooks, short windows, and
+# predictor/pulse/TNS side data raise by name. After this layer the
+# AAC seam is exactly the scalefactor + spectral codebooks and float
+# reconstruction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q214_aac_sce",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cells AS (SELECT doc_id, clen, f.f
+              FROM d, unnest(generate_series(0, clen % 6 + 1)) AS f(f))
+    SELECT doc_id,
+           CAST(clen % 6 + 2 AS BIGINT) AS n_frames,
+           CAST(SUM((clen + 3 * f) % 256) AS BIGINT) AS gain_sum,
+           CAST(SUM((clen + 5 * f) % 42 + 4) AS BIGINT) AS sfb_sum,
+           CAST(SUM((clen + f) % 3 + 1) AS BIGINT) AS n_sections,
+           CAST(SUM((clen + f) % 2) AS BIGINT) AS shape_sum,
+           CAST(SUM((f + 1) * ((clen + f) % 16)) AS BIGINT) AS tag_fp
+    FROM cells
+    GROUP BY doc_id, clen
+    """,
+)
+def q214_aac_sce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_aac_sce_stats,
+        with_adts_silent_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_adts_silent_payload(docs, "text", "doc_id")
+    return decode_aac_sce_stats(payloads, "payload", "doc_id")

@@ -3132,3 +3132,103 @@ def test_mp3_bigv_synth_matches_closed_form():
                 for p in range(np_)
             ]
             assert len(gr.count1) == nq
+
+
+# --- q214: silent-SCE raw_data_block layer ---
+
+
+def test_aac_silent_sce_roundtrip_and_escape_runs():
+    from redskins_rule_spark.functions.aac import (
+        encode_aac_silent_block,
+        parse_aac_silent_block,
+    )
+
+    # max_sfb 40 with one section exercises the 5-bit escape (31 + 9);
+    # max_sfb 31 exactly exercises 31 + 0
+    for max_sfb, ns in ((40, 1), (31, 1), (45, 3), (4, 4), (1, 1)):
+        block = encode_aac_silent_block(
+            [{"instance_tag": 5, "global_gain": 200, "window_shape": 1,
+              "max_sfb": max_sfb, "n_sections": ns}]
+        )
+        (sce,) = parse_aac_silent_block(block)
+        assert sce.max_sfb == max_sfb
+        assert len(sce.sections) == ns
+        assert sum(ln for _cb, ln in sce.sections) == max_sfb
+        assert all(cb == 0 for cb, _ln in sce.sections)
+
+
+def test_aac_silent_sce_multiple_elements_and_fil():
+    from redskins_rule_spark.functions.aac import (
+        _AacBitsOut,
+        encode_aac_silent_block,
+        parse_aac_silent_block,
+    )
+
+    two = encode_aac_silent_block(
+        [{"instance_tag": t, "global_gain": 10 * t, "window_shape": 0,
+          "max_sfb": 8, "n_sections": 2} for t in (1, 2)]
+    )
+    sces = parse_aac_silent_block(two)
+    assert [s.instance_tag for s in sces] == [1, 2]
+    # FIL element (count=2 fill bytes) before END is walked, not fatal
+    w = _AacBitsOut()
+    w.write(6, 3)   # ID_FIL
+    w.write(2, 4)   # count
+    w.write(0xAB, 8)
+    w.write(0xCD, 8)
+    w.write(7, 3)   # ID_END
+    assert parse_aac_silent_block(w.pad_to_byte()) == []
+
+
+def test_aac_nonzero_codebook_raises_by_name():
+    import pytest
+
+    from redskins_rule_spark.functions.aac import (
+        _AacBitsOut,
+        parse_aac_silent_block,
+    )
+
+    w = _AacBitsOut()
+    w.write(0, 3)   # ID_SCE
+    w.write(0, 4)   # tag
+    w.write(0, 8)   # gain
+    w.write(0, 1); w.write(0, 2); w.write(0, 1)  # ics: reserved/seq/shape
+    w.write(4, 6)   # max_sfb
+    w.write(0, 1)   # predictor
+    w.write(11, 4)  # sect_cb = 11 (ESC book) — the codebook seam
+    w.write(4, 5)   # sect_len
+    with pytest.raises(ValueError, match="codebook seam"):
+        parse_aac_silent_block(w.pad_to_byte())
+
+
+def test_aac_short_window_raises_by_name():
+    import pytest
+
+    from redskins_rule_spark.functions.aac import (
+        _AacBitsOut,
+        parse_aac_silent_block,
+    )
+
+    w = _AacBitsOut()
+    w.write(0, 3); w.write(0, 4); w.write(0, 8)
+    w.write(0, 1); w.write(2, 2)  # EIGHT_SHORT_SEQUENCE
+    w.write(0, 1)
+    with pytest.raises(ValueError, match="short-window"):
+        parse_aac_silent_block(w.pad_to_byte())
+
+
+def test_aac_silent_truncation_raises_valueerror():
+    from redskins_rule_spark.functions.aac import (
+        parse_aac_silent_block,
+        parse_adts,
+        synth_adts_silent,
+    )
+
+    data = synth_adts_silent(13)
+    for cut in range(1, len(data)):
+        try:
+            meta = parse_adts(data[:cut])
+            for fr in meta.frames:
+                parse_aac_silent_block(fr.payload)
+        except ValueError:
+            pass
