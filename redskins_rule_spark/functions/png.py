@@ -40,6 +40,7 @@ class PngMeta:
     bit_depth: int
     color_type: int
     n_idat_chunks: int
+    interlace: int = 0  # 0 = none, 1 = Adam7
 
     @property
     def channels(self) -> int:
@@ -115,9 +116,9 @@ def decode_png_meta(payload: bytes) -> PngMeta:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"unsupported compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-    return PngMeta(w, h, depth, ctype, n_idat)
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    return PngMeta(w, h, depth, ctype, n_idat, interlace)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -128,9 +129,99 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _unfilter_line(
+    line: bytearray, prev: bytes | bytearray, f: int, y: int, bpp: int = 3
+) -> None:
+    """Reverse one scanline filter in place (spec §9)."""
+    stride = len(line)
+    if f == 1:  # Sub
+        for i in range(bpp, stride):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif f == 2:  # Up
+        for i in range(stride):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif f == 3:  # Average
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif f == 4:  # Paeth
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+    elif f != 0:
+        raise ValueError(f"unknown PNG filter {f} on row {y}")
+
+
+def _filter_line(
+    line: bytes, prev: bytes | bytearray, f: int, bpp: int = 3
+) -> bytes:
+    """Apply one scanline filter (the encoder-side forward transform)."""
+    stride = len(line)
+    out = bytearray(line)
+    if f == 0:
+        return bytes(out)
+    if f == 1:
+        for i in range(stride - 1, bpp - 1, -1):
+            out[i] = (line[i] - line[i - bpp]) & 0xFF
+    elif f == 2:
+        for i in range(stride):
+            out[i] = (line[i] - prev[i]) & 0xFF
+    elif f == 3:
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+    elif f == 4:
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter {f}")
+    return bytes(out)
+
+
+def _unfilter_image(raw: bytes, pos: int, width: int, height: int) -> tuple[bytearray, int]:
+    """Unfilter `height` scanlines of `width` RGB pixels starting at
+    byte `pos` of the inflated stream; returns (pixels, new pos)."""
+    stride = width * 3
+    out = bytearray(stride * height)
+    prev: bytes | bytearray = bytes(stride)
+    for y in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("inflated stream shorter than scanlines")
+        f = raw[pos]
+        line = bytearray(raw[pos + 1: pos + 1 + stride])
+        _unfilter_line(line, prev, f, y)
+        out[y * stride: (y + 1) * stride] = line
+        prev = line
+        pos += 1 + stride
+    return out, pos
+
+
+# Adam7 pass geometry (spec §8.2): (xstart, ystart, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (xs, ys, xst, yst, pw, ph); empty passes have pw or
+    ph 0 and contribute no scanlines at all (spec §8.2)."""
+    for xs, ys, xst, yst in _ADAM7:
+        pw = (width - xs + xst - 1) // xst if width > xs else 0
+        ph = (height - ys + yst - 1) // yst if height > ys else 0
+        yield xs, ys, xst, yst, pw, ph
+
+
 def decode_png(payload: bytes) -> tuple[PngMeta, bytes]:
     """PNG bytes -> (meta, raw RGB24 pixel bytes). RGB-8 only; all five
-    scanline filters are reversed per spec §9."""
+    scanline filters are reversed per spec §9; Adam7-interlaced images
+    (interlace method 1) are deinterlaced per §8.2 — each pass is an
+    independently filtered sub-image whose pixels scatter back onto
+    the raster, so the returned bytes are identical to the
+    progressive layout's."""
     meta = decode_png_meta(payload)
     if meta.bit_depth != 8 or meta.color_type != 2:
         raise ValueError(
@@ -142,36 +233,76 @@ def decode_png(payload: bytes) -> tuple[PngMeta, bytes]:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    stride, bpp = meta.width * 3, 3
-    if len(raw) != (stride + 1) * meta.height:
-        raise ValueError(
-            f"inflated size {len(raw)} != {(stride + 1) * meta.height}"
-        )
+    stride = meta.width * 3
+    if meta.interlace == 0:
+        if len(raw) != (stride + 1) * meta.height:
+            raise ValueError(
+                f"inflated size {len(raw)} != {(stride + 1) * meta.height}"
+            )
+        out, _pos = _unfilter_image(raw, 0, meta.width, meta.height)
+        return meta, bytes(out)
+    # Adam7: seven passes, each an independent filtered sub-image
     out = bytearray(stride * meta.height)
-    prev = bytearray(stride)
-    for y in range(meta.height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"unknown PNG filter {f} on row {y}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
+    pos = 0
+    for xs, ys, xst, yst, pw, ph in _adam7_dims(meta.width, meta.height):
+        if pw == 0 or ph == 0:
+            continue
+        sub, pos = _unfilter_image(raw, pos, pw, ph)
+        pstride = pw * 3
+        for py in range(ph):
+            oy = ys + py * yst
+            for px in range(pw):
+                ox = (xs + px * xst) * 3
+                src = py * pstride + px * 3
+                out[oy * stride + ox: oy * stride + ox + 3] = sub[src: src + 3]
+    if pos != len(raw):
+        raise ValueError("trailing bytes after the last Adam7 pass")
     return meta, bytes(out)
+
+
+def encode_png_interlaced(
+    pixels: bytes,
+    width: int,
+    height: int,
+    pass_filters: tuple[int, ...] | None = None,
+) -> bytes:
+    """RGB24 pixels -> Adam7-interlaced PNG (interlace method 1).
+    `pass_filters` selects the scanline filter (0-4) used throughout
+    each of the seven passes (default all 0) — so a single payload can
+    exercise every filter type across its passes."""
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"{len(pixels)} bytes != {width}*{height}*3")
+    filters = pass_filters or (0,) * 7
+    if len(filters) != 7:
+        raise ValueError("pass_filters takes one filter per Adam7 pass")
+    stride = width * 3
+    raw = bytearray()
+    for p, (xs, ys, xst, yst, pw, ph) in enumerate(
+        _adam7_dims(width, height)
+    ):
+        if pw == 0 or ph == 0:
+            continue
+        f = filters[p]
+        pstride = pw * 3
+        prev: bytes | bytearray = bytes(pstride)
+        for py in range(ph):
+            oy = ys + py * yst
+            line = bytearray()
+            for px in range(pw):
+                ox = (xs + px * xst) * 3
+                line += pixels[oy * stride + ox: oy * stride + ox + 3]
+            raw.append(f)
+            raw += _filter_line(bytes(line), prev, f)
+            prev = line  # filters reference the UNFILTERED previous line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
 
 
 def synth_pixels(seed: int, width: int, height: int) -> bytes:

@@ -2169,6 +2169,90 @@ def decode_mp3_bigv_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_png_interlaced_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize Adam7-INTERLACED PNG payloads whose seven passes
+    cycle through all five scanline filters
+    (functions/png.py `encode_png_interlaced`; pixels follow the
+    `synth_pixels` closed form, so the oracle is layout-blind — the
+    deinterlaced raster must equal the progressive one).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.png import (
+        encode_png_interlaced,
+        synth_pixels,
+    )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                w, h = clen % 13 + 1, clen % 7 + 1
+                filters = tuple((clen + p) % 5 for p in range(7))
+                payloads.append(
+                    encode_png_interlaced(
+                        synth_pixels(clen, w, h), w, h, filters
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_png_fp_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PNG decode (progressive or Adam7) to the position-weighted
+    raster fingerprint Σ v[i]·(1 + i%64) mod 2^31−1 — order-sensitive,
+    so a wrong deinterlace scatter cannot pass. NULL payloads yield
+    NULL stats; corrupt ones raise ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.png import decode_png
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("interlace", T.IntegerType()),
+            T.StructField("pixel_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 4)
+                    continue
+                meta, px = decode_png(bytes(b))
+                v = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                wts = 1 + (np.arange(v.size, dtype=np.int64) % 64)
+                fp = int((v * wts).sum() % 2147483647)
+                rows.append((meta.width, meta.height, meta.interlace, fp))
+            cols = ["width", "height", "interlace", "pixel_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols[:3]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            meta_df["pixel_fp"] = pd.array(meta_df["pixel_fp"], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

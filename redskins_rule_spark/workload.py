@@ -512,7 +512,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
-    "q214_aac_sce",
+    "q214_aac_sce", "q215_png_interlaced",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -537,10 +537,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
-    "q40_stats_agg", "q42_band_join", "q44_cube",
-    # exactly 50 explicit entries — 1 never-verified + 6 canaries +
-    # 13 sentinels + 30 fresh back-catalog. Round-10 registrations go
-    # at the HEAD on registration day (drop tail entries to stay at 50).
+    "q40_stats_agg", "q42_band_join",
+    # exactly 50 explicit entries — 9 never-verified (q37b + 8
+    # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
+    # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
+    # rotate back next round). Registrations go at the HEAD on
+    # registration day; drop tail entries to stay at 50.
 ]
 
 
@@ -10416,3 +10418,49 @@ def q214_aac_sce(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_adts_silent_payload(docs, "text", "doc_id")
     return decode_aac_sce_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q215: Adam7-INTERLACED PNG decode — the real-world progressive
+# image layout (spec §8.2). Seven passes with fixed offsets/strides,
+# each an independently filtered sub-image; the payload generator
+# cycles every pass through a different scanline filter, so a single
+# differential exercises all five filters AND the pass scatter. The
+# oracle is layout-blind: deinterlaced pixels must equal the
+# progressive raster (same synth_pixels closed form as q123), and the
+# POSITION-WEIGHTED fingerprint makes a wrong scatter unpassable.
+# Small dims (w <= 13, h <= 7) mean most payloads have EMPTY passes —
+# the spec's no-scanlines-at-all corner is always on the path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q215_png_interlaced",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 13 + 1 AS w,
+                      length(text) % 7 + 1 AS h
+               FROM documents WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, w, h,
+                 CAST(SUM(((clen + 5 * (u.i // (3 * w))
+                            + 3 * ((u.i // 3) % w) + u.i % 3) % 256)
+                          * (1 + u.i % 64)) % 2147483647 AS BIGINT)
+                     AS pixel_fp
+          FROM g, unnest(generate_series(0, w * h * 3 - 1)) AS u(i)
+          GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS interlace,
+           pixel_fp
+    FROM f
+    """,
+)
+def q215_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_png_fp_stats,
+        with_png_interlaced_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    png = with_png_interlaced_payload(docs, "text", "doc_id")
+    return decode_png_fp_stats(png, "payload", "doc_id")

@@ -3232,3 +3232,71 @@ def test_aac_silent_truncation_raises_valueerror():
                 parse_aac_silent_block(fr.payload)
         except ValueError:
             pass
+
+
+# --- q215: Adam7-interlaced PNG ---
+
+
+def test_png_adam7_roundtrip_all_filters_and_empty_passes():
+    from redskins_rule_spark.functions.png import (
+        decode_png,
+        encode_png_interlaced,
+        synth_pixels,
+    )
+
+    for w, h in [(1, 1), (2, 3), (5, 5), (8, 8), (13, 7), (16, 9)]:
+        px = synth_pixels(w * 31 + h, w, h)
+        for filters in ((0,) * 7, (0, 1, 2, 3, 4, 1, 2), (4,) * 7):
+            meta, got = decode_png(encode_png_interlaced(px, w, h, filters))
+            assert meta.interlace == 1
+            assert got == px, (w, h, filters)
+
+
+def test_png_adam7_pass_geometry_covers_raster_exactly():
+    """Every pixel is written by exactly one Adam7 pass."""
+    from redskins_rule_spark.functions.png import _adam7_dims
+
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 7), (17, 11)]:
+        seen = set()
+        for xs, ys, xst, yst, pw, ph in _adam7_dims(w, h):
+            for py in range(ph):
+                for px in range(pw):
+                    pt = (xs + px * xst, ys + py * yst)
+                    assert pt not in seen
+                    seen.add(pt)
+        assert len(seen) == w * h
+
+
+def test_png_adam7_truncation_and_trailing_raise_valueerror():
+    import zlib
+
+    import pytest
+
+    from redskins_rule_spark.functions.png import (
+        decode_png,
+        encode_png_interlaced,
+        synth_pixels,
+    )
+
+    px = synth_pixels(9, 8, 8)
+    data = encode_png_interlaced(px, 8, 8)
+    # corrupt the IDAT stream -> ValueError, never zlib.error
+    for cut in range(16, len(data), 23):
+        try:
+            decode_png(data[:cut])
+        except ValueError:
+            pass
+    # a stream with EXTRA bytes after the last pass must be rejected:
+    # rebuild the IDAT with two appended bytes
+    from redskins_rule_spark.functions.png import _SIG, _chunk, _walk_chunks
+
+    chunks = dict(_walk_chunks(data))
+    raw = zlib.decompress(chunks[b"IDAT"]) + b"\x00\x00"
+    bad = (
+        _SIG
+        + _chunk(b"IHDR", chunks[b"IHDR"])
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="trailing"):
+        decode_png(bad)
