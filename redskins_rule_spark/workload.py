@@ -516,7 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
-    "q63_nation_volume", "q136_winsorize",
+    "q63_nation_volume", "q136_winsorize", "q138_triangles",
     # --- canaries queued since r8 (rotated out of that window) ---
     "q10_price_buckets", "q31_window_suite", "q41_word_explode",
     "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
@@ -537,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
-    "q40_stats_agg", "q42_band_join",
+    "q40_stats_agg",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -5835,18 +5835,26 @@ from redskins_rule_spark.operators.graph import triangle_count  # noqa: E402
     "q138_triangles",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
-         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         gsets0 AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets0),
+         -- df-cut mirror (max_df=64, the q19 contract) + COUNT-BASED
+         -- verify (grams are distinct per doc, so shared-gram
+         -- co-occurrence count IS |A∩B|): the sf1 run proved the old
+         -- per-candidate list_intersect formulation takes ~45 min in
+         -- DuckDB over 12.6M candidates — the oracle, not the engine
+         -- (19 s at sf1), was the brute-force bottleneck. Same
+         -- semantics, q19's oracle shape.
+         keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
+         inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
                   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b
+         canon AS (SELECT id_a AS a, id_b AS b
                    FROM cand
-                   JOIN gsets sa ON sa.doc_id = cand.id_a
-                   JOIN gsets sb ON sb.doc_id = cand.id_b
-                   WHERE len(list_intersect(sa.g, sb.g))
-                         / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= 0.8),
-         canon AS (SELECT id_a AS a, id_b AS b FROM pairs)
+                   JOIN sizes sa ON sa.doc_id = cand.id_a
+                   JOIN sizes sb ON sb.doc_id = cand.id_b
+                   WHERE ninter / (sa.n + sb.n - ninter) >= 0.8)
     SELECT (SELECT COUNT(DISTINCT x)
             FROM (SELECT a AS x FROM canon UNION SELECT b FROM canon)) AS n_nodes,
            (SELECT COUNT(*) FROM canon) AS n_edges,
@@ -5858,7 +5866,13 @@ from redskins_rule_spark.operators.graph import triangle_count  # noqa: E402
 )
 def q138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    # max_df=64 (the q19 contract): inert at gate SFs, but the sf1 run
+    # proved the UNCUT gram universe explodes posting-list pair volume
+    # at 50k docs — the round-5 failure class, reachable through any
+    # caller that skips the cut. Oracle mirrors the df-filtered space.
+    pairs = ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
+    )
     return triangle_count(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
 
 
