@@ -129,11 +129,26 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _interlace_rows(height: int) -> list[int]:
+    """GIF89a Appendix E row order: pass 1 rows 0,8,…; pass 2 rows
+    4,12,…; pass 3 rows 2,6,…; pass 4 rows 1,3,…"""
+    rows: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, height, step))
+    return rows
+
+
 def encode_gif(
-    frames: list[bytes], width: int, height: int, delay_cs: int = 4
+    frames: list[bytes],
+    width: int,
+    height: int,
+    delay_cs: int = 4,
+    interlace: bool = False,
 ) -> bytes:
     """GIF89a bytes from 8-bit grayscale frames (each `width*height`
-    palette-index bytes; palette i -> rgb(i,i,i))."""
+    palette-index bytes; palette i -> rgb(i,i,i)). With
+    `interlace=True` each frame's rows are stored in the Appendix E
+    four-pass order and the descriptor's interlace flag is set."""
     for i, f in enumerate(frames):
         if len(f) != width * height:
             raise ValueError(f"frame {i}: {len(f)} bytes != {width}*{height}")
@@ -147,8 +162,14 @@ def encode_gif(
     # netscape looping extension (standard for animation)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     for f in frames:
+        if interlace:
+            f = b"".join(
+                f[r * width: (r + 1) * width] for r in _interlace_rows(height)
+            )
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
         out.append(8)  # LZW minimum code size
         out += _sub_blocks(_lzw_encode(f))
     out += b"\x3b"
@@ -203,7 +224,13 @@ def _walk_inner(payload: bytes, want_pixels: bool):
             delays.append(pending_delay)
             pending_delay = 0
             if want_pixels:
-                frames.append(_lzw_decode(bytes(data), fw * fh))
+                px = _lzw_decode(bytes(data), fw * fh)
+                if lflags & 0x40:  # interlaced: undo the 4-pass row order
+                    out_px = bytearray(len(px))
+                    for i, r in enumerate(_interlace_rows(fh)):
+                        out_px[r * fw: (r + 1) * fw] = px[i * fw: (i + 1) * fw]
+                    px = bytes(out_px)
+                frames.append(px)
             else:
                 frames.append(b"")
         else:

@@ -2253,6 +2253,87 @@ def decode_png_fp_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_gif_interlaced_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize INTERLACED GIF payloads (Appendix E four-pass row
+    order, interlace flag set; same geometry/pixel closed forms as
+    `with_gif_payload`, so the oracle is layout-blind).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.gif import encode_gif, synth_frames
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                clen = len(str(text))
+                w, h, nf = clen % 16 + 2, clen % 11 + 2, clen % 5 + 1
+                payloads.append(
+                    encode_gif(
+                        synth_frames(clen, nf, w, h), w, h, interlace=True
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_gif_fp_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL GIF decode (progressive or interlaced) to the
+    position-weighted fingerprint over ALL frames concatenated in
+    frame order — order-sensitive, so a wrong deinterlace row
+    permutation cannot pass. NULL payloads yield NULL stats; corrupt
+    ones raise ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.gif import decode_gif
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("pixel_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 4)
+                    continue
+                meta, frames = decode_gif(bytes(b))
+                px = b"".join(frames)
+                v = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                wts = 1 + (np.arange(v.size, dtype=np.int64) % 64)
+                fp = int((v * wts).sum() % 2147483647)
+                rows.append((meta.width, meta.height, meta.n_frames, fp))
+            cols = ["width", "height", "n_frames", "pixel_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols[:2]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in cols[2:]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

@@ -512,7 +512,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 10 (never driver-verified) ---
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
-    "q214_aac_sce", "q215_png_interlaced",
+    "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -537,7 +537,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
     "q35_percentiles", "q36_semi_anti", "q39_unpivot",
-    "q40_stats_agg",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -10478,3 +10477,49 @@ def q215_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     png = with_png_interlaced_payload(docs, "text", "doc_id")
     return decode_png_fp_stats(png, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q216: INTERLACED GIF decode — the Appendix E four-pass row order
+# real encoders emit for progressive display. The LZW stream stores
+# rows in pass order (0,8,… / 4,12,… / 2,6,… / 1,3,…); the decoder
+# now undoes the permutation whenever a frame's descriptor sets the
+# interlace flag (previously the flag was IGNORED — an interlaced
+# frame decoded with silently scrambled rows, worse than an error).
+# The oracle is layout-blind (deinterlaced rows == progressive
+# raster, the q99 synth closed form) and the per-frame
+# POSITION-WEIGHTED fingerprint makes a wrong row order unpassable.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q216_gif_interlaced",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 16 + 2 AS w,
+                      length(text) % 11 + 2 AS h,
+                      length(text) % 5 + 1 AS nf
+               FROM documents WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, w, h, nf,
+                 CAST(SUM(((clen + 7 * (u.i // (w * h))
+                            + 3 * ((u.i % (w * h)) // w) + u.i % w) % 256)
+                          * (1 + u.i % 64)) % 2147483647 AS BIGINT)
+                     AS pixel_fp
+          FROM g, unnest(generate_series(0, nf * w * h - 1)) AS u(i)
+          GROUP BY doc_id, w, h, nf)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           pixel_fp
+    FROM f
+    """,
+)
+def q216_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_gif_fp_stats,
+        with_gif_interlaced_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    gif = with_gif_interlaced_payload(docs, "text", "doc_id")
+    return decode_gif_fp_stats(gif, "payload", "doc_id")

@@ -3300,3 +3300,51 @@ def test_png_adam7_truncation_and_trailing_raise_valueerror():
     )
     with pytest.raises(ValueError, match="trailing"):
         decode_png(bad)
+
+
+# --- q216: interlaced GIF ---
+
+
+def test_gif_interlace_roundtrip_and_flag():
+    from redskins_rule_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+        synth_frames,
+    )
+
+    for w, h in [(2, 2), (3, 9), (8, 8), (17, 12), (2, 16)]:
+        frames = synth_frames(w * 31 + h, 3, w, h)
+        meta, got = decode_gif(encode_gif(frames, w, h, interlace=True))
+        assert got == frames, (w, h)
+        # progressive payloads are byte-identical to before the change
+        meta0, got0 = decode_gif(encode_gif(frames, w, h))
+        assert got0 == frames
+
+
+def test_gif_interlace_rows_partition_every_height():
+    from redskins_rule_spark.functions.gif import _interlace_rows
+
+    for h in range(1, 40):
+        rows = _interlace_rows(h)
+        assert sorted(rows) == list(range(h)), h
+
+
+def test_gif_interlace_is_a_real_permutation_in_the_stream():
+    """The stored row order must differ from raster order (else the
+    flag is decorative): decode WITHOUT deinterlacing by clearing the
+    flag byte and confirm the pixels come back scrambled."""
+    from redskins_rule_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+        synth_frames,
+    )
+
+    w, h = 4, 8
+    frames = synth_frames(7, 1, w, h)
+    data = bytearray(encode_gif(frames, w, h, interlace=True))
+    # image descriptor: 0x2C + 9 bytes; flags byte is the 10th after it
+    i = data.index(0x2C, 13 + 768)
+    assert data[i + 9] == 0x40
+    data[i + 9] = 0
+    _meta, scrambled = decode_gif(bytes(data))
+    assert scrambled != frames
