@@ -88,3 +88,132 @@ def synth_samples(seed: int, n: int) -> list[int]:
     reproducible by integer arithmetic on the oracle side:
     s_i = ((seed + 31*i) mod 65536) - 32768."""
     return [((seed + 31 * i) % 65536) - 32768 for i in range(n)]
+
+
+# --- IMA-ADPCM (fmt tag 0x11): REAL lossy-codec sample reconstruction ------
+#
+# The audio analog of the I_PCM pixel notch: WAV's DVI/IMA ADPCM
+# format (public IMA ADPCM spec / RFC 3551 §4.5.1 "DVI4" algorithm)
+# reconstructs 16-bit samples from 4-bit nibbles through a stepped
+# predictor. The two tables below ARE the whole codec — the 89-entry
+# step-size table and the 8-entry index-adjustment table from the IMA
+# spec — so decode is exact integer arithmetic an oracle can replay
+# step by step (a recursive fold: state = (predictor, step index)).
+# WAV framing per format 0x11, mono single block: a 4-byte block
+# header (initial predictor int16, initial step index uint8,
+# reserved) whose predictor IS the first output sample, then packed
+# nibbles (low nibble first).
+
+IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA decode step: (predictor, index) x nibble ->
+    (new predictor, new index). Pure integer arithmetic."""
+    step = IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def encode_wav_ima(nibbles: list[int], pred0: int, idx0: int,
+                   sample_rate: int) -> bytes:
+    """Mono single-block IMA-ADPCM WAV carrying the given 4-bit
+    nibble stream with the given initial predictor/step index (the
+    block header). Nibble count must be even (two per byte, low
+    nibble first, per the IMA WAV layout)."""
+    if len(nibbles) % 2:
+        raise ValueError("ima: nibble count must be even")
+    if not -32768 <= pred0 <= 32767 or not 0 <= idx0 <= 88:
+        raise ValueError("ima: block header out of range")
+    if any(not 0 <= n <= 15 for n in nibbles):
+        raise ValueError("ima: nibbles take values 0-15")
+    data = struct.pack("<hBB", pred0, idx0, 0)
+    data += bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    block_align = len(data)
+    # samples per block: the header sample + one per nibble
+    spb = 1 + len(nibbles)
+    byte_rate = sample_rate * block_align // max(spb, 1)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a mono single-block IMA-ADPCM WAV to
+    (sample_rate, reconstructed 16-bit samples) — the block header's
+    predictor is sample 0, then one decoded sample per nibble.
+    Raises ValueError (never struct.error) on PCM payloads, bad
+    headers, or truncation."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos: pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8: pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError("truncated WAV chunk body")
+            if cid == b"fmt ":
+                if clen < 16:
+                    raise ValueError("short fmt chunk")
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)
+    except struct.error as e:
+        raise ValueError(f"truncated WAV chunk: {e}") from e
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_channels, sample_rate, _rate, _align, bits = fmt
+    if tag != 0x11:
+        raise ValueError(f"unsupported WAV tag {tag}; IMA-ADPCM (0x11) only")
+    if n_channels != 1 or bits != 4:
+        raise ValueError("ima: mono 4-bit blocks only")
+    if len(data) < 4:
+        raise ValueError("ima: block shorter than its header")
+    pred, idx, _res = struct.unpack_from("<hBB", data, 0)
+    if idx > 88:
+        raise ValueError("ima: step index out of range")
+    samples = [pred]
+    for byte in data[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            pred, idx = ima_adpcm_step(pred, idx, nibble)
+            samples.append(pred)
+    return sample_rate, samples
+
+
+def synth_wav_ima(clen: int) -> bytes:
+    """Closed-form IMA payload (the q217 oracle replays the predictor
+    fold as a recursive CTE): pred0 = (clen*37) % 1024 - 512,
+    idx0 = clen % 89, 64 nibbles n_i = (clen + 3i + i//7) % 16,
+    sample rate 8000 + 100*(clen % 5)."""
+    nibbles = [(clen + 3 * i + i // 7) % 16 for i in range(64)]
+    return encode_wav_ima(
+        nibbles, (clen * 37) % 1024 - 512, clen % 89,
+        8000 + 100 * (clen % 5),
+    )

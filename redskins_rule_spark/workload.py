@@ -513,6 +513,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
     "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
+    "q217_wav_ima",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -536,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
-    "q35_percentiles", "q36_semi_anti", "q39_unpivot",
+    "q35_percentiles", "q36_semi_anti",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -10523,3 +10524,78 @@ def q216_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     gif = with_gif_interlaced_payload(docs, "text", "doc_id")
     return decode_gif_fp_stats(gif, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q217: IMA-ADPCM decode — REAL lossy-codec sample reconstruction
+# through the audio seam (WAV fmt 0x11, the DVI/IMA algorithm of
+# RFC 3551 §4.5.1). The engine decodes actual nibble-packed blocks
+# through the 89-entry step table; the oracle replays the predictor
+# fold sample-by-sample as a RECURSIVE CTE (the q37b pattern) with
+# the step table as a VALUES relation — every output an exact
+# integer. This is reconstruction, not structure: the numbers are
+# decoded AUDIO SAMPLES, the audio analog of q209's I_PCM pixels.
+# ---------------------------------------------------------------------------
+
+from redskins_rule_spark.functions.wav import IMA_STEPS as _IMA_STEPS  # noqa: E402
+
+_IMA_STEP_VALUES = ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA_STEPS))
+
+
+@query(
+    "q217_wav_ima",
+    oracle=f"""
+    WITH RECURSIVE
+    steps(sidx, step) AS (VALUES {_IMA_STEP_VALUES}),
+    d AS (SELECT doc_id, length(text) AS clen
+          FROM documents WHERE text IS NOT NULL),
+    fold AS (
+      SELECT doc_id, clen, 0 AS i,
+             CAST((clen * 37) % 1024 - 512 AS BIGINT) AS pred,
+             clen % 89 AS idx,
+             CAST((clen * 37) % 1024 - 512 AS BIGINT) AS acc_sum,
+             CAST((clen * 37) % 1024 - 512 AS BIGINT) AS acc_fp
+      FROM d
+      UNION ALL
+      SELECT f.doc_id, f.clen, f.i + 1, t.npred, t.nidx,
+             f.acc_sum + t.npred,
+             f.acc_fp + (f.i + 2) * t.npred
+      FROM fold f
+      JOIN steps s ON s.sidx = f.idx,
+      LATERAL (
+        SELECT GREATEST(-32768, LEAST(32767,
+                 f.pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END))
+                   AS npred,
+               GREATEST(0, LEAST(88, f.idx +
+                 CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                              WHEN 6 THEN 6 WHEN 7 THEN 8
+                              ELSE -1 END)) AS nidx
+        FROM (SELECT (f.clen + 3 * f.i + f.i // 7) % 16 AS nib,
+                     (s.step // 8)
+                     + CASE WHEN ((f.clen + 3 * f.i + f.i // 7) % 16) % 2 = 1
+                            THEN s.step // 4 ELSE 0 END
+                     + CASE WHEN (((f.clen + 3 * f.i + f.i // 7) % 16) // 2) % 2 = 1
+                            THEN s.step // 2 ELSE 0 END
+                     + CASE WHEN (((f.clen + 3 * f.i + f.i // 7) % 16) // 4) % 2 = 1
+                            THEN s.step ELSE 0 END AS diff)
+      ) t
+      WHERE f.i < 64
+    )
+    SELECT doc_id,
+           CAST(8000 + 100 * (clen % 5) AS INTEGER) AS sr,
+           CAST(65 AS BIGINT) AS n_samples,
+           pred AS last_sample,
+           acc_sum AS sample_sum,
+           acc_fp AS sample_fp
+    FROM fold WHERE i = 64
+    """,
+)
+def q217_wav_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_wav_ima_stats,
+        with_wav_ima_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_wav_ima_payload(docs, "text", "doc_id")
+    return decode_wav_ima_stats(payloads, "payload", "doc_id")

@@ -3348,3 +3348,61 @@ def test_gif_interlace_is_a_real_permutation_in_the_stream():
     data[i + 9] = 0
     _meta, scrambled = decode_gif(bytes(data))
     assert scrambled != frames
+
+
+# --- q217: IMA-ADPCM (real lossy-codec reconstruction) ---
+
+
+def test_wav_ima_roundtrip_matches_reference_fold():
+    from redskins_rule_spark.functions.wav import (
+        decode_wav_ima,
+        encode_wav_ima,
+        ima_adpcm_step,
+    )
+
+    nibbles = [(7 + 3 * i) % 16 for i in range(32)]
+    data = encode_wav_ima(nibbles, -100, 40, 8000)
+    sr, samples = decode_wav_ima(data)
+    pred, idx = -100, 40
+    want = [pred]
+    for n in nibbles:
+        pred, idx = ima_adpcm_step(pred, idx, n)
+        want.append(pred)
+    assert (sr, samples) == (8000, want)
+
+
+def test_wav_ima_predictor_clamps_at_int16_bounds():
+    from redskins_rule_spark.functions.wav import ima_adpcm_step
+
+    # max step, positive direction from near the ceiling -> clamp
+    pred, idx = ima_adpcm_step(32000, 88, 0b0111)
+    assert pred == 32767 and idx == 88  # index clamps at 88 too
+    pred, idx = ima_adpcm_step(-32000, 88, 0b1111)
+    assert pred == -32768
+    # index clamps at 0 going down
+    _p, idx0 = ima_adpcm_step(0, 0, 0)
+    assert idx0 == 0
+
+
+def test_wav_ima_rejects_pcm_and_truncation():
+    import pytest
+
+    from redskins_rule_spark.functions.wav import (
+        decode_wav_ima,
+        encode_wav,
+        synth_wav_ima,
+    )
+
+    with pytest.raises(ValueError, match="IMA-ADPCM"):
+        decode_wav_ima(encode_wav([0, 1, 2, 3], 8000))
+    data = synth_wav_ima(23)
+    for cut in range(1, len(data), 5):
+        try:
+            decode_wav_ima(data[:cut])
+        except ValueError:
+            pass
+    # PCM decoder keeps rejecting IMA payloads by tag
+    from redskins_rule_spark.functions.wav import decode_wav
+
+    with pytest.raises(ValueError, match="tag=17"):
+        decode_wav(data)
