@@ -2407,6 +2407,89 @@ def decode_wav_ima_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_exif_jpeg_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize EXIF-bearing JPEGs — a real baseline image with an
+    APP1 TIFF block (orientation/dims/timestamp, alternating byte
+    order; functions/exif.py `synth_exif_jpeg` closed forms).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.exif import synth_exif_jpeg
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_exif_jpeg(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_exif_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL EXIF extraction per JPEG payload: marker walk → APP1 →
+    TIFF byte-order/magic → IFD0 entry walk (both endiannesses) —
+    (id, orientation, exif_width, exif_height, datetime, big_endian,
+    n_entries) PLUS the pixel-frame dims from the real SOF decode, so
+    the declared-vs-actual consistency check a curation pipeline runs
+    is on the path. NULL payloads yield NULL stats; corrupt ones
+    raise ValueError."""
+    from redskins_rule_spark.functions.exif import extract_app1, parse_exif
+    from redskins_rule_spark.functions.jpeg import decode_jpeg_dims
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("exif_width", T.IntegerType()),
+            T.StructField("exif_height", T.IntegerType()),
+            T.StructField("taken_at", T.StringType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("n_entries", T.IntegerType()),
+            T.StructField("dims_match", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 7)
+                    continue
+                data = bytes(b)
+                body = extract_app1(data)
+                if body is None:
+                    raise ValueError("exif: JPEG carries no APP1 segment")
+                ex = parse_exif(body)
+                w, h = decode_jpeg_dims(data)
+                rows.append(
+                    (ex.orientation, ex.width, ex.height, ex.datetime,
+                     ex.byte_order == "MM", ex.n_entries,
+                     (ex.width, ex.height) == (w, h))
+                )
+            cols = ["orientation", "exif_width", "exif_height", "taken_at",
+                    "big_endian", "n_entries", "dims_match"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("orientation", "exif_width", "exif_height", "n_entries"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

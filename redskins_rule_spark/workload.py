@@ -513,7 +513,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
     "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
-    "q217_wav_ima",
+    "q217_wav_ima", "q218_exif_meta",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -537,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
-    "q35_percentiles", "q36_semi_anti",
+    "q35_percentiles",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -6306,22 +6306,27 @@ from redskins_rule_spark.operators.graph import kcore  # noqa: E402
 @query(
     "q146_kcore",
     oracle="""
-    WITH e0 AS (SELECT DISTINCT l_partkey AS a, 1000000000 + l_suppkey AS b
+    -- every CTE below is MATERIALIZED: each level references the
+    -- previous one 3x, so naive inlining re-evaluates the 60M-row
+    -- DISTINCT ~3^3 times — at sf1 that spilled >74 GB of DuckDB
+    -- temp and ENOSPC'd the differential (round-10 finding; results
+    -- are identical, this is purely evaluation strategy)
+    WITH e0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS a, 1000000000 + l_suppkey AS b
                 FROM lineitem),
     d1 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e0 UNION ALL
                                       SELECT b FROM e0) GROUP BY v),
-    k1 AS (SELECT v FROM d1 WHERE c >= 30),
-    e1 AS (SELECT e0.* FROM e0 JOIN k1 ka ON e0.a = ka.v
+    k1 AS MATERIALIZED (SELECT v FROM d1 WHERE c >= 30),
+    e1 AS MATERIALIZED (SELECT e0.* FROM e0 JOIN k1 ka ON e0.a = ka.v
                                JOIN k1 kb ON e0.b = kb.v),
     d2 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e1 UNION ALL
                                       SELECT b FROM e1) GROUP BY v),
-    k2 AS (SELECT v FROM d2 WHERE c >= 30),
-    e2 AS (SELECT e1.* FROM e1 JOIN k2 ka ON e1.a = ka.v
+    k2 AS MATERIALIZED (SELECT v FROM d2 WHERE c >= 30),
+    e2 AS MATERIALIZED (SELECT e1.* FROM e1 JOIN k2 ka ON e1.a = ka.v
                                JOIN k2 kb ON e1.b = kb.v),
     d3 AS (SELECT v, COUNT(*) c FROM (SELECT a AS v FROM e2 UNION ALL
                                       SELECT b FROM e2) GROUP BY v),
-    k3 AS (SELECT v FROM d3 WHERE c >= 30),
-    e3 AS (SELECT e2.* FROM e2 JOIN k3 ka ON e2.a = ka.v
+    k3 AS MATERIALIZED (SELECT v FROM d3 WHERE c >= 30),
+    e3 AS MATERIALIZED (SELECT e2.* FROM e2 JOIN k3 ka ON e2.a = ka.v
                                JOIN k3 kb ON e2.b = kb.v)
     SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS degree
     FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
@@ -10599,3 +10604,46 @@ def q217_wav_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_wav_ima_payload(docs, "text", "doc_id")
     return decode_wav_ima_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q218: EXIF APP1 extraction — the metadata layer every image-crawl
+# curation pipeline actually reads (orientation for rotation-aware
+# dedup, declared dims for consistency screens, capture timestamp
+# for recency mixes). The APP1 body is a real TIFF (JEITA CP-3451 /
+# TIFF 6.0): byte-order mark, magic 42, IFD0 entry walk with
+# out-of-line ASCII storage — BOTH endiannesses alternate across the
+# corpus, and the declared-vs-actual dims check runs against the
+# real SOF decode of the same payload. Oracle replays the synth
+# formulas closed-form; strftime-free string assembly keeps the
+# timestamp exact on both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q218_exif_meta",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(clen % 8 + 1 AS INTEGER) AS orientation,
+           CAST(8 * (clen % 5 + 1) AS INTEGER) AS exif_width,
+           CAST(8 * (clen % 3 + 1) AS INTEGER) AS exif_height,
+           '2024:01:' || lpad(CAST(clen % 28 + 1 AS VARCHAR), 2, '0')
+             || ' ' || lpad(CAST(clen % 24 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(clen % 60 AS VARCHAR), 2, '0')
+             || ':00' AS taken_at,
+           clen % 2 = 1 AS big_endian,
+           CAST(4 AS INTEGER) AS n_entries,
+           TRUE AS dims_match
+    FROM d
+    """,
+)
+def q218_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_exif_stats,
+        with_exif_jpeg_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_exif_jpeg_payload(docs, "text", "doc_id")
+    return decode_exif_stats(payloads, "payload", "doc_id")

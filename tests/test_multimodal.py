@@ -3406,3 +3406,80 @@ def test_wav_ima_rejects_pcm_and_truncation():
 
     with pytest.raises(ValueError, match="tag=17"):
         decode_wav(data)
+
+
+# --- q218: EXIF APP1 / TIFF IFD walk ---
+
+
+def test_exif_roundtrip_both_endians():
+    from redskins_rule_spark.functions.exif import (
+        encode_exif,
+        extract_app1,
+        insert_app1,
+        parse_exif,
+    )
+    from redskins_rule_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        synth_dc_blocks,
+    )
+
+    jpeg = encode_jpeg_gray(synth_dc_blocks(5, 2, 1), 2, 1)
+    for be in (False, True):
+        body = encode_exif(6, 16, 8, "2024:03:01 10:20:30", big_endian=be)
+        tagged = insert_app1(jpeg, body)
+        ex = parse_exif(extract_app1(tagged))
+        assert ex.byte_order == ("MM" if be else "II")
+        assert (ex.orientation, ex.width, ex.height) == (6, 16, 8)
+        assert ex.datetime == "2024:03:01 10:20:30"
+        assert ex.n_entries == 4
+        # the pixel decoder tolerates (skips) the APP1 segment
+        assert decode_jpeg_gray(tagged)[:2] == (16, 8)
+
+
+def test_exif_unknown_tags_and_types_are_counted_not_fatal():
+    import struct
+
+    from redskins_rule_spark.functions.exif import parse_exif
+
+    # hand-build a little-endian TIFF with one RATIONAL (type 5) entry
+    # and one Orientation entry
+    e = "<"
+    entries = [
+        struct.pack(e + "HHI", 0x011A, 5, 1) + struct.pack(e + "I", 38),
+        struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", 3) + b"\x00\x00",
+    ]
+    tiff = (
+        b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", 2) + b"".join(entries)
+        + struct.pack(e + "I", 0) + struct.pack(e + "II", 72, 1)
+    )
+    ex = parse_exif(b"Exif\x00\x00" + tiff)
+    assert ex.n_entries == 2 and ex.orientation == 3
+
+
+def test_exif_corruption_raises_valueerror():
+    import pytest
+
+    from redskins_rule_spark.functions.exif import (
+        extract_app1,
+        parse_exif,
+        synth_exif_jpeg,
+    )
+
+    data = synth_exif_jpeg(17)
+    body = extract_app1(data)
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_exif(body[:6] + b"XX" + body[8:])
+    with pytest.raises(ValueError, match="magic"):
+        parse_exif(body[:8] + b"\x00\x00" + body[10:])
+    for cut in range(6, len(body), 7):
+        try:
+            parse_exif(body[:cut])
+        except ValueError:
+            pass
+    # orientation out of 1..8 is rejected
+    from redskins_rule_spark.functions.exif import encode_exif
+
+    with pytest.raises(ValueError, match="orientation"):
+        encode_exif(0, 8, 8, "x")
