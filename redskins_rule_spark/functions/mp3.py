@@ -116,9 +116,12 @@ def _id3_size(data: bytes) -> int:
     if any(b & 0x80 for b in data[6:10]):
         raise ValueError("mp3: ID3v2 size bytes not syncsafe")
     size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-    if 10 + size > len(data):
+    # v2.4 footer (header flag 0x10): 10 extra bytes after the body,
+    # excluded from the declared size
+    footer = 10 if data[3] == 4 and data[5] & 0x10 else 0
+    if 10 + size + footer > len(data):
         raise ValueError("mp3: ID3v2 tag overruns payload")
-    return 10 + size
+    return 10 + size + footer
 
 
 def parse_mp3(data: bytes) -> Mp3Meta:
@@ -878,34 +881,47 @@ def encode_id3v23(frames: list[tuple[str, str]], padding: int = 0) -> bytes:
     return b"ID3" + bytes([3, 0, 0]) + syncsafe + bytes(body)
 
 
-def parse_id3v23_frames(data: bytes) -> list[tuple[str, str | None]]:
-    """Frame walk of a leading ID3v2.3 tag: (frame_id, text) for
-    decodable text frames, (frame_id, None) for non-text frames and
-    UTF-16 values; [] when no tag leads the payload. Bounds-checked
-    throughout; padding terminates the walk."""
+def _parse_id3_frames(
+    data: bytes, versions: tuple[int, ...]
+) -> list[tuple[str, str | None]]:
+    """Shared ID3v2.3 / v2.4 frame walk. The two on-disk differences
+    are handled per the tag's OWN version byte: frame sizes are plain
+    big-endian in v2.3 but SYNCSAFE in v2.4, and the format-flag
+    gates live in different bits (v2.3: compression 0x80 / encryption
+    0x40; v2.4: compression 0x08 / encryption 0x04 / per-frame
+    unsynchronisation 0x02 / data-length-indicator 0x01). v2.4 may
+    also declare a FOOTER (header flag 0x10): a 10-byte '3DI' mirror
+    appended after the body, excluded from the declared size."""
     if len(data) < 3 or data[:3] != b"ID3":
         return []
     if len(data) < 10:
         raise ValueError("mp3: truncated ID3v2 header")
     version = data[3]
-    if version == 4:
-        raise ValueError(
-            "id3: v2.4 tags (syncsafe frame sizes) are outside the v2.3 "
-            "structure profile"
-        )
-    if version != 3:
+    if version not in versions:
+        if version == 4:
+            raise ValueError(
+                "id3: v2.4 tags (syncsafe frame sizes) are outside the "
+                "v2.3 structure profile"
+            )
         raise ValueError(f"id3: unsupported ID3v2.{version} tag")
     flags = data[5]
     if flags & 0x80:
         raise ValueError("id3: unsynchronisation is outside the profile")
     if flags & 0x40:
         raise ValueError("id3: extended headers are outside the profile")
+    has_footer = bool(flags & 0x10)
+    if has_footer and version != 4:
+        raise ValueError("id3: footers exist only in v2.4")
     if any(b & 0x80 for b in data[6:10]):
         raise ValueError("mp3: ID3v2 size bytes not syncsafe")
     size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
     end = 10 + size
-    if end > len(data):
+    if end + (10 if has_footer else 0) > len(data):
         raise ValueError("mp3: ID3v2 tag overruns payload")
+    if has_footer:
+        foot = data[end: end + 10]
+        if foot[:3] != b"3DI" or foot[3:10] != data[3:10]:
+            raise ValueError("id3: footer does not mirror the header")
     out: list[tuple[str, str | None]] = []
     pos = 10
     while pos < end:
@@ -916,11 +932,21 @@ def parse_id3v23_frames(data: bytes) -> list[tuple[str, str | None]]:
         fid = data[pos: pos + 4]
         if not all(65 <= b <= 90 or 48 <= b <= 57 for b in fid):
             raise ValueError(f"id3: invalid frame id {fid!r}")
-        (fsize,) = struct.unpack(">I", data[pos + 4: pos + 8])
+        if version == 4:
+            if any(b & 0x80 for b in data[pos + 4: pos + 8]):
+                raise ValueError("id3: v2.4 frame size bytes not syncsafe")
+            fsize = (
+                (data[pos + 4] << 21) | (data[pos + 5] << 14)
+                | (data[pos + 6] << 7) | data[pos + 7]
+            )
+        else:
+            (fsize,) = struct.unpack(">I", data[pos + 4: pos + 8])
         fflags = data[pos + 8: pos + 10]
-        if fflags[1] & 0xC0:
+        bad = fflags[1] & (0x0F if version == 4 else 0xC0)
+        if bad:
             raise ValueError(
-                "id3: compressed/encrypted frames are outside the profile"
+                "id3: compressed/encrypted/unsynchronised frames are "
+                "outside the profile"
             )
         fstart = pos + 10
         if fstart + fsize > end:
@@ -945,6 +971,58 @@ def parse_id3v23_frames(data: bytes) -> list[tuple[str, str | None]]:
     return out
 
 
+def parse_id3v23_frames(data: bytes) -> list[tuple[str, str | None]]:
+    """Frame walk of a leading ID3v2.3 tag: (frame_id, text) for
+    decodable text frames, (frame_id, None) for non-text frames and
+    UTF-16 values; [] when no tag leads the payload. Bounds-checked
+    throughout; padding terminates the walk. v2.4 tags raise by name
+    (use `parse_id3_frames` for the version-dispatching walk)."""
+    return _parse_id3_frames(data, (3,))
+
+
+def parse_id3_frames(data: bytes) -> list[tuple[str, str | None]]:
+    """Version-dispatching ID3v2 frame walk: v2.3 (plain frame sizes)
+    AND v2.4 (syncsafe frame sizes, optional verified footer) decode;
+    anything else raises by name."""
+    return _parse_id3_frames(data, (3, 4))
+
+
+def encode_id3v24(
+    frames: list[tuple[str, str]], padding: int = 0, footer: bool = False
+) -> bytes:
+    """ID3v2.4 tag from (frame_id, text) pairs — text frames only,
+    encoding 3 (UTF-8, the v2.4 addition), SYNCSAFE frame sizes, and
+    an optional footer (a '3DI' mirror of the header appended after
+    the body; the spec forbids padding when a footer is present —
+    enforced)."""
+    if footer and padding:
+        raise ValueError("id3: v2.4 forbids padding together with a footer")
+    body = bytearray()
+    for fid, text in frames:
+        if len(fid) != 4 or not fid.startswith("T") or not fid.isalnum():
+            raise ValueError(f"id3: {fid!r} is not a text frame id")
+        payload = b"\x03" + text.encode("utf-8")
+        n = len(payload)
+        if n >= 1 << 28:
+            raise ValueError("id3: frame too large for syncsafe size")
+        body += fid.encode("ascii") + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        body += b"\x00\x00" + payload
+    body += b"\x00" * padding
+    n = len(body)
+    if n >= 1 << 28:
+        raise ValueError("id3: tag too large for syncsafe size")
+    syncsafe = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    head_rest = bytes([4, 0, 0x10 if footer else 0]) + syncsafe
+    out = b"ID3" + head_rest + bytes(body)
+    if footer:
+        out += b"3DI" + head_rest
+    return out
+
+
 def synth_mp3_tagged(clen: int) -> bytes:
     """Frame stream led by a REAL ID3v2.3 tag whose text frames are
     integer-predictable: TIT2 = 't' + clen % 97, TALB = 'a' +
@@ -966,3 +1044,28 @@ def synth_mp3_tagged(clen: int) -> bytes:
     # encode_mp3 wraps a RAW id3 payload; splice the real tag instead
     audio = encode_mp3(frames)
     return tag + audio
+
+
+def synth_mp3_tagged24(clen: int) -> bytes:
+    """Frame stream led by a REAL ID3v2.4 tag (the q219 oracle's
+    closed forms): TIT2 = 't' + clen % 97, TALB = 'x' repeated
+    clen % 64 + 128 (frame size >= 128 so the SYNCSAFE frame-size
+    encoding genuinely differs from v2.3's plain big-endian),
+    TRCK = clen % 30 + 1; a verified FOOTER when clen % 3 == 0 (else
+    clen % 7 padding bytes); audio = clen % 5 + 2 CBR frames at
+    32 kHz (bitrate index clen % 14 + 1, fill (clen + 3*i) % 251)."""
+    footer = clen % 3 == 0
+    tag = encode_id3v24(
+        [
+            ("TIT2", f"t{clen % 97}"),
+            ("TALB", "x" * (clen % 64 + 128)),
+            ("TRCK", str(clen % 30 + 1)),
+        ],
+        padding=0 if footer else clen % 7,
+        footer=footer,
+    )
+    n = clen % 5 + 2
+    frames = [
+        (clen % 14 + 1, 2, 0, (clen + 3 * i) % 251) for i in range(n)
+    ]
+    return tag + encode_mp3(frames)

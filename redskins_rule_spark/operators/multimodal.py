@@ -2978,6 +2978,91 @@ def with_tagged_mp3_payload(
     return df.select(id_col, src_col).mapInPandas(run, out_schema)
 
 
+def with_tagged24_mp3_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP3 streams led by REAL ID3v2.4 tags — syncsafe
+    frame sizes (one frame always >= 128 bytes so the encoding
+    genuinely differs from v2.3), UTF-8 text, and a verified footer
+    on a third of the corpus (functions/mp3.py `synth_mp3_tagged24`
+    closed forms). Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp3 import synth_mp3_tagged24
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp3_tagged24(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_id3v24_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL ID3v2.4 tag decode per payload (the version-dispatching
+    walk: syncsafe frame sizes, verified footer) plus the audio
+    framing layer → (id, title, album_len, track, has_footer,
+    n_tag_frames, n_audio_frames). NULL payloads yield NULL stats."""
+    from redskins_rule_spark.functions.mp3 import (
+        parse_id3_frames,
+        parse_mp3,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("title", T.StringType()),
+            T.StructField("album_len", T.IntegerType()),
+            T.StructField("track", T.StringType()),
+            T.StructField("has_footer", T.BooleanType()),
+            T.StructField("n_tag_frames", T.LongType()),
+            T.StructField("n_audio_frames", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                data = bytes(b)
+                frames = dict(parse_id3_frames(data))
+                meta = parse_mp3(data)
+                rows.append(
+                    (
+                        frames.get("TIT2"),
+                        len(frames["TALB"]) if frames.get("TALB") else None,
+                        frames.get("TRCK"),
+                        bool(data[5] & 0x10),
+                        len(frames),
+                        meta.n_frames,
+                    )
+                )
+            cols = ["title", "album_len", "track", "has_footer",
+                    "n_tag_frames", "n_audio_frames"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["album_len"] = pd.array(meta_df["album_len"], dtype="Int32")
+            for c in ("n_tag_frames", "n_audio_frames"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def decode_id3_stats(
     df: DataFrame,
     payload_col: str = "payload",

@@ -513,7 +513,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
     "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
-    "q217_wav_ima", "q218_exif_meta",
+    "q217_wav_ima", "q218_exif_meta", "q219_id3v24_tags",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -537,7 +537,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
     "q32_chunking", "q33_decimal_money", "q34_map_props",
-    "q35_percentiles",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -10647,3 +10646,40 @@ def q218_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_exif_jpeg_payload(docs, "text", "doc_id")
     return decode_exif_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q219: ID3v2.4 tag decode — the OTHER real-world tag version (v2.4
+# made frame sizes syncsafe and added the footer + UTF-8 text). The
+# version-dispatching walk decodes both; every payload carries one
+# frame >= 128 bytes, where syncsafe and plain big-endian sizes
+# genuinely diverge (a v2.3-style reader would mis-walk the tag), a
+# third of the corpus carries a VERIFIED footer ('3DI' mirror of the
+# header, forbidden to coexist with padding — enforced), and the
+# audio framing layer must skip header + body + footer to find the
+# first sync. Oracle replays the synth formulas closed-form.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q219_id3v24_tags",
+    oracle="""
+    SELECT doc_id,
+           't' || CAST(clen % 97 AS VARCHAR) AS title,
+           CAST(clen % 64 + 128 AS INTEGER) AS album_len,
+           CAST(clen % 30 + 1 AS VARCHAR) AS track,
+           clen % 3 = 0 AS has_footer,
+           CAST(3 AS BIGINT) AS n_tag_frames,
+           CAST(clen % 5 + 2 AS BIGINT) AS n_audio_frames
+    FROM (SELECT doc_id, length(text) AS clen FROM documents
+          WHERE text IS NOT NULL)
+    """,
+)
+def q219_id3v24_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_id3v24_stats,
+        with_tagged24_mp3_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mp3 = with_tagged24_mp3_payload(docs, "text", "doc_id")
+    return decode_id3v24_stats(mp3, "payload", "doc_id")

@@ -3483,3 +3483,60 @@ def test_exif_corruption_raises_valueerror():
 
     with pytest.raises(ValueError, match="orientation"):
         encode_exif(0, 8, 8, "x")
+
+
+# --- q219: ID3v2.4 ---
+
+
+def test_id3v24_roundtrip_footer_and_syncsafe_sizes():
+    from redskins_rule_spark.functions.mp3 import (
+        encode_id3v24,
+        parse_id3_frames,
+        parse_id3v23_frames,
+        parse_mp3,
+        synth_mp3_tagged24,
+    )
+    import pytest
+
+    # a frame over 127 bytes: syncsafe size differs from plain BE
+    long_val = "y" * 200
+    tag = encode_id3v24([("TIT2", "hi"), ("TALB", long_val)], footer=True)
+    assert parse_id3_frames(tag) == [("TIT2", "hi"), ("TALB", long_val)]
+    # v2.3-only parser rejects by name
+    with pytest.raises(ValueError, match="v2.4"):
+        parse_id3v23_frames(tag)
+    # footer + padding is spec-forbidden
+    with pytest.raises(ValueError, match="padding"):
+        encode_id3v24([("TIT2", "x")], padding=3, footer=True)
+    # a corrupted footer mirror is detected
+    bad = bytearray(tag)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError, match="footer"):
+        parse_id3_frames(bytes(bad))
+    # the audio walk skips header + body + footer
+    data = synth_mp3_tagged24(6)  # clen 6: footer present (6 % 3 == 0)
+    assert parse_mp3(data).n_frames == 6 % 5 + 2
+
+
+def test_id3v24_utf8_text_decodes():
+    from redskins_rule_spark.functions.mp3 import encode_id3v24, parse_id3_frames
+
+    tag = encode_id3v24([("TIT2", "naïve — ünïcödé")])
+    assert parse_id3_frames(tag) == [("TIT2", "naïve — ünïcödé")]
+
+
+def test_id3v24_nonsyncsafe_frame_size_raises():
+    import struct
+
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import parse_id3_frames
+
+    # hand-build a v2.4 tag whose frame size byte has bit 7 set
+    body = b"TIT2" + bytes([0, 0, 0x81, 0]) + b"\x00\x00" + b"\x03x"
+    n = len(body)
+    head = b"ID3" + bytes([4, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_id3_frames(head + body)
