@@ -2490,6 +2490,82 @@ def decode_exif_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def with_bmp_rle8_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize BI_RLE8 (compressed, 8-bit palette) BMP payloads
+    whose content mixes run-friendly and run-hostile rows so both RLE
+    encodings (run pairs AND absolute chunks) occur in every payload
+    (functions/bmp.py `synth_gray_rle` closed forms). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.bmp import (
+        encode_bmp_rle8,
+        synth_gray_rle,
+    )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(encode_bmp_rle8(synth_gray_rle(len(str(text)))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_bmp_rle8_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL compressed-BMP decode: header/palette walk → the RLE8
+    escape machine (runs, absolute chunks, EOL/EOF) → bottom-up rows
+    reassembled to display order → the position-weighted raster
+    fingerprint. NULL payloads yield NULL stats; corrupt ones raise
+    ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import decode_bmp_rle8
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 3)
+                    continue
+                img = decode_bmp_rle8(bytes(b))
+                v = img.reshape(-1).astype(np.int64)
+                wts = 1 + (np.arange(v.size, dtype=np.int64) % 64)
+                fp = int((v * wts).sum() % 2147483647)
+                rows.append((img.shape[1], img.shape[0], fp))
+            cols = ["width", "height", "pixel_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols[:2]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            meta_df["pixel_fp"] = pd.array(meta_df["pixel_fp"], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def with_adts_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

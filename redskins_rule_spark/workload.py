@@ -514,6 +514,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
     "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
     "q217_wav_ima", "q218_exif_meta", "q219_id3v24_tags",
+    "q220_bmp_rle8",
     # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
     #     q136 to nearest-rank integer-cents cuts, after their sf1
     #     float-boundary divergences ---
@@ -536,7 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q16_quality", "q17_lang_id", "q18_dedup_exact",
     "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
     "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
-    "q32_chunking", "q33_decimal_money", "q34_map_props",
+    "q32_chunking", "q33_decimal_money",
     # exactly 50 explicit entries — 9 never-verified (q37b + 8
     # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
     # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
@@ -10683,3 +10684,48 @@ def q219_id3v24_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mp3 = with_tagged24_mp3_payload(docs, "text", "doc_id")
     return decode_id3v24_stats(mp3, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q220: compressed BMP (BI_RLE8) decode — the run-length profile of
+# the one format this repo decodes with zero codec libraries. Every
+# payload mixes run-friendly rows (encoded as run pairs) with
+# run-hostile rows (encoded as word-aligned ABSOLUTE chunks), so both
+# RLE encodings plus the EOL/EOF escapes sit on every decode path;
+# the delta escape is pinned by pytest with a hand-built stream. The
+# oracle replays the pixel formula closed-form over display-order
+# raster positions — the position-weighted fingerprint fails if the
+# bottom-up row reassembly or any escape is wrong.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q220_bmp_rle8",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 19 + 1 AS w,
+                      length(text) % 9 + 1 AS h
+               FROM documents WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, w, h,
+                 CAST(SUM((CASE WHEN (u.i // w) % 3 = 0
+                           THEN (clen + 7 * (u.i // w) + 3 * (u.i % w)) % 256
+                           ELSE (clen + 5 * (u.i // w) + (u.i % w) // 4) % 256
+                           END) * (1 + u.i % 64)) % 2147483647 AS BIGINT)
+                     AS pixel_fp
+          FROM g, unnest(generate_series(0, w * h - 1)) AS u(i)
+          GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           pixel_fp
+    FROM f
+    """,
+)
+def q220_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_bmp_rle8_stats,
+        with_bmp_rle8_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_bmp_rle8_payload(docs, "text", "doc_id")
+    return decode_bmp_rle8_stats(payloads, "payload", "doc_id")

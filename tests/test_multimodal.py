@@ -3540,3 +3540,66 @@ def test_id3v24_nonsyncsafe_frame_size_raises():
     )
     with pytest.raises(ValueError, match="syncsafe"):
         parse_id3_frames(head + body)
+
+
+# --- q220: BI_RLE8 compressed BMP ---
+
+
+def test_bmp_rle8_roundtrip_and_compression():
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import (
+        decode_bmp_rle8,
+        encode_bmp_rle8,
+        synth_gray_rle,
+    )
+
+    for clen in (0, 1, 17, 64, 150):
+        img = synth_gray_rle(clen)
+        assert np.array_equal(decode_bmp_rle8(encode_bmp_rle8(img)), img)
+    # run-heavy content genuinely compresses
+    flat = np.full((32, 64), 7, dtype=np.uint8)
+    assert len(encode_bmp_rle8(flat)) < 54 + 1024 + 32 * 64 // 4
+
+
+def test_bmp_rle8_delta_escape_skips_pixels():
+    import numpy as np
+
+    from redskins_rule_spark.functions.bmp import decode_bmp_rle8, encode_bmp_rle8
+
+    base = encode_bmp_rle8(np.zeros((2, 4), dtype=np.uint8))
+    hdr = base[: 54 + 1024]
+    # bottom row: run (2,9); delta +1,+1; top row x=3: run (1,5)
+    body = bytes((2, 9)) + b"\x00\x02\x01\x01" + bytes((1, 5)) + b"\x00\x00\x00\x01"
+    img = decode_bmp_rle8(hdr + body)
+    assert img.tolist() == [[0, 0, 0, 5], [9, 9, 0, 0]]
+
+
+def test_bmp_rle8_corruption_raises_valueerror():
+    import numpy as np
+
+    import pytest
+
+    from redskins_rule_spark.functions.bmp import (
+        decode_bmp,
+        decode_bmp_rle8,
+        encode_bmp_rle8,
+        synth_gray_rle,
+    )
+
+    data = encode_bmp_rle8(synth_gray_rle(23))
+    for cut in range(2, len(data), 13):
+        try:
+            decode_bmp_rle8(data[:cut])
+        except ValueError:
+            pass
+    # a run overrunning the row width is rejected
+    hdr = encode_bmp_rle8(np.zeros((1, 4), dtype=np.uint8))[: 54 + 1024]
+    with pytest.raises(ValueError, match="overruns"):
+        decode_bmp_rle8(hdr + bytes((6, 1)) + b"\x00\x00\x00\x01")
+    # trailing bytes after EOF are rejected
+    with pytest.raises(ValueError, match="trailing"):
+        decode_bmp_rle8(data + b"\x00")
+    # the uncompressed decoder keeps rejecting RLE8 payloads
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(data)
