@@ -926,7 +926,15 @@ def _parse_id3_frames(
     pos = 10
     while pos < end:
         if data[pos] == 0:
-            break  # padding
+            # padding terminates the walk — but v2.4 §3.1 forbids
+            # padding when a footer is present (the footer exists so
+            # readers can find the tag from the END of the file, and
+            # trailing padding would break that scan)
+            if has_footer:
+                raise ValueError(
+                    "id3: v2.4 forbids padding together with a footer"
+                )
+            break
         if pos + 10 > end:
             raise ValueError("id3: truncated frame header")
         fid = data[pos: pos + 4]

@@ -3115,7 +3115,14 @@ def decode_id3v24_stats(
                     rows.append((None,) * 6)
                     continue
                 data = bytes(b)
-                frames = dict(parse_id3_frames(data))
+                # keep the FULL frame list: ID3v2.4 permits repeated
+                # frame IDs (multiple TXXX is common in the wild), so
+                # n_tag_frames counts occurrences, not distinct IDs,
+                # and text lookups pin the FIRST occurrence
+                frame_list = parse_id3_frames(data)
+                frames: dict[str, str | None] = {}
+                for fname, fvalue in frame_list:
+                    frames.setdefault(fname, fvalue)
                 meta = parse_mp3(data)
                 rows.append(
                     (
@@ -3123,7 +3130,7 @@ def decode_id3v24_stats(
                         len(frames["TALB"]) if frames.get("TALB") else None,
                         frames.get("TRCK"),
                         bool(data[5] & 0x10),
-                        len(frames),
+                        len(frame_list),
                         meta.n_frames,
                     )
                 )
@@ -3174,14 +3181,19 @@ def decode_id3_stats(
                     rows.append((None,) * 5)
                     continue
                 data = bytes(b)
-                frames = dict(parse_id3v23_frames(data))
+                # same duplicate-ID contract as the v2.4 walk:
+                # count occurrences, pin the FIRST text value
+                frame_list = parse_id3v23_frames(data)
+                frames: dict[str, str | None] = {}
+                for fname, fvalue in frame_list:
+                    frames.setdefault(fname, fvalue)
                 m = parse_mp3(data)
                 rows.append(
                     (
                         frames.get("TIT2"),
                         frames.get("TALB"),
                         frames.get("TRCK"),
-                        len(frames),
+                        len(frame_list),
                         m.n_frames,
                     )
                 )

@@ -505,23 +505,12 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- never driver-verified: q37b registered in round 9 but the
-    #     window was not rotated that round (VERDICT r9 item 2), plus
-    #     every round-10 registration ---
-    "q37b_packing_xengine",
-    # --- new in round 10 (never driver-verified) ---
-    "q104b_bpe_xengine", "q209_avc_ipcm", "q210_mp3_count1",
-    "q211_stream_session_replay", "q212_mp4_ipcm", "q213_mp3_bigvalues",
-    "q214_aac_sce", "q215_png_interlaced", "q216_gif_interlaced",
-    "q217_wav_ima", "q218_exif_meta", "q219_id3v24_tags",
-    "q220_bmp_rle8",
-    # --- round-10 TOUCHED: q63 moved to exact integer micro-units,
-    #     q136 to nearest-rank integer-cents cuts, after their sf1
-    #     float-boundary divergences ---
-    "q63_nation_volume", "q136_winsorize", "q138_triangles",
-    # --- canaries queued since r8 (rotated out of that window) ---
-    "q10_price_buckets", "q31_window_suite", "q41_word_explode",
-    "q46_hash_sample", "q50_global_index", "q57_heavy_hitters",
+    # --- new in round 11 (never driver-verified): registrations go
+    #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
+    # --- round-11 TOUCHED: the ID3 duplicate-frame-ID fix (ADVICE
+    #     r10) changed decode_id3v24_stats/decode_id3_stats counting
+    #     and _parse_id3_frames now rejects padding-with-footer ---
+    "q219_id3v24_tags", "q208_id3_tags",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -530,18 +519,25 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- back-catalog rotating sample: a fresh slice not driver
-    #     re-checked since r01 (r6 cycled q110-q146, r7 cycled
-    #     q26-q160, r8 cycled q02-q09 + q108-q160 canaries) ---
-    "q13_election_days", "q14_year_join", "q15_token_stats",
-    "q16_quality", "q17_lang_id", "q18_dedup_exact",
-    "q21_cosine_topk", "q23_multimodal_meta", "q24_subword_tokens",
-    "q28_rollup_totals", "q29_set_ops", "q30_ivf_topk",
-    "q32_chunking", "q33_decimal_money",
-    # exactly 50 explicit entries — 9 never-verified (q37b + 8
-    # round-10 registrations) + 2 touched + 6 canaries + 13 sentinels
-    # + 20 fresh back-catalog (q44/q45/q47/q48/q49/q51/q52/q53/q55/q56
-    # rotate back next round). Registrations go at the HEAD on
+    # --- back-catalog rotating sample: the r10-promised
+    #     q44-q56 slice plus the q58-q90 peers not driver re-checked
+    #     since r01 (r6 cycled q110-q146, r7 q26-q160, r8 q02-q09 +
+    #     q108-q160 canaries, r10 q13-q33) ---
+    "q44_cube", "q45_merge_upsert", "q47_edit_distance",
+    "q48_multi_distinct", "q49_monthly_revenue", "q51_grouping_sets",
+    "q52_array_hof", "q53_asof_nearest", "q55_exists_priority",
+    "q56_small_qty_revenue",
+    "q58_snapshot_diff", "q59_interval_overlap", "q60_stratified_sample",
+    "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
+    "q65_repetition", "q66_decontamination", "q67_funnel",
+    "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
+    "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
+    "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
+    "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
+    "q80_transitive_closure", "q81_lateral_topn", "q82_bigram_pmi",
+    "q83_minhash_estimate",
+    # exactly 50 explicit entries — 2 touched + 13 sentinels + 35
+    # fresh back-catalog. Registrations go at the HEAD on
     # registration day; drop tail entries to stay at 50.
 ]
 

@@ -3518,6 +3518,48 @@ def test_id3v24_roundtrip_footer_and_syncsafe_sizes():
     assert parse_mp3(data).n_frames == 6 % 5 + 2
 
 
+def test_id3v24_parser_rejects_padding_with_footer():
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        encode_id3v24,
+        parse_id3_frames,
+    )
+
+    # hand-splice padding into a footered tag (the encoder refuses to
+    # build one, so corrupt a legal tag): grow the declared body size
+    # by 3 and insert 3 zero bytes between body and footer
+    tag = bytearray(encode_id3v24([("TIT2", "x")], footer=True))
+    body_end = len(tag) - 10
+    n = ((tag[6] << 21) | (tag[7] << 14) | (tag[8] << 7) | tag[9]) + 3
+    sync = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    tag[6:10] = sync
+    footer = bytearray(tag[body_end:])
+    footer[6:10] = sync  # footer mirrors the (now padded) header
+    bad = bytes(tag[:body_end]) + b"\x00\x00\x00" + bytes(footer)
+    with pytest.raises(ValueError, match="padding"):
+        parse_id3_frames(bad)
+
+
+def test_id3v24_duplicate_frame_ids_counted_and_first_wins(spark):
+    from redskins_rule_spark.functions.mp3 import encode_id3v24, encode_mp3
+    from redskins_rule_spark.operators.multimodal import decode_id3v24_stats
+
+    # v2.4 permits repeated frame IDs (e.g. multiple TXXX): the stats
+    # op must count OCCURRENCES and pin the FIRST text value
+    tag = encode_id3v24(
+        [("TIT2", "first"), ("TXXX", "a"), ("TXXX", "b"), ("TIT2", "second")]
+    )
+    payload = tag + encode_mp3([(9, 0, 0, 0xAA)])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id INT, payload BINARY")
+    row = decode_id3v24_stats(df, "payload", "doc_id").collect()[0]
+    assert row.n_tag_frames == 4
+    assert row.title == "first"
+    assert row.n_audio_frames == 1
+
+
 def test_id3v24_utf8_text_decodes():
     from redskins_rule_spark.functions.mp3 import encode_id3v24, parse_id3_frames
 
