@@ -913,3 +913,95 @@ def token_entropy(
         ).alias(out),
         F.round(F.count(F.lit(1)) / F.sum("k"), 4).alias("ttr"),
     )
+
+
+# logistic-decile thresholds: round(1000·logit(k/10)) for k = 1..9.
+# Precomputed integer LITERALS (not computed at plan time) so the
+# oracle SQL can embed the identical constants — the sigmoid itself
+# never runs on either engine, only integer comparisons against these
+# cuts, which is what makes the decile bit-identical cross-engine.
+LOGIT_DECILE_CUTS = (-2197, -1386, -847, -405, 0, 405, 847, 1386, 2197)
+
+
+def hashed_logistic_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    bias: int = 100,
+) -> DataFrame:
+    """Model-based quality filter — the fastText/DSIR-style linear
+    classifier real LLM pipelines run after the heuristic rules
+    (`quality_score`, `gopher_rules`): hashed n-gram features
+    (unigrams + adjacent-pair bigrams, the hashing trick of
+    Weinberger et al. 2009) through a fixed-weight logistic model.
+
+    Everything is EXACT INTEGER arithmetic so the score is
+    bit-identical across engines (the q63 lesson — no float may come
+    from different arithmetic on two engines):
+
+      gram   w_i  = lowercase [a-z0-9] runs; bigrams "w_i _ w_{i+1}"
+      h      = int(md5(gram)[:8 hex], 16)           — 32-bit, exact
+      bucket = h mod num_buckets
+      sign   = +1 if h even else -1                 — hashing-trick unbias
+      weight = (bucket·2654435761) mod 1001 − 500   — fixed public
+               pseudo-random weights in [−500, 500] (Knuth
+               multiplicative constant), derivable in ANSI SQL
+      score  = bias + Σ sign·weight                 — logit ×1000
+      p_bucket = #{k : score ≥ round(1000·logit(k/10))} ∈ 0..9
+      keep   = score ≥ 0  (p ≥ 0.5)
+
+    Plan shape: explode(grams) → hash-agg by id (map-side partial
+    agg) → broadcast-free left join back for zero-gram docs. One
+    shuffle on the document key; md5 + conv are JVM codegen
+    expressions — no Python touches the hot path, so this runs at
+    full whole-stage-codegen speed on a 100 TB corpus.
+
+    Returns (id_col, n_grams, score, p_bucket, keep)."""
+    base = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    contrib = (F.lit(1) - F.lit(2) * (h % 2)) * (
+        (h % num_buckets) * F.lit(2654435761) % 1001 - 500
+    )
+    agg = (
+        grams.select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("contrib").alias("s"),
+        )
+    )
+    score = (F.lit(bias) + F.coalesce(F.col("s"), F.lit(0))).cast("long")
+    p_bucket = sum(
+        (F.col("score") >= F.lit(t)).cast("int") for t in LOGIT_DECILE_CUTS
+    )
+    return (
+        base.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            score.alias("score"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "score",
+            p_bucket.cast("int").alias("p_bucket"),
+            (F.col("score") >= 0).alias("keep"),
+        )
+    )

@@ -507,6 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
+    "q221_model_quality",
     # --- round-11 TOUCHED: the ID3 duplicate-frame-ID fix (ADVICE
     #     r10) changed decode_id3v24_stats/decode_id3_stats counting
     #     and _parse_id3_frames now rejects padding-with-footer ---
@@ -535,10 +536,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
     "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
     "q80_transitive_closure", "q81_lateral_topn", "q82_bigram_pmi",
-    "q83_minhash_estimate",
-    # exactly 50 explicit entries — 2 touched + 13 sentinels + 35
-    # fresh back-catalog. Registrations go at the HEAD on
-    # registration day; drop tail entries to stay at 50.
+    # exactly 50 explicit entries — new registrations + 2 touched +
+    # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
+    # on registration day; drop tail entries to stay at 50
+    # (q83_minhash_estimate dropped for q221).
 ]
 
 
@@ -10725,3 +10726,71 @@ def q220_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_bmp_rle8_payload(docs, "text", "doc_id")
     return decode_bmp_rle8_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q221: model-based quality filter — the fastText/DSIR-style linear
+# classifier step real LLM curation pipelines run AFTER the heuristic
+# rules (q16 quality_score / gopher_rules are rule-based; this is the
+# learned-model slot). Hashed n-gram features (unigrams + bigrams,
+# Weinberger et al. 2009 hashing trick) through fixed public logistic
+# weights. Every compared value is exact-integer (the q63 contract):
+# md5-based 32-bit feature hash, Knuth-multiplicative weights in
+# [-500,500], integer score = logit×1000, deciles via integer cuts —
+# the sigmoid never executes on either engine. Oracle replays the
+# identical hash/weight pipeline in ANSI SQL (md5 hex → integer via
+# positional digit expansion; DuckDB lists are 1-indexed).
+# ---------------------------------------------------------------------------
+
+_Q221_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(gram), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+@query(
+    "q221_model_quality",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_concat(
+                   toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || '_' || toks[i + 1])
+               )) AS gram
+        FROM docs
+    ), feats AS (
+        SELECT doc_id, {_Q221_HEX} AS h
+        FROM grams
+    ), agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               SUM((1 - 2 * (h % 2))
+                   * ((h % 64) * 2654435761 % 1001 - 500)) AS s
+        FROM feats GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(100 + COALESCE(a.s, 0) AS BIGINT) AS score
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id, n_grams, score,
+           CAST((score >= -2197)::INT + (score >= -1386)::INT
+              + (score >= -847)::INT + (score >= -405)::INT
+              + (score >= 0)::INT + (score >= 405)::INT
+              + (score >= 847)::INT + (score >= 1386)::INT
+              + (score >= 2197)::INT AS INTEGER) AS p_bucket,
+           score >= 0 AS keep
+    FROM scored
+    """,
+)
+def q221_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import hashed_logistic_quality
+
+    docs = table(spark, sf_dir, "documents")
+    return hashed_logistic_quality(docs, "text", "doc_id")

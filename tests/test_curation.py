@@ -88,3 +88,61 @@ def test_curate_corpus_budget_mixture(spark):
     assert sum(kept_per_source.values()) > 0
     for s, c in kept_per_source.items():
         assert c <= pre[s]
+
+
+def test_hashed_logistic_quality_exact_integers(spark):
+    """The model-quality score must be reproducible by hand from the
+    published formula — md5 feature hash, Knuth weights, integer
+    logit — and handle the degenerate shapes (empty text, one token,
+    NULL text, duplicate tokens)."""
+    import hashlib
+
+    from redskins_rule_spark.operators.text import (
+        LOGIT_DECILE_CUTS,
+        hashed_logistic_quality,
+    )
+
+    def expected(text: str, bias: int = 100, num_buckets: int = 64):
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        s = 0
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            sign = 1 - 2 * (h % 2)
+            s += sign * ((h % num_buckets) * 2654435761 % 1001 - 500)
+        score = bias + s
+        p_bucket = sum(score >= t for t in LOGIT_DECILE_CUTS)
+        return len(grams), score, p_bucket, score >= 0
+
+    rows = [
+        (1, "The quick brown fox"),
+        (2, ""),            # zero grams -> score = bias
+        (3, "solo"),        # one token, no bigram
+        (4, None),          # NULL text -> excluded entirely
+        (5, "a a a a"),     # duplicate tokens count per occurrence
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r.doc_id: (r.n_grams, r.score, r.p_bucket, r.keep)
+        for r in hashed_logistic_quality(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 3, 5}  # NULL text dropped
+    for doc_id, text in [(1, rows[0][1]), (2, ""), (3, "solo"), (5, "a a a a")]:
+        assert got[doc_id] == expected(text), (doc_id, got[doc_id], expected(text))
+    assert got[2] == (0, 100, 5, True)  # bias-only doc: p just over 0.5
+    # duplicate unigram contributes 4x, the bigram a_a 3x
+    assert got[5][0] == 7
+
+
+def test_hashed_logistic_quality_is_jvm_only(spark):
+    """No Python in the hot path: the plan must contain no
+    BatchEvalPython / ArrowEvalPython nodes and exactly one shuffle
+    for the doc-grain aggregation (plus the join back)."""
+    from redskins_rule_spark.operators.text import hashed_logistic_quality
+    from redskins_rule_spark.sources.io import table
+
+    docs = table(spark, SF_DIR, "documents")
+    plan = hashed_logistic_quality(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
