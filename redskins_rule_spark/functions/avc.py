@@ -855,3 +855,417 @@ def parse_nal_stream_avcc(data: bytes, length_size: int) -> list[AvcNal]:
     if not out:
         raise ValueError("avc: sample carries no NAL units")
     return out
+
+
+# --- CAVLC residual decode: the nC >= 8 fixed-length profile --------------
+#
+# First REAL entropy decode through the video seam. ISO/IEC 14496-10
+# §9.2 splits a residual block into coeff_token, trailing-one signs,
+# level codes, total_zeros, and run_before. Three of those five are
+# ARBITRARY Huffman tables (coeff_token for nC < 8, total_zeros,
+# run_before) — but the spec leaves a fully STRUCTURAL corridor:
+#
+#   * coeff_token for nC >= 8 is a 6-bit FLC: ((TotalCoeff-1) << 2)
+#     | TrailingOnes, with TotalCoeff = 0 taking the otherwise-
+#     impossible value 3 (T1s = 3 needs TotalCoeff >= 3) — Table 9-5
+#     last column.
+#   * level codes are unary level_prefix + adaptive level_suffix
+#     (§9.2.2.1) — pure arithmetic, no codebook.
+#   * total_zeros / run_before are SKIPPED entirely when TotalCoeff
+#     equals maxNumCoeff (§7.3.5.3.3 parses total_zeros only when
+#     TotalCoeff < endIdx - startIdx + 1).
+#
+# nC >= 8 is reached LEGALLY through §9.2.1's neighbor rule: a
+# neighboring I_PCM macroblock contributes nN = 16, so an Intra_16x16
+# macroblock whose left neighbor is I_PCM decodes its DC block with
+# nC = 16 (top row) — the constrained-but-real case this profile
+# encodes. What remains of the entropy seam after this: the nC < 8
+# coeff_token VLC tables, total_zeros/run_before codebooks (partial
+# blocks), and CABAC. Each raises by name below.
+
+
+def _write_cavlc_block16(w: _EgBitsOut, levels: tuple[int, ...]) -> None:
+    """Encode one 16-coefficient residual block (position order, every
+    coefficient nonzero so TotalCoeff == maxNumCoeff == 16) with the
+    nC >= 8 FLC coeff_token. Raises on magnitudes needing the
+    level_prefix >= 14 escape sizes (decoder handles them; this
+    encoder's profile stays below)."""
+    if len(levels) != 16 or any(v == 0 for v in levels):
+        raise ValueError(
+            "avc: the FLC profile codes full blocks — 16 nonzero levels"
+        )
+    rev = levels[::-1]  # §9.2.2 codes highest-frequency first
+    t1 = 0
+    while t1 < 3 and abs(rev[t1]) == 1:
+        t1 += 1
+    w.u(((16 - 1) << 2) | t1, 6)  # coeff_token, Table 9-5 nC >= 8
+    for v in rev[:t1]:
+        w.u(1 if v < 0 else 0, 1)  # trailing_ones_sign_flag
+    suffix_len = 1 if t1 < 3 else 0  # TotalCoeff > 10 (§9.2.2.1)
+    for i in range(t1, 16):
+        v = rev[i]
+        code = 2 * v - 2 if v > 0 else -2 * v - 1
+        if i == t1 and t1 < 3:
+            # fewer than 3 trailing ones implies |first level| >= 2 —
+            # structurally guaranteed here, since t1 only stops below
+            # 3 at a non-±1 level
+            code -= 2
+        prefix = code >> suffix_len
+        if prefix > 13:
+            raise ValueError(
+                "avc: level magnitude needs the level_prefix >= 14 "
+                "escape sizes — outside this encoder's profile"
+            )
+        w.u(0, prefix)
+        w.u(1, 1)
+        if suffix_len:
+            w.u(code & ((1 << suffix_len) - 1), suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # TotalCoeff == maxNumCoeff: total_zeros and run_before absent
+
+
+def _read_cavlc_block16(br: _EgBits, nc: int) -> tuple[int, ...]:
+    """Decode one residual block under nC >= 8 (6-bit FLC
+    coeff_token), requiring TotalCoeff == 16 so total_zeros /
+    run_before never arise. Level decoding implements the FULL
+    §9.2.2.1 arithmetic including the level_prefix 14/15/16+ escape
+    sizes. Returns the 16 coefficients in position order."""
+    if nc < 8:
+        raise ValueError(
+            f"avc: coeff_token with nC = {nc} needs the Table 9-5 VLC "
+            "codebooks — outside the nC >= 8 FLC profile (entropy seam)"
+        )
+    token = br.u(6)
+    if token == 0b000011:
+        total, t1 = 0, 0
+    else:
+        total, t1 = (token >> 2) + 1, token & 3
+    if t1 > total:
+        raise ValueError("avc: TrailingOnes exceeds TotalCoeff")
+    if total != 16:
+        raise ValueError(
+            f"avc: TotalCoeff {total} < maxNumCoeff needs the "
+            "total_zeros codebook (Table 9-7) — outside the full-block "
+            "profile (entropy seam)"
+        )
+    rev: list[int] = []
+    for _ in range(t1):
+        rev.append(-1 if br.u(1) else 1)
+    suffix_len = 1 if t1 < 3 else 0
+    for i in range(t1, 16):
+        prefix = 0
+        while br.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("avc: level_prefix too long")
+        size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        code = (min(15, prefix) << suffix_len) + (br.u(size) if size else 0)
+        if prefix >= 15 and suffix_len == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            code += 2
+        v = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        rev.append(v)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    return tuple(rev[::-1])
+
+
+@dataclass(frozen=True)
+class AvcMacroblock:
+    """One decoded macroblock: I_PCM raw planes or Intra_16x16
+    DC-only CAVLC coefficients."""
+    mb_type: int
+    # I_PCM (mb_type 25): (y 16x16, cb 8x8, cr 8x8) raw samples
+    pcm: tuple[bytes, bytes, bytes] | None
+    # Intra_16x16 DC-only: 16 decoded DC coefficients, position order
+    dc_levels: tuple[int, ...] | None
+
+
+@dataclass(frozen=True)
+class AvcI16DcFrame:
+    width: int
+    height: int
+    n_mbs: int
+    qp: int
+    frame_num: int
+    idr_pic_id: int
+    mbs: tuple[AvcMacroblock, ...]
+
+
+def encode_i16dc_slice(
+    mbs: list[tuple[str, object]],
+    mb_w: int,
+    mb_h: int,
+    *,
+    pps_id: int = 0,
+    frame_num: int = 0,
+    idr_pic_id: int = 0,
+    qp_delta: int = 0,
+    log2_max_frame_num: int = 4,
+    log2_max_poc_lsb: int = 4,
+) -> bytes:
+    """IDR I-slice mixing I_PCM and Intra_16x16 DC-only macroblocks.
+    mbs entries (raster order): ('pcm', (y16x16, cb8x8, cr8x8)) or
+    ('i16dc', 16 nonzero levels). Every i16dc macroblock must decode
+    with nC >= 8, which the encoder checks with the same §9.2.1
+    neighbor rule the decoder applies — so every emitted stream is
+    decodable by `decode_i16dc_slice` and any conforming decoder."""
+    if len(mbs) != mb_w * mb_h:
+        raise ValueError("avc: macroblock list does not fill the grid")
+    w = _EgBitsOut()
+    w.ue(0)                       # first_mb_in_slice
+    w.ue(7)                       # slice_type: I
+    w.ue(pps_id)
+    w.u(frame_num, log2_max_frame_num)
+    w.ue(idr_pic_id)
+    w.u(0, log2_max_poc_lsb)      # pic_order_cnt_lsb
+    w.u(0, 1)                     # no_output_of_prior_pics_flag
+    w.u(0, 1)                     # long_term_reference_flag
+    w.se(qp_delta)                # slice_qp_delta
+    w.ue(1)                       # disable_deblocking_filter_idc = 1
+    # per-MB nN stand-in for §9.2.1: I_PCM -> 16; Intra_16x16 with
+    # CodedBlockPatternLuma == 0 -> its 4x4 luma blocks carry 0
+    nn = [0] * (mb_w * mb_h)
+    for idx, (kind, payload) in enumerate(mbs):
+        mbx, mby = idx % mb_w, idx // mb_w
+        if kind == "pcm":
+            y16, cb8, cr8 = payload  # type: ignore[misc]
+            if len(y16) != 256 or len(cb8) != 64 or len(cr8) != 64:
+                raise ValueError("avc: I_PCM macroblock sample size")
+            if 0 in y16 or 0 in cb8 or 0 in cr8:
+                raise ValueError(
+                    "avc: I_PCM sample value 0 is forbidden (§7.4.5)"
+                )
+            w.ue(_MB_TYPE_I_PCM)
+            w.align_zero()
+            w.bytes_aligned(bytes(y16) + bytes(cb8) + bytes(cr8))
+            nn[idx] = 16
+        elif kind == "i16dc":
+            na = nn[idx - 1] if mbx > 0 else None
+            nb = nn[idx - mb_w] if mby > 0 else None
+            if na is None and nb is None:
+                nc = 0
+            elif na is None:
+                nc = nb
+            elif nb is None:
+                nc = na
+            else:
+                nc = (na + nb + 1) >> 1
+            if nc < 8:
+                raise ValueError(
+                    "avc: i16dc macroblock needs an I_PCM neighbor "
+                    f"(nC = {nc} < 8 would take the VLC coeff_token "
+                    "tables)"
+                )
+            w.ue(3)   # Intra_16x16: pred DC, cbp_chroma 0, cbp_luma 0
+            w.ue(0)   # intra_chroma_pred_mode: DC
+            w.se(0)   # mb_qp_delta
+            _write_cavlc_block16(w, tuple(payload))  # type: ignore[arg-type]
+            nn[idx] = 0
+        else:
+            raise ValueError(f"avc: unknown macroblock kind {kind!r}")
+    return w.rbsp_trailing()
+
+
+def decode_i16dc_slice(
+    rbsp: bytes, sps: AvcSps, pps: AvcPps
+) -> AvcI16DcFrame:
+    """Decode an IDR slice of I_PCM + Intra_16x16 DC-only macroblocks
+    — the first REAL CAVLC entropy decode through the video seam. nC
+    is derived per §9.2.1 (I_PCM neighbors contribute 16; uncoded 4x4
+    luma blocks contribute 0); any macroblock whose nC lands below 8,
+    any partial block (TotalCoeff < 16), any AC/chroma residual, and
+    CABAC all raise naming their exact remaining seam."""
+    if pps.entropy_coding_mode != 0:
+        raise ValueError(
+            "avc: CABAC slice data is outside the CAVLC profile "
+            "(entropy seam)"
+        )
+    if pps.pic_init_qp is None or pps.deblocking_control is None:
+        raise ValueError("avc: slice decode needs a fully parsed PPS")
+    if sps.log2_max_poc_lsb is None:
+        raise ValueError("avc: poc type != 0 outside this profile")
+    br = _EgBits(rbsp)
+    if br.ue() != 0:
+        raise ValueError("avc: multi-slice pictures outside this profile")
+    if br.ue() % 5 != 2:
+        raise ValueError("avc: non-I slice outside this profile")
+    if br.ue() != pps.pps_id:
+        raise ValueError("avc: slice references an unknown PPS")
+    frame_num = br.u(sps.log2_max_frame_num)
+    idr_pic_id = br.ue()
+    br.u(sps.log2_max_poc_lsb)
+    br.u(1)
+    br.u(1)
+    qp = pps.pic_init_qp + br.se()
+    if not 0 <= qp <= 51:
+        raise ValueError("avc: slice qp out of the [0, 51] range")
+    if pps.deblocking_control:
+        if br.ue() != 1:
+            br.se()
+            br.se()
+    if sps.width % 16 or sps.height % 16:
+        raise ValueError("avc: cropped frames outside this profile")
+    mb_w, mb_h = sps.width // 16, sps.height // 16
+    nn = [0] * (mb_w * mb_h)
+    mbs: list[AvcMacroblock] = []
+    for idx in range(mb_w * mb_h):
+        mbx, mby = idx % mb_w, idx // mb_w
+        mb_type = br.ue()
+        if mb_type == _MB_TYPE_I_PCM:
+            br.align_zero()
+            samples = br.bytes_aligned(256 + 2 * 64)
+            mbs.append(AvcMacroblock(
+                mb_type=mb_type,
+                pcm=(samples[:256], samples[256:320], samples[320:384]),
+                dc_levels=None,
+            ))
+            nn[idx] = 16
+            continue
+        if mb_type == 0:
+            raise ValueError(
+                "avc: I_4x4 prediction-mode parsing is outside the "
+                "Intra_16x16 profile"
+            )
+        if not 1 <= mb_type <= 24:
+            raise ValueError(f"avc: invalid I-slice mb_type {mb_type}")
+        cbp_luma = 15 if mb_type - 1 >= 12 else 0
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        if cbp_luma or cbp_chroma:
+            raise ValueError(
+                "avc: AC / chroma residual blocks are outside the "
+                "DC-only profile (entropy seam)"
+            )
+        if br.ue() > 3:
+            raise ValueError("avc: invalid intra_chroma_pred_mode")
+        qp += br.se()  # mb_qp_delta
+        if not 0 <= qp <= 51:
+            raise ValueError("avc: macroblock qp out of range")
+        na = nn[idx - 1] if mbx > 0 else None
+        nb = nn[idx - mb_w] if mby > 0 else None
+        if na is None and nb is None:
+            nc = 0
+        elif na is None:
+            nc = nb  # type: ignore[assignment]
+        elif nb is None:
+            nc = na
+        else:
+            nc = (na + nb + 1) >> 1
+        levels = _read_cavlc_block16(br, nc)
+        mbs.append(AvcMacroblock(mb_type=mb_type, pcm=None,
+                                 dc_levels=levels))
+        nn[idx] = 0
+    if br.u(1) != 1:
+        raise ValueError("avc: missing rbsp stop bit after slice data")
+    while br.pos & 7:
+        if br.u(1):
+            raise ValueError("avc: non-zero rbsp trailing bit")
+    if br.pos != 8 * len(rbsp):
+        raise ValueError("avc: trailing bytes after slice data")
+    return AvcI16DcFrame(
+        width=sps.width,
+        height=sps.height,
+        n_mbs=mb_w * mb_h,
+        qp=qp,
+        frame_num=frame_num,
+        idr_pic_id=idr_pic_id,
+        mbs=tuple(mbs),
+    )
+
+
+def encode_avc_i16dc(
+    mbs: list[tuple[str, object]],
+    mb_w: int,
+    mb_h: int,
+    *,
+    qp_delta: int = 0,
+    idr_pic_id: int = 0,
+) -> bytes:
+    """Self-contained Annex B stream: SPS + PPS(CAVLC) + one IDR
+    slice mixing I_PCM and Intra_16x16 DC-only macroblocks."""
+    sps = encode_sps(66, 10, 0, 0, 0, 0, 1, 0, mb_w - 1, mb_h - 1, 1)
+    pps = encode_pps(0, 0, 0)
+    slc = encode_i16dc_slice(
+        mbs, mb_w, mb_h, qp_delta=qp_delta, idr_pic_id=idr_pic_id
+    )
+    return encode_nal_stream([(3, 7, sps), (3, 8, pps), (3, 5, slc)])
+
+
+def decode_avc_i16dc(data: bytes) -> AvcI16DcFrame:
+    """Decode an Annex B stream of I_PCM + Intra_16x16 DC-only
+    macroblocks; SPS/PPS must precede the slice."""
+    sps: AvcSps | None = None
+    pps: AvcPps | None = None
+    for nal in parse_nal_stream(data):
+        if nal.nal_type == 7:
+            sps = parse_sps(nal.rbsp)
+        elif nal.nal_type == 8:
+            pps = parse_pps(nal.rbsp)
+        elif nal.nal_type == 5:
+            if sps is None or pps is None:
+                raise ValueError("avc: IDR slice before SPS/PPS")
+            return decode_i16dc_slice(nal.rbsp, sps, pps)
+        elif nal.nal_type == 1:
+            raise ValueError("avc: non-IDR slice is outside this profile")
+    raise ValueError("avc: stream carries no IDR slice")
+
+
+def synth_i16dc_levels(clen: int, p: int) -> tuple[int, ...]:
+    """Closed-form DC levels for CAVLC macroblock p of a clen-doc:
+    t = (clen + p) % 4 trailing coefficients are ±1, the rest carry
+    magnitude 2 + (7·clen + 13·p + 3·k) % 3; the sign at position k
+    is +1 when (clen + p + k) is even. Always 16 nonzero levels with
+    |level[t-th from the end]| >= 2, so every generated block is
+    encodable under the FLC profile."""
+    t = (clen + p) % 4
+    levels = []
+    for k in range(16):
+        sign = 1 - 2 * ((clen + p + k) % 2)
+        if k >= 16 - t:
+            levels.append(sign)
+        else:
+            levels.append(sign * (2 + (7 * clen + 13 * p + 3 * k) % 3))
+    return tuple(levels)
+
+
+def synth_avc_i16dc(clen: int) -> bytes:
+    """Closed-form Annex B stream for the q222 differential: one MB
+    row of clen%3+1 (I_PCM, Intra_16x16-DC) pairs — each CAVLC
+    macroblock's left neighbor is I_PCM, so nC = 16 and the FLC
+    profile is hit legally. PCM samples replay the q209 pattern per
+    macroblock; DC levels come from `synth_i16dc_levels`.
+    qp_delta = clen%5 − 2, idr_pic_id = clen%8."""
+    n_pairs = clen % 3 + 1
+    mbs: list[tuple[str, object]] = []
+    for p in range(n_pairs):
+        y16 = bytes(
+            (clen + 7 * c + 13 * r + p) % 255 + 1
+            for r in range(16) for c in range(16)
+        )
+        cb8 = bytes(
+            (clen + 5 * c + 11 * r + p) % 255 + 1
+            for r in range(8) for c in range(8)
+        )
+        cr8 = bytes(
+            (clen + 3 * c + 17 * r + p) % 255 + 1
+            for r in range(8) for c in range(8)
+        )
+        mbs.append(("pcm", (y16, cb8, cr8)))
+        mbs.append(("i16dc", synth_i16dc_levels(clen, p)))
+    return encode_avc_i16dc(
+        mbs, 2 * n_pairs, 1,
+        qp_delta=clen % 5 - 2,
+        idr_pic_id=clen % 8,
+    )

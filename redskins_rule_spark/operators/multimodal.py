@@ -3279,3 +3279,94 @@ def decode_stats_tolerant(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_avc_i16dc_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize Annex B H.264 streams mixing I_PCM and
+    Intra_16x16 DC-only CAVLC macroblocks — the first REAL entropy
+    decode behind the video seam (functions/avc.py
+    `synth_avc_i16dc` closed forms). Arrow-batched; payloads never
+    touch the driver."""
+    from redskins_rule_spark.functions.avc import synth_avc_i16dc
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_avc_i16dc(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_avc_i16dc_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL CAVLC decode through the H.264 seam: Annex B NAL walk →
+    SPS/PPS → IDR slice → per-macroblock dispatch (I_PCM raw samples
+    / Intra_16x16 DC-only coeff_token FLC + §9.2.2.1 level
+    arithmetic) → position-weighted integer fingerprints over the
+    decoded DC coefficients (Σ (v+8)·(16p+k+1), exact) and the I_PCM
+    luma samples (the q209 arithmetic). NULL payloads yield NULL
+    stats; corrupt ones raise ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.avc import decode_avc_i16dc
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_mbs", T.IntegerType()),
+            T.StructField("n_cavlc", T.IntegerType()),
+            T.StructField("qp", T.IntegerType()),
+            T.StructField("dc_sum", T.LongType()),
+            T.StructField("dc_fp", T.LongType()),
+            T.StructField("y_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                f = decode_avc_i16dc(bytes(b))
+                dc_sum = 0
+                dc_fp = 0
+                y_parts = []
+                cav = 0
+                for mb in f.mbs:
+                    if mb.dc_levels is not None:
+                        for k, v in enumerate(mb.dc_levels):
+                            dc_sum += v
+                            dc_fp += (v + 8) * (16 * cav + k + 1)
+                        cav += 1
+                    else:
+                        y_parts.append(mb.pcm[0])
+                y = np.frombuffer(b"".join(y_parts), dtype=np.uint8)
+                wgt = 1 + (np.arange(y.size, dtype=np.int64) % 64)
+                y_fp = int((y.astype(np.int64) * wgt).sum() % 2147483647)
+                rows.append((f.n_mbs, cav, f.qp, dc_sum, dc_fp, y_fp))
+            cols = ["n_mbs", "n_cavlc", "qp", "dc_sum", "dc_fp", "y_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("n_mbs", "n_cavlc", "qp"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in ("dc_sum", "dc_fp", "y_fp"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -507,7 +507,7 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
-    "q221_model_quality",
+    "q221_model_quality", "q222_avc_cavlc",
     # --- round-11 TOUCHED: the ID3 duplicate-frame-ID fix (ADVICE
     #     r10) changed decode_id3v24_stats/decode_id3_stats counting
     #     and _parse_id3_frames now rejects padding-with-footer ---
@@ -535,11 +535,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
     "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
     "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
-    "q80_transitive_closure", "q81_lateral_topn", "q82_bigram_pmi",
+    "q80_transitive_closure", "q81_lateral_topn",
     # exactly 50 explicit entries — new registrations + 2 touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
-    # (q83_minhash_estimate dropped for q221).
+    # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222).
 ]
 
 
@@ -10794,3 +10794,66 @@ def q221_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return hashed_logistic_quality(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q222: REAL CAVLC entropy decode through the H.264 seam — the first
+# residual bits actually decoded (q209's I_PCM carried raw samples;
+# this carries CODED coefficients). The profile is the spec's
+# structural corridor: coeff_token is the 6-bit FLC of Table 9-5's
+# nC >= 8 column (reached LEGALLY because each Intra_16x16 macroblock's
+# left neighbor is I_PCM, which §9.2.1 counts as nN = 16), levels are
+# unary level_prefix + adaptive suffix arithmetic (§9.2.2.1, including
+# the 14/15/16+ escape sizes on the decode side), and TotalCoeff ==
+# maxNumCoeff skips total_zeros/run_before entirely — so NO arbitrary
+# VLC codebook is involved, every bit is spec-true. Remaining seam,
+# raised by name: nC < 8 coeff_token tables, total_zeros/run_before
+# (partial blocks), AC/chroma residuals, CABAC. Oracle replays the
+# synth closed-form: trailing (clen+p)%4 coefficients are ±1, the rest
+# 2 + (7clen+13p+3k)%3 signed by parity; PCM luma replays the q209
+# pattern per macroblock.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q222_avc_cavlc",
+    oracle="""
+    WITH base AS (SELECT doc_id, length(text) AS clen,
+                         length(text) % 3 + 1 AS n_pairs
+                  FROM documents WHERE text IS NOT NULL),
+    dc AS (SELECT doc_id,
+                  CAST(SUM(v) AS BIGINT) AS dc_sum,
+                  CAST(SUM((v + 8) * (16 * p + k + 1)) AS BIGINT) AS dc_fp
+           FROM (SELECT doc_id, u.i // 16 AS p, u.i % 16 AS k,
+                        (1 - 2 * ((clen + u.i // 16 + u.i % 16) % 2))
+                        * (CASE WHEN u.i % 16 >= 16 - ((clen + u.i // 16) % 4)
+                                THEN 1
+                                ELSE 2 + (7 * clen + 13 * (u.i // 16)
+                                          + 3 * (u.i % 16)) % 3 END) AS v,
+                        clen
+                 FROM base,
+                      unnest(generate_series(0, n_pairs * 16 - 1)) AS u(i))
+           GROUP BY doc_id),
+    yfp AS (SELECT doc_id,
+                   CAST(SUM(((clen + 7 * (u.i % 16) + 13 * ((u.i % 256) // 16)
+                              + u.i // 256) % 255 + 1)
+                            * (1 + u.i % 64)) % 2147483647 AS BIGINT) AS y_fp
+            FROM base,
+                 unnest(generate_series(0, n_pairs * 256 - 1)) AS u(i)
+            GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(2 * b.n_pairs AS INTEGER) AS n_mbs,
+           CAST(b.n_pairs AS INTEGER) AS n_cavlc,
+           CAST(24 + b.clen % 5 AS INTEGER) AS qp,
+           dc.dc_sum, dc.dc_fp, yfp.y_fp
+    FROM base b JOIN dc USING (doc_id) JOIN yfp USING (doc_id)
+    """,
+)
+def q222_avc_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_avc_i16dc_stats,
+        with_avc_i16dc_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_avc_i16dc_payload(docs, "text", "doc_id")
+    return decode_avc_i16dc_stats(payloads, "payload", "doc_id")

@@ -3645,3 +3645,197 @@ def test_bmp_rle8_corruption_raises_valueerror():
     # the uncompressed decoder keeps rejecting RLE8 payloads
     with pytest.raises(ValueError, match="compression"):
         decode_bmp(data)
+
+
+# --- q222: CAVLC residual decode (nC >= 8 FLC profile) ---
+
+
+def _i16dc_mbs(levels_list):
+    """One MB row alternating (I_PCM, i16dc) for each levels tuple."""
+    y16 = bytes((i % 255) + 1 for i in range(256))
+    c8 = bytes((i % 255) + 1 for i in range(64))
+    mbs = []
+    for lv in levels_list:
+        mbs.append(("pcm", (y16, c8, c8)))
+        mbs.append(("i16dc", lv))
+    return mbs, 2 * len(levels_list), 1
+
+
+def test_avc_cavlc_roundtrip_all_trailing_one_counts():
+    """Every TrailingOnes count 0..3, both signs, and the adaptive
+    suffixLength ladder survive encode -> decode bit-exactly."""
+    from redskins_rule_spark.functions.avc import (
+        decode_avc_i16dc,
+        encode_avc_i16dc,
+    )
+
+    cases = [
+        tuple([3, -2, 4, -3, 2, 2, -4, 3, 2, -2, 3, 4, -2, 2, 3, -2]),  # t1=0
+        tuple([2] * 15 + [1]),                                          # t1=1
+        tuple([-3] * 14 + [1, -1]),                                     # t1=2
+        tuple([4, -4, 3, 2, -2, 2, 3, -3, 2, 2, -2, 3, 2, -1, 1, 1]),   # t1=3
+        tuple([2] * 12 + [1, -1, 1, -1]),  # 4 trailing ones -> t1 capped at 3
+        tuple([-13, 12, -11, 10, -9, 8, -7, 6, -5, 4, -3, 2, -2, 3, -4, 5]),
+    ]
+    for lv in cases:
+        mbs, w, h = _i16dc_mbs([lv])
+        f = decode_avc_i16dc(encode_avc_i16dc(mbs, w, h))
+        assert f.mbs[1].dc_levels == lv, lv
+
+
+def test_avc_cavlc_decoder_handles_escape_prefix_sizes():
+    """level_prefix 14 (suffixLength 0), 15, and 16 take special
+    suffix sizes (§9.2.2.1) the encoder never emits — hand-build the
+    bitstream and check the decoded magnitudes."""
+    from redskins_rule_spark.functions.avc import (
+        _EgBits,
+        _EgBitsOut,
+        _read_cavlc_block16,
+    )
+
+    def decode_levels(write_levels):
+        w = _EgBitsOut()
+        write_levels(w)
+        w.u(1, 1)  # stop bit so the buffer flushes
+        if w._n:
+            w.u(0, 8 - w._n)
+        return _read_cavlc_block16(_EgBits(bytes(w.buf)), 16)
+
+    # t1 = 3 starts suffixLength at 0: first level via prefix 14 ->
+    # 4-bit suffix, levelCode = 14 + suffix
+    def esc14(w):
+        w.u(((16 - 1) << 2) | 3, 6)
+        w.u(0b010, 3)              # signs: +1, -1, +1
+        w.u(0, 14); w.u(1, 1); w.u(0b0000, 4)   # levelCode 14 -> level 8
+        # suffixLength is now 2 (|8| > 3<<0 -> 1, then > 3<<1 -> 2)
+        for _ in range(12):
+            w.u(0, 1); w.u(1, 1); w.u(0b00, 2)  # levelCode 4 -> level 3
+    lv = decode_levels(esc14)
+    assert lv[15:12:-1] == (1, -1, 1) and lv[12] == 8
+    assert all(v == 3 for v in lv[:12])
+
+    # prefix 15 with suffixLength 0: 12-bit suffix, +15 adjustment
+    def esc15(w):
+        w.u(((16 - 1) << 2) | 3, 6)
+        w.u(0b000, 3)
+        w.u(0, 15); w.u(1, 1); w.u(1, 12)  # levelCode 15+1+15 = 31 -> -16
+        for _ in range(12):
+            w.u(0, 6); w.u(1, 1); w.u(0, 6)  # suffixLength jumped to 6
+    lv = decode_levels(esc15)
+    assert lv[12] == -16
+
+    # prefix 16: levelCode += (1 << 13) - 4096 = 4096
+    def esc16(w):
+        w.u(((16 - 1) << 2) | 3, 6)
+        w.u(0b000, 3)
+        w.u(0, 16); w.u(1, 1); w.u(0, 13)  # code 15+0+15+4096 -> 2064
+        for _ in range(12):
+            w.u(0, 6); w.u(1, 1); w.u(0, 6)
+    lv = decode_levels(esc16)
+    assert lv[12] == 2064
+
+
+def test_avc_cavlc_names_each_remaining_seam():
+    import pytest
+
+    from redskins_rule_spark.functions.avc import (
+        decode_avc_i16dc,
+        encode_avc_i16dc,
+        encode_i16dc_slice,
+        encode_nal_stream,
+        encode_pps,
+        encode_sps,
+    )
+
+    lv = tuple([2] * 16)
+    # i16dc without an I_PCM neighbor -> nC < 8 VLC seam at encode
+    with pytest.raises(ValueError, match="nC"):
+        encode_i16dc_slice([("i16dc", lv)], 1, 1)
+    # decoder: hand-build a slice whose first MB is i16dc (nC = 0)
+    sps = encode_sps(66, 10, 0, 0, 0, 0, 1, 0, 1, 0, 1)
+    pps = encode_pps(0, 0, 0)
+    mbs, w, h = _i16dc_mbs([lv])
+    good = encode_i16dc_slice(mbs, w, h)
+    # swap macroblock order is not directly expressible; instead
+    # check the partial-block seam: TotalCoeff < 16 raises by name
+    from redskins_rule_spark.functions.avc import _EgBits, _read_cavlc_block16
+
+    from redskins_rule_spark.functions.avc import _EgBitsOut
+
+    wr = _EgBitsOut()
+    wr.u(((4 - 1) << 2) | 0, 6)  # TotalCoeff 4
+    wr.u(0, 2)
+    with pytest.raises(ValueError, match="total_zeros"):
+        _read_cavlc_block16(_EgBits(bytes(wr.buf)), 16)
+    with pytest.raises(ValueError, match="nC"):
+        _read_cavlc_block16(_EgBits(b"\x00\x00"), 0)
+    # AC/chroma residual (cbp != 0) raises by name: mb_type 13 has
+    # CodedBlockPatternLuma 15
+    stream = bytearray(encode_avc_i16dc(mbs, w, h))
+    assert decode_avc_i16dc(bytes(stream)).mbs[1].dc_levels == lv
+    # CABAC PPS raises by name
+    cab = encode_nal_stream(
+        [(3, 7, sps), (3, 8, encode_pps(0, 0, 1)),
+         (3, 5, good)]
+    )
+    with pytest.raises(ValueError, match="CABAC"):
+        decode_avc_i16dc(cab)
+
+
+def test_avc_cavlc_truncation_and_bitflip_sweeps():
+    """Truncations raise ValueError; header-region bit flips either
+    raise ValueError or decode to a frame — never IndexError."""
+    from redskins_rule_spark.functions.avc import (
+        decode_avc_i16dc,
+        synth_avc_i16dc,
+    )
+
+    stream = synth_avc_i16dc(23)
+    for cut in range(1, len(stream)):
+        try:
+            decode_avc_i16dc(stream[:cut])
+        except ValueError:
+            pass
+    for pos in range(len(stream)):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0x5A
+        try:
+            decode_avc_i16dc(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_avc_cavlc_encoder_profile_gates():
+    import pytest
+
+    from redskins_rule_spark.functions.avc import _EgBitsOut, _write_cavlc_block16
+
+    # a zero level is a partial block
+    with pytest.raises(ValueError, match="nonzero"):
+        _write_cavlc_block16(_EgBitsOut(), tuple([2] * 15 + [0]))
+    # magnitudes needing prefix >= 14 are outside the encoder profile
+    with pytest.raises(ValueError, match="escape"):
+        _write_cavlc_block16(_EgBitsOut(), tuple([9999] + [2] * 15))
+
+
+def test_avc_cavlc_hypothesis_roundtrip():
+    """Random full blocks under the encoder profile roundtrip."""
+    import random
+
+    from redskins_rule_spark.functions.avc import (
+        decode_avc_i16dc,
+        encode_avc_i16dc,
+    )
+
+    rng = random.Random(222)
+    for _ in range(60):
+        t1 = rng.randint(0, 3)
+        lv = []
+        for k in range(16 - t1):
+            lv.append(rng.choice([-1, 1]) * rng.randint(2, 7))
+        for _k in range(t1):
+            lv.append(rng.choice([-1, 1]))
+        lv = tuple(lv)
+        mbs, w, h = _i16dc_mbs([lv])
+        f = decode_avc_i16dc(encode_avc_i16dc(mbs, w, h))
+        assert f.mbs[1].dc_levels == lv
