@@ -414,91 +414,172 @@ def encode_mp3_granules(
             [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
         ) + id3_payload
     for fr in frames:
-        scfsi = fr["scfsi"]
-        if not 0 <= scfsi <= 15:
-            raise ValueError("mp3: scfsi out of range")
-        side = _BitsOut()
-        side.write(0, 9)   # main_data_begin = 0 (no reservoir)
-        side.write(0, 5)   # private_bits (mono)
-        side.write(scfsi, 4)
-        main = _BitsOut()
-        for g in (0, 1):
-            gd = fr[f"g{g}"]
-            sfc = gd["scalefac_compress"]
-            if not 0 <= sfc <= 15:
-                raise ValueError("mp3: scalefac_compress out of range")
-            slen1, slen2 = SLEN[sfc]
-            sfs = list(gd["scalefactors"])
-            if len(sfs) != 21:
-                raise ValueError("mp3: long blocks carry 21 scalefactors")
-            quads = [tuple(q) for q in gd.get("count1", [])]
-            table = gd["count1table_select"]
-            for quad in quads:
-                if len(quad) != 4 or any(v not in (-1, 0, 1) for v in quad):
-                    raise ValueError(
-                        "mp3: count1 quadruples take components in {-1,0,1}"
-                    )
-            pairs = [tuple(p) for p in gd.get("big_pairs", [])]
-            for pair in pairs:
-                if len(pair) != 2 or any(v not in (-1, 0, 1) for v in pair):
-                    raise ValueError(
-                        "mp3: table-1 big-values pairs take components "
-                        "in {-1,0,1}"
-                    )
-            if len(pairs) > 288:
-                raise ValueError("mp3: big_values exceeds 288 pairs")
-            bv_bits = sum(_bigv_pair_bits(p) for p in pairs)
-            c1_bits = sum(_count1_quad_bits(q, table) for q in quads)
-            part2 = _granule_sf_bits(sfc, scfsi, g)
-            side.write(part2 + bv_bits + c1_bits, 12)  # part2_3_length
-            side.write(len(pairs), 9)    # big_values
-            side.write(gd["global_gain"], 8)
-            side.write(sfc, 4)
-            side.write(0, 1)             # window_switching_flag (long)
-            # table_select x3: pair table 1 when big-values present
-            for t in ((1, 1, 1) if pairs else (0, 0, 0)):
-                side.write(t, 5)
-            side.write(0, 4)             # region0_count
-            side.write(0, 3)             # region1_count
-            side.write(gd["preflag"], 1)
-            side.write(gd["scalefac_scale"], 1)
-            side.write(gd["count1table_select"], 1)
-            for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
-                width = slen1 if lo < 11 else slen2
-                if g == 1 and (scfsi >> (3 - gi)) & 1:
-                    if sfs[lo:hi] != list(fr["g0"]["scalefactors"])[lo:hi]:
-                        raise ValueError(
-                            "mp3: scfsi-copied group differs from granule 0"
-                        )
-                    continue
-                for b in range(lo, hi):
-                    main.write(sfs[b], width)
-            for pair in pairs:  # big-values region precedes count1
-                x, y = pair
-                hlen, hcod = _BIGV_T1[(1 if x else 0, 1 if y else 0)]
-                main.write(hcod, hlen)
-                for v in pair:
-                    if v:
-                        main.write(1 if v < 0 else 0, 1)
-            for quad in quads:
-                nibble = sum(
-                    (1 << (3 - k)) if quad[k] else 0 for k in range(4)
-                )
-                if table:
-                    main.write(nibble ^ 0b1111, 4)  # table B: complement
-                else:
-                    hlen, hcod = _COUNT1_A[nibble]
-                    main.write(hcod, hlen)
-                for v in quad:
-                    if v:
-                        main.write(1 if v < 0 else 0, 1)
-        main.pad_to_byte()
+        scfsi, sides, main_bytes = _render_frame(fr)
         body_len = frame_length(bitrate_idx, sr_idx, 0) - 4
-        payload = bytes(side.buf) + bytes(main.buf)
+        payload = _write_side(0, scfsi, sides) + main_bytes
         if len(payload) > body_len:
             raise ValueError("mp3: side info + scalefactors exceed frame")
         out += _header(bitrate_idx, sr_idx, 0) + payload + bytes(
             body_len - len(payload)
+        )
+    return bytes(out)
+
+
+def _render_frame(fr: dict) -> tuple[int, list[tuple[int, ...]], bytes]:
+    """Render one frame's main_data (scalefactors + big-values pairs
+    + count1 quadruples, byte-padded — the pad bits are ancillary
+    data per §2.4.1.7) plus the side-info granule fields describing
+    it. Shared by the contiguous and reservoir encoders."""
+    scfsi = fr["scfsi"]
+    if not 0 <= scfsi <= 15:
+        raise ValueError("mp3: scfsi out of range")
+    main = _BitsOut()
+    sides: list[tuple[int, ...]] = []
+    for g in (0, 1):
+        gd = fr[f"g{g}"]
+        sfc = gd["scalefac_compress"]
+        if not 0 <= sfc <= 15:
+            raise ValueError("mp3: scalefac_compress out of range")
+        slen1, slen2 = SLEN[sfc]
+        sfs = list(gd["scalefactors"])
+        if len(sfs) != 21:
+            raise ValueError("mp3: long blocks carry 21 scalefactors")
+        quads = [tuple(q) for q in gd.get("count1", [])]
+        table = gd["count1table_select"]
+        for quad in quads:
+            if len(quad) != 4 or any(v not in (-1, 0, 1) for v in quad):
+                raise ValueError(
+                    "mp3: count1 quadruples take components in {-1,0,1}"
+                )
+        pairs = [tuple(p) for p in gd.get("big_pairs", [])]
+        for pair in pairs:
+            if len(pair) != 2 or any(v not in (-1, 0, 1) for v in pair):
+                raise ValueError(
+                    "mp3: table-1 big-values pairs take components "
+                    "in {-1,0,1}"
+                )
+        if len(pairs) > 288:
+            raise ValueError("mp3: big_values exceeds 288 pairs")
+        bv_bits = sum(_bigv_pair_bits(p) for p in pairs)
+        c1_bits = sum(_count1_quad_bits(q, table) for q in quads)
+        part2 = _granule_sf_bits(sfc, scfsi, g)
+        ts = (1, 1, 1) if pairs else (0, 0, 0)
+        sides.append(
+            (part2 + bv_bits + c1_bits, len(pairs), gd["global_gain"],
+             sfc, ts[0], ts[1], ts[2], 0, 0, gd["preflag"],
+             gd["scalefac_scale"], table)
+        )
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            width = slen1 if lo < 11 else slen2
+            if g == 1 and (scfsi >> (3 - gi)) & 1:
+                if sfs[lo:hi] != list(fr["g0"]["scalefactors"])[lo:hi]:
+                    raise ValueError(
+                        "mp3: scfsi-copied group differs from granule 0"
+                    )
+                continue
+            for b in range(lo, hi):
+                main.write(sfs[b], width)
+        for pair in pairs:  # big-values region precedes count1
+            x, y = pair
+            hlen, hcod = _BIGV_T1[(1 if x else 0, 1 if y else 0)]
+            main.write(hcod, hlen)
+            for v in pair:
+                if v:
+                    main.write(1 if v < 0 else 0, 1)
+        for quad in quads:
+            nibble = sum(
+                (1 << (3 - k)) if quad[k] else 0 for k in range(4)
+            )
+            if table:
+                main.write(nibble ^ 0b1111, 4)  # table B: complement
+            else:
+                hlen, hcod = _COUNT1_A[nibble]
+                main.write(hcod, hlen)
+            for v in quad:
+                if v:
+                    main.write(1 if v < 0 else 0, 1)
+    main.pad_to_byte()
+    return scfsi, sides, bytes(main.buf)
+
+
+def _write_side(
+    main_data_begin: int, scfsi: int, sides: list[tuple[int, ...]]
+) -> bytes:
+    """17-byte mono side info from rendered granule fields."""
+    side = _BitsOut()
+    side.write(main_data_begin, 9)
+    side.write(0, 5)   # private_bits (mono)
+    side.write(scfsi, 4)
+    for (part23, bv, gg, sfc, t0, t1, t2, r0, r1, pre, ss, c1t) in sides:
+        side.write(part23, 12)
+        side.write(bv, 9)
+        side.write(gg, 8)
+        side.write(sfc, 4)
+        side.write(0, 1)  # window_switching_flag (long)
+        side.write(t0, 5)
+        side.write(t1, 5)
+        side.write(t2, 5)
+        side.write(r0, 4)
+        side.write(r1, 3)
+        side.write(pre, 1)
+        side.write(ss, 1)
+        side.write(c1t, 1)
+    return bytes(side.buf)
+
+
+def encode_mp3_reservoir(
+    frames: list[dict],
+    bitrate_idx: int,
+    sr_idx: int,
+    begins: list[int] | None = None,
+) -> bytes:
+    """Mono Layer III stream that USES THE BIT RESERVOIR: frame n's
+    main_data starts `begins[n]` bytes BEFORE its own main-data area
+    (§2.4.1.7 main_data_begin — the mechanism virtually every real
+    MP3 exercises), so granule payloads spill across frame
+    boundaries. The layout is validated exactly as a conforming
+    decoder would have to: begins[0] == 0 (nothing precedes frame 0),
+    each begin ≤ 511 (9-bit field), no overlap with the previous
+    frame's main data, and each frame's main data ends inside its own
+    area. Bytes not covered by any main_data are ancillary filler
+    (0xAA) — a decoder must SKIP them via main_data_begin, never
+    assume contiguity. begins=None packs back-to-back (every begin
+    the maximum the layout allows, capped at 511 via filler)."""
+    rendered = [_render_frame(fr) for fr in frames]
+    cap = frame_length(bitrate_idx, sr_idx, 0) - 4 - 17
+    starts = [n * cap for n in range(len(frames))]
+    if begins is None:
+        begins = []
+        pos = 0
+        for n, (_s, _g, mb) in enumerate(rendered):
+            want = starts[n] - pos
+            b = min(want, 511)
+            pos = starts[n] - b + len(mb)
+            begins.append(b)
+    if len(begins) != len(frames):
+        raise ValueError("mp3: one main_data_begin per frame")
+    area = bytearray(b"\xaa" * (len(frames) * cap))
+    pos = 0
+    placed: list[int] = []
+    for n, ((_scfsi, _sides, mb), begin) in enumerate(zip(rendered, begins)):
+        if not 0 <= begin <= 511:
+            raise ValueError("mp3: main_data_begin exceeds the 9-bit range")
+        start = starts[n] - begin
+        if start < 0:
+            raise ValueError("mp3: reservoir reaches before the stream start")
+        if start < pos:
+            raise ValueError("mp3: main data overlaps the previous frame's")
+        if start + len(mb) > starts[n] + cap:
+            raise ValueError("mp3: main data overruns its own frame area")
+        area[start: start + len(mb)] = mb
+        pos = start + len(mb)
+        placed.append(begin)
+    out = bytearray()
+    for n, (scfsi, sides, _mb) in enumerate(rendered):
+        out += (
+            _header(bitrate_idx, sr_idx, 0)
+            + _write_side(placed[n], scfsi, sides)
+            + area[starts[n]: starts[n] + cap]
         )
     return bytes(out)
 
@@ -529,155 +610,236 @@ def parse_mp3_granules(
     the big-values pair-table seam."""
     out: list[Mp3FrameInfo] = []
     for _idx, body in extract_frames(data):
-        if len(body) < 17:
-            raise ValueError("mp3: frame too short for mono side info")
-        br = _Bits(body)
-        main_data_begin = br.read(9)
+        main_data_begin, scfsi, sides = _read_side_info(body)
         if main_data_begin:
             raise ValueError(
-                "mp3: bit reservoir (main_data_begin > 0) is outside the "
-                "structure profile — spectral-seam territory"
+                "mp3: bit reservoir (main_data_begin > 0) needs "
+                "cross-frame main_data reassembly — use "
+                "parse_mp3_reservoir"
             )
-        br.read(5)  # private_bits
-        scfsi = br.read(4)
-        sides = []
-        for g in (0, 1):
-            part23 = br.read(12)
-            big_values = br.read(9)
-            global_gain = br.read(8)
-            sfc = br.read(4)
-            ws = br.read(1)
-            if ws:
-                block_type = br.read(2)
-                if block_type == 0:
-                    raise ValueError(
-                        "mp3: window_switching with block_type 0 is invalid"
-                    )
-                raise ValueError(
-                    "mp3: short/mixed-block scalefactor layout is outside "
-                    "the long-block profile"
-                )
-            table_select = (br.read(5), br.read(5), br.read(5))
-            region0 = br.read(4)
-            region1 = br.read(3)
-            preflag = br.read(1)
-            scalefac_scale = br.read(1)
-            count1table = br.read(1)
-            sides.append(
-                (part23, big_values, global_gain, sfc, table_select,
-                 region0, region1, preflag, scalefac_scale, count1table)
-            )
-        if br.pos != 136:
-            raise ValueError("mp3: mono side info must be exactly 17 bytes")
         mbr = _Bits(body[17:])
-        granules = []
-        g0_sfs: list[int] = []
-        for g in (0, 1):
-            (part23, big_values, global_gain, sfc, table_select,
-             region0, region1, preflag, scalefac_scale, count1table) = sides[g]
-            slen1, slen2 = SLEN[sfc]
-            sfs: list[int] = []
-            for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
-                if g == 1 and (scfsi >> (3 - gi)) & 1:
-                    sfs.extend(g0_sfs[lo:hi])
-                    continue
-                width = slen1 if lo < 11 else slen2
-                for _b in range(lo, hi):
-                    sfs.append(mbr.read(width))
-            part2 = _granule_sf_bits(sfc, scfsi, g)
-            if part23 < part2:
-                raise ValueError(
-                    "mp3: part2_3_length smaller than its scalefactor section"
-                )
-            spectral = part23 - part2
-            if mbr.pos + spectral > 8 * len(body[17:]):
-                raise ValueError("mp3: spectral bits overrun main_data")
-            count1_quads: tuple[tuple[int, int, int, int], ...] | None = None
-            big_pairs_out: tuple[tuple[int, int], ...] | None = None
-            if decode_count1:
-                end = mbr.pos + spectral
-                if big_values and table_select != (1, 1, 1):
-                    raise ValueError(
-                        "mp3: big-values pair tables 2-31 (Table B.7 bulk) "
-                        "are outside the table-1 profile — spectral-seam "
-                        "territory"
-                    )
-                bpairs: list[tuple[int, int]] = []
-                for _p in range(big_values):
-                    ln, code = 1, mbr.read(1)
-                    while (ln, code) not in _BIGV_T1_DECODE:
-                        if ln >= 3:
-                            raise ValueError(
-                                "mp3: invalid big-values table-1 codeword"
-                            )
-                        code = (code << 1) | mbr.read(1)
-                        ln += 1
-                    xy = _BIGV_T1_DECODE[(ln, code)]
-                    vals2 = []
-                    for mag in xy:
-                        if mag:
-                            vals2.append(-1 if mbr.read(1) else 1)
-                        else:
-                            vals2.append(0)
-                    if mbr.pos > end:
-                        raise ValueError(
-                            "mp3: big-values pair overruns part2_3_length"
-                        )
-                    bpairs.append((vals2[0], vals2[1]))
-                big_pairs_out = tuple(bpairs)
-                quads: list[tuple[int, int, int, int]] = []
-                while mbr.pos < end:
-                    if count1table:  # table B: 4-bit one's complement
-                        nibble = mbr.read(4) ^ 0b1111
-                    else:  # table A: walk the prefix code (max 6 bits)
-                        ln, code = 1, mbr.read(1)
-                        while (ln, code) not in _COUNT1_A_DECODE:
-                            if ln >= 6:
-                                raise ValueError(
-                                    "mp3: invalid count1 table-A codeword"
-                                )
-                            code = (code << 1) | mbr.read(1)
-                            ln += 1
-                        nibble = _COUNT1_A_DECODE[(ln, code)]
-                    vals = []
-                    for k in range(4):
-                        if (nibble >> (3 - k)) & 1:
-                            vals.append(-1 if mbr.read(1) else 1)
-                        else:
-                            vals.append(0)
-                    if mbr.pos > end:
-                        raise ValueError(
-                            "mp3: count1 quadruple overruns part2_3_length"
-                        )
-                    quads.append((vals[0], vals[1], vals[2], vals[3]))
-                count1_quads = tuple(quads)
-            else:
-                # the Huffman spectral payload is skipped, not decoded —
-                # advance the cursor so multi-granule frames stay aligned
-                mbr.pos += spectral
-            if g == 0:
-                g0_sfs = sfs
-            granules.append(
-                Mp3Granule(
-                    part2_3_length=part23,
-                    big_values=big_values,
-                    global_gain=global_gain,
-                    scalefac_compress=sfc,
-                    table_select=table_select,
-                    region0_count=region0,
-                    region1_count=region1,
-                    preflag=preflag,
-                    scalefac_scale=scalefac_scale,
-                    count1table_select=count1table,
-                    scalefactors=tuple(sfs),
-                    spectral_bits=spectral,
-                    count1=count1_quads,
-                    big_pairs=big_pairs_out,
-                )
-            )
+        granules = _read_frame_main(
+            mbr, scfsi, sides, decode_count1, 8 * len(body[17:])
+        )
         out.append(
             Mp3FrameInfo(
                 main_data_begin=main_data_begin,
+                scfsi=scfsi,
+                granules=(granules[0], granules[1]),
+            )
+        )
+    return out
+
+
+def _read_side_info(body: bytes) -> tuple[int, int, list[tuple]]:
+    """Decode the 136-bit mono side info (§2.4.1.7)."""
+    if len(body) < 17:
+        raise ValueError("mp3: frame too short for mono side info")
+    br = _Bits(body)
+    main_data_begin = br.read(9)
+    br.read(5)  # private_bits
+    scfsi = br.read(4)
+    sides = []
+    for _g in (0, 1):
+        part23 = br.read(12)
+        big_values = br.read(9)
+        global_gain = br.read(8)
+        sfc = br.read(4)
+        ws = br.read(1)
+        if ws:
+            block_type = br.read(2)
+            if block_type == 0:
+                raise ValueError(
+                    "mp3: window_switching with block_type 0 is invalid"
+                )
+            raise ValueError(
+                "mp3: short/mixed-block scalefactor layout is outside "
+                "the long-block profile"
+            )
+        table_select = (br.read(5), br.read(5), br.read(5))
+        region0 = br.read(4)
+        region1 = br.read(3)
+        preflag = br.read(1)
+        scalefac_scale = br.read(1)
+        count1table = br.read(1)
+        sides.append(
+            (part23, big_values, global_gain, sfc, table_select,
+             region0, region1, preflag, scalefac_scale, count1table)
+        )
+    if br.pos != 136:
+        raise ValueError("mp3: mono side info must be exactly 17 bytes")
+    return main_data_begin, scfsi, sides
+
+
+def _read_frame_main(
+    mbr: _Bits,
+    scfsi: int,
+    sides: list[tuple],
+    decode_count1: bool,
+    bit_limit: int,
+) -> list[Mp3Granule]:
+    """Decode one frame's main_data (scalefactors with scfsi copy
+    semantics, then the spectral region) from an already-positioned
+    bit cursor. `bit_limit` is the absolute bound the spectral bits
+    may not cross — the frame body end for contiguous streams, the
+    frame's own main-data-area end for reservoir streams."""
+    granules = []
+    g0_sfs: list[int] = []
+    for g in (0, 1):
+        (part23, big_values, global_gain, sfc, table_select,
+         region0, region1, preflag, scalefac_scale, count1table) = sides[g]
+        slen1, slen2 = SLEN[sfc]
+        sfs: list[int] = []
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            if g == 1 and (scfsi >> (3 - gi)) & 1:
+                sfs.extend(g0_sfs[lo:hi])
+                continue
+            width = slen1 if lo < 11 else slen2
+            for _b in range(lo, hi):
+                sfs.append(mbr.read(width))
+        part2 = _granule_sf_bits(sfc, scfsi, g)
+        if part23 < part2:
+            raise ValueError(
+                "mp3: part2_3_length smaller than its scalefactor section"
+            )
+        spectral = part23 - part2
+        if mbr.pos + spectral > bit_limit:
+            raise ValueError("mp3: spectral bits overrun main_data")
+        count1_quads: tuple[tuple[int, int, int, int], ...] | None = None
+        big_pairs_out: tuple[tuple[int, int], ...] | None = None
+        if decode_count1:
+            end = mbr.pos + spectral
+            if big_values and table_select != (1, 1, 1):
+                raise ValueError(
+                    "mp3: big-values pair tables 2-31 (Table B.7 bulk) "
+                    "are outside the table-1 profile — spectral-seam "
+                    "territory"
+                )
+            bpairs: list[tuple[int, int]] = []
+            for _p in range(big_values):
+                ln, code = 1, mbr.read(1)
+                while (ln, code) not in _BIGV_T1_DECODE:
+                    if ln >= 3:
+                        raise ValueError(
+                            "mp3: invalid big-values table-1 codeword"
+                        )
+                    code = (code << 1) | mbr.read(1)
+                    ln += 1
+                xy = _BIGV_T1_DECODE[(ln, code)]
+                vals2 = []
+                for mag in xy:
+                    if mag:
+                        vals2.append(-1 if mbr.read(1) else 1)
+                    else:
+                        vals2.append(0)
+                if mbr.pos > end:
+                    raise ValueError(
+                        "mp3: big-values pair overruns part2_3_length"
+                    )
+                bpairs.append((vals2[0], vals2[1]))
+            big_pairs_out = tuple(bpairs)
+            quads: list[tuple[int, int, int, int]] = []
+            while mbr.pos < end:
+                if count1table:  # table B: 4-bit one's complement
+                    nibble = mbr.read(4) ^ 0b1111
+                else:  # table A: walk the prefix code (max 6 bits)
+                    ln, code = 1, mbr.read(1)
+                    while (ln, code) not in _COUNT1_A_DECODE:
+                        if ln >= 6:
+                            raise ValueError(
+                                "mp3: invalid count1 table-A codeword"
+                            )
+                        code = (code << 1) | mbr.read(1)
+                        ln += 1
+                    nibble = _COUNT1_A_DECODE[(ln, code)]
+                vals = []
+                for k in range(4):
+                    if (nibble >> (3 - k)) & 1:
+                        vals.append(-1 if mbr.read(1) else 1)
+                    else:
+                        vals.append(0)
+                if mbr.pos > end:
+                    raise ValueError(
+                        "mp3: count1 quadruple overruns part2_3_length"
+                    )
+                quads.append((vals[0], vals[1], vals[2], vals[3]))
+            count1_quads = tuple(quads)
+        else:
+            # the Huffman spectral payload is skipped, not decoded —
+            # advance the cursor so multi-granule frames stay aligned
+            mbr.pos += spectral
+        if g == 0:
+            g0_sfs = sfs
+        granules.append(
+            Mp3Granule(
+                part2_3_length=part23,
+                big_values=big_values,
+                global_gain=global_gain,
+                scalefac_compress=sfc,
+                table_select=table_select,
+                region0_count=region0,
+                region1_count=region1,
+                preflag=preflag,
+                scalefac_scale=scalefac_scale,
+                count1table_select=count1table,
+                scalefactors=tuple(sfs),
+                spectral_bits=spectral,
+                count1=count1_quads,
+                big_pairs=big_pairs_out,
+            )
+        )
+    return granules
+
+
+def parse_mp3_reservoir(
+    data: bytes, decode_count1: bool = False
+) -> list[Mp3FrameInfo]:
+    """REAL bit-reservoir decode (§2.4.1.7) — the cross-frame
+    main_data reassembly virtually every real-world MP3 requires and
+    `parse_mp3_granules` raises on. The reservoir is the
+    concatenation of every frame's post-side-info bytes; frame n's
+    main_data starts main_data_begin bytes BEFORE its own area, i.e.
+    inside earlier frames' areas, and may spill forward across frame
+    boundaries. Enforced as a conforming decoder must: the start may
+    not precede the stream, may not overlap the previous frame's
+    main_data, and the frame's bits may not run past its OWN area end
+    (future frames' bytes are not available at decode time). Bytes no
+    frame claims are ancillary data and are skipped — contiguity is
+    never assumed. Content decoding (scalefactors, count1,
+    big-values table 1) is byte-for-byte the `parse_mp3_granules`
+    walk; only the transport differs."""
+    headers = []
+    areas: list[bytes] = []
+    offsets: list[int] = []
+    total = 0
+    for _idx, body in extract_frames(data):
+        begin, scfsi, sides = _read_side_info(body)
+        headers.append((begin, scfsi, sides))
+        offsets.append(total)
+        areas.append(body[17:])
+        total += len(body) - 17
+    mbr = _Bits(b"".join(areas))
+    out: list[Mp3FrameInfo] = []
+    prev_end = 0
+    for n, (begin, scfsi, sides) in enumerate(headers):
+        start = offsets[n] - begin
+        if start < 0:
+            raise ValueError(
+                "mp3: main_data_begin reaches before the stream start"
+            )
+        if 8 * start < prev_end:
+            raise ValueError(
+                "mp3: main data overlaps the previous frame's"
+            )
+        mbr.pos = 8 * start
+        limit = 8 * (offsets[n] + len(areas[n]))
+        granules = _read_frame_main(mbr, scfsi, sides, decode_count1, limit)
+        if mbr.pos > limit:
+            raise ValueError("mp3: main data overruns its own frame area")
+        prev_end = mbr.pos
+        out.append(
+            Mp3FrameInfo(
+                main_data_begin=begin,
                 scfsi=scfsi,
                 granules=(granules[0], granules[1]),
             )
@@ -749,8 +911,15 @@ def synth_mp3_count1(clen: int) -> bytes:
     Table B.7 codebooks (A prefix code, B complement) are exercised
     in every payload. Scalefactor fields follow the
     synth_mp3_granules formulas with decoupling offsets."""
+    return encode_mp3_granules(_count1_frame_dicts(clen), clen % 14 + 1, 2)
+
+
+def _count1_frame_dicts(clen: int) -> list[dict]:
+    """The synth_mp3_count1 granule-content formulas as frame dicts —
+    shared by the contiguous (q210) and reservoir (q223) transports
+    so both oracles replay the SAME closed form."""
     n = clen % 5 + 2
-    frames = []
+    frames: list[dict] = []
     for i in range(n):
         scfsi = (3 * clen + 5 * i + 2) % 16
         fr: dict = {"scfsi": scfsi}
@@ -784,7 +953,32 @@ def synth_mp3_count1(clen: int) -> bytes:
             if (scfsi >> (3 - gi)) & 1:
                 fr["g1"]["scalefactors"][lo:hi] = fr["g0"]["scalefactors"][lo:hi]
         frames.append(fr)
-    return encode_mp3_granules(frames, clen % 14 + 1, 2)
+    return frames
+
+
+def synth_mp3_reservoir(clen: int) -> bytes:
+    """Reservoir-packed count1 stream (the q223 closed form): the
+    granule CONTENT replays `synth_mp3_count1`'s formulas exactly —
+    same quadruples, scalefactors, and codebook selects, so the
+    oracle is q210's — while the TRANSPORT exercises the bit
+    reservoir: main_data_begin_n = (7·clen + 13·n) % (upper_n + 1),
+    where upper_n = min(511, layout slack) is the largest legal
+    back-reach at frame n. Main data therefore starts inside EARLIER
+    frames' areas and spills across frame boundaries, with 0xAA
+    ancillary filler in the uncovered gaps — decoding it requires
+    real cross-frame reassembly, not contiguity assumptions."""
+    frames = _count1_frame_dicts(clen)
+    bidx = clen % 14 + 1
+    cap = frame_length(bidx, 2, 0) - 4 - 17
+    begins: list[int] = []
+    pos = 0
+    for n, fr in enumerate(frames):
+        mb_len = len(_render_frame(fr)[2])
+        upper = min(511, n * cap - pos)
+        b = 0 if upper <= 0 else (7 * clen + 13 * n) % (upper + 1)
+        begins.append(b)
+        pos = n * cap - b + mb_len
+    return encode_mp3_reservoir(frames, bidx, 2, begins)
 
 
 def synth_mp3_bigv(clen: int) -> bytes:

@@ -3370,3 +3370,87 @@ def decode_avc_i16dc_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_mp3_reservoir_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize MP3 streams whose main_data USES THE BIT RESERVOIR
+    (main_data_begin > 0, §2.4.1.7): granule payloads start inside
+    EARLIER frames' areas and spill across frame boundaries, with
+    ancillary filler in unclaimed gaps — the transport shape
+    virtually every real-world MP3 has (functions/mp3.py
+    `synth_mp3_reservoir`; granule CONTENT replays the q210 closed
+    forms exactly). Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.mp3 import synth_mp3_reservoir
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_mp3_reservoir(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_mp3_reservoir_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL bit-reservoir decode through the MP3 seam: cross-frame
+    main_data reassembly (main_data_begin back-pointers, ancillary
+    skip, own-area-end enforcement) feeding the same scalefactor +
+    count1 Huffman walk as q210 — then the identical integer
+    aggregates over the decoded (v,w,x,y) values, which only come out
+    right if the reassembly is bit-exact. NULL payloads yield NULL
+    stats; corrupt ones raise ValueError."""
+    from redskins_rule_spark.functions.mp3 import parse_mp3_reservoir
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_quads", T.LongType()),
+            T.StructField("sum_vals", T.LongType()),
+            T.StructField("n_neg", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 5)
+                    continue
+                frames = parse_mp3_reservoir(bytes(b), decode_count1=True)
+                n_quads = sum_vals = n_neg = fp = 0
+                for i, fr in enumerate(frames):
+                    for g in (0, 1):
+                        for q, quad in enumerate(fr.granules[g].count1):
+                            n_quads += 1
+                            sum_vals += sum(quad)
+                            n_neg += sum(1 for v in quad if v < 0)
+                            v, w, x, y = quad
+                            fp += (64 * i + 32 * g + q + 1) * (
+                                v + 2 * w + 3 * x + 4 * y
+                            )
+                rows.append((len(frames), n_quads, sum_vals, n_neg, fp))
+            cols = ["n_frames", "n_quads", "sum_vals", "n_neg", "fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

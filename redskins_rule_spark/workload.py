@@ -507,7 +507,11 @@ _DRIVER_PRIORITY: list[str] = [
     # and rotates hash-green ones to the tail each round.
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
-    "q221_model_quality", "q222_avc_cavlc",
+    "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
+    # --- round-11 TOUCHED: the MP3 encoder/parser refactor behind
+    #     q223 (shared _render_frame/_read_frame_main) touches q210/
+    #     q213's code path ---
+    "q210_mp3_count1", "q213_mp3_bigvalues",
     # --- round-11 TOUCHED: the ID3 duplicate-frame-ID fix (ADVICE
     #     r10) changed decode_id3v24_stats/decode_id3_stats counting
     #     and _parse_id3_frames now rejects padding-with-footer ---
@@ -534,12 +538,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
     "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
-    "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
-    "q80_transitive_closure", "q81_lateral_topn",
-    # exactly 50 explicit entries — new registrations + 2 touched +
+    "q77_multiset_ops", "q78_posexplode",
+    # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
-    # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222).
+    # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222,
+    # q80/q81 for q223 + the q210/q213 touched re-checks).
 ]
 
 
@@ -10857,3 +10861,57 @@ def q222_avc_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_avc_i16dc_payload(docs, "text", "doc_id")
     return decode_avc_i16dc_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q223: the MP3 BIT RESERVOIR — cross-frame main_data reassembly
+# (§2.4.1.7 main_data_begin), the transport mechanism virtually every
+# real-world MP3 uses and the one structural gate left on the MP3
+# framing layer (parse_mp3_granules raises on it by name). Frame n's
+# main_data starts main_data_begin bytes BEFORE its own area — inside
+# earlier frames' areas — and spills forward across frame boundaries;
+# unclaimed bytes are ancillary filler a decoder must SKIP. The
+# granule CONTENT replays q210's closed forms exactly (same count1
+# quadruples, scalefactors, codebook selects), so the oracle is
+# q210's SQL verbatim: the decoded values only hash equal if the
+# reassembly is bit-exact — a scrambled reservoir scrambles the
+# fingerprint. Remaining MP3 seam after this: big-values pair tables
+# 2-31 (the 16x16 ISO codebooks + linbits escapes, deliberately NOT
+# reconstructed from memory — no verifiable public copy ships in this
+# container, and an unverifiable table would claim spec parity
+# falsely) and float requantization.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q223_mp3_reservoir",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cells AS (SELECT doc_id, clen, f.i, gg.g, u.q,
+                     {_Q210_VALS[0]} AS v, {_Q210_VALS[1]} AS w,
+                     {_Q210_VALS[2]} AS x, {_Q210_VALS[3]} AS y
+              FROM d,
+                   unnest(generate_series(0, clen % 5 + 1)) AS f(i),
+                   unnest([0, 1]) AS gg(g),
+                   unnest(generate_series(0, (clen + f.i + gg.g) % 5)) AS u(q))
+    SELECT doc_id,
+           CAST(clen % 5 + 2 AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_quads,
+           CAST(SUM(v + w + x + y) AS BIGINT) AS sum_vals,
+           CAST(SUM((v < 0)::INT + (w < 0)::INT + (x < 0)::INT
+                    + (y < 0)::INT) AS BIGINT) AS n_neg,
+           CAST(SUM((64 * i + 32 * g + q + 1)
+                    * (v + 2 * w + 3 * x + 4 * y)) AS BIGINT) AS fp
+    FROM cells
+    GROUP BY doc_id, clen
+    """,
+)
+def q223_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_mp3_reservoir_stats,
+        with_mp3_reservoir_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_mp3_reservoir_payload(docs, "text", "doc_id")
+    return decode_mp3_reservoir_stats(payloads, "payload", "doc_id")

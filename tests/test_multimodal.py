@@ -3839,3 +3839,112 @@ def test_avc_cavlc_hypothesis_roundtrip():
         mbs, w, h = _i16dc_mbs([lv])
         f = decode_avc_i16dc(encode_avc_i16dc(mbs, w, h))
         assert f.mbs[1].dc_levels == lv
+
+
+# --- q223: bit-reservoir main_data reassembly (§2.4.1.7) ---
+
+
+def test_mp3_reservoir_content_equals_contiguous():
+    """Same granule content through both transports: the reservoir
+    stream must decode to byte-for-byte the q210 values, and the
+    fixture must genuinely exercise nonzero main_data_begin."""
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_granules,
+        parse_mp3_reservoir,
+        synth_mp3_count1,
+        synth_mp3_reservoir,
+    )
+
+    nonzero = 0
+    for clen in (0, 1, 7, 23, 64, 99, 150, 251):
+        res = parse_mp3_reservoir(synth_mp3_reservoir(clen),
+                                  decode_count1=True)
+        ref = parse_mp3_granules(synth_mp3_count1(clen), decode_count1=True)
+        assert len(res) == len(ref)
+        for a, b in zip(res, ref):
+            assert a.scfsi == b.scfsi
+            for ga, gb in zip(a.granules, b.granules):
+                assert ga.count1 == gb.count1
+                assert ga.scalefactors == gb.scalefactors
+        nonzero += sum(1 for f in res if f.main_data_begin > 0)
+    assert nonzero > 10  # the reservoir path is really taken
+    # a contiguous stream is the begin == 0 special case
+    assert parse_mp3_reservoir(synth_mp3_count1(23), decode_count1=True)
+
+
+def test_mp3_reservoir_spill_across_frame_boundary():
+    """Force main data to START in frame n-1's area and FINISH in
+    frame n's — the exact cross-boundary case contiguity-assuming
+    readers break on."""
+    from redskins_rule_spark.functions.mp3 import (
+        _count1_frame_dicts,
+        encode_mp3_reservoir,
+        parse_mp3_reservoir,
+    )
+
+    frames = _count1_frame_dicts(23)[:2]
+    # frame 1 reaches back 30 bytes into frame 0's area
+    stream = encode_mp3_reservoir(frames, 14, 2, [0, 30])
+    out = parse_mp3_reservoir(stream, decode_count1=True)
+    assert out[1].main_data_begin == 30
+    assert out[1].granules[0].count1 == tuple(
+        tuple(q) for q in frames[1]["g0"]["count1"]
+    )
+
+
+def test_mp3_reservoir_layout_gates():
+    import pytest
+
+    from redskins_rule_spark.functions.mp3 import (
+        _count1_frame_dicts,
+        encode_mp3_reservoir,
+        parse_mp3_granules,
+        parse_mp3_reservoir,
+        synth_mp3_reservoir,
+    )
+
+    frames = _count1_frame_dicts(23)[:2]
+    # encoder: begin reaching before the stream start
+    with pytest.raises(ValueError, match="before the stream start"):
+        encode_mp3_reservoir(frames, 14, 2, [1, 0])
+    # encoder: overlap with the previous frame's main data — needs a
+    # low bitrate so cap (123 bytes at 32 kbps) is inside the 9-bit
+    # begin range
+    with pytest.raises(ValueError, match="overlaps"):
+        encode_mp3_reservoir(frames, 1, 2, [0, 123])
+    # encoder: 9-bit range
+    with pytest.raises(ValueError, match="9-bit"):
+        encode_mp3_reservoir(frames, 14, 2, [0, 512])
+    # the contiguous parser still raises on reservoir streams, now
+    # pointing at the implementation instead of a seam
+    with pytest.raises(ValueError, match="parse_mp3_reservoir"):
+        parse_mp3_granules(synth_mp3_reservoir(23), decode_count1=True)
+    # decoder: corrupt frame 1's begin field (first 9 bits after the
+    # 4-byte header) to reach back past the start of the stream
+    stream = bytearray(encode_mp3_reservoir(frames, 1, 2, [0, 30]))
+    flen = 144 * 32 // 32
+    stream[flen + 4] = 0xFF  # begin -> 511 > frame 1's 123-byte offset
+    stream[flen + 5] |= 0x80
+    with pytest.raises(ValueError, match="before the stream start"):
+        parse_mp3_reservoir(bytes(stream), decode_count1=True)
+
+
+def test_mp3_reservoir_truncation_and_bitflip_sweeps():
+    from redskins_rule_spark.functions.mp3 import (
+        parse_mp3_reservoir,
+        synth_mp3_reservoir,
+    )
+
+    stream = synth_mp3_reservoir(47)
+    for cut in range(1, min(len(stream), 400)):
+        try:
+            parse_mp3_reservoir(stream[:cut], decode_count1=True)
+        except ValueError:
+            pass
+    for pos in range(0, len(stream), 7):
+        mutated = bytearray(stream)
+        mutated[pos] ^= 0x5A
+        try:
+            parse_mp3_reservoir(bytes(mutated), decode_count1=True)
+        except ValueError:
+            pass

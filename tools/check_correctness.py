@@ -84,6 +84,17 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    # Big-SF hardening (the sf10 OOM lesson): DuckDB's in-memory
+    # connection otherwise grows its buffer pool toward 80% of RAM
+    # and never returns it, and the NEXT Spark query pays the bill.
+    # Opt-in via env so small-SF behavior is byte-identical.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # scale fixtures (tools/make_scale.py / make_skew.py) are
         # Spark-written DIRECTORIES of part files; the driver testdata
