@@ -373,7 +373,22 @@ class AacSilentSce:
     window_sequence: int
     window_shape: int
     max_sfb: int
-    sections: tuple[tuple[int, int], ...]  # (sect_cb, sect_len) runs
+    sections: tuple[tuple[int, int], ...]  # (sect_cb, sect_len) runs,
+    # concatenated across window groups for EIGHT_SHORT_SEQUENCE
+    # scale_factor_grouping (7 bits, MSB = window 1) for short
+    # windows; None for long
+    grouping: int | None = None
+
+    @property
+    def n_groups(self) -> int:
+        """Window groups: 1 for long; for EIGHT_SHORT_SEQUENCE a new
+        group starts at every ZERO grouping bit (bit i covers window
+        i+1), so n = 1 + zero-bit count."""
+        if self.grouping is None:
+            return 1
+        return 1 + sum(
+            1 for i in range(7) if not (self.grouping >> (6 - i)) & 1
+        )
 
 
 class _AacBits:
@@ -420,33 +435,53 @@ class _AacBitsOut:
 def encode_aac_silent_block(sces: list[dict]) -> bytes:
     """One byte-aligned raw_data_block of silent SCEs + ID_END. Each
     sce dict: instance_tag (0-15), global_gain (0-255), window_shape
-    (0/1), max_sfb (1-49, long windows), n_sections (runs splitting
-    max_sfb as-evenly-as-possible, every run ZERO codebook)."""
+    (0/1), n_sections (runs splitting max_sfb as-evenly-as-possible,
+    every run ZERO codebook), and EITHER long windows
+    (window_sequence absent/0, max_sfb 1-49, 5-bit section escapes)
+    OR EIGHT_SHORT_SEQUENCE (window_sequence = 2, max_sfb 1-15,
+    grouping = 7-bit scale_factor_grouping, section data PER WINDOW
+    GROUP with 3-bit escapes — the §8.3.4 short-window layout)."""
     w = _AacBitsOut()
     for sce in sces:
         max_sfb = sce["max_sfb"]
         ns = sce["n_sections"]
+        wseq = sce.get("window_sequence", 0)
         if not 1 <= ns <= max_sfb:
             raise ValueError("aac: n_sections must be in [1, max_sfb]")
         w.write(_AAC_ID_SCE, 3)
         w.write(sce["instance_tag"], 4)
         w.write(sce["global_gain"], 8)
-        # ics_info, long windows (ONLY_LONG_SEQUENCE = 0)
         w.write(0, 1)              # ics_reserved_bit
-        w.write(0, 2)              # window_sequence
+        w.write(wseq, 2)           # window_sequence
         w.write(sce["window_shape"], 1)
-        w.write(max_sfb, 6)
-        w.write(0, 1)              # predictor_data_present
-        # section_data: runs of (cb=0, len) with 5-bit escape lengths
+        if wseq == 2:
+            if not 1 <= max_sfb <= 15:
+                raise ValueError(
+                    "aac: short-window max_sfb is a 4-bit field"
+                )
+            grouping = sce["grouping"]
+            w.write(max_sfb, 4)
+            w.write(grouping, 7)   # scale_factor_grouping
+            n_groups = 1 + sum(
+                1 for i in range(7) if not (grouping >> (6 - i)) & 1
+            )
+            sect_bits, esc = 3, 7
+        else:
+            w.write(max_sfb, 6)
+            w.write(0, 1)          # predictor_data_present
+            n_groups = 1
+            sect_bits, esc = 5, 31
+        # section_data: per group, runs of (cb=0, len) with escapes
         base, rem = divmod(max_sfb, ns)
-        for s in range(ns):
-            run = base + (1 if s < rem else 0)
-            w.write(0, 4)          # sect_cb = ZERO_HCB
-            left = run
-            while left >= 31:
-                w.write(31, 5)
-                left -= 31
-            w.write(left, 5)
+        for _g in range(n_groups):
+            for s in range(ns):
+                run = base + (1 if s < rem else 0)
+                w.write(0, 4)      # sect_cb = ZERO_HCB
+                left = run
+                while left >= esc:
+                    w.write(esc, sect_bits)
+                    left -= esc
+                w.write(left, sect_bits)
         w.write(0, 1)              # pulse_data_present
         w.write(0, 1)              # tns_data_present
         w.write(0, 1)              # gain_control_data_present
@@ -485,38 +520,48 @@ def parse_aac_silent_block(payload: bytes) -> list[AacSilentSce]:
             raise ValueError("aac: ics_reserved_bit must be 0")
         wseq = br.read(2)
         wshape = br.read(1)
+        grouping: int | None = None
         if wseq == 2:
-            raise ValueError(
-                "aac: short-window grouped scalefactor layout is outside "
-                "the long-window structure profile"
+            # EIGHT_SHORT_SEQUENCE (§8.3.4): 4-bit max_sfb, 7-bit
+            # scale_factor_grouping, section data PER WINDOW GROUP
+            # with 3-bit length escapes
+            max_sfb = br.read(4)
+            grouping = br.read(7)
+            n_groups = 1 + sum(
+                1 for i in range(7) if not (grouping >> (6 - i)) & 1
             )
-        max_sfb = br.read(6)
-        if br.read(1):
-            raise ValueError(
-                "aac: predictor data is outside the structure profile"
-            )
-        sections: list[tuple[int, int]] = []
-        k = 0
-        while k < max_sfb:
-            cb = br.read(4)
-            sect_len = 0
-            while True:
-                incr = br.read(5)
-                sect_len += incr
-                if incr != 31:
-                    break
-            if sect_len == 0:
-                raise ValueError("aac: zero-length section run")
-            if cb != 0:
+            sect_bits, esc = 3, 7
+        else:
+            max_sfb = br.read(6)
+            if br.read(1):
                 raise ValueError(
-                    f"aac: sect_cb {cb} needs the scalefactor + spectral "
-                    "Huffman codebooks — outside the silent-SCE profile "
-                    "(codebook seam)"
+                    "aac: predictor data is outside the structure profile"
                 )
-            sections.append((cb, sect_len))
-            k += sect_len
-        if k != max_sfb:
-            raise ValueError("aac: section runs overrun max_sfb")
+            n_groups = 1
+            sect_bits, esc = 5, 31
+        sections: list[tuple[int, int]] = []
+        for _g in range(n_groups):
+            k = 0
+            while k < max_sfb:
+                cb = br.read(4)
+                sect_len = 0
+                while True:
+                    incr = br.read(sect_bits)
+                    sect_len += incr
+                    if incr != esc:
+                        break
+                if sect_len == 0:
+                    raise ValueError("aac: zero-length section run")
+                if cb != 0:
+                    raise ValueError(
+                        f"aac: sect_cb {cb} needs the scalefactor + "
+                        "spectral Huffman codebooks — outside the "
+                        "silent-SCE profile (codebook seam)"
+                    )
+                sections.append((cb, sect_len))
+                k += sect_len
+            if k != max_sfb:
+                raise ValueError("aac: section runs overrun max_sfb")
         if br.read(1):
             raise ValueError("aac: pulse data is outside the profile")
         if br.read(1):
@@ -531,6 +576,7 @@ def parse_aac_silent_block(payload: bytes) -> list[AacSilentSce]:
                 window_shape=wshape,
                 max_sfb=max_sfb,
                 sections=tuple(sections),
+                grouping=grouping,
             )
         )
     return out
@@ -558,6 +604,40 @@ def synth_adts_silent(clen: int) -> bytes:
                     "window_shape": (clen + f) % 2,
                     "max_sfb": (clen + 5 * f) % 42 + 4,
                     "n_sections": (clen + f) % 3 + 1,
+                }
+            ]
+        )
+        frames.append((clen % 4, clen % 13, 1, block))
+    return encode_adts(frames, crc_present=False)
+
+
+def synth_adts_short(clen: int) -> bytes:
+    """ADTS stream of REAL EIGHT_SHORT_SEQUENCE silent SCEs (the q224
+    oracle's closed forms): n = clen%6 + 2 frames; frame f's SCE has
+
+        instance_tag = (clen + 2f) % 16
+        global_gain  = (clen + 7f) % 256
+        window_shape = (clen + f) % 2
+        max_sfb      = (clen + 5f) % 12 + 2    (4-bit short field)
+        grouping     = (3·clen + 11·f) % 128   (7-bit, all patterns)
+        n_sections   = min((clen + f) % 3 + 1, max_sfb) per group
+
+    so window-group counts 1..8 and the 3-bit section-length escape
+    (runs ≥ 7) are both exercised across the corpus."""
+    n = clen % 6 + 2
+    frames = []
+    for f in range(n):
+        max_sfb = (clen + 5 * f) % 12 + 2
+        block = encode_aac_silent_block(
+            [
+                {
+                    "instance_tag": (clen + 2 * f) % 16,
+                    "global_gain": (clen + 7 * f) % 256,
+                    "window_shape": (clen + f) % 2,
+                    "window_sequence": 2,
+                    "max_sfb": max_sfb,
+                    "grouping": (3 * clen + 11 * f) % 128,
+                    "n_sections": min((clen + f) % 3 + 1, max_sfb),
                 }
             ]
         )

@@ -3454,3 +3454,88 @@ def decode_mp3_reservoir_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_adts_short_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize ADTS streams of EIGHT_SHORT_SEQUENCE silent SCEs —
+    the short-window grouped section layout (functions/aac.py
+    `synth_adts_short` closed forms). Arrow-batched; payloads never
+    touch the driver."""
+    from redskins_rule_spark.functions.aac import synth_adts_short
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_adts_short(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_aac_short_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL short-window decode through the AAC seam: ADTS walk →
+    element walk → EIGHT_SHORT_SEQUENCE ics_info (4-bit max_sfb +
+    7-bit scale_factor_grouping) → per-window-group section runs with
+    3-bit escapes — integer aggregates over the decoded SCEs
+    including the derived window-group counts. NULL payloads yield
+    NULL stats; corrupt ones raise ValueError."""
+    from redskins_rule_spark.functions.aac import (
+        parse_aac_silent_block,
+        parse_adts,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("gain_sum", T.LongType()),
+            T.StructField("sfb_sum", T.LongType()),
+            T.StructField("n_sections", T.LongType()),
+            T.StructField("groups_sum", T.LongType()),
+            T.StructField("tag_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                meta = parse_adts(bytes(b))
+                gain_sum = sfb_sum = n_sections = groups_sum = tag_fp = 0
+                for f, fr in enumerate(meta.frames):
+                    for sce in parse_aac_silent_block(fr.payload):
+                        gain_sum += sce.global_gain
+                        sfb_sum += sce.max_sfb
+                        n_sections += len(sce.sections)
+                        groups_sum += sce.n_groups
+                        tag_fp += (f + 1) * sce.instance_tag
+                rows.append(
+                    (meta.n_frames, gain_sum, sfb_sum, n_sections,
+                     groups_sum, tag_fp)
+                )
+            cols = ["n_frames", "gain_sum", "sfb_sum", "n_sections",
+                    "groups_sum", "tag_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -508,6 +508,10 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
+    "q224_aac_short_windows",
+    # --- round-11 TOUCHED: the AAC short-window extension touches
+    #     q214's parse path ---
+    "q214_aac_sce",
     # --- round-11 TOUCHED: the MP3 encoder/parser refactor behind
     #     q223 (shared _render_frame/_read_frame_main) touches q210/
     #     q213's code path ---
@@ -538,7 +542,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
     "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
-    "q77_multiset_ops", "q78_posexplode",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -10915,3 +10918,58 @@ def q223_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_mp3_reservoir_payload(docs, "text", "doc_id")
     return decode_mp3_reservoir_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q224: AAC EIGHT_SHORT_SEQUENCE — the short-window grouped layout
+# (§8.3.4), the gnarliest STRUCTURAL part of an ICS and the half of
+# the q214 seam that needs no codebook: 4-bit max_sfb, the 7-bit
+# scale_factor_grouping whose ZERO bits open new window groups, and
+# section data repeated PER GROUP with 3-bit length escapes (long
+# windows use 5-bit). Zero-codebook sections mean the whole element
+# is fixed-width fields + run structure — really encoded, really
+# decoded, group counts 1..8 and the 3-bit escape all exercised.
+# Remaining AAC seam after this, raised by name and deliberately NOT
+# reconstructed from memory (the scalefactor codebook is a 121-entry
+# arbitrary Huffman table with no verifiable public copy in this
+# container): nonzero sect_cb scalefactor/spectral codebooks and
+# float reconstruction. Oracle replays the synth closed forms; the
+# group count replays the zero-bit rule bit-by-bit in SQL.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q224_aac_short_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cells AS (SELECT doc_id, clen, f.f,
+                     (clen + 5 * f.f) % 12 + 2 AS max_sfb,
+                     (3 * clen + 11 * f.f) % 128 AS grp
+              FROM d, unnest(generate_series(0, clen % 6 + 1)) AS f(f)),
+    g AS (SELECT doc_id, clen, f, max_sfb,
+                 1 + ((grp >> 0) & 1 = 0)::INT + ((grp >> 1) & 1 = 0)::INT
+                   + ((grp >> 2) & 1 = 0)::INT + ((grp >> 3) & 1 = 0)::INT
+                   + ((grp >> 4) & 1 = 0)::INT + ((grp >> 5) & 1 = 0)::INT
+                   + ((grp >> 6) & 1 = 0)::INT AS n_groups
+          FROM cells)
+    SELECT doc_id,
+           CAST(clen % 6 + 2 AS BIGINT) AS n_frames,
+           CAST(SUM((clen + 7 * f) % 256) AS BIGINT) AS gain_sum,
+           CAST(SUM(max_sfb) AS BIGINT) AS sfb_sum,
+           CAST(SUM(n_groups * LEAST((clen + f) % 3 + 1, max_sfb))
+                AS BIGINT) AS n_sections,
+           CAST(SUM(n_groups) AS BIGINT) AS groups_sum,
+           CAST(SUM((f + 1) * ((clen + 2 * f) % 16)) AS BIGINT) AS tag_fp
+    FROM g
+    GROUP BY doc_id, clen
+    """,
+)
+def q224_aac_short_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_aac_short_stats,
+        with_adts_short_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_adts_short_payload(docs, "text", "doc_id")
+    return decode_aac_short_stats(payloads, "payload", "doc_id")
