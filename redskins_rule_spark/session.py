@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # big-fixture differentials collect multi-GB results through
+        # toPandas; the 1g default aborts the job at sf10 (q59).
+        # Capacity knob only — production code never collects row
+        # data, so this bounds harness behavior, not operator design.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

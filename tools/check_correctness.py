@@ -75,9 +75,78 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+# In-engine checksum compare for results too big to materialize (the
+# sf10 q59 case: 100M rows — toPandas + repr-canon is infeasible on
+# EITHER side, and a 100 TB deployment could never collect an answer
+# to verify it). Both engines compute the same order-independent
+# digest: canonical row string (columns sorted by name, each coalesced
+# to '<null>' and cast to string) -> md5 -> two 32-bit hex slices ->
+# SUM. md5 is bit-identical across engines; the sums are
+# order-independent because row order is not part of the contract.
+# Only exact-text-stable dtypes participate (ints, strings, booleans,
+# dates); floats/timestamps fall back to a named count-only check.
+_CHECKSUM_SPARK_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string", "boolean", "date"
+}
+_CHECKSUM_DUCK_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "VARCHAR",
+    "BOOLEAN", "DATE",
+}
+
+
+def _duck_hex8(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def checksum_spark(df) -> tuple[int, int, int]:
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    rowstr = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols],
+    )
+    md5 = F.md5(rowstr)
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    row = (
+        df.select(h1.alias("h1"), h2.alias("h2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.s1 or 0), int(row.s2 or 0)
+
+
+def checksum_duck(con, sql: str, cols: list[str]) -> tuple[int, int, int]:
+    parts = ", ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in sorted(cols)
+    )
+    q = f"""
+    SELECT COUNT(*) AS n,
+           CAST(COALESCE(SUM(h1), 0) AS BIGINT) AS s1,
+           CAST(COALESCE(SUM(h2), 0) AS BIGINT) AS s2
+    FROM (SELECT {_duck_hex8("substr(md5(concat_ws('|', " + parts + ")), 1, 8)")} AS h1,
+                 {_duck_hex8("substr(md5(concat_ws('|', " + parts + ")), 9, 8)")} AS h2
+          FROM ({sql}))
+    """
+    n, s1, s2 = con.sql(q).fetchone()
+    return int(n), int(s1), int(s2)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    checksum_threshold = int(
+        os.environ.get("SPARK_GRAFT_CHECKSUM_THRESHOLD", "0")
+    )
 
     from redskins_rule_spark import workload
     from redskins_rule_spark.session import get_spark
@@ -110,6 +179,56 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if checksum_threshold:
+            try:
+                sdf_lazy = fn(spark, sf_dir)
+                n_s = sdf_lazy.count()
+            except Exception as e:
+                print(f"[FAIL] {name}: spark error: {e}")
+                failed.append(name)
+                continue
+            if name in os_ and name not in bounds and n_s > checksum_threshold:
+                stypes = {t for _c, t in sdf_lazy.dtypes}
+                rel = con.sql(f"SELECT * FROM ({os_[name]}) LIMIT 0")
+                otypes = {str(t) for t in rel.types}
+                if sorted(sdf_lazy.columns) != sorted(rel.columns):
+                    print(
+                        f"[FAIL] {name}: columns differ: "
+                        f"spark={sorted(sdf_lazy.columns)} "
+                        f"oracle={sorted(rel.columns)}"
+                    )
+                    failed.append(name)
+                    continue
+                if not (
+                    stypes <= _CHECKSUM_SPARK_TYPES
+                    and otypes <= _CHECKSUM_DUCK_TYPES
+                ):
+                    print(
+                        f"[count-only] {name}: {n_s} rows — too big to "
+                        "materialize and carries non-checksum-stable "
+                        f"dtypes (spark={sorted(stypes)})"
+                    )
+                    n_o = con.sql(
+                        f"SELECT COUNT(*) FROM ({os_[name]})"
+                    ).fetchone()[0]
+                    if n_o != n_s:
+                        print(
+                            f"[FAIL] {name}: row count differs: "
+                            f"spark={n_s} oracle={n_o}"
+                        )
+                        failed.append(name)
+                    continue
+                s = checksum_spark(sdf_lazy)
+                o = checksum_duck(con, os_[name], list(sdf_lazy.columns))
+                if s != o:
+                    print(
+                        f"[FAIL] {name}: checksum differs: spark={s} "
+                        f"oracle={o}"
+                    )
+                    failed.append(name)
+                else:
+                    print(f"[ok-checksum] {name}: {n_s} rows")
+                continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

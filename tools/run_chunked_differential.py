@@ -24,7 +24,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-STATUS = re.compile(r"^\[(ok|FAIL|skip-oracle|rows-only)\] (\S+?):")
+STATUS = re.compile(
+    r"^\[(ok|ok-checksum|count-only|FAIL|skip-oracle|rows-only)\] (\S+?):"
+)
 
 
 def done_queries(log_path: str) -> set[str]:
