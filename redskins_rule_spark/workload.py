@@ -3783,21 +3783,29 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q92_intradoc_dedup",
     oracle=f"""
+    -- spill-friendly formulation (the sf10 OOM fix): first-occurrence
+    -- via MIN/GROUP BY instead of a window, the joined string via an
+    -- ordered string_agg instead of list(), and the char-sum
+    -- fingerprint via a streaming unnest instead of a per-doc
+    -- list_transform allocation — identical values at every SF
     WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
          grams AS (SELECT doc_id,
                           unnest(generate_series(1, len(t) - 2)) AS pos,
                           unnest(list_transform(generate_series(1, len(t) - 2),
                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
                    FROM base WHERE len(t) >= 3),
-         firsts AS (SELECT doc_id, pos, g,
-                           ROW_NUMBER() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn
-                    FROM grams),
-         kept AS (SELECT doc_id, list(g ORDER BY pos) AS kg
-                  FROM firsts WHERE rn = 1 GROUP BY doc_id),
-         strs AS (SELECT doc_id, CAST(len(kg) AS BIGINT) AS n_unique_grams,
-                         array_to_string(kg, ' | ') AS s
-                  FROM kept)
-    SELECT doc_id, n_unique_grams, {_SQL_POLYHASH} AS kept_fp FROM strs
+         firsts AS (SELECT doc_id, g, MIN(pos) AS pos
+                    FROM grams GROUP BY doc_id, g),
+         strs AS MATERIALIZED (
+                  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique_grams,
+                         string_agg(g, ' | ' ORDER BY pos) AS s
+                  FROM firsts GROUP BY doc_id)
+    SELECT doc_id, n_unique_grams,
+           CAST(COALESCE(SUM(ascii(substr(s, u.i, 1))
+                             * (1 + (u.i - 1) % 64)), 0)
+                % 2147483647 AS BIGINT) AS kept_fp
+    FROM strs, unnest(generate_series(1, greatest(length(s), 1))) AS u(i)
+    GROUP BY doc_id, n_unique_grams
     """,
 )
 def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
