@@ -199,14 +199,17 @@ def main() -> int:
                     )
                     failed.append(name)
                     continue
-                if not (
-                    stypes <= _CHECKSUM_SPARK_TYPES
-                    and otypes <= _CHECKSUM_DUCK_TYPES
-                ):
+                duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+                stable = [
+                    c for c, t in sdf_lazy.dtypes
+                    if t in _CHECKSUM_SPARK_TYPES
+                    and duck_types.get(c) in _CHECKSUM_DUCK_TYPES
+                ]
+                if not stable:
                     print(
                         f"[count-only] {name}: {n_s} rows — too big to "
-                        "materialize and carries non-checksum-stable "
-                        f"dtypes (spark={sorted(stypes)})"
+                        "materialize and no checksum-stable column "
+                        f"(spark={sorted(stypes)})"
                     )
                     n_o = con.sql(
                         f"SELECT COUNT(*) FROM ({os_[name]})"
@@ -218,14 +221,24 @@ def main() -> int:
                         )
                         failed.append(name)
                     continue
-                s = checksum_spark(sdf_lazy)
-                o = checksum_duck(con, os_[name], list(sdf_lazy.columns))
+                partial = len(stable) < len(sdf_lazy.columns)
+                s = checksum_spark(sdf_lazy.select(*stable))
+                o = checksum_duck(con, os_[name], stable)
                 if s != o:
                     print(
-                        f"[FAIL] {name}: checksum differs: spark={s} "
-                        f"oracle={o}"
+                        f"[FAIL] {name}: checksum differs"
+                        + (f" over stable columns {sorted(stable)}"
+                           if partial else "")
+                        + f": spark={s} oracle={o}"
                     )
                     failed.append(name)
+                elif partial:
+                    dropped = sorted(set(sdf_lazy.columns) - set(stable))
+                    print(
+                        f"[ok-checksum-partial] {name}: {n_s} rows over "
+                        f"stable columns {sorted(stable)} (float/unstable "
+                        f"columns {dropped} not hashed)"
+                    )
                 else:
                     print(f"[ok-checksum] {name}: {n_s} rows")
                 continue

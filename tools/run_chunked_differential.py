@@ -25,7 +25,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 STATUS = re.compile(
-    r"^\[(ok|ok-checksum|count-only|FAIL|skip-oracle|rows-only)\] (\S+?):"
+    r"^\[(ok|ok-checksum|ok-checksum-partial|count-only|FAIL|skip-oracle"
+    r"|rows-only)\] (\S+?):"
 )
 
 
