@@ -473,7 +473,8 @@ def q13_election_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH yrs AS (SELECT DISTINCT date_trunc('year', o_orderdate) AS yr FROM orders)
     SELECT CAST(EXTRACT(year FROM yrs.yr) AS INTEGER) AS year,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total
     FROM orders o JOIN yrs ON date_trunc('year', o.o_orderdate) = yrs.yr
     GROUP BY 1
     """,
@@ -481,6 +482,13 @@ def q13_election_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     yrs = orders.select(F.date_trunc("year", "o_orderdate").alias("yr")).distinct()
+    # exact integer cents, one shared final divide (the q63 contract):
+    # ROUND(SUM(double), 2) diverged at sf10 magnitudes — 15M-term
+    # float sums accumulate in engine-specific order, and at ~3e11 the
+    # drift crosses the cent boundary (spark ...292.0 vs duckdb
+    # ...292.02). Summing exact cents is order-free; dividing the one
+    # exact integer by 100.0 is IEEE-deterministic on both engines.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.join(
             F.broadcast(yrs), F.date_trunc("year", F.col("o_orderdate")) == yrs.yr
@@ -488,7 +496,7 @@ def q14_year_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("yr").cast("int").alias("year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(cents) / 100.0).alias("total"),
         )
     )
 
@@ -3050,22 +3058,27 @@ def q75_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from redskins_rule_spark.operators.graph import pagerank  # noqa: E402
 
+# every CTE here is referenced by ALL downstream iterations — without
+# MATERIALIZED pins DuckDB's naive inlining re-evaluates the 60M-row
+# orders x lineitem DISTINCT per reference and spills past the disk at
+# sf10 (the q146 failure class)
 _PR_ORACLE = """
-    WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+    WITH e AS MATERIALIZED (
+               SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-         outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
-         r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+         nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         r0 AS MATERIALIZED (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
          {iters}
     SELECT id, ROUND(r, 8) AS rank FROM r{k}
 """
 
 def _pr_iter(t: int) -> str:
     return (
-        f"c{t} AS (SELECT e.dst AS id, SUM(r{t-1}.r / outd.od) AS s "
+        f"c{t} AS MATERIALIZED (SELECT e.dst AS id, SUM(r{t-1}.r / outd.od) AS s "
         f"FROM e JOIN r{t-1} ON r{t-1}.id = e.src JOIN outd ON outd.src = e.src GROUP BY 1), "
-        f"r{t} AS (SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * COALESCE(c{t}.s, 0.0) AS r "
+        f"r{t} AS MATERIALIZED (SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * COALESCE(c{t}.s, 0.0) AS r "
         f"FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON c{t}.id = nodes.id)"
     )
 
