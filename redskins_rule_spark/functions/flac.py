@@ -1,0 +1,562 @@
+"""FLAC (Free Lossless Audio Codec, RFC 9639 / xiph.org spec) —
+REAL lossless-audio encode + decode, end to end.
+
+FLAC is the one mainstream audio codec whose entire decode path is
+ALGORITHMIC: rice/unary entropy coding (no Huffman codebooks),
+fixed integer predictors (binomial coefficients), CRC-8/CRC-16
+frame integrity, and an MD5 of the raw PCM in STREAMINFO that lets
+the decoder PROVE losslessness per stream. That makes it the first
+codec in this engine where the full spectrum of a real-world format
+decodes bit-exactly with zero carried spec tables — unlike the MP3
+(Table B.7 pair tables 2-31) and AAC (spectral codebooks) seams.
+
+Profile (documented, enforced by named ValueErrors, not silent):
+mono, 16-bit, fixed blocking strategy; subframe types CONSTANT,
+VERBATIM, and FIXED orders 0-4 (LPC subframes — encoder-chosen
+coefficient vectors — are the one remaining subframe type; the
+residual/rice machinery below is shared with them). Rice coding
+method 00 (4-bit parameters) including the 0b1111 escape to raw
+binary; partition orders 0+. Wasted-bits flag parsed, must be 0.
+
+Reference parity: the reference pipeline (nfl-elec-transform-v2.py)
+has no media path at all — this module is extension surface for the
+multimodal curation tier (SURVEY §2 extension rows), same seam
+discipline as functions/mp3.py / functions/aac.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+__all__ = [
+    "encode_flac",
+    "parse_flac",
+    "synth_flac",
+    "crc8",
+    "crc16",
+]
+
+
+# --- CRCs (RFC 9639 §9.2/§9.3: CRC-8 poly 0x07, CRC-16 poly 0x8005,
+# both init 0, MSB-first, no reflection, no final xor) ---------------------
+
+def crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r ^= b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+    return r
+
+
+def crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r ^= b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 \
+                else (r << 1) & 0xFFFF
+    return r
+
+
+# --- bit cursors (MSB-first, shared conventions with functions/mp3) ------
+
+class _Bits:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise ValueError("flac: bit field overruns stream")
+        v = 0
+        p = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = end
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        """RFC 9639 §8.8: as many 0 bits as the value, then a 1 bit."""
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("flac: runaway unary quotient")
+        return q
+
+
+class _BitsOut:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n: int) -> None:
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"flac: field value {value} exceeds {n} bits")
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+
+# --- fixed predictors (RFC 9639 §9.2.4: binomial-coefficient taps) -------
+
+_FIXED_TAPS: dict[int, tuple[int, ...]] = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+VERBATIM_CODE = 5  # this module's fingerprint code for VERBATIM subframes
+
+
+def _residuals(samples: list[int], order: int) -> list[int]:
+    taps = _FIXED_TAPS[order]
+    return [
+        samples[i] - sum(t * samples[i - 1 - j] for j, t in enumerate(taps))
+        for i in range(order, len(samples))
+    ]
+
+
+def _zigzag(v: int) -> int:
+    """RFC 9639 §8.8 residual fold: 0,-1,1,-2,2… → 0,1,2,3,4…"""
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _utf8_number(n: int) -> bytes:
+    """Frame-number coding (RFC 9639 §9.1.5): UTF-8-style, extended
+    to 36 bits (up to 7 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (5 * nbytes + 1)) or nbytes == 7:
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for k in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: frame number exceeds 36 bits")
+
+
+def _read_utf8_number(br: _Bits) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for mask, val, nb in ((0xE0, 0xC0, 2), (0xF0, 0xE0, 3), (0xF8, 0xF0, 4),
+                          (0xFC, 0xF8, 5), (0xFE, 0xFC, 6), (0xFF, 0xFE, 7)):
+        if (b0 & mask) == val:
+            nbytes = nb
+            break
+    if not nbytes:
+        raise ValueError("flac: invalid coded-number lead byte")
+    n = b0 & (0x7F >> nbytes) if nbytes < 7 else 0
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("flac: invalid coded-number continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+# --- encoder ---------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FlacFrame:
+    blocksize: int
+    subframe_code: int  # predictor order for FIXED, VERBATIM_CODE
+    samples: tuple[int, ...]
+    n_escapes: int  # rice partitions that used the 0b1111 raw escape
+
+
+@dataclass(frozen=True)
+class FlacStream:
+    sample_rate: int
+    bits_per_sample: int
+    total_samples: int
+    frames: tuple[FlacFrame, ...]
+    md5_ok: bool
+
+
+def _encode_subframe(
+    out: _BitsOut, samples: list[int], code: int, bps: int, po: int
+) -> int:
+    """One subframe (header + payload). Returns rice-escape count."""
+    out.write(0, 1)  # zero pad bit
+    if code == VERBATIM_CODE:
+        out.write(0b000001, 6)
+        out.write(0, 1)  # wasted bits
+        for s in samples:
+            out.write_signed(s, bps)
+        return 0
+    order = code
+    if order not in _FIXED_TAPS:
+        raise ValueError("flac: fixed predictor order must be 0-4")
+    if len(samples) <= order:
+        raise ValueError("flac: blocksize must exceed predictor order")
+    out.write(0b001000 | order, 6)
+    out.write(0, 1)  # wasted bits
+    for s in samples[:order]:  # warmup, verbatim
+        out.write_signed(s, bps)
+    res = _residuals(samples, order)
+    # residual: coding method 00 (4-bit rice), partition order po
+    out.write(0b00, 2)
+    if po and (len(samples) % (1 << po) or (len(samples) >> po) <= order):
+        raise ValueError("flac: partition order incompatible with blocksize")
+    out.write(po, 4)
+    n_parts = 1 << po
+    part_len = len(samples) >> po
+    idx = 0
+    escapes = 0
+    for p in range(n_parts):
+        want = part_len - order if p == 0 else part_len
+        part = res[idx: idx + want]
+        idx += want
+        us = [_zigzag(v) for v in part]
+        max_u = max(us, default=0)
+        k = max(max_u.bit_length() - 1, 0)
+        if k >= 15:
+            # escape: raw two's-complement at a fixed width
+            escapes += 1
+            width = max((max(part).bit_length() if part else 0),
+                        (min(part, default=0)).bit_length() + 1, 1) + 1
+            width = min(width, 31)
+            out.write(0b1111, 4)
+            out.write(width, 5)
+            for v in part:
+                out.write_signed(v, width)
+        else:
+            out.write(k, 4)
+            for u in us:
+                out.write_unary(u >> k)
+                if k:
+                    out.write(u & ((1 << k) - 1), k)
+    return escapes
+
+
+def encode_flac(
+    frames: list[dict],
+    sample_rate: int = 44100,
+    bps: int = 16,
+) -> bytes:
+    """Mono fixed-blocking FLAC stream. Each frames[i] is a dict:
+    'samples' (list of signed ints fitting bps), 'code' (0-4 = FIXED
+    order, VERBATIM_CODE = verbatim), 'po' (rice partition order).
+    Every frame but the last must share one blocksize (fixed
+    blocking, RFC 9639 §9.1.2); STREAMINFO carries the real MD5 of
+    the interleaved little-endian PCM so decoders can prove
+    losslessness."""
+    if not frames:
+        raise ValueError("flac: at least one frame")
+    bs0 = len(frames[0]["samples"])
+    for fr in frames[:-1]:
+        if len(fr["samples"]) != bs0:
+            raise ValueError("flac: fixed blocking needs constant blocksize"
+                             " (only the last frame may be short)")
+    if len(frames[-1]["samples"]) > bs0:
+        raise ValueError("flac: last frame exceeds the stream blocksize")
+    all_samples = [s for fr in frames for s in fr["samples"]]
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if any(s < lo or s > hi for s in all_samples):
+        raise ValueError(f"flac: sample exceeds {bps}-bit range")
+    md5 = hashlib.md5()
+    for s in all_samples:
+        md5.update((s & 0xFFFF).to_bytes(2, "little"))
+    info = _BitsOut()
+    info.write(bs0, 16)          # min_blocksize
+    info.write(bs0, 16)          # max_blocksize
+    info.write(0, 24)            # min_framesize (unknown)
+    info.write(0, 24)            # max_framesize (unknown)
+    info.write(sample_rate, 20)
+    info.write(0, 3)             # channels - 1 (mono)
+    info.write(bps - 1, 5)
+    info.write(len(all_samples), 36)
+    streaminfo = bytes(info.buf) + md5.digest()
+    assert len(streaminfo) == 34
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo  # last-block flag + type 0
+    for n, fr in enumerate(frames):
+        nsamp = len(fr["samples"])
+        hdr = _BitsOut()
+        hdr.write(0b11111111111110, 14)  # sync
+        hdr.write(0, 1)                   # reserved
+        hdr.write(0, 1)                   # fixed blocking
+        hdr.write(0b0110, 4)              # blocksize: 8-bit at end
+        hdr.write(0b0000, 4)              # sample rate: from STREAMINFO
+        hdr.write(0b0000, 4)              # channels: mono
+        hdr.write(0b100, 3)               # sample size: 16
+        hdr.write(0, 1)                   # reserved
+        hdr.pad_to_byte()
+        head = bytes(hdr.buf) + _utf8_number(n) + bytes([nsamp - 1])
+        head += bytes([crc8(head)])
+        body = _BitsOut()
+        _encode_subframe(body, list(fr["samples"]), fr["code"], bps,
+                         fr.get("po", 0))
+        body.pad_to_byte()
+        frame = head + bytes(body.buf)
+        out += frame + crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], int]:
+    """One subframe → (fingerprint code, samples, rice-escape count)."""
+    if br.read(1):
+        raise ValueError("flac: subframe header pad bit must be 0")
+    sft = br.read(6)
+    wasted = br.read(1)
+    if wasted:
+        raise ValueError("flac: wasted-bits-per-sample outside profile")
+    if sft == 0b000000:  # CONSTANT
+        v = br.read_signed(bps)
+        return 0, [v] * nsamp, 0
+    if sft == 0b000001:  # VERBATIM
+        return (VERBATIM_CODE,
+                [br.read_signed(bps) for _ in range(nsamp)], 0)
+    if 0b001000 <= sft <= 0b001100:  # FIXED order 0-4
+        order = sft & 0b111
+        if nsamp <= order:
+            raise ValueError("flac: fixed order >= blocksize")
+        samples = [br.read_signed(bps) for _ in range(order)]
+        method = br.read(2)
+        if method not in (0b00,):
+            raise ValueError(
+                "flac: rice2 (5-bit parameters, coding method 01) is "
+                "outside the profile; 1x is reserved"
+            )
+        po = br.read(4)
+        if nsamp % (1 << po):
+            raise ValueError("flac: blocksize not divisible by 2^partition")
+        part_len = nsamp >> po
+        if part_len <= order and po:
+            raise ValueError("flac: partition shorter than predictor order")
+        res: list[int] = []
+        escapes = 0
+        for p in range(1 << po):
+            want = part_len - order if p == 0 else part_len
+            k = br.read(4)
+            if k == 0b1111:
+                escapes += 1
+                width = br.read(5)
+                if width == 0:
+                    res.extend([0] * want)
+                else:
+                    res.extend(br.read_signed(width) for _ in range(want))
+            else:
+                for _ in range(want):
+                    q = br.read_unary()
+                    u = (q << k) | (br.read(k) if k else 0)
+                    res.append(_unzigzag(u))
+        taps = _FIXED_TAPS[order]
+        for i in range(order, nsamp):
+            samples.append(
+                res[i - order]
+                + sum(t * samples[i - 1 - j] for j, t in enumerate(taps))
+            )
+        return order, samples, escapes
+    if sft & 0b100000:
+        raise ValueError(
+            "flac: LPC subframes (encoder-chosen coefficients) are the "
+            "documented remaining subframe type"
+        )
+    raise ValueError("flac: reserved subframe type")
+
+
+def parse_flac(data: bytes) -> FlacStream:
+    """REAL full decode of the profile: fLaC marker → metadata-block
+    walk → STREAMINFO → per-frame header (sync, codes, UTF-8 frame
+    number, CRC-8) → subframe decode (constant/verbatim/fixed +
+    rice residuals incl. escape partitions) → frame CRC-16 → stream
+    MD5 check against the reconstructed PCM. Raises ValueError
+    naming the defect on any corruption; `md5_ok` is the decoder's
+    losslessness proof."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: missing fLaC stream marker")
+    pos = 4
+    streaminfo: bytes | None = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata block header")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1: pos + 4], "big")
+        body = data[pos + 4: pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block body")
+        if btype == 0:
+            if streaminfo is not None:
+                raise ValueError("flac: duplicate STREAMINFO")
+            if blen != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("flac: metadata block type 127 is invalid")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: STREAMINFO block is mandatory")
+    si = _Bits(streaminfo)
+    min_bs = si.read(16)
+    max_bs = si.read(16)
+    si.read(24), si.read(24)  # framesizes (unknown allowed)
+    sample_rate = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_declared = streaminfo[18:34]
+    if channels != 1:
+        raise ValueError("flac: profile is mono")
+    if bps != 16:
+        raise ValueError("flac: profile is 16-bit")
+    if min_bs != max_bs:
+        raise ValueError("flac: fixed blocking needs one blocksize")
+    frames: list[FlacFrame] = []
+    md5 = hashlib.md5()
+    seen = 0
+    n_expected = 0
+    while pos < len(data):
+        frame_start = pos
+        br = _Bits(data)
+        br.pos = 8 * pos
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        if br.read(1):
+            raise ValueError("flac: variable blocking outside fixed-"
+                             "blocking profile")
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        if ch_code != 0:
+            raise ValueError("flac: profile is mono")
+        if ss_code != 0b100:
+            raise ValueError("flac: profile is 16-bit")
+        if sr_code != 0:
+            raise ValueError("flac: sample rate must defer to STREAMINFO")
+        fno = _read_utf8_number(br)
+        if fno != n_expected:
+            raise ValueError("flac: frame numbers must be sequential")
+        n_expected += 1
+        if bs_code == 0b0110:
+            nsamp = br.read(8) + 1
+        elif bs_code == 0b0111:
+            nsamp = br.read(16) + 1
+        elif bs_code == 0b0001:
+            nsamp = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            nsamp = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            nsamp = 256 << (bs_code - 8)
+        else:
+            raise ValueError("flac: reserved blocksize code")
+        hdr_end = br.pos >> 3
+        if crc8(data[frame_start:hdr_end]) != data[hdr_end]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        br.pos = 8 * (hdr_end + 1)
+        code, samples, escapes = _decode_subframe(br, nsamp, bps)
+        if br.pos & 7:
+            if br.read(8 - (br.pos & 7)):
+                raise ValueError("flac: nonzero frame padding bits")
+        crc_at = br.pos >> 3
+        declared = int.from_bytes(data[crc_at: crc_at + 2], "big")
+        if crc16(data[frame_start:crc_at]) != declared:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = crc_at + 2
+        if seen + nsamp < total and nsamp != max_bs:
+            raise ValueError("flac: short frame before the last")
+        seen += nsamp
+        for s in samples:
+            md5.update((s & 0xFFFF).to_bytes(2, "little"))
+        frames.append(FlacFrame(nsamp, code, tuple(samples), escapes))
+    if seen != total:
+        raise ValueError("flac: decoded samples disagree with STREAMINFO")
+    return FlacStream(
+        sample_rate=sample_rate,
+        bits_per_sample=bps,
+        total_samples=total,
+        frames=tuple(frames),
+        md5_ok=md5.digest() == md5_declared,
+    )
+
+
+# --- corpus synth ----------------------------------------------------------
+
+BLOCKSIZE = 32
+
+
+def synth_samples(clen: int, total: int) -> list[int]:
+    """The closed-form PCM both engines replay:
+    s_k = ((clen*31 + 7*k*k + 13*k) % 4096) - 2048."""
+    return [((clen * 31 + 7 * k * k + 13 * k) % 4096) - 2048
+            for k in range(total)]
+
+
+def synth_flac(clen: int) -> bytes:
+    """Deterministic FLAC stream from a character length, every knob
+    integer-predictable (the closed forms the q225 oracle replays):
+
+      total          = 33 + clen % 71   (2-4 frames of blocksize 32)
+      sample_rate    = 8000 + 100 * (clen % 5)
+      frame f code   = (clen + f) % 6   (0-4 FIXED order, 5 VERBATIM)
+        … except a SHORT last frame, which drops FIXED to order 0
+          (warmup must fit) — VERBATIM stays VERBATIM
+      partition po   = (clen + f) % 2 on full frames, 0 on the last
+    Samples are `synth_samples`; order-4 residuals at this amplitude
+    exercise multi-bit rice quotients. clen % 16 == 0 streams multiply
+    frame 0's samples by 8 (|s| stays 16-bit-safe): the amplified
+    high-order residuals push zigzag magnitudes past 2^15, so the
+    encoder's k>=15 rule takes the 0b1111 RAW-ESCAPE partition path —
+    the escape branch is corpus-exercised, not just unit-tested."""
+    total = 33 + clen % 71
+    samples = synth_samples(clen, total)
+    if clen % 16 == 0:
+        for k in range(min(BLOCKSIZE, total)):
+            samples[k] *= 8
+    frames: list[dict] = []
+    f = 0
+    for lo in range(0, total, BLOCKSIZE):
+        chunk = samples[lo: lo + BLOCKSIZE]
+        code = (clen + f) % 6
+        full = len(chunk) == BLOCKSIZE
+        if not full and code != VERBATIM_CODE:
+            code = 0
+        po = (clen + f) % 2 if full else 0
+        frames.append({"samples": chunk, "code": code, "po": po})
+        f += 1
+    return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5))

@@ -3539,3 +3539,98 @@ def decode_aac_short_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_flac_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize FLAC payloads (mono 16-bit fixed blocking;
+    functions/flac.py `synth_flac` closed forms — 2-4 frames cycling
+    FIXED orders 0-4 and VERBATIM, rice partition orders 0/1, and an
+    amplified escape-partition face every 16th length). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.flac import synth_flac
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_flac(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_flac_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL lossless-audio decode per FLAC payload: metadata walk →
+    frame sync/CRC-8 → subframe decode (constant/verbatim/fixed
+    predictors + rice residuals incl. raw-escape partitions) →
+    CRC-16 → MD5-of-PCM losslessness proof. Emits integer aggregates
+    over the RECONSTRUCTED samples (last, signed sum, Σ (k+1)·s_k),
+    a subframe-type fingerprint Σ (f+1)·code_f (code = FIXED order,
+    5 = VERBATIM), the rice-escape partition count, and md5_ok.
+    NULL payloads yield NULL stats; corrupt ones raise ValueError."""
+    from redskins_rule_spark.functions.flac import parse_flac
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("last_sample", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_fp", T.LongType()),
+            T.StructField("order_fp", T.LongType()),
+            T.StructField("n_escapes", T.LongType()),
+            T.StructField("md5_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 9)
+                    continue
+                st = parse_flac(bytes(b))
+                samples = [s for fr in st.frames for s in fr.samples]
+                rows.append(
+                    (
+                        st.sample_rate,
+                        st.total_samples,
+                        len(st.frames),
+                        samples[-1],
+                        sum(samples),
+                        sum((k + 1) * s for k, s in enumerate(samples)),
+                        sum((f + 1) * fr.subframe_code
+                            for f, fr in enumerate(st.frames)),
+                        sum(fr.n_escapes for fr in st.frames),
+                        st.md5_ok,
+                    )
+                )
+            cols = ["sr", "n_samples", "n_frames", "last_sample",
+                    "sample_sum", "sample_fp", "order_fp", "n_escapes",
+                    "md5_ok"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["sr"] = pd.array(meta_df["sr"], dtype="Int32")
+            for c in cols[1:-1]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df["md5_ok"] = pd.array(meta_df["md5_ok"],
+                                         dtype="boolean")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

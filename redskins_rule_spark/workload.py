@@ -516,7 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
-    "q224_aac_short_windows",
+    "q224_aac_short_windows", "q225_flac_decode",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,12 +549,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
-    "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
+    "q74_packing_quantized", "q75_tfidf_top_term",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
     # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222,
-    # q80/q81 for q223 + the q210/q213 touched re-checks).
+    # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
+    # dropped for q225 — its oracle fix is already covered by the full
+    # sf10 differential this round).
 ]
 
 
@@ -11008,3 +11010,111 @@ def q224_aac_short_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_adts_short_payload(docs, "text", "doc_id")
     return decode_aac_short_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q225: FLAC decode — the first codec in the engine where a REAL
+# mainstream format decodes END TO END with zero carried spec
+# tables: rice/unary entropy coding, binomial fixed predictors,
+# CRC-8/CRC-16 integrity, and STREAMINFO's MD5-of-PCM letting the
+# decoder PROVE losslessness per payload (md5_ok is a computed
+# comparison, not an assumption). The corpus cycles FIXED orders
+# 0-4 and VERBATIM subframes, rice partition orders 0/1, short last
+# frames, and an amplified face whose order-4 residuals force the
+# 0b1111 raw-escape partition path. The oracle replays the synth
+# closed forms AND the encoder's k>=15 escape rule: residuals via
+# LAG windows over the generated sample series, zigzag as exact
+# integer CASE, escape iff max zigzag >= 2^15 — so the rice
+# parameter choice itself is bound cross-engine. Remaining FLAC
+# seam, raised by name: LPC subframes (encoder-chosen coefficient
+# vectors; the rice/residual machinery is shared with them).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q225_flac_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen,
+                 33 + clen % 71 AS total,
+                 (33 + clen % 71 + 31) // 32 AS nf
+          FROM d),
+    s AS (SELECT doc_id, clen, total, nf,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM p),
+    sv AS (SELECT doc_id, clen, total, nf, k,
+                  k // 32 AS f, k % 32 AS i,
+                  (CASE WHEN clen % 16 = 0 AND k < 32 THEN 8 ELSE 1 END)
+                    * (((clen * 31 + 7 * k * k + 13 * k) % 4096) - 2048)
+                    AS samp
+           FROM s),
+    cd AS (SELECT *,
+                  CASE WHEN (f < nf - 1 OR total % 32 = 0)
+                            OR (clen + f) % 6 = 5
+                       THEN (clen + f) % 6 ELSE 0 END AS code,
+                  CASE WHEN f < nf - 1 OR total % 32 = 0
+                       THEN (clen + f) % 2 ELSE 0 END AS po
+           FROM sv),
+    r AS (SELECT doc_id, f, i, code, po,
+                 samp - CASE code
+                   WHEN 1 THEN lag(samp, 1) OVER w
+                   WHEN 2 THEN 2 * lag(samp, 1) OVER w
+                               - lag(samp, 2) OVER w
+                   WHEN 3 THEN 3 * lag(samp, 1) OVER w
+                               - 3 * lag(samp, 2) OVER w
+                               + lag(samp, 3) OVER w
+                   WHEN 4 THEN 4 * lag(samp, 1) OVER w
+                               - 6 * lag(samp, 2) OVER w
+                               + 4 * lag(samp, 3) OVER w
+                               - lag(samp, 4) OVER w
+                   ELSE 0 END AS resid
+          FROM cd
+          WINDOW w AS (PARTITION BY doc_id, f ORDER BY i)),
+    parts AS (SELECT doc_id, f,
+                     CASE WHEN po = 1 THEN i // 16 ELSE 0 END AS part,
+                     MAX(CASE WHEN resid >= 0 THEN 2 * resid
+                              ELSE -2 * resid - 1 END) AS max_u
+              FROM r
+              WHERE code <= 4 AND i >= code
+              GROUP BY doc_id, f,
+                       CASE WHEN po = 1 THEN i // 16 ELSE 0 END),
+    esc AS (SELECT doc_id,
+                   SUM(CASE WHEN max_u >= 32768 THEN 1 ELSE 0 END)
+                     AS n_escapes
+            FROM parts GROUP BY doc_id),
+    ofp AS (SELECT doc_id, SUM((f + 1) * code) AS order_fp
+            FROM (SELECT DISTINCT doc_id, f, code FROM cd)
+            GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen,
+                   MAX(total) AS total,
+                   MAX(nf) AS nf,
+                   MAX(CASE WHEN k = total - 1 THEN samp END)
+                     AS last_sample,
+                   SUM(samp) AS sample_sum,
+                   SUM((k + 1) * samp) AS sample_fp
+            FROM sv GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(a.nf AS BIGINT) AS n_frames,
+           CAST(a.last_sample AS BIGINT) AS last_sample,
+           CAST(a.sample_sum AS BIGINT) AS sample_sum,
+           CAST(a.sample_fp AS BIGINT) AS sample_fp,
+           CAST(o.order_fp AS BIGINT) AS order_fp,
+           CAST(e.n_escapes AS BIGINT) AS n_escapes,
+           TRUE AS md5_ok
+    FROM agg a
+    JOIN ofp o ON o.doc_id = a.doc_id
+    JOIN esc e ON e.doc_id = a.doc_id
+    """,
+)
+def q225_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stats,
+        with_flac_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_payload(docs, "text", "doc_id")
+    return decode_flac_stats(payloads, "payload", "doc_id")
