@@ -11,12 +11,16 @@ decodes bit-exactly with zero carried spec tables — unlike the MP3
 (Table B.7 pair tables 2-31) and AAC (spectral codebooks) seams.
 
 Profile (documented, enforced by named ValueErrors, not silent):
-mono, 16-bit, fixed blocking strategy; subframe types CONSTANT,
-VERBATIM, and FIXED orders 0-4 (LPC subframes — encoder-chosen
-coefficient vectors — are the one remaining subframe type; the
-residual/rice machinery below is shared with them). Rice coding
-method 00 (4-bit parameters) including the 0b1111 escape to raw
-binary; partition orders 0+. Wasted-bits flag parsed, must be 0.
+mono, 16-bit, fixed blocking strategy; ALL four subframe types —
+CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders 1-32
+(verbatim-coded quantized coefficients + arithmetic-shift
+prediction, §9.2.5). Rice coding method 00 (4-bit parameters)
+including the 0b1111 escape to raw binary; partition orders 0+.
+Wasted-bits flag parsed, must be 0. Within this profile the decode
+is COMPLETE; the remaining format surface is structural breadth,
+not entropy coding: stereo decorrelation (left/side/mid), bit
+depths other than 16, variable blocking, and rice2 (5-bit
+parameters) — each raised by name.
 
 Reference parity: the reference pipeline (nfl-elec-transform-v2.py)
 has no media path at all — this module is extension surface for the
@@ -134,6 +138,7 @@ _FIXED_TAPS: dict[int, tuple[int, ...]] = {
 }
 
 VERBATIM_CODE = 5  # this module's fingerprint code for VERBATIM subframes
+LPC_CODE_BASE = 8  # fingerprint code for LPC subframes: 8 + order
 
 
 def _residuals(samples: list[int], order: int) -> list[int]:
@@ -194,7 +199,7 @@ def _read_utf8_number(br: _Bits) -> int:
 @dataclass(frozen=True)
 class FlacFrame:
     blocksize: int
-    subframe_code: int  # predictor order for FIXED, VERBATIM_CODE
+    subframe_code: int  # FIXED: order; VERBATIM: 5; LPC: 8 + order
     samples: tuple[int, ...]
     n_escapes: int  # rice partitions that used the 0b1111 raw escape
 
@@ -208,37 +213,27 @@ class FlacStream:
     md5_ok: bool
 
 
-def _encode_subframe(
-    out: _BitsOut, samples: list[int], code: int, bps: int, po: int
+def _lpc_predict(history: list[int], coeffs: tuple[int, ...],
+                 shift: int) -> int:
+    """RFC 9639 §9.2.5 prediction: integer dot product, then an
+    ARITHMETIC right shift (Python's >> on ints is arithmetic)."""
+    return sum(c * history[-1 - j] for j, c in enumerate(coeffs)) >> shift
+
+
+def _encode_residuals(
+    out: _BitsOut, res: list[int], nsamp: int, order: int, po: int
 ) -> int:
-    """One subframe (header + payload). Returns rice-escape count."""
-    out.write(0, 1)  # zero pad bit
-    if code == VERBATIM_CODE:
-        out.write(0b000001, 6)
-        out.write(0, 1)  # wasted bits
-        for s in samples:
-            out.write_signed(s, bps)
-        return 0
-    order = code
-    if order not in _FIXED_TAPS:
-        raise ValueError("flac: fixed predictor order must be 0-4")
-    if len(samples) <= order:
-        raise ValueError("flac: blocksize must exceed predictor order")
-    out.write(0b001000 | order, 6)
-    out.write(0, 1)  # wasted bits
-    for s in samples[:order]:  # warmup, verbatim
-        out.write_signed(s, bps)
-    res = _residuals(samples, order)
-    # residual: coding method 00 (4-bit rice), partition order po
+    """Coded-residual section (shared by FIXED and LPC subframes):
+    coding method 00 (4-bit rice), partition order, per-partition
+    rice parameter with the 0b1111 raw escape. Returns escape count."""
     out.write(0b00, 2)
-    if po and (len(samples) % (1 << po) or (len(samples) >> po) <= order):
+    if po and (nsamp % (1 << po) or (nsamp >> po) <= order):
         raise ValueError("flac: partition order incompatible with blocksize")
     out.write(po, 4)
-    n_parts = 1 << po
-    part_len = len(samples) >> po
+    part_len = nsamp >> po
     idx = 0
     escapes = 0
-    for p in range(n_parts):
+    for p in range(1 << po):
         want = part_len - order if p == 0 else part_len
         part = res[idx: idx + want]
         idx += want
@@ -262,6 +257,61 @@ def _encode_subframe(
                 if k:
                     out.write(u & ((1 << k) - 1), k)
     return escapes
+
+
+def _encode_subframe(
+    out: _BitsOut, samples: list[int], code: int, bps: int, po: int,
+    lpc: dict | None = None,
+) -> int:
+    """One subframe (header + payload). Returns rice-escape count."""
+    out.write(0, 1)  # zero pad bit
+    if code == VERBATIM_CODE:
+        out.write(0b000001, 6)
+        out.write(0, 1)  # wasted bits
+        for s in samples:
+            out.write_signed(s, bps)
+        return 0
+    if lpc is not None:
+        order = lpc["order"]
+        coeffs = tuple(lpc["coeffs"])
+        precision = lpc["precision"]
+        shift = lpc["shift"]
+        if not 1 <= order <= 32 or len(coeffs) != order:
+            raise ValueError("flac: LPC order must be 1-32 with one "
+                             "coefficient per tap")
+        if not 2 <= precision <= 15:
+            raise ValueError("flac: qlp precision must be 2-15 bits")
+        if not 0 <= shift <= 15:
+            raise ValueError("flac: qlp shift must be 0-15")
+        if any(c < -(1 << (precision - 1)) or c >= (1 << (precision - 1))
+               for c in coeffs):
+            raise ValueError("flac: LPC coefficient exceeds its precision")
+        if len(samples) <= order:
+            raise ValueError("flac: blocksize must exceed predictor order")
+        out.write(0b100000 | (order - 1), 6)
+        out.write(0, 1)  # wasted bits
+        for s in samples[:order]:  # warmup, verbatim
+            out.write_signed(s, bps)
+        out.write(precision - 1, 4)
+        out.write(shift, 5)  # 5-bit shift (non-negative per spec note)
+        for c in coeffs:
+            out.write_signed(c, precision)
+        res = [
+            samples[i] - _lpc_predict(samples[:i], coeffs, shift)
+            for i in range(order, len(samples))
+        ]
+        return _encode_residuals(out, res, len(samples), order, po)
+    order = code
+    if order not in _FIXED_TAPS:
+        raise ValueError("flac: fixed predictor order must be 0-4")
+    if len(samples) <= order:
+        raise ValueError("flac: blocksize must exceed predictor order")
+    out.write(0b001000 | order, 6)
+    out.write(0, 1)  # wasted bits
+    for s in samples[:order]:  # warmup, verbatim
+        out.write_signed(s, bps)
+    res = _residuals(samples, order)
+    return _encode_residuals(out, res, len(samples), order, po)
 
 
 def encode_flac(
@@ -321,7 +371,7 @@ def encode_flac(
         head += bytes([crc8(head)])
         body = _BitsOut()
         _encode_subframe(body, list(fr["samples"]), fr["code"], bps,
-                         fr.get("po", 0))
+                         fr.get("po", 0), fr.get("lpc"))
         body.pad_to_byte()
         frame = head + bytes(body.buf)
         out += frame + crc16(frame).to_bytes(2, "big")
@@ -349,35 +399,7 @@ def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], i
         if nsamp <= order:
             raise ValueError("flac: fixed order >= blocksize")
         samples = [br.read_signed(bps) for _ in range(order)]
-        method = br.read(2)
-        if method not in (0b00,):
-            raise ValueError(
-                "flac: rice2 (5-bit parameters, coding method 01) is "
-                "outside the profile; 1x is reserved"
-            )
-        po = br.read(4)
-        if nsamp % (1 << po):
-            raise ValueError("flac: blocksize not divisible by 2^partition")
-        part_len = nsamp >> po
-        if part_len <= order and po:
-            raise ValueError("flac: partition shorter than predictor order")
-        res: list[int] = []
-        escapes = 0
-        for p in range(1 << po):
-            want = part_len - order if p == 0 else part_len
-            k = br.read(4)
-            if k == 0b1111:
-                escapes += 1
-                width = br.read(5)
-                if width == 0:
-                    res.extend([0] * want)
-                else:
-                    res.extend(br.read_signed(width) for _ in range(want))
-            else:
-                for _ in range(want):
-                    q = br.read_unary()
-                    u = (q << k) | (br.read(k) if k else 0)
-                    res.append(_unzigzag(u))
+        res, escapes = _decode_residuals(br, nsamp, order)
         taps = _FIXED_TAPS[order]
         for i in range(order, nsamp):
             samples.append(
@@ -385,12 +407,62 @@ def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], i
                 + sum(t * samples[i - 1 - j] for j, t in enumerate(taps))
             )
         return order, samples, escapes
-    if sft & 0b100000:
-        raise ValueError(
-            "flac: LPC subframes (encoder-chosen coefficients) are the "
-            "documented remaining subframe type"
-        )
+    if sft & 0b100000:  # LPC order 1-32
+        order = (sft & 0b011111) + 1
+        if nsamp <= order:
+            raise ValueError("flac: LPC order >= blocksize")
+        samples = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4)
+        if precision == 0b1111:
+            raise ValueError("flac: qlp precision code 1111 is invalid")
+        precision += 1
+        shift = br.read(5)
+        if shift & 0b10000:
+            raise ValueError("flac: negative qlp shift is forbidden")
+        coeffs = tuple(br.read_signed(precision) for _ in range(order))
+        res, escapes = _decode_residuals(br, nsamp, order)
+        for i in range(order, nsamp):
+            samples.append(
+                res[i - order] + _lpc_predict(samples, coeffs, shift)
+            )
+        return LPC_CODE_BASE + order, samples, escapes
     raise ValueError("flac: reserved subframe type")
+
+
+def _decode_residuals(br: _Bits, nsamp: int, order: int) -> tuple[list[int], int]:
+    """Coded-residual section (shared by FIXED and LPC): rice
+    partitions with the 0b1111 raw escape. Returns (residuals,
+    escape count)."""
+    method = br.read(2)
+    if method not in (0b00,):
+        raise ValueError(
+            "flac: rice2 (5-bit parameters, coding method 01) is "
+            "outside the profile; 1x is reserved"
+        )
+    po = br.read(4)
+    if nsamp % (1 << po):
+        raise ValueError("flac: blocksize not divisible by 2^partition")
+    part_len = nsamp >> po
+    if part_len <= order and po:
+        raise ValueError("flac: partition shorter than predictor order")
+    res: list[int] = []
+    escapes = 0
+    for p in range(1 << po):
+        want = part_len - order if p == 0 else part_len
+        k = br.read(4)
+        if k == 0b1111:
+            escapes += 1
+            width = br.read(5)
+            if width == 0:
+                res.extend([0] * want)
+            else:
+                res.extend(br.read_signed(width) for _ in range(want))
+        else:
+            for _ in range(want):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                res.append(_unzigzag(u))
+    return res, escapes
 
 
 def parse_flac(data: bytes) -> FlacStream:
@@ -558,5 +630,54 @@ def synth_flac(clen: int) -> bytes:
             code = 0
         po = (clen + f) % 2 if full else 0
         frames.append({"samples": chunk, "code": code, "po": po})
+        f += 1
+    return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5))
+
+
+def synth_flac_lpc(clen: int) -> bytes:
+    """Deterministic LPC-subframe FLAC stream (the q226 closed
+    forms — everything the oracle replays):
+
+      total          = 33 + clen % 71   (2-4 frames of blocksize 32)
+      sample_rate    = 8000 + 100 * (clen % 5)
+      full frame f:  LPC order (clen + f) % 3 + 1, precision 12,
+                     shift 10 + (clen + f) % 4 — except frame 0 of
+                     clen % 16 == 0 streams, which drops to shift 2:
+                     barely-shifted 12-bit coefficients blow the
+                     residuals past 2^15 zigzag, forcing the 0b1111
+                     raw-escape partition path through the LPC route
+                     coeffs c_j = ((clen*7 + 11*(j+1) + 17*f) % 2048)
+                                  - 1024,
+                     rice partition order (clen + f) % 2
+      short last frame: LPC order 1 when >= 2 samples, else VERBATIM
+                     (an order-1 warmup needs a second sample to
+                     predict), partition order 0
+    Samples are `synth_samples` (never amplified here)."""
+    total = 33 + clen % 71
+    samples = synth_samples(clen, total)
+    frames: list[dict] = []
+    f = 0
+    for lo in range(0, total, BLOCKSIZE):
+        chunk = samples[lo: lo + BLOCKSIZE]
+        full = len(chunk) == BLOCKSIZE
+        if full or len(chunk) >= 2:
+            order = (clen + f) % 3 + 1 if full else 1
+            coeffs = [((clen * 7 + 11 * (j + 1) + 17 * f) % 2048) - 1024
+                      for j in range(order)]
+            frames.append({
+                "samples": chunk,
+                "code": order,  # ignored when 'lpc' is present
+                "po": (clen + f) % 2 if full else 0,
+                "lpc": {
+                    "order": order,
+                    "precision": 12,
+                    "shift": 2 if (clen % 16 == 0 and f == 0)
+                             else 10 + (clen + f) % 4,
+                    "coeffs": coeffs,
+                },
+            })
+        else:
+            frames.append({"samples": chunk, "code": VERBATIM_CODE,
+                           "po": 0})
         f += 1
     return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5))

@@ -3634,3 +3634,30 @@ def decode_flac_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_flac_lpc_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize LPC-subframe FLAC payloads (verbatim-coded
+    quantized coefficients, arithmetic-shift prediction;
+    functions/flac.py `synth_flac_lpc` closed forms — orders 1-3,
+    a shift-2 escape face every 16th length). Arrow-batched;
+    payloads never touch the driver."""
+    from redskins_rule_spark.functions.flac import synth_flac_lpc
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_flac_lpc(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)

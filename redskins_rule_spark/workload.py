@@ -516,7 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 11 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
-    "q224_aac_short_windows", "q225_flac_decode",
+    "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +549,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
-    "q74_packing_quantized", "q75_tfidf_top_term",
+    "q74_packing_quantized",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -11117,4 +11117,112 @@ def q225_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_flac_payload(docs, "text", "doc_id")
+    return decode_flac_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q226: FLAC LPC subframes — the seam q225 named, CLOSED. LPC is the
+# subframe type real encoders emit for nearly all audio, and like
+# the rest of FLAC it is table-free: quantized predictor
+# coefficients ride VERBATIM in the bitstream (4-bit precision,
+# 5-bit shift, order x precision-bit taps) and reconstruction is an
+# integer dot product with an ARITHMETIC right shift. With this the
+# mono/16-bit FLAC profile decodes COMPLETELY — the engine's first
+# end-to-end real-world codec with zero carried spec tables and a
+# per-payload MD5 losslessness proof. The oracle replays prediction
+# in SQL (LAG windows, DuckDB's BIGINT >> is the same arithmetic
+# shift as Python's) plus the encoder's k>=15 escape rule, binding
+# coefficients, shift semantics, and rice parameter choice
+# cross-engine. Remaining format surface (named in flac.py):
+# stereo decorrelation, non-16-bit depths, variable blocking, rice2.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q226_flac_lpc",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen,
+                 33 + clen % 71 AS total,
+                 (33 + clen % 71 + 31) // 32 AS nf
+          FROM d),
+    s AS (SELECT doc_id, clen, total, nf,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM p),
+    sv AS (SELECT doc_id, clen, total, nf, k,
+                  k // 32 AS f, k % 32 AS i,
+                  ((clen * 31 + 7 * k * k + 13 * k) % 4096) - 2048 AS samp
+           FROM s),
+    cfg AS (SELECT *,
+                   CASE WHEN (f < nf - 1 OR total % 32 = 0)
+                             THEN (clen + f) % 3 + 1
+                        WHEN total - 32 * (nf - 1) >= 2 THEN 1
+                        ELSE -1 END AS ord,
+                   CASE WHEN clen % 16 = 0 AND f = 0 THEN 2
+                        ELSE 10 + (clen + f) % 4 END AS shft,
+                   CASE WHEN f < nf - 1 OR total % 32 = 0
+                        THEN (clen + f) % 2 ELSE 0 END AS po
+            FROM sv),
+    r AS (SELECT doc_id, f, i, ord, po,
+                 samp - ((
+                     ((clen * 7 + 11 * 1 + 17 * f) % 2048 - 1024)
+                       * lag(samp, 1) OVER w
+                   + CASE WHEN ord >= 2 THEN
+                       ((clen * 7 + 11 * 2 + 17 * f) % 2048 - 1024)
+                         * lag(samp, 2) OVER w ELSE 0 END
+                   + CASE WHEN ord >= 3 THEN
+                       ((clen * 7 + 11 * 3 + 17 * f) % 2048 - 1024)
+                         * lag(samp, 3) OVER w ELSE 0 END
+                 ) >> shft) AS resid
+          FROM cfg
+          WINDOW w AS (PARTITION BY doc_id, f ORDER BY i)),
+    parts AS (SELECT doc_id, f,
+                     CASE WHEN po = 1 THEN i // 16 ELSE 0 END AS part,
+                     MAX(CASE WHEN resid >= 0 THEN 2 * resid
+                              ELSE -2 * resid - 1 END) AS max_u
+              FROM r
+              WHERE ord >= 1 AND i >= ord
+              GROUP BY doc_id, f,
+                       CASE WHEN po = 1 THEN i // 16 ELSE 0 END),
+    esc AS (SELECT doc_id,
+                   SUM(CASE WHEN max_u >= 32768 THEN 1 ELSE 0 END)
+                     AS n_escapes
+            FROM parts GROUP BY doc_id),
+    ofp AS (SELECT doc_id,
+                   SUM((f + 1) * CASE WHEN ord = -1 THEN 5
+                                      ELSE 8 + ord END) AS order_fp
+            FROM (SELECT DISTINCT doc_id, f, ord FROM cfg)
+            GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen,
+                   MAX(total) AS total,
+                   MAX(nf) AS nf,
+                   MAX(CASE WHEN k = total - 1 THEN samp END)
+                     AS last_sample,
+                   SUM(samp) AS sample_sum,
+                   SUM((k + 1) * samp) AS sample_fp
+            FROM sv GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(a.nf AS BIGINT) AS n_frames,
+           CAST(a.last_sample AS BIGINT) AS last_sample,
+           CAST(a.sample_sum AS BIGINT) AS sample_sum,
+           CAST(a.sample_fp AS BIGINT) AS sample_fp,
+           CAST(o.order_fp AS BIGINT) AS order_fp,
+           CAST(e.n_escapes AS BIGINT) AS n_escapes,
+           TRUE AS md5_ok
+    FROM agg a
+    JOIN ofp o ON o.doc_id = a.doc_id
+    JOIN esc e ON e.doc_id = a.doc_id
+    """,
+)
+def q226_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stats,
+        with_flac_lpc_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_lpc_payload(docs, "text", "doc_id")
     return decode_flac_stats(payloads, "payload", "doc_id")

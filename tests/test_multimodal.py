@@ -4115,29 +4115,88 @@ def test_flac_crc_and_structure_gates():
         parse_flac(bytes(synth_flac(3))[:20])
 
 
-def test_flac_seam_raises_by_name_for_lpc():
+def test_flac_reserved_subframe_type_raises_by_name():
     import pytest
 
     from redskins_rule_spark.functions import flac as flacmod
 
-    # hand-build a frame whose subframe type is LPC (1xxxxx): the
-    # decoder must name the seam, not misparse
+    # hand-poison the subframe type to a reserved value (000010 -
+    # 000111): the decoder must name the defect, not misparse
     samples = [0] * 16
     data = bytearray(
         flacmod.encode_flac([{"samples": samples, "code": 0, "po": 0}])
     )
-    # subframe header is the first payload byte after the frame
-    # header (4 magic + 38 streaminfo-block + header bytes); find it
-    # by re-encoding with a poisoned subframe type via the bit writer
     st = flacmod.parse_flac(bytes(data))
     assert st.frames[0].subframe_code == 0
     # locate the subframe header byte: frame starts at 42; header is
     # 4 bytes fixed + 1 utf8 + 1 blocksize + 1 crc8 = 7 bytes
     sub_at = 42 + 7
     mutated = bytearray(data)
-    mutated[sub_at] = (mutated[sub_at] & 0x01) | (0b0100000 << 1)
-    with pytest.raises(ValueError, match="LPC"):
+    mutated[sub_at] = (mutated[sub_at] & 0x01) | (0b0000010 << 1)
+    with pytest.raises(ValueError, match="reserved subframe"):
         flacmod.parse_flac(bytes(mutated))
+
+
+def test_flac_lpc_roundtrip_and_negative_shift_gate():
+    import pytest
+
+    from redskins_rule_spark.functions import flac as flacmod
+
+    samples = [((13 * k * k + 3 * k) % 4096) - 2048 for k in range(64)]
+    for order, shift in [(1, 5), (2, 10), (3, 12), (8, 14), (32, 15)]:
+        coeffs = [((7 * j + 5) % 2048) - 1024 for j in range(order)]
+        data = flacmod.encode_flac(
+            [{"samples": samples, "code": 0, "po": 0,
+              "lpc": {"order": order, "precision": 12, "shift": shift,
+                      "coeffs": coeffs}}]
+        )
+        st = flacmod.parse_flac(data)
+        assert st.frames[0].subframe_code == flacmod.LPC_CODE_BASE + order
+        assert list(st.frames[0].samples) == samples
+        assert st.md5_ok
+    # the arithmetic-shift semantics pin: a negative prediction sum
+    # must floor (Python >> is arithmetic), not truncate toward zero
+    assert flacmod._lpc_predict([5], (-3,), 1) == -8  # -15 >> 1
+    # encoder-side profile gates
+    with pytest.raises(ValueError, match="precision"):
+        flacmod.encode_flac(
+            [{"samples": samples, "code": 0, "po": 0,
+              "lpc": {"order": 1, "precision": 1, "shift": 0,
+                      "coeffs": [0]}}]
+        )
+    with pytest.raises(ValueError, match="coefficient exceeds"):
+        flacmod.encode_flac(
+            [{"samples": samples, "code": 0, "po": 0,
+              "lpc": {"order": 1, "precision": 4, "shift": 0,
+                      "coeffs": [8]}}]
+        )
+
+
+def test_flac_lpc_synth_closed_forms_and_escape_face():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac,
+        synth_flac_lpc,
+        synth_samples,
+    )
+
+    for clen in [1, 2, 16, 32, 33, 48, 71, 97, 160]:
+        st = parse_flac(synth_flac_lpc(clen))
+        total = 33 + clen % 71
+        assert st.total_samples == total
+        got = [s for fr in st.frames for s in fr.samples]
+        assert got == synth_samples(clen, total)
+        assert st.md5_ok
+        nf = len(st.frames)
+        for f, fr in enumerate(st.frames):
+            if fr.blocksize == 32:
+                assert fr.subframe_code == 8 + (clen + f) % 3 + 1
+            elif fr.blocksize >= 2:
+                assert fr.subframe_code == 9  # LPC order 1
+            else:
+                assert fr.subframe_code == 5  # VERBATIM
+    # the shift-2 face forces raw-escape partitions through LPC
+    st = parse_flac(synth_flac_lpc(16))
+    assert st.frames[0].n_escapes >= 1
 
 
 def test_flac_synth_closed_forms_match_oracle_formulas():
