@@ -681,3 +681,300 @@ def synth_flac_lpc(clen: int) -> bytes:
                            "po": 0})
         f += 1
     return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5))
+
+
+# --- stereo decorrelation (RFC 9639 §4.2 channel assignments) -------------
+
+STEREO_MODES = ("LR", "LS", "RS", "MS")
+_CH_CODE = {"LR": 0b0001, "LS": 0b1000, "RS": 0b1001, "MS": 0b1010}
+_CH_MODE = {v: k for k, v in _CH_CODE.items()}
+
+
+@dataclass(frozen=True)
+class FlacStereoFrame:
+    blocksize: int
+    mode: str  # LR / LS / RS / MS
+    codes: tuple[int, int]  # per stored channel, same convention
+    left: tuple[int, ...]
+    right: tuple[int, ...]
+    n_escapes: int
+
+
+@dataclass(frozen=True)
+class FlacStereoStream:
+    sample_rate: int
+    total_samples: int  # inter-channel samples (per-channel count)
+    frames: tuple[FlacStereoFrame, ...]
+    md5_ok: bool
+
+
+def _decorrelate(
+    left: list[int], right: list[int], mode: str
+) -> tuple[list[int], list[int], int, int]:
+    """(stored ch0, stored ch1, ch0 extra bit, ch1 extra bit). The
+    side channel carries left-right and needs bps+1 bits; for
+    mid/side the mid is the FLOOR average (l+r)>>1 — the dropped
+    parity bit is recovered from the side channel's low bit, whose
+    parity equals l+r's."""
+    side = [a - b for a, b in zip(left, right)]
+    if mode == "LR":
+        return left, right, 0, 0
+    if mode == "LS":
+        return left, side, 0, 1
+    if mode == "RS":
+        return side, right, 1, 0
+    if mode == "MS":
+        return [(a + b) >> 1 for a, b in zip(left, right)], side, 0, 1
+    raise ValueError("flac: unknown stereo mode")
+
+
+def _recorrelate(
+    ch0: list[int], ch1: list[int], mode: str
+) -> tuple[list[int], list[int]]:
+    if mode == "LR":
+        return ch0, ch1
+    if mode == "LS":
+        return ch0, [a - s for a, s in zip(ch0, ch1)]
+    if mode == "RS":
+        return [r + s for s, r in zip(ch0, ch1)], ch1
+    if mode == "MS":
+        left, right = [], []
+        for m, s in zip(ch0, ch1):
+            total = 2 * m + (s & 1)
+            left.append((total + s) >> 1)
+            right.append((total - s) >> 1)
+        return left, right
+    raise ValueError("flac: unknown stereo mode")
+
+
+def encode_flac_stereo(
+    frames: list[dict],
+    sample_rate: int = 44100,
+    bps: int = 16,
+) -> bytes:
+    """Stereo fixed-blocking FLAC stream with per-frame channel
+    decorrelation. Each frames[i]: 'left'/'right' (equal-length
+    signed sample lists), 'mode' in STEREO_MODES, 'code' (FIXED
+    order / VERBATIM_CODE applied to both stored channels), 'po'.
+    STREAMINFO's MD5 covers the channel-interleaved little-endian
+    PCM, so the decoder's losslessness proof spans BOTH channels and
+    every decorrelation mode."""
+    if not frames:
+        raise ValueError("flac: at least one frame")
+    bs0 = len(frames[0]["left"])
+    for fr in frames:
+        if len(fr["left"]) != len(fr["right"]):
+            raise ValueError("flac: channel length mismatch")
+    for fr in frames[:-1]:
+        if len(fr["left"]) != bs0:
+            raise ValueError("flac: fixed blocking needs constant blocksize"
+                             " (only the last frame may be short)")
+    if len(frames[-1]["left"]) > bs0:
+        raise ValueError("flac: last frame exceeds the stream blocksize")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    md5 = hashlib.md5()
+    total = 0
+    for fr in frames:
+        for a, b in zip(fr["left"], fr["right"]):
+            if not (lo <= a <= hi and lo <= b <= hi):
+                raise ValueError(f"flac: sample exceeds {bps}-bit range")
+            md5.update((a & 0xFFFF).to_bytes(2, "little"))
+            md5.update((b & 0xFFFF).to_bytes(2, "little"))
+        total += len(fr["left"])
+    info = _BitsOut()
+    info.write(bs0, 16)
+    info.write(bs0, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(1, 3)             # channels - 1 (stereo)
+    info.write(bps - 1, 5)
+    info.write(total, 36)
+    streaminfo = bytes(info.buf) + md5.digest()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo
+    for n, fr in enumerate(frames):
+        nsamp = len(fr["left"])
+        mode = fr["mode"]
+        ch0, ch1, x0, x1 = _decorrelate(
+            list(fr["left"]), list(fr["right"]), mode
+        )
+        hdr = _BitsOut()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0110, 4)
+        hdr.write(0b0000, 4)
+        hdr.write(_CH_CODE[mode], 4)
+        hdr.write(0b100, 3)
+        hdr.write(0, 1)
+        hdr.pad_to_byte()
+        head = bytes(hdr.buf) + _utf8_number(n) + bytes([nsamp - 1])
+        head += bytes([crc8(head)])
+        body = _BitsOut()
+        _encode_subframe(body, ch0, fr["code"], bps + x0, fr.get("po", 0))
+        _encode_subframe(body, ch1, fr["code"], bps + x1, fr.get("po", 0))
+        body.pad_to_byte()
+        frame = head + bytes(body.buf)
+        out += frame + crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def parse_flac_stereo(data: bytes) -> FlacStereoStream:
+    """REAL stereo decode: the mono walk plus per-frame channel
+    decorrelation — left/side, right/side (side channel FIRST), and
+    mid/side with the floor-average parity recovered from the side
+    channel's low bit. The side channel reads at bps+1. MD5 proof
+    over the interleaved reconstruction covers both channels."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: missing fLaC stream marker")
+    pos = 4
+    streaminfo: bytes | None = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata block header")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1: pos + 4], "big")
+        if len(data) < pos + 4 + blen:
+            raise ValueError("flac: truncated metadata block body")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            streaminfo = data[pos + 4: pos + 38]
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: STREAMINFO block is mandatory")
+    si = _Bits(streaminfo)
+    min_bs = si.read(16)
+    max_bs = si.read(16)
+    si.read(24), si.read(24)
+    sample_rate = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_declared = streaminfo[18:34]
+    if channels != 2:
+        raise ValueError("flac: this walk decodes stereo streams")
+    if bps != 16:
+        raise ValueError("flac: profile is 16-bit")
+    if min_bs != max_bs:
+        raise ValueError("flac: fixed blocking needs one blocksize")
+    frames: list[FlacStereoFrame] = []
+    md5 = hashlib.md5()
+    seen = 0
+    n_expected = 0
+    while pos < len(data):
+        frame_start = pos
+        br = _Bits(data)
+        br.pos = 8 * pos
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        if br.read(1):
+            raise ValueError("flac: variable blocking outside fixed-"
+                             "blocking profile")
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        if ch_code not in _CH_MODE:
+            raise ValueError(
+                "flac: stereo walk takes channel assignments 0001 "
+                "(independent) and 1000-1010 (decorrelated)"
+            )
+        mode = _CH_MODE[ch_code]
+        if ss_code != 0b100:
+            raise ValueError("flac: profile is 16-bit")
+        if sr_code != 0:
+            raise ValueError("flac: sample rate must defer to STREAMINFO")
+        fno = _read_utf8_number(br)
+        if fno != n_expected:
+            raise ValueError("flac: frame numbers must be sequential")
+        n_expected += 1
+        if bs_code != 0b0110:
+            raise ValueError("flac: stereo synth writes 8-bit blocksizes")
+        nsamp = br.read(8) + 1
+        hdr_end = br.pos >> 3
+        if crc8(data[frame_start:hdr_end]) != data[hdr_end]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        br.pos = 8 * (hdr_end + 1)
+        x0 = 1 if mode == "RS" else 0
+        x1 = 1 if mode in ("LS", "MS") else 0
+        code0, ch0, esc0 = _decode_subframe(br, nsamp, bps + x0)
+        code1, ch1, esc1 = _decode_subframe(br, nsamp, bps + x1)
+        if br.pos & 7:
+            if br.read(8 - (br.pos & 7)):
+                raise ValueError("flac: nonzero frame padding bits")
+        crc_at = br.pos >> 3
+        declared = int.from_bytes(data[crc_at: crc_at + 2], "big")
+        if crc16(data[frame_start:crc_at]) != declared:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = crc_at + 2
+        if seen + nsamp < total and nsamp != max_bs:
+            raise ValueError("flac: short frame before the last")
+        seen += nsamp
+        left, right = _recorrelate(ch0, ch1, mode)
+        for a, b in zip(left, right):
+            md5.update((a & 0xFFFF).to_bytes(2, "little"))
+            md5.update((b & 0xFFFF).to_bytes(2, "little"))
+        frames.append(
+            FlacStereoFrame(nsamp, mode, (code0, code1), tuple(left),
+                            tuple(right), esc0 + esc1)
+        )
+    if seen != total:
+        raise ValueError("flac: decoded samples disagree with STREAMINFO")
+    return FlacStereoStream(
+        sample_rate=sample_rate,
+        total_samples=total,
+        frames=tuple(frames),
+        md5_ok=md5.digest() == md5_declared,
+    )
+
+
+def synth_right(clen: int, total: int) -> list[int]:
+    """Right-channel closed form: r_k = ((clen*17 + 5*k*k + 3*k)
+    % 4096) - 2048."""
+    return [((clen * 17 + 5 * k * k + 3 * k) % 4096) - 2048
+            for k in range(total)]
+
+
+def synth_flac_stereo(clen: int) -> bytes:
+    """Deterministic stereo FLAC stream (the q227 closed forms):
+
+      total       = 33 + clen % 71   (per channel; frames of 32)
+      sample_rate = 8000 + 100 * (clen % 5)
+      left        = synth_samples, right = synth_right
+      frame f:    mode  = STEREO_MODES[(clen + f) % 4]
+                  code  = (clen + f) % 5 (FIXED order, both stored
+                          channels; short last frame drops to 0)
+                  po    = (clen + f) % 2 on full frames, else 0
+    All four channel assignments cycle through every stream, so the
+    decorrelation inverses (including mid/side parity recovery) are
+    corpus-exercised, not just unit-tested."""
+    total = 33 + clen % 71
+    left = synth_samples(clen, total)
+    right = synth_right(clen, total)
+    frames: list[dict] = []
+    f = 0
+    for lo in range(0, total, BLOCKSIZE):
+        lchunk = left[lo: lo + BLOCKSIZE]
+        rchunk = right[lo: lo + BLOCKSIZE]
+        full = len(lchunk) == BLOCKSIZE
+        code = (clen + f) % 5
+        if not full and code >= len(lchunk):
+            code = 0
+        frames.append({
+            "left": lchunk,
+            "right": rchunk,
+            "mode": STEREO_MODES[(clen + f) % 4],
+            "code": code,
+            "po": (clen + f) % 2 if full else 0,
+        })
+        f += 1
+    return encode_flac_stereo(frames, sample_rate=8000 + 100 * (clen % 5))

@@ -270,7 +270,15 @@ assert sum(2.0 ** -ln for ln, _ in _COUNT1_A.values()) == 1.0  # Kraft-exact
 # big-values pair table 1 (Table B.7): the one pair codebook small
 # enough to carry as spec text — |x|,|y| ∈ {0,1}, no linbits/ESC.
 # Granules whose big-values pairs fit in ±1 therefore decode fully;
-# tables 2-31 (+ linbits escapes) remain the documented seam.
+# tables 2-31 (+ linbits escapes) remain the documented seam, and
+# DELIBERATELY so: each is a 9-to-256-entry arbitrary Huffman
+# codebook with no verifiable public copy in this container, so any
+# reconstruction from memory would risk shipping a plausible-but-
+# wrong table — worse than a seam that raises by name (the same
+# judgment call as AAC's 121-entry scalefactor codebook; see the
+# q224 registration note). The structural layers AROUND the tables
+# (side info, scalefactors, bit reservoir, count1 + table-1 regions)
+# are all real and oracle-checked.
 _BIGV_T1: dict[tuple[int, int], tuple[int, int]] = {
     (0, 0): (1, 0b1),
     (0, 1): (3, 0b001),

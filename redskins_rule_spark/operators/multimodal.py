@@ -3661,3 +3661,103 @@ def with_flac_lpc_payload(
             yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
 
     return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def with_flac_stereo_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize stereo FLAC payloads cycling all four channel
+    assignments (independent, left/side, right/side, mid/side;
+    functions/flac.py `synth_flac_stereo` closed forms).
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.flac import synth_flac_stereo
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_flac_stereo(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_flac_stereo_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL stereo FLAC decode per payload: the mono walk plus
+    channel decorrelation inverses (left/side, right/side, mid/side
+    parity recovery), side channels read at bps+1. Emits per-channel
+    integer aggregates over the RECONSTRUCTED samples, a
+    decorrelation-mode fingerprint Σ (f+1)·mode_idx and subframe
+    fingerprint Σ (f+1)·(code0+code1) from the PARSED headers, and
+    the two-channel MD5 losslessness proof."""
+    from redskins_rule_spark.functions.flac import (
+        STEREO_MODES,
+        parse_flac_stereo,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("left_sum", T.LongType()),
+            T.StructField("right_sum", T.LongType()),
+            T.StructField("left_fp", T.LongType()),
+            T.StructField("right_fp", T.LongType()),
+            T.StructField("mode_fp", T.LongType()),
+            T.StructField("code_fp", T.LongType()),
+            T.StructField("md5_ok", T.BooleanType()),
+        ]
+    )
+    mode_idx = {m: i for i, m in enumerate(STEREO_MODES)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 10)
+                    continue
+                st = parse_flac_stereo(bytes(b))
+                left = [s for fr in st.frames for s in fr.left]
+                right = [s for fr in st.frames for s in fr.right]
+                rows.append(
+                    (
+                        st.sample_rate,
+                        st.total_samples,
+                        len(st.frames),
+                        sum(left),
+                        sum(right),
+                        sum((k + 1) * s for k, s in enumerate(left)),
+                        sum((k + 1) * s for k, s in enumerate(right)),
+                        sum((f + 1) * mode_idx[fr.mode]
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * (fr.codes[0] + fr.codes[1])
+                            for f, fr in enumerate(st.frames)),
+                        st.md5_ok,
+                    )
+                )
+            cols = ["sr", "n_samples", "n_frames", "left_sum", "right_sum",
+                    "left_fp", "right_fp", "mode_fp", "code_fp", "md5_ok"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["sr"] = pd.array(meta_df["sr"], dtype="Int32")
+            for c in cols[1:-1]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df["md5_ok"] = pd.array(meta_df["md5_ok"],
+                                         dtype="boolean")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

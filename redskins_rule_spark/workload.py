@@ -517,6 +517,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
+    "q227_flac_stereo",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +550,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
     "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
-    "q74_packing_quantized",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -11226,3 +11226,76 @@ def q226_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_flac_lpc_payload(docs, "text", "doc_id")
     return decode_flac_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q227: FLAC stereo decorrelation — the multi-channel half of the
+# format, and like everything else in FLAC it is pure integer
+# algebra: left/side and right/side store the difference channel at
+# bps+1 bits (side FIRST for right/side — an assignment-order trap a
+# sloppy reader would miss), and mid/side stores the FLOOR average
+# whose dropped parity bit is recovered from the side channel's low
+# bit. All four channel assignments cycle per frame across the
+# corpus; the MD5 proof covers the interleaved two-channel
+# reconstruction, so a wrong inverse in ANY mode fails every stream.
+# Oracle replays the closed forms; the mode/code fingerprints come
+# from PARSED headers, binding the assignment decode cross-engine.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q227_flac_stereo",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen,
+                 33 + clen % 71 AS total,
+                 (33 + clen % 71 + 31) // 32 AS nf
+          FROM d),
+    s AS (SELECT doc_id, clen, total, nf,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM p),
+    sv AS (SELECT doc_id, clen, total, nf, k,
+                  ((clen * 31 + 7 * k * k + 13 * k) % 4096) - 2048 AS l,
+                  ((clen * 17 + 5 * k * k + 3 * k) % 4096) - 2048 AS r
+           FROM s),
+    fr AS (SELECT doc_id, clen, total, nf,
+                  unnest(generate_series(0, nf - 1)) AS f
+           FROM p),
+    fx AS (SELECT doc_id,
+                  SUM((f + 1) * ((clen + f) % 4)) AS mode_fp,
+                  SUM((f + 1) * 2 *
+                      CASE WHEN f < nf - 1 OR total % 32 = 0
+                           THEN (clen + f) % 5
+                           WHEN (clen + f) % 5 >= total - 32 * (nf - 1)
+                           THEN 0
+                           ELSE (clen + f) % 5 END) AS code_fp
+           FROM fr GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen, MAX(total) AS total, MAX(nf) AS nf,
+                   SUM(l) AS left_sum, SUM(r) AS right_sum,
+                   SUM((k + 1) * l) AS left_fp,
+                   SUM((k + 1) * r) AS right_fp
+            FROM sv GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(a.nf AS BIGINT) AS n_frames,
+           CAST(a.left_sum AS BIGINT) AS left_sum,
+           CAST(a.right_sum AS BIGINT) AS right_sum,
+           CAST(a.left_fp AS BIGINT) AS left_fp,
+           CAST(a.right_fp AS BIGINT) AS right_fp,
+           CAST(x.mode_fp AS BIGINT) AS mode_fp,
+           CAST(x.code_fp AS BIGINT) AS code_fp,
+           TRUE AS md5_ok
+    FROM agg a JOIN fx x ON x.doc_id = a.doc_id
+    """,
+)
+def q227_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stereo_stats,
+        with_flac_stereo_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_stereo_payload(docs, "text", "doc_id")
+    return decode_flac_stereo_stats(payloads, "payload", "doc_id")

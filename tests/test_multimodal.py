@@ -4227,3 +4227,113 @@ def test_flac_synth_closed_forms_match_oracle_formulas():
             if not full and code != 5:
                 code = 0
             assert fr.subframe_code == code
+
+
+def test_flac_stereo_all_modes_roundtrip_and_md5():
+    from redskins_rule_spark.functions.flac import (
+        STEREO_MODES,
+        encode_flac_stereo,
+        parse_flac_stereo,
+    )
+
+    left = [((13 * k * k + 3 * k) % 4096) - 2048 for k in range(32)]
+    right = [((7 * k * k + 11 * k) % 4096) - 2048 for k in range(32)]
+    for mode in STEREO_MODES:
+        for code in [0, 2, 4]:
+            data = encode_flac_stereo(
+                [{"left": left, "right": right, "mode": mode,
+                  "code": code, "po": 1}]
+            )
+            st = parse_flac_stereo(data)
+            assert st.frames[0].mode == mode
+            assert list(st.frames[0].left) == left
+            assert list(st.frames[0].right) == right
+            assert st.md5_ok
+
+
+def test_flac_stereo_mid_side_parity_recovery():
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_stereo,
+        parse_flac_stereo,
+    )
+
+    # odd l+r sums: the floor-average mid drops a bit that ONLY the
+    # side channel's parity can restore — every combination of signs
+    # and parities
+    pairs = [(3, 2), (-3, 2), (3, -2), (-3, -2), (0, 1), (1, 0),
+             (-1, 0), (0, -1), (32767, -32768), (-32768, 32767)]
+    left = [p[0] for p in pairs] * 2
+    right = [p[1] for p in pairs] * 2
+    data = encode_flac_stereo(
+        [{"left": left, "right": right, "mode": "MS", "code": 0,
+          "po": 0}]
+    )
+    st = parse_flac_stereo(data)
+    assert list(st.frames[0].left) == left
+    assert list(st.frames[0].right) == right
+    assert st.md5_ok
+
+
+def test_flac_stereo_side_channel_needs_extra_bit():
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_stereo,
+        parse_flac_stereo,
+    )
+
+    # side = l - r = 65535 overflows 16 bits; the bps+1 side width
+    # must carry it in LS, RS, and MS
+    left = [32767] * 8
+    right = [-32768] * 8
+    for mode in ("LS", "RS", "MS"):
+        st = parse_flac_stereo(
+            encode_flac_stereo(
+                [{"left": left, "right": right, "mode": mode,
+                  "code": 0, "po": 0}]
+            )
+        )
+        assert list(st.frames[0].left) == left
+        assert list(st.frames[0].right) == right
+        assert st.md5_ok
+
+
+def test_flac_stereo_synth_closed_forms():
+    from redskins_rule_spark.functions.flac import (
+        STEREO_MODES,
+        parse_flac_stereo,
+        synth_flac_stereo,
+        synth_right,
+        synth_samples,
+    )
+
+    for clen in [1, 4, 16, 33, 64, 71, 128, 200]:
+        st = parse_flac_stereo(synth_flac_stereo(clen))
+        total = 33 + clen % 71
+        assert st.total_samples == total
+        assert [s for fr in st.frames for s in fr.left] == \
+            synth_samples(clen, total)
+        assert [s for fr in st.frames for s in fr.right] == \
+            synth_right(clen, total)
+        assert st.md5_ok
+        for f, fr in enumerate(st.frames):
+            assert fr.mode == STEREO_MODES[(clen + f) % 4]
+
+
+def test_flac_stereo_bitflip_sweep_always_detected():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac_stereo,
+        synth_flac_stereo,
+    )
+
+    data = bytearray(synth_flac_stereo(23))
+    caught = 0
+    n_bits = 8 * 24
+    for bit in range(8 * (len(data) - 24), 8 * len(data)):
+        mutated = bytearray(data)
+        mutated[bit // 8] ^= 1 << (7 - bit % 8)
+        try:
+            st = parse_flac_stereo(bytes(mutated))
+            if not st.md5_ok:
+                caught += 1
+        except ValueError:
+            caught += 1
+    assert caught == n_bits
