@@ -517,7 +517,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
-    "q227_flac_stereo",
+    "q227_flac_stereo", "q228_sq8_ann",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,14 +549,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
-    "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
+    "q71_quantize", "q72_rolling_revenue",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
     # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222,
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
-    # sf10 differential this round).
+    # sf10 differential this round; q73_conjunctive_search for q228).
 ]
 
 
@@ -11299,3 +11299,76 @@ def q227_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_flac_stereo_payload(docs, "text", "doc_id")
     return decode_flac_stereo_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q228: SQ8 scalar-quantized ANN — the third compression point on the
+# ANN spectrum next to IVF (q30: prune WHICH rows are scanned) and PQ
+# (q97/q97b: compress to m codebook bytes): every dimension kept, but
+# stored as one affine-quantized byte (FAISS SQ8 / Milvus
+# SCALAR_QUANTIZER). Unlike PQ there is NO engine-local k-means — the
+# "training" is per-dimension MIN/MAX, which are order-independent
+# EXACT aggregates — so the TRAINED path itself is hash-checkable, not
+# just a fixed-parameter face: the affine map
+# ((v - mn) * 255.0) / (mx - mn) is a fixed three-op IEEE expression
+# tree both engines evaluate bit-identically, FLOOR/clamp are exact,
+# and from the codes on everything is pure INTEGER arithmetic (the
+# scored output carries zero float risk, no ROUND contract needed).
+# Scale: train = one narrow posexplode agg with map-side partial
+# min/max collecting exactly dim rows of metadata; encode = row-local
+# JVM codegen over the 4x-compressed column; top-k = pinned
+# TakeOrderedAndProject. At 100 TB bounds train on a hash-sample and
+# the integer-L2 scan never touches floats.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q228_sq8_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         g AS (SELECT unnest(generate_series(1, 64)) AS i),
+         b AS (SELECT g.i AS i, MIN(e.v[g.i]) AS mn, MAX(e.v[g.i]) AS mx
+               FROM e, g GROUP BY g.i),
+         qv AS (SELECT v FROM e WHERE vec_id = 0),
+         qc AS (SELECT b.i AS i,
+                       CASE WHEN b.mx = b.mn THEN 0
+                            ELSE LEAST(255, GREATEST(0,
+                                 CAST(FLOOR(((qv.v[b.i] - b.mn) * 255.0)
+                                            / (b.mx - b.mn)) AS INTEGER)))
+                       END AS qcode
+                FROM b, qv),
+         ec AS (SELECT e.vec_id, b.i AS i,
+                       CASE WHEN b.mx = b.mn THEN 0
+                            ELSE LEAST(255, GREATEST(0,
+                                 CAST(FLOOR(((e.v[b.i] - b.mn) * 255.0)
+                                            / (b.mx - b.mn)) AS INTEGER)))
+                       END AS code
+                FROM e, b),
+         d AS (SELECT ec.vec_id,
+                      SUM(CAST(ec.code - qc.qcode AS BIGINT)
+                          * CAST(ec.code - qc.qcode AS BIGINT)) AS sq_dist
+               FROM ec JOIN qc ON qc.i = ec.i
+               GROUP BY ec.vec_id)
+    SELECT vec_id, CAST(sq_dist AS BIGINT) AS sq_dist
+    FROM d ORDER BY sq_dist, vec_id LIMIT 10
+    """,
+)
+def q228_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.similarity import (
+        sq_encode,
+        sq_quantize_query,
+        sq_topk,
+        train_sq_bounds,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bounds = train_sq_bounds(emb, "embedding", dim=64)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qcodes = sq_quantize_query(qvec, bounds)
+    coded = sq_encode(emb, bounds, "embedding")
+    return sq_topk(coded, qcodes, "vec_id", k=10)

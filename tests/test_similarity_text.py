@@ -1675,3 +1675,71 @@ def test_semdedup_null_vectors_survive_both_strategies(spark):
     assert out["blocked"] == out["expression"]
     assert out["blocked"][3] == (0, True)
     assert out["blocked"][2][1] is False and out["blocked"][1][1] is True
+
+
+# --- SQ8 scalar quantization ------------------------------------------------
+
+from redskins_rule_spark.operators.similarity import (  # noqa: E402
+    sq_encode,
+    sq_quantize_query,
+    sq_topk,
+    train_sq_bounds,
+)
+
+
+def _sq_frame(spark):
+    rows = [
+        (0, [0.0, -1.0, 5.0, 2.5]),
+        (1, [1.0, 1.0, 5.0, 0.0]),
+        (2, [0.5, 0.0, 5.0, 10.0]),
+        (3, [0.25, -0.5, 5.0, -3.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_sq_bounds_are_exact_per_dim_min_max(spark):
+    df = _sq_frame(spark)
+    bounds = train_sq_bounds(df, "embedding", dim=4)
+    assert bounds == [(0.0, 1.0), (-1.0, 1.0), (5.0, 5.0), (-3.0, 10.0)]
+
+
+def test_sq_encode_codes_and_constant_dim(spark):
+    df = _sq_frame(spark)
+    bounds = train_sq_bounds(df, "embedding", dim=4)
+    got = {
+        r["vec_id"]: r["sq_code"]
+        for r in sq_encode(df, bounds, "embedding").collect()
+    }
+    # dim 2 is constant -> code 0 everywhere; extremes land on 0/255
+    # (max maps to floor(255.0) = 255, no clamp needed at the top)
+    assert [got[i][2] for i in range(4)] == [0, 0, 0, 0]
+    assert got[0][0] == 0 and got[1][0] == 255
+    assert got[1][1] == 255 and got[0][1] == 0
+    assert got[2][3] == 255 and got[3][3] == 0
+
+
+def test_sq_query_quantization_matches_spark_encode(spark):
+    # the driver-side Python affine must reproduce sq_encode
+    # bit-for-bit: quantize row 3's vector both ways
+    df = _sq_frame(spark)
+    bounds = train_sq_bounds(df, "embedding", dim=4)
+    vec = df.where(F.col("vec_id") == 3).first()["embedding"]
+    py = sq_quantize_query([float(x) for x in vec], bounds)
+    jvm = (
+        sq_encode(df, bounds, "embedding")
+        .where(F.col("vec_id") == 3)
+        .first()["sq_code"]
+    )
+    assert py == list(jvm)
+
+
+def test_sq_topk_integer_distance_and_pinned_ties(spark):
+    df = _sq_frame(spark)
+    bounds = train_sq_bounds(df, "embedding", dim=4)
+    coded = sq_encode(df, bounds, "embedding")
+    q = sq_quantize_query([0.0, -1.0, 5.0, 2.5], bounds)  # == row 0
+    out = sq_topk(coded, q, "vec_id", k=4).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["sq_dist"] == 0
+    dists = [r["sq_dist"] for r in out]
+    assert dists == sorted(dists)
+    assert all(isinstance(d, int) for d in dists)
