@@ -3761,3 +3761,100 @@ def decode_flac_stereo_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_tiff_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize baseline-TIFF payloads (functions/tiff.py
+    `synth_tiff` closed forms): byte order, compression (none vs
+    PackBits), and strip height cycle with content length, so both
+    endiannesses, both compressions, and multi-strip layouts with a
+    short final strip are all on every corpus-level decode path.
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.tiff import synth_tiff
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_tiff(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_tiff_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL baseline-TIFF decode: endianness-dispatched header + IFD
+    walk (ascending-tag and strip-array validation) → per-strip
+    PackBits/verbatim expansion with row-boundary enforcement → the
+    position-weighted raster fingerprint. NULL payloads yield NULL
+    stats; corrupt ones raise ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.tiff import (
+        COMP_PACKBITS,
+        decode_tiff,
+        decode_tiff_meta,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("compressed", T.BooleanType()),
+            T.StructField("pixel_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                data = bytes(b)
+                meta = decode_tiff_meta(data)
+                img = decode_tiff(data)
+                v = img.reshape(-1).astype(np.int64)
+                wts = 1 + (np.arange(v.size, dtype=np.int64) % 97)
+                fp = int((v * wts).sum() % 2147483647)
+                rows.append(
+                    (
+                        meta["width"],
+                        meta["height"],
+                        len(meta["strip_offsets"]),
+                        meta["big_endian"],
+                        meta["compression"] == COMP_PACKBITS,
+                        fp,
+                    )
+                )
+            cols = [
+                "width", "height", "n_strips",
+                "big_endian", "compressed", "pixel_fp",
+            ]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("width", "height", "n_strips"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in ("big_endian", "compressed"):
+                meta_df[c] = pd.array(meta_df[c], dtype="boolean")
+            meta_df["pixel_fp"] = pd.array(meta_df["pixel_fp"], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

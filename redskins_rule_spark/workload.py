@@ -517,7 +517,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
-    "q227_flac_stereo", "q228_sq8_ann",
+    "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,14 +549,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
-    "q71_quantize", "q72_rolling_revenue",
+    "q71_quantize",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
     # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222,
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
-    # sf10 differential this round; q73_conjunctive_search for q228).
+    # sf10 differential this round; q73_conjunctive_search for q228,
+    # q72_rolling_revenue for q229).
 ]
 
 
@@ -11372,3 +11373,57 @@ def q228_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcodes = sq_quantize_query(qvec, bounds)
     coded = sq_encode(emb, bounds, "embedding")
     return sq_topk(coded, qcodes, "vec_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# q229: baseline TIFF decode (strips + PackBits, both byte orders) —
+# the raster format that completes the image family the way FLAC
+# completed audio: fully algorithmic, zero carried spec tables. The
+# IFD tag walk is the same structure the EXIF decoder (q218) walks
+# inside JPEG APP1 — here it is the top-level container, with
+# ascending-tag-order and strip-array validation, inline-vs-offset
+# value resolution, and EVERY multi-byte integer flipping with the
+# declared byte order (half the corpus is big-endian). Compression
+# cycles none/PackBits and strip height cycles 1..3 (short final
+# strips), so verbatim strips, run packets, literal packets, and
+# multi-strip reassembly all sit on every corpus decode; the
+# row-boundary rule (packets must not cross rows) is enforced, not
+# assumed. Oracle replays the pixel closed form over raster
+# positions; the position-weighted fingerprint fails if strip order,
+# endianness dispatch, or either PackBits packet kind is wrong.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q229_tiff_packbits",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS clen,
+                      length(text) % 17 + 2 AS w,
+                      length(text) % 7 + 2 AS h
+               FROM documents WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, w, h, MAX(clen) AS clen,
+                 CAST(SUM((CASE WHEN (u.i // w) % 3 = 0
+                           THEN (clen + 11 * (u.i // w) + (u.i % w) // 5) % 256
+                           ELSE (clen + 13 * (u.i // w) + 7 * (u.i % w)) % 256
+                           END) * (1 + u.i % 97)) % 2147483647 AS BIGINT)
+                     AS pixel_fp
+          FROM g, unnest(generate_series(0, w * h - 1)) AS u(i)
+          GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST((h + clen % 3) // (clen % 3 + 1) AS INTEGER) AS n_strips,
+           clen % 2 = 1 AS big_endian,
+           clen % 3 <> 0 AS compressed,
+           pixel_fp
+    FROM f
+    """,
+)
+def q229_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_tiff_stats,
+        with_tiff_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_tiff_payload(docs, "text", "doc_id")
+    return decode_tiff_stats(payloads, "payload", "doc_id")

@@ -4337,3 +4337,125 @@ def test_flac_stereo_bitflip_sweep_always_detected():
         except ValueError:
             caught += 1
     assert caught == n_bits
+
+
+# --- baseline TIFF (strips + PackBits, both byte orders) --------------------
+
+import struct  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from redskins_rule_spark.functions.tiff import (  # noqa: E402
+    COMP_NONE,
+    COMP_PACKBITS,
+    decode_tiff,
+    decode_tiff_meta,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode_row,
+    synth_gray_tiff,
+    synth_tiff,
+)
+
+
+def test_tiff_roundtrip_both_endians_both_compressions():
+    px = synth_gray_tiff(37)
+    for be in (False, True):
+        for comp in (COMP_NONE, COMP_PACKBITS):
+            for rps in (1, 2, 3, 100):
+                data = encode_tiff(
+                    px, big_endian=be, compression=comp, rows_per_strip=rps
+                )
+                meta = decode_tiff_meta(data)
+                assert meta["big_endian"] is be
+                assert meta["compression"] == comp
+                assert meta["rows_per_strip"] == rps
+                exp_strips = (px.shape[0] + rps - 1) // rps
+                assert len(meta["strip_offsets"]) == exp_strips
+                assert np.array_equal(decode_tiff(data), px)
+
+
+def test_tiff_packbits_exercises_both_packet_kinds():
+    # row 0 of the synth content plateaus (run packets); row 1 steps
+    # by 7 (literal packets) — assert the packet mix really happens
+    px = synth_gray_tiff(50)
+    run_row = packbits_encode_row(px[0].tobytes())
+    lit_row = packbits_encode_row(px[1].tobytes())
+    assert any(b > 128 for b in run_row)  # at least one run packet
+    assert all(b <= 127 or b == 129 + 255 for b in lit_row[:1])
+    assert lit_row[0] == px.shape[1] - 1  # one max-width literal packet
+    # 128-cap on long runs and literals
+    long_run = bytes([9] * 300)
+    assert packbits_decode(packbits_encode_row(long_run), 300, 1) == long_run
+    long_lit = bytes(range(256)) * 2  # no adjacent repeats within rows? has
+    long_lit = bytes(i % 251 for i in range(300))
+    assert packbits_decode(packbits_encode_row(long_lit), 300, 1) == long_lit
+
+
+def test_tiff_packbits_row_boundary_rule_enforced():
+    # a run packet spilling into the next row must be rejected even
+    # though a naive expander would happily emit the bytes
+    with pytest.raises(ValueError, match="row boundary"):
+        packbits_decode(bytes([257 - 4, 5]), 3, 2)
+    # literal packet crossing rows
+    with pytest.raises(ValueError, match="row boundary"):
+        packbits_decode(bytes([3]) + bytes(4), 3, 2)
+    # data past the final row
+    ok_row = packbits_encode_row(bytes([1, 2, 3]))
+    with pytest.raises(ValueError, match="past final row"):
+        packbits_decode(ok_row + ok_row, 3, 1)
+    # 0x80 no-op is skipped
+    assert packbits_decode(bytes([128]) + ok_row, 3, 1) == bytes([1, 2, 3])
+
+
+def test_tiff_ifd_gates():
+    data = synth_tiff(23)
+    # bad byte order / magic
+    with pytest.raises(ValueError, match="byte order"):
+        decode_tiff_meta(b"XX" + data[2:])
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff_meta(data[:2] + b"\x00\x00" + data[4:])
+    # truncation sweep: every prefix must raise, never mis-decode
+    for cut in range(0, len(data) - 1, 7):
+        with pytest.raises(ValueError):
+            decode_tiff(data[:cut])
+
+
+def test_tiff_ascending_tag_order_enforced():
+    # hand-swap two IFD entries in a little-endian payload: the walk
+    # must reject the directory rather than silently accept it
+    px = synth_gray_tiff(3)
+    data = bytearray(encode_tiff(px, big_endian=False))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    e0 = ifd_off + 2
+    first = bytes(data[e0 : e0 + 12])
+    second = bytes(data[e0 + 12 : e0 + 24])
+    data[e0 : e0 + 12] = second
+    data[e0 + 12 : e0 + 24] = first
+    with pytest.raises(ValueError, match="ascending"):
+        decode_tiff_meta(bytes(data))
+
+
+def test_tiff_stats_op_matches_closed_forms(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_tiff_stats,
+        with_tiff_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 9), (2, "y" * 25), (3, None), (4, "z" * 40)],
+        "doc_id int, text string",
+    )
+    payloads = with_tiff_payload(docs.where("text is not null"), "text")
+    got = {r["doc_id"]: r for r in decode_tiff_stats(payloads).collect()}
+    for doc_id, clen in ((1, 9), (2, 25), (4, 40)):
+        px = synth_gray_tiff(clen)
+        v = px.reshape(-1).astype(np.int64)
+        wts = 1 + (np.arange(v.size, dtype=np.int64) % 97)
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert r["pixel_fp"] == int((v * wts).sum() % 2147483647)
+        assert r["big_endian"] == (clen % 2 == 1)
+        assert r["compressed"] == (clen % 3 != 0)
+        rps = clen % 3 + 1
+        assert r["n_strips"] == (px.shape[0] + rps - 1) // rps
