@@ -515,3 +515,147 @@ def dd_ks(a: Column, b: Column) -> Column:
         ),
     )
     return fold["d"]
+
+
+# --- HyperLogLog -------------------------------------------------------------
+#
+# The classic cardinality sketch next to KMV: m = 2^p registers, each
+# the max leading-zero run (rho) of hashes landing in its bucket.
+# Unlike KMV's k-array state the HLL state is FIXED-SIZE (m small
+# ints), merge is register-wise MAX (semilattice: associative,
+# commutative, idempotent — per-shard states + one merge == one
+# global pass), and the whole path here is INTEGER arithmetic built
+# for cross-engine replay:
+#   * hash = first 9 hex digits of md5 (36 bits) parsed as an int —
+#     both engines produce identical lowercase md5 hex;
+#   * rho via bit-length = length(bin(w)) — a string op both engines
+#     define identically (no float log2);
+#   * the harmonic sum Σ 2^-M_j is carried SCALED by 2^(W+1) (W = 36-p
+#     hash bits per bucket, M_j <= W+1) — every term 2^(W+1-M_j) is an
+#     exact BIGINT, so the sum is exact;
+#   * the raw estimate alpha_m · m² / Σ2^-M_j becomes one BIGINT
+#     floor division with alpha_m = 7213·m/(10000·m + 10790) kept as
+#     an exact rational (numerator/denominator never evaluated as
+#     floats).
+# The small-range linear-counting correction (E <= 2.5m needs
+# m·ln(m/V)) is inherently float; it is NOT folded into the hashed
+# face — `hll_linear_count` applies it driver/consumer-side, and the
+# state carries n_zero so any consumer can. 36 hash bits cap the
+# estimable range well above 10^9 distinct (collisions merge items,
+# shaving the estimate long after HLL's own ~1.04/sqrt(m) error
+# dominates).
+
+
+def _hll_bucket_rho(
+    value: Column, p: int = 6, hex_digits: int = 9
+) -> tuple[Column, Column]:
+    """(bucket, rho) for one value: bucket = low p bits of the 4·hex
+    digit md5 prefix, rho = leading zeros of the remaining W bits,
+    plus 1 (w == 0 -> W + 1, the all-zeros case)."""
+    w_bits = 4 * hex_digits - p
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, hex_digits), 16, 10)
+    h = h.cast("long")
+    bucket = (h % F.lit(1 << p)).cast("int")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 6,
+    hex_digits: int = 9,
+    out_col: str = "hll",
+) -> DataFrame:
+    """Per-group HLL state: a dense array of m = 2^p registers
+    (0 = bucket never hit). Two narrow aggregations — per-(group,
+    bucket) MAX rho with map-side partial max, then m rows folded
+    into one array per group. At 100 TB the shuffle carries at most
+    m rows per group per partition; the state itself is ~m bytes."""
+    groups = list(group_cols)
+    m = 1 << p
+    bucket, rho = _hll_bucket_rho(F.col(value_col), p, hex_digits)
+    per_bucket = (
+        df.select(*groups, bucket.alias("__b"), rho.alias("__r"))
+        .groupBy(*groups, "__b")
+        .agg(F.max("__r").alias("__mr"))
+    )
+    mp = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__b"), F.col("__mr")))
+    )
+    # aggregate the sparse (bucket -> max rho) map per group, THEN
+    # densify it into the fixed m-slot array (0 = never hit)
+    return (
+        per_bucket.groupBy(*groups)
+        .agg(mp.alias("__mp"))
+        .select(
+            *groups,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.coalesce(F.element_at(F.col("__mp"), j), F.lit(0)),
+            ).alias(out_col),
+        )
+    )
+
+
+def hll_merge(a: Column, b: Column) -> Column:
+    """Row-local register-wise max — the HLL semilattice merge."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hll_harmonic_scaled(state: Column, p: int = 6, hex_digits: int = 9) -> Column:
+    """Σ 2^(W+1-M_j) as an exact BIGINT (the harmonic sum scaled by
+    2^(W+1); W+1 caps at 31 for the default 9-hex-digit hash, so the
+    sum fits a long with m <= 2^12 to spare)."""
+    w_bits = 4 * hex_digits - p
+    # 2^(W+1-r) via a literal power table (r in [0, W+1]) — Spark's
+    # shiftleft takes a Python int for the bit count, not a Column
+    powers = F.array(
+        *[F.lit(1 << (w_bits + 1 - k)).cast("long") for k in range(w_bits + 2)]
+    )
+    return F.aggregate(
+        state,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.element_at(powers, r + 1),
+    )
+
+
+def hll_estimate(state: Column, p: int = 6, hex_digits: int = 9) -> Column:
+    """Raw HLL estimate as an EXACT integer floor division, with
+    alpha_m = 7213·m / (10000·m + 10790) held as a rational:
+
+        E = alpha_m·m² / Σ2^-M_j = 7213·m³·2^(W+1) / (alpha_den · S)
+
+    evaluated as floor(floor(num / alpha_den) / S) — the nested-floor
+    identity for positive integers, with the FIRST division folded at
+    plan-build time in Python (num and alpha_den are both constants).
+    The remaining quotient q1 < 2^43, so (q1 - q1 % S) / S is an
+    exactly-divisible division of doubles below 2^53 — bit-exact on
+    any IEEE engine, no decimal rounding modes involved."""
+    m = 1 << p
+    w_bits = 4 * hex_digits - p
+    num = 7213 * m * m * m * (1 << (w_bits + 1))
+    den_factor = 10000 * m + 10790
+    q1 = num // den_factor
+    if q1 >= 1 << 52:
+        raise ValueError(f"p={p}, hex_digits={hex_digits} overflows the exact path")
+    s = hll_harmonic_scaled(state, p, hex_digits)
+    q1c = F.lit(q1).cast("long")
+    return ((q1c - q1c % s) / s).cast("long")
+
+
+def hll_n_zero(state: Column) -> Column:
+    """Count of never-hit registers — the input to linear counting."""
+    return F.size(F.filter(state, lambda r: r == 0))
+
+
+def hll_linear_count(m: int, n_zero: int) -> float:
+    """Driver/consumer-side small-range correction (E <= 2.5m):
+    m·ln(m/V). Deliberately OUTSIDE the hashed face — ln is float."""
+    if n_zero <= 0:
+        raise ValueError("linear counting needs at least one zero register")
+    return m * math.log(m / n_zero)

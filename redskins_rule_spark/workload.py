@@ -518,6 +518,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
     "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
+    "q230_hll_distinct",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +550,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
     "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
-    "q71_quantize",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -557,7 +557,7 @@ _DRIVER_PRIORITY: list[str] = [
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
     # sf10 differential this round; q73_conjunctive_search for q228,
-    # q72_rolling_revenue for q229).
+    # q72_rolling_revenue for q229, q71_quantize for q230).
 ]
 
 
@@ -11427,3 +11427,122 @@ def q229_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_tiff_payload(docs, "text", "doc_id")
     return decode_tiff_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q230: HyperLogLog — the classic cardinality sketch next to KMV
+# (q43b) in the mergeable-sketch family, built integer-exact for
+# cross-engine replay: the hash is the first 9 md5 hex digits parsed
+# as a 36-bit int, rho comes from length(bin(w)) (a string op, not
+# float log2), the harmonic sum is carried scaled by 2^31 so every
+# term is an exact BIGINT, and alpha_m·m²/Σ2^-M_j collapses to one
+# exactly-divisible division via the nested-floor identity (the
+# rational alpha never becomes a float). The query proves the
+# semilattice property the 100 TB deployment relies on: four
+# per-shard states built independently, merged register-wise — the
+# oracle computes registers globally, and the hashes only match
+# because shard-max-then-merge == global max. Linear counting (the
+# small-range float correction) is deliberately outside the hashed
+# face (`hll_linear_count`); n_zero is emitted so any consumer can
+# apply it.
+# ---------------------------------------------------------------------------
+
+_HLL_Q1 = (7213 * 64**3 * (1 << 31)) // (10000 * 64 + 10790)  # == 6239429023230
+
+
+@query(
+    "q230_hll_distinct",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+         hx AS (SELECT v, substr(md5(CAST(v AS VARCHAR)), 1, 9) AS x
+                FROM vals),
+         h AS (SELECT v,
+                      ((CAST(strpos('0123456789abcdef', x[1]) - 1 AS BIGINT) << 32)
+                     + (CAST(strpos('0123456789abcdef', x[2]) - 1 AS BIGINT) << 28)
+                     + (CAST(strpos('0123456789abcdef', x[3]) - 1 AS BIGINT) << 24)
+                     + (CAST(strpos('0123456789abcdef', x[4]) - 1 AS BIGINT) << 20)
+                     + (CAST(strpos('0123456789abcdef', x[5]) - 1 AS BIGINT) << 16)
+                     + (CAST(strpos('0123456789abcdef', x[6]) - 1 AS BIGINT) << 12)
+                     + (CAST(strpos('0123456789abcdef', x[7]) - 1 AS BIGINT) << 8)
+                     + (CAST(strpos('0123456789abcdef', x[8]) - 1 AS BIGINT) << 4)
+                     +  CAST(strpos('0123456789abcdef', x[9]) - 1 AS BIGINT)) AS hv
+               FROM hx),
+         br AS (SELECT hv % 64 AS b,
+                       CASE WHEN hv // 64 = 0 THEN 31
+                            ELSE 31 - length(bin(hv // 64)) END AS rho
+                FROM h),
+         regs AS (SELECT g.j AS j, COALESCE(MAX(br.rho), 0) AS r
+                  FROM (SELECT unnest(generate_series(0, 63)) AS j) g
+                  LEFT JOIN br ON br.b = g.j
+                  GROUP BY g.j),
+         agg AS (SELECT SUM(r * (j + 1)) AS register_fp,
+                        SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_zero,
+                        SUM(CAST(1 AS BIGINT) << (31 - r)) AS harmonic_scaled
+                 FROM regs),
+         ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct,
+                       COUNT(DISTINCT l_suppkey % 4) AS n_shards
+                FROM lineitem)
+    SELECT CAST(64 AS BIGINT) AS m,
+           CAST(ex.n_shards AS BIGINT) AS n_shards,
+           CAST(agg.register_fp AS BIGINT) AS register_fp,
+           CAST(agg.n_zero AS BIGINT) AS n_zero,
+           CAST(agg.harmonic_scaled AS BIGINT) AS harmonic_scaled,
+           CAST(({_HLL_Q1} - {_HLL_Q1} % agg.harmonic_scaled)
+                / agg.harmonic_scaled AS BIGINT) AS hll_est,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           ABS(CAST(({_HLL_Q1} - {_HLL_Q1} % agg.harmonic_scaled)
+                    / agg.harmonic_scaled AS BIGINT) - ex.exact_distinct) * 10
+               <= 3 * ex.exact_distinct AS est_ok
+    FROM agg, ex
+    """,
+)
+def q230_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.sketch import (
+        hll_estimate,
+        hll_harmonic_scaled,
+        hll_merge,
+        hll_n_zero,
+        hll_state,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 4).alias("shard"), "l_orderkey"
+    )
+    states = hll_state(li, ["shard"], "l_orderkey", p=6)
+    merged = states.agg(
+        F.aggregate(
+            F.collect_list("hll"),
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, st: hll_merge(acc, st),
+        ).alias("hll"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    exact = table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    reg_fp = F.aggregate(
+        F.zip_with(
+            F.col("hll"),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda r, i: (r * i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    est = hll_estimate(F.col("hll"), p=6)
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(64).cast("long").alias("m"),
+            F.col("n_shards"),
+            reg_fp.alias("register_fp"),
+            hll_n_zero(F.col("hll")).cast("long").alias("n_zero"),
+            hll_harmonic_scaled(F.col("hll"), p=6).alias("harmonic_scaled"),
+            est.alias("hll_est"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(est - F.col("exact_distinct")) * 10
+                <= F.col("exact_distinct") * 3
+            ).alias("est_ok"),
+        )
+    )

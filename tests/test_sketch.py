@@ -407,3 +407,85 @@ def test_dd_ks_tracks_exact_ks_on_shifted_samples(spark):
         for t in sx + sy
     )
     assert abs(approx - exact) < 0.03, (approx, exact)
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from redskins_rule_spark.operators.sketch import (  # noqa: E402
+    hll_estimate,
+    hll_harmonic_scaled,
+    hll_linear_count,
+    hll_merge,
+    hll_n_zero,
+    hll_state,
+)
+
+
+def _hll_py(values, p=6, hex_digits=9):
+    """Reference HLL registers in plain Python (md5-prefix hash)."""
+    import hashlib
+
+    m = 1 << p
+    w_bits = 4 * hex_digits - p
+    regs = [0] * m
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:hex_digits], 16)
+        b, w = h % m, h >> p
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        regs[b] = max(regs[b], rho)
+    return regs
+
+
+def test_hll_state_matches_python_reference(spark):
+    vals = list(range(1, 2001))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = hll_state(df, [], "v").first()["hll"]
+    assert list(got) == _hll_py(vals)
+
+
+def test_hll_merge_equals_global_state(spark):
+    # semilattice: per-shard states merged == state of the union
+    vals = list(range(1, 3001))
+    df = spark.createDataFrame([(v % 4, v) for v in vals], "shard int, v long")
+    states = hll_state(df, ["shard"], "v")
+    merged = states.agg(
+        F.aggregate(
+            F.collect_list("hll"),
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, st: hll_merge(acc, st),
+        ).alias("hll")
+    ).first()["hll"]
+    assert list(merged) == _hll_py(vals)
+
+
+def test_hll_estimate_within_error_bound_and_exact_math(spark):
+    # m=64 -> sigma ~ 13%; 2000 distinct should estimate within 3 sigma,
+    # and the scaled harmonic sum must equal the Python-exact integer
+    vals = list(range(1, 2001))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    st = hll_state(df, [], "v")
+    row = st.select(
+        hll_harmonic_scaled(F.col("hll")).alias("s"),
+        hll_estimate(F.col("hll")).alias("e"),
+        hll_n_zero(F.col("hll")).alias("z"),
+    ).first()
+    regs = _hll_py(vals)
+    s_py = sum(1 << (31 - r) for r in regs)
+    assert row["s"] == s_py
+    q1 = (7213 * 64**3 * (1 << 31)) // (10000 * 64 + 10790)
+    assert row["e"] == q1 // s_py
+    assert abs(row["e"] - 2000) <= 0.40 * 2000
+    assert row["z"] == sum(1 for r in regs if r == 0)
+
+
+def test_hll_linear_count_small_range():
+    import math
+
+    assert hll_linear_count(64, 32) == 64 * math.log(2.0)
+    try:
+        hll_linear_count(64, 0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

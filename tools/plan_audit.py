@@ -74,6 +74,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q139_budget_mix": "cross joins with 1-row budget/level aggregates",
         "q144_bm25": "cross join with the 1-row (N, avgdl) corpus-statistics aggregate",
         "q149_bloom_prune": "cross join with the 1-row Bloom bitmap (m_bits/64-bounded map)",
+        "q230_hll_distinct": "cross join of two 1-row aggregates (merged HLL state x exact count)",
         "q154_psi": "cross joins with the 1-row reference-bounds and totals aggregates",
         "q155_kmv_setops": "theta pairing of the per-event-type sketch frame (group-count-bounded rows, k-bounded states)",
         "q168_quantile_bins": "cross join with the 1-row total-count aggregate",
