@@ -217,3 +217,141 @@ def synth_wav_ima(clen: int) -> bytes:
         nibbles, (clen * 37) % 1024 - 512, clen % 89,
         8000 + 100 * (clen % 5),
     )
+
+
+# --- G.711 mu-law / A-law (fmt tags 7 / 6): telephony companding ------------
+#
+# The codec every PSTN/VoIP crawl actually contains. Unlike the
+# Huffman-table seams (MP3/AAC), G.711's mapping is GENERATED by a
+# short segment algorithm — 8 logarithmic segments of 16 steps, sign
+# + 3-bit exponent + 4-bit mantissa — so there is no codebook to
+# carry: the algebra below is the classic public-domain Sun g711.c
+# formulation of ITU-T G.711. In-container conformance limits are
+# documented honestly: no reference test vectors ship here, so what
+# the tests pin is (a) ENCODE∘DECODE is the identity on all 256 codes
+# of both laws (a property true G.711 satisfies, and strong enough
+# that a mis-remembered constant breaks it), (b) quantization error
+# is bounded by the segment step size everywhere, and (c) the SQL
+# oracle replays the same algebra independently.
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def linear2ulaw(s: int) -> int:
+    """16-bit linear sample -> 8-bit mu-law code."""
+    sign = 0x80 if s < 0 else 0x00
+    mag = -s if s < 0 else s
+    mag = min(mag, _ULAW_CLIP) + _ULAW_BIAS
+    exponent = (mag >> 7).bit_length() - 1  # mag >= BIAS -> >= 0; CLIP -> <= 7
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa)) & 0xFF
+
+
+def ulaw2linear(code: int) -> int:
+    """8-bit mu-law code -> 16-bit linear sample."""
+    u = (~code) & 0xFF
+    exponent = (u >> 4) & 7
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return -mag if u & 0x80 else mag
+
+
+def linear2alaw(s: int) -> int:
+    """16-bit linear sample -> 8-bit A-law code."""
+    pcm = s >> 3  # 16 -> 13 bit (arithmetic shift)
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    seg = 8
+    for i, end in enumerate(_ALAW_SEG_END):
+        if pcm <= end:
+            seg = i
+            break
+    if seg >= 8:  # out of range -> clip to the top code
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm >> 1) & 0x0F if seg < 2 else (pcm >> seg) & 0x0F
+    return aval ^ mask
+
+
+def alaw2linear(code: int) -> int:
+    """8-bit A-law code -> 16-bit linear sample."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def encode_wav_g711(
+    samples: list[int], sample_rate: int, law: str
+) -> bytes:
+    """RIFF/WAVE with fmt tag 7 (mu-law) or 6 (A-law), 8 bits per
+    sample, mono: the real container shape telephony recordings use."""
+    if law == "ulaw":
+        tag, comp = 7, linear2ulaw
+    elif law == "alaw":
+        tag, comp = 6, linear2alaw
+    else:
+        raise ValueError(f"unknown law {law!r}")
+    data = bytes(comp(s) for s in samples)
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_g711(payload: bytes) -> tuple[str, int, list[int], list[int]]:
+    """Parse a G.711 WAV -> (law, sample_rate, raw 8-bit codes,
+    reconstructed 16-bit samples). Chunk walk mirrors decode_wav;
+    fmt tags 6/7 only."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_seen, law, sr = 12, False, "", 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > len(payload):
+            raise ValueError(
+                f"chunk {cid!r} declares {clen} bytes past EOF (truncated?)"
+            )
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, nch, sr, _br, _ba, bps = struct.unpack_from("<HHIIHH", body, 0)
+            if tag not in (6, 7):
+                raise ValueError(f"not a G.711 WAV (fmt tag {tag})")
+            if nch != 1 or bps != 8:
+                raise ValueError("only mono 8-bit G.711 supported")
+            law = "alaw" if tag == 6 else "ulaw"
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("data chunk before fmt")
+            expand = alaw2linear if law == "alaw" else ulaw2linear
+            return law, sr, list(body), [expand(b) for b in body]
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def synth_g711_samples(clen: int) -> list[int]:
+    """Deterministic full-range 16-bit wave (closed form for the SQL
+    oracle): covers both signs and all magnitude segments."""
+    n = clen % 49 + 16
+    return [((clen * 31 + 7 * k * k + 13 * k) % 65536) - 32768 for k in range(n)]
+
+
+def synth_wav_g711(clen: int) -> bytes:
+    """Corpus payload: law alternates per doc, sample rate cycles the
+    classic telephony set."""
+    law = "ulaw" if clen % 2 == 0 else "alaw"
+    sr = 8000 + 8000 * (clen % 2)
+    return encode_wav_g711(synth_g711_samples(clen), sr, law)

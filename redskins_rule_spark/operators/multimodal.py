@@ -3858,3 +3858,90 @@ def decode_tiff_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_wav_g711_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize G.711 telephony WAV payloads (functions/wav.py
+    `synth_wav_g711` closed forms): mu-law and A-law alternate per
+    doc, full-range 16-bit source waves cover every companding
+    segment of both laws. Arrow-batched; payloads never touch the
+    driver."""
+    from redskins_rule_spark.functions.wav import synth_wav_g711
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_wav_g711(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_wav_g711_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL G.711 expansion per payload: chunk walk → law dispatch on
+    the fmt tag → segment/exponent/mantissa algebra reconstructing
+    16-bit samples from 8-bit codes. Emits position-weighted
+    fingerprints of BOTH the code stream and the reconstruction —
+    the code fingerprint pins the container walk, the reconstruction
+    fingerprint pins the expansion algebra. NULL payloads yield NULL
+    stats; corrupt ones raise ValueError."""
+    import numpy as np
+
+    from redskins_rule_spark.functions.wav import decode_wav_g711
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("law", T.StringType()),
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("code_fp", T.LongType()),
+            T.StructField("recon_sum", T.LongType()),
+            T.StructField("recon_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 6)
+                    continue
+                law, sr, codes, recon = decode_wav_g711(bytes(b))
+                c = np.asarray(codes, dtype=np.int64)
+                r = np.asarray(recon, dtype=np.int64)
+                k = np.arange(c.size, dtype=np.int64) + 1
+                rows.append(
+                    (
+                        law,
+                        sr,
+                        int(c.size),
+                        int((k * c).sum()),
+                        int(r.sum()),
+                        int((k * r).sum()),
+                    )
+                )
+            cols = ["law", "sr", "n_samples", "code_fp", "recon_sum", "recon_fp"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["sr"] = pd.array(meta_df["sr"], dtype="Int32")
+            for c_ in cols[2:]:
+                meta_df[c_] = pd.array(meta_df[c_], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

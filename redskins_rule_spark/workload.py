@@ -518,7 +518,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
     "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
-    "q230_hll_distinct",
+    "q230_hll_distinct", "q231_wav_g711",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +549,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q58_snapshot_diff", "q59_interval_overlap", "q60_stratified_sample",
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
-    "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
+    "q68_retention", "q69_fuzzy_pairs",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -557,7 +557,7 @@ _DRIVER_PRIORITY: list[str] = [
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
     # sf10 differential this round; q73_conjunctive_search for q228,
-    # q72_rolling_revenue for q229, q71_quantize for q230).
+    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231).
 ]
 
 
@@ -11546,3 +11546,103 @@ def q230_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q231: G.711 mu-law/A-law decode — the telephony companding codec
+# (WAV fmt tags 7/6), the audio family's second REAL lossy
+# reconstruction next to IMA-ADPCM (q217). Unlike the Huffman-table
+# seams, G.711's mapping is GENERATED by a short segment algorithm
+# (8 log segments x 16 steps, sign + exponent + mantissa — the
+# public-domain Sun g711.c formulation), so there is no codebook to
+# carry; conformance evidence is in code: encode∘decode is the
+# identity on all 256 codes of both laws (pinned, with the one true
+# exception — mu-law 0x7F is "negative zero", decoding to 0 which
+# re-encodes as 0xFF), and quantization error is segment-bounded
+# (644 mu / 512 A at clip, the textbook values). The oracle replays
+# compress AND expand per sample in SQL — exponent via
+# length(bin(x)), variable shifts as (1 << e) products, all integers.
+# Two fingerprints: codes pin the container walk, reconstructions
+# pin the expansion algebra; per-sample independence means no
+# recursive CTE is needed (contrast q217's predictor fold).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q231_wav_g711",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen, clen % 49 + 16 AS n FROM d),
+    s AS (SELECT doc_id, clen, n, u.k AS k,
+                 ((clen * 31 + 7 * u.k * u.k + 13 * u.k) % 65536) - 32768 AS sv
+          FROM p, unnest(generate_series(0, n - 1)) AS u(k)),
+    -- DuckDB's // truncates toward zero; the A-law 13-bit shift is an
+    -- ARITHMETIC right shift (floor), so p13 spells floor division out
+    s2 AS (SELECT *,
+                  CASE WHEN sv >= 0 THEN sv // 8
+                       ELSE -((7 - sv) // 8) END AS p13
+           FROM s),
+    s3 AS (SELECT *,
+                  CASE WHEN p13 >= 0 THEN p13 ELSE -p13 - 1 END AS pm,
+                  CASE WHEN p13 >= 0 THEN 213 ELSE 85 END AS amask,
+                  LEAST(CASE WHEN sv < 0 THEN -sv ELSE sv END, 32635) + 132
+                      AS umag
+           FROM s2),
+    s4 AS (SELECT *,
+                  CASE WHEN pm <= 31 THEN 0 WHEN pm <= 63 THEN 1
+                       WHEN pm <= 127 THEN 2 WHEN pm <= 255 THEN 3
+                       WHEN pm <= 511 THEN 4 WHEN pm <= 1023 THEN 5
+                       WHEN pm <= 2047 THEN 6 WHEN pm <= 4095 THEN 7
+                       ELSE 8 END AS seg8,
+                  length(bin(umag // 128)) - 1 AS uexp
+           FROM s3),
+    enc AS (SELECT doc_id, clen, n, k,
+                   CASE WHEN clen % 2 = 0 THEN
+                     255 - ((CASE WHEN sv < 0 THEN 128 ELSE 0 END)
+                            + uexp * 16
+                            + (umag // (CAST(1 AS BIGINT) << (uexp + 3))) % 16)
+                   ELSE
+                     xor(CASE WHEN seg8 >= 8 THEN 127
+                              ELSE seg8 * 16 +
+                                   (CASE WHEN seg8 < 2 THEN (pm // 2) % 16
+                                         ELSE (pm // (CAST(1 AS BIGINT) << seg8)) % 16
+                                    END)
+                         END, amask)
+                   END AS code
+            FROM s4),
+    dec AS (SELECT doc_id, clen, n, k, code,
+                   CASE WHEN clen % 2 = 0 THEN
+                     CASE WHEN (255 - code) >= 128 THEN -1 ELSE 1 END *
+                     ((((255 - code) % 16) * 8 + 132)
+                      * (CAST(1 AS BIGINT) << (((255 - code) // 16) % 8)) - 132)
+                   ELSE
+                     CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+                     (CASE WHEN (xor(code, 85) // 16) % 8 = 0
+                             THEN (xor(code, 85) % 16) * 16 + 8
+                           WHEN (xor(code, 85) // 16) % 8 = 1
+                             THEN (xor(code, 85) % 16) * 16 + 264
+                           ELSE ((xor(code, 85) % 16) * 16 + 264)
+                                * (CAST(1 AS BIGINT)
+                                   << ((xor(code, 85) // 16) % 8 - 1))
+                      END)
+                   END AS recon
+            FROM enc)
+    SELECT doc_id,
+           CASE WHEN MAX(clen) % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(8000 + 8000 * (MAX(clen) % 2) AS INTEGER) AS sr,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM((k + 1) * code) AS BIGINT) AS code_fp,
+           CAST(SUM(recon) AS BIGINT) AS recon_sum,
+           CAST(SUM((k + 1) * recon) AS BIGINT) AS recon_fp
+    FROM dec GROUP BY doc_id
+    """,
+)
+def q231_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_wav_g711_stats,
+        with_wav_g711_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_wav_g711_payload(docs, "text", "doc_id")
+    return decode_wav_g711_stats(payloads, "payload", "doc_id")

@@ -4459,3 +4459,95 @@ def test_tiff_stats_op_matches_closed_forms(spark):
         assert r["compressed"] == (clen % 3 != 0)
         rps = clen % 3 + 1
         assert r["n_strips"] == (px.shape[0] + rps - 1) // rps
+
+
+# --- G.711 mu-law / A-law (WAV fmt 7 / 6) ------------------------------------
+
+from redskins_rule_spark.functions.wav import (  # noqa: E402
+    alaw2linear,
+    decode_wav_g711,
+    encode_wav_g711,
+    linear2alaw,
+    linear2ulaw,
+    synth_g711_samples,
+    synth_wav_g711,
+    ulaw2linear,
+)
+
+
+def test_g711_encode_decode_identity_on_all_codes():
+    # encode(decode(c)) == c for every 8-bit code — with the one true
+    # exception mu-law carries: 0x7F is "negative zero", decoding to
+    # 0, which re-encodes as +0 (0xFF). Real G.711 has two zero codes.
+    for c in range(256):
+        assert linear2alaw(alaw2linear(c)) == c
+        if c == 0x7F:
+            assert ulaw2linear(c) == 0
+            assert linear2ulaw(0) == 0xFF
+        else:
+            assert linear2ulaw(ulaw2linear(c)) == c
+
+
+def test_g711_error_bounds_are_the_textbook_values():
+    worst_u = max(abs(s - ulaw2linear(linear2ulaw(s)))
+                  for s in range(-32768, 32768, 17))
+    worst_a = max(abs(s - alaw2linear(linear2alaw(s)))
+                  for s in range(-32768, 32768, 17))
+    assert worst_u <= 644 and worst_a <= 512
+    # quantization must be monotone: decode values ordered by code
+    # magnitude within each sign
+    pos_u = [ulaw2linear(c) for c in range(0xFF, 0x7F, -1)]
+    assert pos_u == sorted(pos_u)
+
+
+def test_g711_wav_container_roundtrip_both_laws():
+    for clen in (2, 7, 40, 99):
+        law, sr, codes, recon = decode_wav_g711(synth_wav_g711(clen))
+        src = synth_g711_samples(clen)
+        assert law == ("ulaw" if clen % 2 == 0 else "alaw")
+        assert sr == 8000 + 8000 * (clen % 2)
+        enc = linear2ulaw if law == "ulaw" else linear2alaw
+        dec = ulaw2linear if law == "ulaw" else alaw2linear
+        assert codes == [enc(s) for s in src]
+        assert recon == [dec(c) for c in codes]
+
+
+def test_g711_container_gates():
+    data = synth_wav_g711(10)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_g711(b"JUNK" + data[4:])
+    # PCM16 WAV must be rejected by the G.711 decoder
+    from redskins_rule_spark.functions.wav import encode_wav
+
+    with pytest.raises(ValueError, match="fmt tag"):
+        decode_wav_g711(encode_wav([0, 1, 2], 8000))
+    with pytest.raises(ValueError, match="past EOF"):
+        decode_wav_g711(data[: len(data) - 20])
+    # header + complete fmt chunk, data chunk absent entirely
+    with pytest.raises(ValueError, match="no data chunk"):
+        decode_wav_g711(data[:36])
+
+
+def test_g711_stats_op_matches_closed_forms(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_wav_g711_stats,
+        with_wav_g711_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 33)], "doc_id int, text string"
+    )
+    payloads = with_wav_g711_payload(docs, "text")
+    got = {r["doc_id"]: r for r in decode_wav_g711_stats(payloads).collect()}
+    for doc_id, clen in ((1, 10), (2, 33)):
+        src = synth_g711_samples(clen)
+        law = "ulaw" if clen % 2 == 0 else "alaw"
+        enc = linear2ulaw if law == "ulaw" else linear2alaw
+        dec = ulaw2linear if law == "ulaw" else alaw2linear
+        codes = [enc(s) for s in src]
+        recon = [dec(c) for c in codes]
+        r = got[doc_id]
+        assert r["law"] == law and r["n_samples"] == len(src)
+        assert r["code_fp"] == sum((k + 1) * c for k, c in enumerate(codes))
+        assert r["recon_sum"] == sum(recon)
+        assert r["recon_fp"] == sum((k + 1) * v for k, v in enumerate(recon))
