@@ -2011,13 +2011,18 @@ def q50_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, o_orderstatus,
            CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
     """,
 )
 def q51_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
+    # exact integer cents, one shared final divide (the q63 contract —
+    # the sf10 decade caught ROUND(SUM(double), 2) drifting across the
+    # cent boundary here too, at the 3.7e12 grand-total row)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.groupingSets(
         [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
         "o_orderpriority",
@@ -2025,7 +2030,7 @@ def q51_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents) / 100.0).alias("total"),
     )
 
 
