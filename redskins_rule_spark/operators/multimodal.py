@@ -3945,3 +3945,98 @@ def decode_wav_g711_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_qoi_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize QOI payloads (functions/qoi.py `synth_qoi` closed
+    forms): every payload cycles RGB-jump / run / DIFF / LUMA chunks
+    with the jump deltas forced outside LUMA range, so all four
+    emitted op kinds appear a closed-form number of times per doc.
+    Arrow-batched; payloads never touch the driver."""
+    from redskins_rule_spark.functions.qoi import synth_qoi
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth_qoi(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def decode_qoi_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL QOI decode: header walk → the six-op state machine
+    (index table, wrapping diffs, runs) → per-op chunk tally and the
+    position-weighted pixel fingerprint. The fingerprint pins the
+    decoded VALUES (losslessness), the op tallies pin the encoder's
+    chunk choices, and byte_len pins the whole layout. NULL payloads
+    yield NULL stats; corrupt ones raise ValueError."""
+    from redskins_rule_spark.functions.qoi import decode_qoi
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("n_rgb", T.LongType()),
+            T.StructField("n_run_chunks", T.LongType()),
+            T.StructField("n_diff", T.LongType()),
+            T.StructField("n_luma", T.LongType()),
+            T.StructField("n_index", T.LongType()),
+            T.StructField("px_fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 9)
+                    continue
+                d = decode_qoi(bytes(b))
+                fp = sum(
+                    (k + 1) * (r * 65536 + g * 256 + bl)
+                    for k, (r, g, bl, _a) in enumerate(d["pixels"])
+                )
+                c = d["op_counts"]
+                rows.append(
+                    (
+                        d["width"],
+                        len(d["pixels"]),
+                        len(bytes(b)),
+                        c["rgb"],
+                        c["run"],
+                        c["diff"],
+                        c["luma"],
+                        c["index"],
+                        fp,
+                    )
+                )
+            cols = [
+                "width", "n_px", "byte_len", "n_rgb", "n_run_chunks",
+                "n_diff", "n_luma", "n_index", "px_fp",
+            ]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["width"] = pd.array(meta_df["width"], dtype="Int32")
+            for c_ in cols[1:]:
+                meta_df[c_] = pd.array(meta_df[c_], dtype="Int64")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

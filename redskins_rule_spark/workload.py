@@ -518,7 +518,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
     "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
-    "q230_hll_distinct", "q231_wav_g711",
+    "q230_hll_distinct", "q231_wav_g711", "q232_qoi",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +549,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q58_snapshot_diff", "q59_interval_overlap", "q60_stratified_sample",
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
-    "q68_retention", "q69_fuzzy_pairs",
+    "q68_retention",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -557,7 +557,7 @@ _DRIVER_PRIORITY: list[str] = [
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
     # sf10 differential this round; q73_conjunctive_search for q228,
-    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231).
+    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231, q69_fuzzy_pairs for q232).
 ]
 
 
@@ -3804,11 +3804,15 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q92_intradoc_dedup",
     oracle=f"""
-    -- spill-friendly formulation (the sf10 OOM fix): first-occurrence
-    -- via MIN/GROUP BY instead of a window, the joined string via an
-    -- ordered string_agg instead of list(), and the char-sum
-    -- fingerprint via a streaming unnest instead of a per-doc
-    -- list_transform allocation — identical values at every SF
+    -- fully streaming formulation (the sf10 lesson, round two): the
+    -- r10 fix replaced windows/lists with MIN/GROUP BY + ordered
+    -- string_agg, but per-doc ordered string_agg is itself
+    -- unspillable at 500k docs x 100M grams (OOM at 64 GB). The
+    -- fingerprint is now rank-weighted per-GRAM — char fp of each
+    -- kept gram times a rank weight — which binds the same things
+    -- (content and order of the kept sequence) while every operator
+    -- on both sides is a spillable group agg, a sort-based window,
+    -- or row-local list math over ~20-char strings
     WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
          grams AS (SELECT doc_id,
                           unnest(generate_series(1, len(t) - 2)) AS pos,
@@ -3817,16 +3821,20 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM base WHERE len(t) >= 3),
          firsts AS (SELECT doc_id, g, MIN(pos) AS pos
                     FROM grams GROUP BY doc_id, g),
-         strs AS MATERIALIZED (
-                  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique_grams,
-                         string_agg(g, ' | ' ORDER BY pos) AS s
-                  FROM firsts GROUP BY doc_id)
-    SELECT doc_id, n_unique_grams,
-           CAST(COALESCE(SUM(ascii(substr(s, u.i, 1))
-                             * (1 + (u.i - 1) % 64)), 0)
-                % 2147483647 AS BIGINT) AS kept_fp
-    FROM strs, unnest(generate_series(1, greatest(length(s), 1))) AS u(i)
-    GROUP BY doc_id, n_unique_grams
+         ranked AS (SELECT doc_id, g,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS k
+                    FROM firsts),
+         gfp AS (SELECT doc_id, k,
+                        list_sum(list_transform(
+                            generate_series(1, length(g)),
+                            i -> ascii(substr(g, i, 1)) * (1 + (i - 1) % 64)))
+                            % 2147483647 AS fp
+                 FROM ranked)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_grams,
+           CAST(SUM(((k % 997) + 1) * fp) % 2147483647 AS BIGINT) AS kept_fp
+    FROM gfp GROUP BY doc_id
     """,
 )
 def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3834,20 +3842,19 @@ def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = word_shingles("text", 3)
     base = docs.select("doc_id", grams.alias("gs")).where(F.size("gs") >= 1)
     exploded = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
-    w = Window.partitionBy("doc_id", "g").orderBy("pos")
-    firsts = exploded.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    # first occurrence via MIN/GROUP BY (map-side partial agg), rank
+    # via one sort-based window per doc, fingerprint row-local per
+    # gram — no per-doc string/array ever materializes
+    firsts = exploded.groupBy("doc_id", "g").agg(F.min("pos").alias("pos"))
+    ranked = firsts.withColumn(
+        "k", F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
     )
-    return (
-        firsts.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "g"))).alias("pg"))
-        .select(
-            "doc_id",
-            F.size("pg").cast("long").alias("n_unique_grams"),
-            char_fingerprint(
-                F.concat_ws(" | ", F.transform("pg", lambda x: x["g"]))
-            ).alias("kept_fp"),
-        )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_grams"),
+        (
+            F.sum(((F.col("k") % 997) + 1) * char_fingerprint("g"))
+            % F.lit(2147483647)
+        ).cast("long").alias("kept_fp"),
     )
 
 
@@ -11651,3 +11658,91 @@ def q231_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_wav_g711_payload(docs, "text", "doc_id")
     return decode_wav_g711_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q232: QOI decode — the 2021 "Quite OK Image" format, the modern
+# member of the zero-carried-tables tier (FLAC/TIFF/G.711): eight
+# byte-rules, a 64-slot hash index, wrapping two/six-bit deltas, and
+# runs. The decoder runs the full six-op state machine; the corpus
+# encoder deliberately disables the INDEX op (a conforming encoder
+# choice — the spec constrains decoders, not encoder op selection)
+# because an index hit depends on 64-slot table liveness, which is
+# history-dependent in a way no per-doc SQL formula should replay;
+# pytest drives INDEX/RGBA/long-run splitting with hand-built
+# streams. Each payload cycles RGB-jump/run/DIFF/LUMA with jump
+# deltas forced outside LUMA range, so the op tallies and byte
+# length are closed-form; every pixel is a prefix sum of per-cycle
+# constants, which the oracle replays with window cumsums. px_fp
+# pins decoded values (losslessness), the tallies pin the encoder's
+# chunk choices, byte_len pins the layout.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q232_qoi",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cy AS (SELECT doc_id, clen, clen % 13 + 3 AS nc, u.c AS c,
+                  64 + (clen + 17 * u.c) % 128 AS jr,
+                  64 + (clen * 3 + 29 * u.c) % 128 AS jg,
+                  64 + (clen * 5 + 41 * u.c) % 128 AS jb,
+                  (clen + u.c) % 3 + 1 AS run_len,
+                  (clen + 3 * u.c) % 29 + 3 AS dg
+           FROM d, unnest(generate_series(0, clen % 13 + 2)) AS u(c)),
+    cy2 AS (SELECT *,
+                   dg + (c % 15) - 7 AS dr,
+                   dg + (clen + c) % 15 - 7 AS db,
+                   -- cumulative channel bases BEFORE this cycle's jump
+                   COALESCE(SUM(jr + 1 + dg + (c % 15) - 7)
+                       OVER (PARTITION BY doc_id ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS rbase,
+                   COALESCE(SUM(jg + 1 + dg)
+                       OVER (PARTITION BY doc_id ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS gbase,
+                   COALESCE(SUM(jb + 1 + dg + (clen + c) % 15 - 7)
+                       OVER (PARTITION BY doc_id ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS bbase,
+                   -- pixel offset of this cycle's first pixel
+                   COALESCE(SUM(3 + (clen + c) % 3 + 1)
+                       OVER (PARTITION BY doc_id ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS poff
+            FROM cy),
+    px AS (SELECT doc_id, clen, nc, c, run_len,
+                  poff + u.j AS k,
+                  CASE WHEN u.j <= run_len THEN (rbase + jr) % 256
+                       WHEN u.j = run_len + 1 THEN (rbase + jr + 1) % 256
+                       ELSE (rbase + jr + 1 + dr) % 256 END AS r,
+                  CASE WHEN u.j <= run_len THEN (gbase + jg) % 256
+                       WHEN u.j = run_len + 1 THEN (gbase + jg + 1) % 256
+                       ELSE (gbase + jg + 1 + dg) % 256 END AS g,
+                  CASE WHEN u.j <= run_len THEN (bbase + jb) % 256
+                       WHEN u.j = run_len + 1 THEN (bbase + jb + 1) % 256
+                       ELSE (bbase + jb + 1 + db) % 256 END AS b
+           FROM cy2, unnest(generate_series(0, run_len + 2)) AS u(j))
+    SELECT doc_id,
+           CAST(MAX(k) + 1 AS INTEGER) AS width,
+           CAST(MAX(k) + 1 AS BIGINT) AS n_px,
+           CAST(14 + 8 * MAX(nc) + 8 AS BIGINT) AS byte_len,
+           CAST(MAX(nc) AS BIGINT) AS n_rgb,
+           CAST(MAX(nc) AS BIGINT) AS n_run_chunks,
+           CAST(MAX(nc) AS BIGINT) AS n_diff,
+           CAST(MAX(nc) AS BIGINT) AS n_luma,
+           CAST(0 AS BIGINT) AS n_index,
+           CAST(SUM((k + 1) * (r * 65536 + g * 256 + b)) AS BIGINT) AS px_fp
+    FROM px GROUP BY doc_id
+    """,
+)
+def q232_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_qoi_stats,
+        with_qoi_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_qoi_payload(docs, "text", "doc_id")
+    return decode_qoi_stats(payloads, "payload", "doc_id")

@@ -4551,3 +4551,99 @@ def test_g711_stats_op_matches_closed_forms(spark):
         assert r["code_fp"] == sum((k + 1) * c for k, c in enumerate(codes))
         assert r["recon_sum"] == sum(recon)
         assert r["recon_fp"] == sum((k + 1) * v for k, v in enumerate(recon))
+
+
+# --- QOI ("Quite OK Image", 2021) --------------------------------------------
+
+from redskins_rule_spark.functions.qoi import (  # noqa: E402
+    decode_qoi,
+    encode_qoi,
+    synth_qoi,
+    synth_qoi_pixels,
+)
+
+
+def test_qoi_synth_roundtrip_and_closed_form_layout():
+    for clen in (1, 9, 25, 77, 128):
+        px = synth_qoi_pixels(clen)
+        data = synth_qoi(clen)
+        d = decode_qoi(data)
+        assert [p[:3] for p in d["pixels"]] == px
+        nc = clen % 13 + 3
+        c = d["op_counts"]
+        assert (c["rgb"], c["run"], c["diff"], c["luma"]) == (nc,) * 4
+        assert c["index"] == 0 and c["rgba"] == 0
+        assert len(data) == 14 + 8 * nc + 8
+
+
+def test_qoi_index_op_roundtrips():
+    # revisit of a table-live pixel must encode as 1-byte INDEX and
+    # decode back exactly
+    pxs = [(10, 20, 30), (50, 60, 70), (10, 20, 30)]
+    enc = encode_qoi(pxs, 3, 1, use_index=True)
+    d = decode_qoi(enc)
+    assert [p[:3] for p in d["pixels"]] == pxs
+    assert d["op_counts"]["index"] == 1
+    # the no-index encoder spends an RGB chunk on the same revisit
+    enc2 = encode_qoi(pxs, 3, 1, use_index=False)
+    assert len(enc2) > len(enc)
+    assert [p[:3] for p in decode_qoi(enc2)["pixels"]] == pxs
+
+
+def test_qoi_long_runs_split_at_62():
+    pxs = [(5, 5, 5)] * 200
+    d = decode_qoi(encode_qoi(pxs, 200, 1))
+    assert [p[:3] for p in d["pixels"]] == pxs
+    # 199 repeats after the first pixel: 62+62+62+13 -> 4 run chunks
+    assert d["op_counts"]["run"] == 4
+
+
+def test_qoi_wrapping_diffs():
+    # channel wrap: 255 -> 0 is dr = +1 (mod 256), a DIFF not an RGB
+    pxs = [(255, 255, 255), (0, 0, 0)]
+    enc = encode_qoi(pxs, 2, 1)
+    d = decode_qoi(enc)
+    assert [p[:3] for p in d["pixels"]] == pxs
+    assert d["op_counts"]["diff"] >= 1
+
+
+def test_qoi_gates():
+    data = synth_qoi(23)
+    with pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi(b"XXXX" + data[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(data[:-1])
+    # truncation sweep: any prefix must raise, never mis-decode
+    for cut in range(14, len(data) - 1, 3):
+        with pytest.raises(ValueError):
+            decode_qoi(data[:cut])
+    # declared-pixel overrun: claim a smaller image than the chunks emit
+    px = synth_qoi_pixels(23)
+    bad = bytearray(encode_qoi(px, len(px), 1, use_index=False))
+    bad[4:8] = struct.pack(">I", len(px) - 1)
+    with pytest.raises(ValueError, match="past declared pixels|overruns"):
+        decode_qoi(bytes(bad))
+
+
+def test_qoi_stats_op_matches_closed_forms(spark):
+    from redskins_rule_spark.operators.multimodal import (
+        decode_qoi_stats,
+        with_qoi_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 9), (2, "y" * 31)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_qoi_stats(with_qoi_payload(docs, "text")).collect()
+    }
+    for doc_id, clen in ((1, 9), (2, 31)):
+        px = synth_qoi_pixels(clen)
+        fp = sum(
+            (k + 1) * (r * 65536 + g * 256 + b)
+            for k, (r, g, b) in enumerate(px)
+        )
+        row = got[doc_id]
+        assert row["n_px"] == len(px) and row["px_fp"] == fp
+        assert row["n_rgb"] == clen % 13 + 3 and row["n_index"] == 0
