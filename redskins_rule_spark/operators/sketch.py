@@ -581,6 +581,7 @@ def hll_state(
     bucket, rho = _hll_bucket_rho(F.col(value_col), p, hex_digits)
     per_bucket = (
         df.select(*groups, bucket.alias("__b"), rho.alias("__r"))
+        .where(F.col("__b").isNotNull())  # NULL values carry no identity
         .groupBy(*groups, "__b")
         .agg(F.max("__r").alias("__mr"))
     )

@@ -519,6 +519,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
     "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
     "q230_hll_distinct", "q231_wav_g711", "q232_qoi",
+    "q233_stream_hll_replay",
     # --- round-11 TOUCHED: the AAC short-window extension touches
     #     q214's parse path ---
     "q214_aac_sce",
@@ -549,7 +550,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q58_snapshot_diff", "q59_interval_overlap", "q60_stratified_sample",
     "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
     "q65_repetition", "q66_decontamination", "q67_funnel",
-    "q68_retention",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50
@@ -557,7 +557,7 @@ _DRIVER_PRIORITY: list[str] = [
     # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
     # dropped for q225 — its oracle fix is already covered by the full
     # sf10 differential this round; q73_conjunctive_search for q228,
-    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231, q69_fuzzy_pairs for q232).
+    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231, q69_fuzzy_pairs for q232, q68_retention for q233).
 ]
 
 
@@ -11746,3 +11746,113 @@ def q232_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_qoi_payload(docs, "text", "doc_id")
     return decode_qoi_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q233: streaming HLL — the q230 semilattice proof lifted to the
+# streaming layer (the q173/KMV pattern): per-event-type HLL register
+# states maintained across two landing waves through the real
+# foreachBatch shell + checkpoint, folded by register-wise max.
+# Because the merge is exactly lossless, the maintained state after
+# any number of micro-batches MUST equal the one-pass sketch of
+# everything landed — so the oracle is q230's global-register SQL
+# grouped by key, and the hash only matches if batch-max-then-merge
+# == global max ACROSS batch boundaries (waves split by event_id
+# parity; the fold result is split-independent by associativity/
+# commutativity/idempotence). Estimate and harmonic sum stay in the
+# exact-integer contract; register_fp binds all 64 registers per key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q233_stream_hll_replay",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE user_id IS NOT NULL),
+         hx AS (SELECT event_type,
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 9) AS x
+                FROM vals),
+         h AS (SELECT event_type,
+                      ((CAST(strpos('0123456789abcdef', x[1]) - 1 AS BIGINT) << 32)
+                     + (CAST(strpos('0123456789abcdef', x[2]) - 1 AS BIGINT) << 28)
+                     + (CAST(strpos('0123456789abcdef', x[3]) - 1 AS BIGINT) << 24)
+                     + (CAST(strpos('0123456789abcdef', x[4]) - 1 AS BIGINT) << 20)
+                     + (CAST(strpos('0123456789abcdef', x[5]) - 1 AS BIGINT) << 16)
+                     + (CAST(strpos('0123456789abcdef', x[6]) - 1 AS BIGINT) << 12)
+                     + (CAST(strpos('0123456789abcdef', x[7]) - 1 AS BIGINT) << 8)
+                     + (CAST(strpos('0123456789abcdef', x[8]) - 1 AS BIGINT) << 4)
+                     +  CAST(strpos('0123456789abcdef', x[9]) - 1 AS BIGINT)) AS hv
+               FROM hx),
+         br AS (SELECT event_type, hv % 64 AS b,
+                       CASE WHEN hv // 64 = 0 THEN 31
+                            ELSE 31 - length(bin(hv // 64)) END AS rho
+                FROM h),
+         keys AS (SELECT DISTINCT event_type FROM vals),
+         regs AS (SELECT k.event_type, g.j AS j, COALESCE(MAX(br.rho), 0) AS r
+                  FROM keys k
+                  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+                  LEFT JOIN br ON br.event_type = k.event_type AND br.b = g.j
+                  GROUP BY k.event_type, g.j)
+    SELECT event_type,
+           CAST(SUM(r * (j + 1)) AS BIGINT) AS register_fp,
+           CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CAST(1 AS BIGINT) << (31 - r)) AS BIGINT) AS harmonic_scaled,
+           CAST(({_HLL_Q1} - {_HLL_Q1} % SUM(CAST(1 AS BIGINT) << (31 - r)))
+                / SUM(CAST(1 AS BIGINT) << (31 - r)) AS BIGINT) AS approx_users
+    FROM regs GROUP BY event_type
+    """,
+)
+def q233_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.operators.sketch import (
+        hll_estimate,
+        hll_harmonic_scaled,
+        hll_merge,
+        hll_n_zero,
+        hll_state,
+    )
+    from redskins_rule_spark.streaming.ops import (
+        run_incremental_sketch_view,
+        stream_from_files,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"q233_{tag}_")
+    land, ckpt = os.path.join(root, "landing"), os.path.join(root, "ckpt")
+    view = f"q233_view_{tag}"
+    schema = "event_type string, user_id long"
+
+    def build_states(batch_df: DataFrame) -> DataFrame:
+        return hll_state(batch_df, ["event_type"], "user_id", p=6, out_col="hll")
+
+    for wave_filter in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        ev.where(wave_filter).select("event_type", "user_id").write.mode(
+            "append"
+        ).parquet(land)
+        run_incremental_sketch_view(
+            stream_from_files(spark, land, schema),
+            build_states, ["event_type"], "hll",
+            hll_merge,
+            ckpt, view,
+        )
+    reg_fp = F.aggregate(
+        F.zip_with(
+            F.col("hll"),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda r, i: (r * i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return spark.table(view).select(
+        "event_type",
+        reg_fp.alias("register_fp"),
+        hll_n_zero(F.col("hll")).cast("long").alias("n_zero"),
+        hll_harmonic_scaled(F.col("hll"), p=6).alias("harmonic_scaled"),
+        hll_estimate(F.col("hll"), p=6).alias("approx_users"),
+    )

@@ -489,3 +489,20 @@ def test_hll_linear_count_small_range():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_hll_state_ignores_nulls_and_merge_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (1, None), (1, 200), (2, None)],
+        "shard int, v long",
+    )
+    states = {r["shard"]: r["hll"] for r in
+              hll_state(df, ["shard"], "v").collect()}
+    assert list(states[1]) == _hll_py([100, 200])
+    # a group with only NULLs has no identity to sketch: no state row
+    # at all (the kmv_state contract, not an all-zero register array)
+    assert 2 not in states
+    # idempotence: merging a state with itself is the state
+    st = spark.createDataFrame([(states[1],)], "hll array<int>")
+    merged = st.select(hll_merge(F.col("hll"), F.col("hll")).alias("m")).first()["m"]
+    assert list(merged) == list(states[1])
