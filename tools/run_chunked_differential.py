@@ -67,14 +67,23 @@ def main() -> int:
             chunk = names[i: i + args.chunk]
             print(f"chunk {i // args.chunk + 1}: {chunk[0]} .. {chunk[-1]}",
                   flush=True)
+            # stream the child's output STRAIGHT into the log (child
+            # unbuffered via -u): a mid-chunk kill keeps every
+            # completed [ok] line, so --skip-done resumes at QUERY
+            # granularity — the round-11 incident: a chunk ground 35+
+            # minutes inside a heavy pair-emitter while its earlier
+            # queries' results sat invisible in a PIPE buffer, and the
+            # kill lost them all
+            start_pos = log.tell()
             proc = subprocess.run(
-                [sys.executable, "tools/check_correctness.py",
+                [sys.executable, "-u", "tools/check_correctness.py",
                  args.sf_dir, *chunk],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                stdout=log, stderr=subprocess.STDOUT,
             )
-            text = proc.stdout.decode(errors="replace")
-            log.write(text)
             log.flush()
+            with open(args.log, errors="replace") as rf:
+                rf.seek(start_pos)
+                text = rf.read()
             seen = set()
             for line in text.splitlines():
                 for part in line.split("\r"):
