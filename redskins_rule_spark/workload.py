@@ -1631,10 +1631,16 @@ def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_unpivot",
     oracle="""
     WITH wide AS (
+        -- exact integer cents (the q63 contract, fourth member: the
+        -- sf10 decade caught ROUND(SUM(double),2) drifting across the
+        -- cent boundary on the 1.06e12 sum_price cells)
         SELECT l_returnflag,
-               ROUND(SUM(l_quantity), 2)      AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price,
-               ROUND(SUM(l_tax), 2)           AS sum_tax
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_price,
+               CAST(SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_tax
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
@@ -1646,10 +1652,14 @@ def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+
+    def cents(c: str) -> F.Column:
+        return F.round(F.col(c) * 100).cast("long")
+
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+        (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_price"),
+        (F.sum(cents("l_tax")) / 100.0).alias("sum_tax"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_tax"], "measure", "value"
