@@ -3284,6 +3284,12 @@ def q79_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q80_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4.1's recursive-CTE guardrail defaults to 1M total rows;
+    # the closure is ~7 levels x |part| (sf10: 2M parts -> ~14M chain
+    # rows), so raise the ROW limit — the LEVEL limit (100) still
+    # bounds runaway recursion, which is the failure the guardrail
+    # actually exists for.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
     table(spark, sf_dir, "part").createOrReplaceTempView("__q80_part")
     return spark.sql(
         """
