@@ -4425,11 +4425,31 @@ def _q104b_sql_tokens() -> str:
                    trim(replace(e, chr(31)||chr(31), ' '), chr(31)) AS tok_str,
                    len(string_split(e, chr(31)||chr(31))) AS n_toks
             FROM enc),
-    agg AS (SELECT doc_id,
-                   CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
-                   string_agg(tok_str, ' ' ORDER BY pos) AS s
-            FROM tok GROUP BY doc_id)
-    SELECT doc_id, n_bpe_tokens, {_SQL_POLYHASH} AS tokens_fp FROM agg
+    -- the fingerprint is the char polyhash of the doc's joined token
+    -- string, but computed WITHOUT materializing that string: each
+    -- word knows its char offset (a sort-spillable window cumsum)
+    -- and contributes its own chars + its preceding space with the
+    -- same positional weights — value-identical at every SF, and no
+    -- per-doc ordered string_agg exists (the q92/q104b sf10 OOM
+    -- class: per-group ordered aggregates are unspillable in the
+    -- oracle engine)
+    off AS (SELECT doc_id, pos, tok_str, n_toks,
+                   COALESCE(SUM(length(tok_str) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS o
+            FROM tok),
+    wfp AS (SELECT doc_id, n_toks,
+                   (CASE WHEN o > 0 THEN 32 * (1 + (o - 1) % 64) ELSE 0 END)
+                   + list_sum(list_transform(
+                         generate_series(1, length(tok_str)),
+                         j -> ascii(substr(tok_str, j, 1))
+                              * (1 + (o + j - 1) % 64))) AS c
+            FROM off)
+    SELECT doc_id,
+           CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c) % 2147483647 AS BIGINT) AS tokens_fp
+    FROM wfp GROUP BY doc_id
     """,
 )
 def q104b_bpe_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
