@@ -5463,17 +5463,26 @@ def q128_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
          toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-         gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
-         inv AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         gsets AS MATERIALIZED (SELECT doc_id, {_SQL_GRAMS3} AS g
+                                FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+         inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
+         -- df-cut mirror + count-based intersection (the q54 recipe;
+         -- this oracle kept the PRE-fix quadratic shape and spilled
+         -- past the 77 GB disk at sf10)
+         keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
+         inv AS MATERIALIZED (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n
+                                FROM inv GROUP BY 1),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         COUNT(*) AS ninter
                   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b
-                   FROM cand
-                   JOIN gsets sa ON sa.doc_id = cand.id_a
-                   JOIN gsets sb ON sb.doc_id = cand.id_b
-                   WHERE len(list_intersect(sa.g, sb.g))
-                         / (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))) >= 0.8),
+         pairs AS MATERIALIZED (
+                  SELECT id_a, id_b
+                  FROM cand
+                  JOIN sizes sa ON sa.doc_id = cand.id_a
+                  JOIN sizes sb ON sb.doc_id = cand.id_b
+                  WHERE ninter / (sa.n + sb.n - ninter) >= 0.8),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                    UNION ALL
                    SELECT id_b, id_a FROM pairs),
@@ -5500,7 +5509,11 @@ def q128_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q129_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_exact(docs, "doc_id", "text", n=3, threshold=0.8)
+    # max_df=64 on BOTH sides (the q19/q54 stop-gram semantic —
+    # inert below sf1, the scale contract above it)
+    pairs = ngram_jaccard_pairs_exact(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
+    )
     return keep_best_per_cluster(
         docs, pairs.select("id_a", "id_b"), "doc_id", "n_chars"
     )
