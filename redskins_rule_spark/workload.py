@@ -5978,12 +5978,19 @@ from redskins_rule_spark.operators.graph import triangle_count  # noqa: E402
          -- (19 s at sf1), was the brute-force bottleneck. Same
          -- semantics, q19's oracle shape.
          keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
-         inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+         -- MATERIALIZED pins throughout (the q146/q76 class): canon is
+         -- referenced FOUR times below, and naive inlining re-ran the
+         -- whole posting-list pipeline per reference — at sf10 the
+         -- four concurrent spills overran the 77 GB disk
+         inv AS MATERIALIZED (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+         sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n
+                                FROM inv GROUP BY 1),
+         cand AS MATERIALIZED (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
                   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         canon AS (SELECT id_a AS a, id_b AS b
+         canon AS MATERIALIZED (
+                   SELECT id_a AS a, id_b AS b
                    FROM cand
                    JOIN sizes sa ON sa.doc_id = cand.id_a
                    JOIN sizes sb ON sb.doc_id = cand.id_b
