@@ -651,7 +651,27 @@ def oracle_bounds() -> dict:
     def q22(spark, sf_dir: str):
         return _q22_bound_reason(table(spark, sf_dir, "embeddings").count())
 
-    return {"q185_ann_label_noise": q185, "q22_embedding_dups": q22}
+    def q174(spark, sf_dir: str):
+        n = table(spark, sf_dir, "embeddings").count()
+        # fixed 8-bit bands: 8·C(n,2)/256 expected random collisions
+        # must stay under srp_lsh_pairs' 64M candidate_budget — the
+        # engine guard (correctly) refuses past n ≈ 64k, and the
+        # fixed-plane oracle is only meaningful where the engine runs
+        if n > 64_000:
+            return (
+                f"q174 is the FIXED 8-bit-band SRP face; at n={n} the "
+                "8·C(n,2)/256 expected collisions exceed the 64M "
+                "candidate budget and the engine guard refuses by "
+                "design (auto-tapered faces q184/q185 are the scale "
+                "path)"
+            )
+        return None
+
+    return {
+        "q185_ann_label_noise": q185,
+        "q22_embedding_dups": q22,
+        "q174_srp_lsh_pairs": q174,
+    }
 
 
 # ===========================================================================

@@ -141,6 +141,26 @@ def checksum_duck(con, sql: str, cols: list[str]) -> tuple[int, int, int]:
     return int(n), int(s1), int(s2)
 
 
+def _bounded_engine_skip(name, bounds, spark, sf_dir, e) -> bool:
+    """An engine-side guard raising INSIDE a documented oracle bound
+    is designed behavior (e.g. q174's fixed 8-bit SRP bands refusing
+    200k vectors), not a differential failure: record it as a named
+    skip so scale fixtures distinguish 'out of validity domain' from
+    'broken'."""
+    if name not in bounds:
+        return False
+    try:
+        reason = bounds[name](spark, sf_dir)
+    except Exception:
+        return False
+    if reason is None:
+        return False
+    first = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+    print(f"[skip-oracle] {name}: engine guard fired within documented "
+          f"bound: {reason} (engine said: {first})")
+    return True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -184,6 +204,8 @@ def main() -> int:
                 sdf_lazy = fn(spark, sf_dir)
                 n_s = sdf_lazy.count()
             except Exception as e:
+                if _bounded_engine_skip(name, bounds, spark, sf_dir, e):
+                    continue
                 print(f"[FAIL] {name}: spark error: {e}")
                 failed.append(name)
                 continue
@@ -245,6 +267,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
+            if _bounded_engine_skip(name, bounds, spark, sf_dir, e):
+                continue
             print(f"[FAIL] {name}: spark error: {e}")
             failed.append(name)
             continue
