@@ -6408,17 +6408,25 @@ from redskins_rule_spark.pipelines.curation import (  # noqa: E402
     s1 AS (SELECT * FROM base WHERE text IS NOT NULL AND length(text) >= 100),
     s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'fr')),
     s3ids AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
-    s3 AS (SELECT s2.* FROM s2 JOIN s3ids USING (doc_id)),
+    -- MATERIALIZED pins on every multiply-referenced/heavy stage (the
+    -- q146/q138 class): the funnel tail references s3 and nd several
+    -- times, and naive inlining re-ran the whole near-dup pipeline per
+    -- reference — the sf10 ENOSPC
+    s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN s3ids USING (doc_id)),
     toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM s3),
-    gsets AS (SELECT doc_id, {_SQL_GRAMS3} AS g FROM toks WHERE len({_SQL_GRAMS3}) > 0),
+    gsets AS MATERIALIZED (SELECT doc_id, {_SQL_GRAMS3} AS g
+                           FROM toks WHERE len({_SQL_GRAMS3}) > 0),
     inv0 AS (SELECT doc_id, unnest(g) AS gram FROM gsets),
     keepg AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= 64),
-    inv AS (SELECT inv0.* FROM inv0 JOIN keepg USING (gram)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY 1),
-    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+    inv AS MATERIALIZED (SELECT inv0.* FROM inv0 JOIN keepg USING (gram)),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n
+                           FROM inv GROUP BY 1),
+    cand AS MATERIALIZED (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
-    pairs AS (SELECT id_a, id_b
+    pairs AS MATERIALIZED (
+              SELECT id_a, id_b
               FROM cand
               JOIN sizes sa ON sa.doc_id = cand.id_a
               JOIN sizes sb ON sb.doc_id = cand.id_b
@@ -6430,9 +6438,9 @@ from redskins_rule_spark.pipelines.curation import (  # noqa: E402
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
     ),
-    cc AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+    cc AS MATERIALIZED (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
     clus AS (SELECT lbl, COUNT(*) AS sz FROM cc GROUP BY lbl),
-    nd AS (SELECT (SELECT COUNT(*) FROM s3)
+    nd AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM s3)
                   - COALESCE(SUM(sz - 1), 0) AS n FROM clus)
     SELECT stage_id, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
       SELECT 1 AS stage_id, 'total' AS stage,
