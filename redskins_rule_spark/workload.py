@@ -651,6 +651,12 @@ def oracle_bounds() -> dict:
     def q22(spark, sf_dir: str):
         return _q22_bound_reason(table(spark, sf_dir, "embeddings").count())
 
+    def q175(spark, sf_dir: str):
+        # same wall as q22: the oracle's exact all-pairs join is
+        # O(n^2) interpreted 64-term list dots (the ENGINE's blocked
+        # matmul is fine at the decade)
+        return _q22_bound_reason(table(spark, sf_dir, "embeddings").count())
+
     def q174(spark, sf_dir: str):
         n = table(spark, sf_dir, "embeddings").count()
         # fixed 8-bit bands: 8·C(n,2)/256 expected random collisions
@@ -671,6 +677,7 @@ def oracle_bounds() -> dict:
         "q185_ann_label_noise": q185,
         "q22_embedding_dups": q22,
         "q174_srp_lsh_pairs": q174,
+        "q175_knn_label_noise": q175,
     }
 
 
