@@ -11,16 +11,19 @@ decodes bit-exactly with zero carried spec tables — unlike the MP3
 (Table B.7 pair tables 2-31) and AAC (spectral codebooks) seams.
 
 Profile (documented, enforced by named ValueErrors, not silent):
-mono, 16-bit, fixed blocking strategy; ALL four subframe types —
+mono at depths 8/16/24/32 with fixed OR variable blocking, stereo
+(all four channel assignments incl. left/side, right/side,
+mid/side) at 16-bit fixed blocking; ALL four subframe types —
 CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders 1-32
 (verbatim-coded quantized coefficients + arithmetic-shift
-prediction, §9.2.5). Rice coding method 00 (4-bit parameters)
-including the 0b1111 escape to raw binary; partition orders 0+.
-Wasted-bits flag parsed, must be 0. Within this profile the decode
-is COMPLETE; the remaining format surface is structural breadth,
-not entropy coding: stereo decorrelation (left/side/mid), bit
-depths other than 16, variable blocking, and rice2 (5-bit
-parameters) — each raised by name.
+prediction, §9.2.5). BOTH residual coding methods — rice (00,
+4-bit parameters) and rice2 (01, 5-bit) — including the all-ones
+escape to raw binary; partition orders 0+. Wasted-bits flag
+parsed, must be 0. Within this profile the decode is COMPLETE;
+what remains is raised by name: 12/20-bit depths (non-byte-aligned
+PCM makes the MD5 packing ambiguous), >2-channel layouts, and
+depth/blocking breadth on the STEREO walk (the mono walk carries
+them; the stereo corpus is q227's 16-bit fixed profile).
 
 Reference parity: the reference pipeline (nfl-elec-transform-v2.py)
 has no media path at all — this module is extension surface for the
@@ -201,7 +204,8 @@ class FlacFrame:
     blocksize: int
     subframe_code: int  # FIXED: order; VERBATIM: 5; LPC: 8 + order
     samples: tuple[int, ...]
-    n_escapes: int  # rice partitions that used the 0b1111 raw escape
+    n_escapes: int  # rice partitions that used the all-ones raw escape
+    k_fp: int = 0   # Σ (p+1)·k over non-escape rice partitions
 
 
 @dataclass(frozen=True)
@@ -221,12 +225,16 @@ def _lpc_predict(history: list[int], coeffs: tuple[int, ...],
 
 
 def _encode_residuals(
-    out: _BitsOut, res: list[int], nsamp: int, order: int, po: int
+    out: _BitsOut, res: list[int], nsamp: int, order: int, po: int,
+    rice2: bool = False,
 ) -> int:
     """Coded-residual section (shared by FIXED and LPC subframes):
-    coding method 00 (4-bit rice), partition order, per-partition
-    rice parameter with the 0b1111 raw escape. Returns escape count."""
-    out.write(0b00, 2)
+    coding method 00 (4-bit rice) or 01 (rice2, 5-bit parameters),
+    partition order, per-partition rice parameter with the all-ones
+    raw escape (0b1111 / 0b11111). Returns escape count."""
+    pbits = 5 if rice2 else 4
+    esc_code = (1 << pbits) - 1  # 15 or 31
+    out.write(0b01 if rice2 else 0b00, 2)
     if po and (nsamp % (1 << po) or (nsamp >> po) <= order):
         raise ValueError("flac: partition order incompatible with blocksize")
     out.write(po, 4)
@@ -240,18 +248,25 @@ def _encode_residuals(
         us = [_zigzag(v) for v in part]
         max_u = max(us, default=0)
         k = max(max_u.bit_length() - 1, 0)
-        if k >= 15:
+        if k >= esc_code:
             # escape: raw two's-complement at a fixed width
             escapes += 1
             width = max((max(part).bit_length() if part else 0),
                         (min(part, default=0)).bit_length() + 1, 1) + 1
-            width = min(width, 31)
-            out.write(0b1111, 4)
+            if width > 31:
+                # the 5-bit width field tops out at 31 raw bits; a
+                # partition needing more must stay rice-coded (its
+                # unary quotients grow, but stay decodable) — raising
+                # by name beats the silent min(width, 31) corruption
+                raise ValueError(
+                    "flac: raw-escape partition needs more than 31 bits"
+                )
+            out.write(esc_code, pbits)
             out.write(width, 5)
             for v in part:
                 out.write_signed(v, width)
         else:
-            out.write(k, 4)
+            out.write(k, pbits)
             for u in us:
                 out.write_unary(u >> k)
                 if k:
@@ -261,7 +276,7 @@ def _encode_residuals(
 
 def _encode_subframe(
     out: _BitsOut, samples: list[int], code: int, bps: int, po: int,
-    lpc: dict | None = None,
+    lpc: dict | None = None, rice2: bool = False,
 ) -> int:
     """One subframe (header + payload). Returns rice-escape count."""
     out.write(0, 1)  # zero pad bit
@@ -300,7 +315,8 @@ def _encode_subframe(
             samples[i] - _lpc_predict(samples[:i], coeffs, shift)
             for i in range(order, len(samples))
         ]
-        return _encode_residuals(out, res, len(samples), order, po)
+        return _encode_residuals(out, res, len(samples), order, po,
+                                 rice2=rice2)
     order = code
     if order not in _FIXED_TAPS:
         raise ValueError("flac: fixed predictor order must be 0-4")
@@ -311,40 +327,73 @@ def _encode_subframe(
     for s in samples[:order]:  # warmup, verbatim
         out.write_signed(s, bps)
     res = _residuals(samples, order)
-    return _encode_residuals(out, res, len(samples), order, po)
+    return _encode_residuals(out, res, len(samples), order, po,
+                             rice2=rice2)
+
+
+# Frame-header sample-size codes (RFC 9639 §9.1.4). 12/20-bit depths
+# have codes but non-byte-aligned MD5 packing — raised by name below.
+_SS_CODES: dict[int, int] = {8: 0b001, 12: 0b010, 16: 0b100,
+                             20: 0b101, 24: 0b110, 32: 0b111}
+MD5_DEPTHS = (8, 16, 24, 32)  # byte-aligned PCM → well-defined MD5
+
+
+def _md5_pcm(md5, s: int, bps: int) -> None:
+    md5.update((s & ((1 << bps) - 1)).to_bytes(bps // 8, "little"))
 
 
 def encode_flac(
     frames: list[dict],
     sample_rate: int = 44100,
     bps: int = 16,
+    variable: bool = False,
 ) -> bytes:
-    """Mono fixed-blocking FLAC stream. Each frames[i] is a dict:
-    'samples' (list of signed ints fitting bps), 'code' (0-4 = FIXED
-    order, VERBATIM_CODE = verbatim), 'po' (rice partition order).
-    Every frame but the last must share one blocksize (fixed
-    blocking, RFC 9639 §9.1.2); STREAMINFO carries the real MD5 of
-    the interleaved little-endian PCM so decoders can prove
+    """Mono FLAC stream. Each frames[i] is a dict: 'samples' (list of
+    signed ints fitting bps), 'code' (0-4 = FIXED order, VERBATIM_CODE
+    = verbatim), 'po' (rice partition order), optional 'lpc' and
+    'rice2' (coding method 01, 5-bit parameters). Depths 8/16/24/32
+    (byte-aligned PCM — MD5 is well defined; 12/20 raised by name).
+
+    Fixed blocking (default, RFC 9639 §9.1.2): every frame but the
+    last shares one blocksize and the coded number is the frame
+    index. `variable=True` allows any per-frame blocksize; the coded
+    number becomes the frame's STARTING SAMPLE index and STREAMINFO
+    carries the true min/max blocksizes. STREAMINFO always carries
+    the real MD5 of the little-endian PCM so decoders can prove
     losslessness."""
     if not frames:
         raise ValueError("flac: at least one frame")
-    bs0 = len(frames[0]["samples"])
-    for fr in frames[:-1]:
-        if len(fr["samples"]) != bs0:
-            raise ValueError("flac: fixed blocking needs constant blocksize"
-                             " (only the last frame may be short)")
-    if len(frames[-1]["samples"]) > bs0:
-        raise ValueError("flac: last frame exceeds the stream blocksize")
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
+    sizes = [len(fr["samples"]) for fr in frames]
+    if variable:
+        min_bs, max_bs = min(sizes), max(sizes)
+    else:
+        bs0 = sizes[0]
+        for n in sizes[:-1]:
+            if n != bs0:
+                raise ValueError(
+                    "flac: fixed blocking needs constant blocksize"
+                    " (only the last frame may be short)"
+                )
+        if sizes[-1] > bs0:
+            raise ValueError("flac: last frame exceeds the stream blocksize")
+        min_bs = max_bs = bs0
     all_samples = [s for fr in frames for s in fr["samples"]]
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if any(s < lo or s > hi for s in all_samples):
         raise ValueError(f"flac: sample exceeds {bps}-bit range")
     md5 = hashlib.md5()
     for s in all_samples:
-        md5.update((s & 0xFFFF).to_bytes(2, "little"))
+        _md5_pcm(md5, s, bps)
     info = _BitsOut()
-    info.write(bs0, 16)          # min_blocksize
-    info.write(bs0, 16)          # max_blocksize
+    info.write(min_bs, 16)       # min_blocksize
+    info.write(max_bs, 16)       # max_blocksize
     info.write(0, 24)            # min_framesize (unknown)
     info.write(0, 24)            # max_framesize (unknown)
     info.write(sample_rate, 20)
@@ -355,33 +404,43 @@ def encode_flac(
     assert len(streaminfo) == 34
     out = bytearray(b"fLaC")
     out += bytes([0x80, 0, 0, 34]) + streaminfo  # last-block flag + type 0
+    start = 0
     for n, fr in enumerate(frames):
         nsamp = len(fr["samples"])
+        wide_bs = nsamp > 256  # 16-bit blocksize-at-end code
         hdr = _BitsOut()
-        hdr.write(0b11111111111110, 14)  # sync
-        hdr.write(0, 1)                   # reserved
-        hdr.write(0, 1)                   # fixed blocking
-        hdr.write(0b0110, 4)              # blocksize: 8-bit at end
-        hdr.write(0b0000, 4)              # sample rate: from STREAMINFO
-        hdr.write(0b0000, 4)              # channels: mono
-        hdr.write(0b100, 3)               # sample size: 16
-        hdr.write(0, 1)                   # reserved
+        hdr.write(0b11111111111110, 14)       # sync
+        hdr.write(0, 1)                        # reserved
+        hdr.write(1 if variable else 0, 1)     # blocking strategy
+        hdr.write(0b0111 if wide_bs else 0b0110, 4)  # blocksize at end
+        hdr.write(0b0000, 4)                   # sample rate: STREAMINFO
+        hdr.write(0b0000, 4)                   # channels: mono
+        hdr.write(_SS_CODES[bps], 3)           # sample size
+        hdr.write(0, 1)                        # reserved
         hdr.pad_to_byte()
-        head = bytes(hdr.buf) + _utf8_number(n) + bytes([nsamp - 1])
+        coded = _utf8_number(start if variable else n)
+        bs_field = ((nsamp - 1).to_bytes(2, "big") if wide_bs
+                    else bytes([nsamp - 1]))
+        head = bytes(hdr.buf) + coded + bs_field
         head += bytes([crc8(head)])
         body = _BitsOut()
         _encode_subframe(body, list(fr["samples"]), fr["code"], bps,
-                         fr.get("po", 0), fr.get("lpc"))
+                         fr.get("po", 0), fr.get("lpc"),
+                         fr.get("rice2", False))
         body.pad_to_byte()
         frame = head + bytes(body.buf)
         out += frame + crc16(frame).to_bytes(2, "big")
+        start += nsamp
     return bytes(out)
 
 
 # --- decoder ---------------------------------------------------------------
 
-def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], int]:
-    """One subframe → (fingerprint code, samples, rice-escape count)."""
+def _decode_subframe(
+    br: _Bits, nsamp: int, bps: int
+) -> tuple[int, list[int], int, int]:
+    """One subframe → (fingerprint code, samples, rice-escape count,
+    rice-parameter fingerprint Σ (p+1)·k)."""
     if br.read(1):
         raise ValueError("flac: subframe header pad bit must be 0")
     sft = br.read(6)
@@ -390,23 +449,23 @@ def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], i
         raise ValueError("flac: wasted-bits-per-sample outside profile")
     if sft == 0b000000:  # CONSTANT
         v = br.read_signed(bps)
-        return 0, [v] * nsamp, 0
+        return 0, [v] * nsamp, 0, 0
     if sft == 0b000001:  # VERBATIM
         return (VERBATIM_CODE,
-                [br.read_signed(bps) for _ in range(nsamp)], 0)
+                [br.read_signed(bps) for _ in range(nsamp)], 0, 0)
     if 0b001000 <= sft <= 0b001100:  # FIXED order 0-4
         order = sft & 0b111
         if nsamp <= order:
             raise ValueError("flac: fixed order >= blocksize")
         samples = [br.read_signed(bps) for _ in range(order)]
-        res, escapes = _decode_residuals(br, nsamp, order)
+        res, escapes, k_fp = _decode_residuals(br, nsamp, order)
         taps = _FIXED_TAPS[order]
         for i in range(order, nsamp):
             samples.append(
                 res[i - order]
                 + sum(t * samples[i - 1 - j] for j, t in enumerate(taps))
             )
-        return order, samples, escapes
+        return order, samples, escapes, k_fp
     if sft & 0b100000:  # LPC order 1-32
         order = (sft & 0b011111) + 1
         if nsamp <= order:
@@ -420,25 +479,30 @@ def _decode_subframe(br: _Bits, nsamp: int, bps: int) -> tuple[int, list[int], i
         if shift & 0b10000:
             raise ValueError("flac: negative qlp shift is forbidden")
         coeffs = tuple(br.read_signed(precision) for _ in range(order))
-        res, escapes = _decode_residuals(br, nsamp, order)
+        res, escapes, k_fp = _decode_residuals(br, nsamp, order)
         for i in range(order, nsamp):
             samples.append(
                 res[i - order] + _lpc_predict(samples, coeffs, shift)
             )
-        return LPC_CODE_BASE + order, samples, escapes
+        return LPC_CODE_BASE + order, samples, escapes, k_fp
     raise ValueError("flac: reserved subframe type")
 
 
-def _decode_residuals(br: _Bits, nsamp: int, order: int) -> tuple[list[int], int]:
-    """Coded-residual section (shared by FIXED and LPC): rice
-    partitions with the 0b1111 raw escape. Returns (residuals,
-    escape count)."""
+def _decode_residuals(
+    br: _Bits, nsamp: int, order: int
+) -> tuple[list[int], int, int]:
+    """Coded-residual section (shared by FIXED and LPC): rice (method
+    00, 4-bit parameters) or rice2 (method 01, 5-bit parameters)
+    partitions with the all-ones raw escape. Returns (residuals,
+    escape count, k_fp) where k_fp = Σ (p+1)·k over the non-escape
+    partitions — the parameter-choice fingerprint differential
+    oracles replay (rice2's k can reach 30, values impossible under
+    4-bit rice, so method confusion breaks it)."""
     method = br.read(2)
-    if method not in (0b00,):
-        raise ValueError(
-            "flac: rice2 (5-bit parameters, coding method 01) is "
-            "outside the profile; 1x is reserved"
-        )
+    if method not in (0b00, 0b01):
+        raise ValueError("flac: residual coding methods 1x are reserved")
+    pbits = 5 if method == 0b01 else 4
+    esc_code = (1 << pbits) - 1
     po = br.read(4)
     if nsamp % (1 << po):
         raise ValueError("flac: blocksize not divisible by 2^partition")
@@ -447,10 +511,11 @@ def _decode_residuals(br: _Bits, nsamp: int, order: int) -> tuple[list[int], int
         raise ValueError("flac: partition shorter than predictor order")
     res: list[int] = []
     escapes = 0
+    k_fp = 0
     for p in range(1 << po):
         want = part_len - order if p == 0 else part_len
-        k = br.read(4)
-        if k == 0b1111:
+        k = br.read(pbits)
+        if k == esc_code:
             escapes += 1
             width = br.read(5)
             if width == 0:
@@ -458,11 +523,12 @@ def _decode_residuals(br: _Bits, nsamp: int, order: int) -> tuple[list[int], int
             else:
                 res.extend(br.read_signed(width) for _ in range(want))
         else:
+            k_fp += (p + 1) * k
             for _ in range(want):
                 q = br.read_unary()
                 u = (q << k) | (br.read(k) if k else 0)
                 res.append(_unzigzag(u))
-    return res, escapes
+    return res, escapes, k_fp
 
 
 def parse_flac(data: bytes) -> FlacStream:
@@ -509,15 +575,20 @@ def parse_flac(data: bytes) -> FlacStream:
     total = si.read(36)
     md5_declared = streaminfo[18:34]
     if channels != 1:
-        raise ValueError("flac: profile is mono")
-    if bps != 16:
-        raise ValueError("flac: profile is 16-bit")
-    if min_bs != max_bs:
-        raise ValueError("flac: fixed blocking needs one blocksize")
+        raise ValueError("flac: this walk decodes mono streams "
+                         "(parse_flac_stereo handles 2ch)")
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
     frames: list[FlacFrame] = []
     md5 = hashlib.md5()
     seen = 0
     n_expected = 0
+    blocking: int | None = None  # 0 fixed / 1 variable, set by frame 0
     while pos < len(data):
         frame_start = pos
         br = _Bits(data)
@@ -526,9 +597,16 @@ def parse_flac(data: bytes) -> FlacStream:
             raise ValueError("flac: lost frame sync")
         if br.read(1):
             raise ValueError("flac: frame header reserved bit set")
-        if br.read(1):
-            raise ValueError("flac: variable blocking outside fixed-"
-                             "blocking profile")
+        strat = br.read(1)
+        if blocking is None:
+            blocking = strat
+            if blocking == 0 and min_bs != max_bs:
+                raise ValueError(
+                    "flac: fixed blocking needs one STREAMINFO blocksize"
+                )
+        elif strat != blocking:
+            raise ValueError("flac: blocking strategy must not change "
+                             "mid-stream")
         bs_code = br.read(4)
         sr_code = br.read(4)
         ch_code = br.read(4)
@@ -536,14 +614,23 @@ def parse_flac(data: bytes) -> FlacStream:
         if br.read(1):
             raise ValueError("flac: frame header reserved bit set")
         if ch_code != 0:
-            raise ValueError("flac: profile is mono")
-        if ss_code != 0b100:
-            raise ValueError("flac: profile is 16-bit")
+            raise ValueError("flac: this walk decodes mono streams "
+                             "(parse_flac_stereo handles 2ch)")
+        if ss_code != _SS_CODES[bps]:
+            raise ValueError("flac: frame sample-size code disagrees "
+                             "with STREAMINFO")
         if sr_code != 0:
             raise ValueError("flac: sample rate must defer to STREAMINFO")
         fno = _read_utf8_number(br)
-        if fno != n_expected:
-            raise ValueError("flac: frame numbers must be sequential")
+        if blocking == 1:
+            # variable blocking: the coded number is the frame's
+            # starting SAMPLE index (RFC 9639 §9.1.5)
+            if fno != seen:
+                raise ValueError("flac: frame sample numbers must be "
+                                 "cumulative")
+        else:
+            if fno != n_expected:
+                raise ValueError("flac: frame numbers must be sequential")
         n_expected += 1
         if bs_code == 0b0110:
             nsamp = br.read(8) + 1
@@ -561,7 +648,7 @@ def parse_flac(data: bytes) -> FlacStream:
         if crc8(data[frame_start:hdr_end]) != data[hdr_end]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         br.pos = 8 * (hdr_end + 1)
-        code, samples, escapes = _decode_subframe(br, nsamp, bps)
+        code, samples, escapes, k_fp = _decode_subframe(br, nsamp, bps)
         if br.pos & 7:
             if br.read(8 - (br.pos & 7)):
                 raise ValueError("flac: nonzero frame padding bits")
@@ -570,12 +657,20 @@ def parse_flac(data: bytes) -> FlacStream:
         if crc16(data[frame_start:crc_at]) != declared:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = crc_at + 2
-        if seen + nsamp < total and nsamp != max_bs:
+        if blocking == 1:
+            if nsamp > max_bs:
+                raise ValueError("flac: frame exceeds STREAMINFO "
+                                 "max_blocksize")
+            if nsamp < min_bs and seen + nsamp < total:
+                raise ValueError("flac: frame below STREAMINFO "
+                                 "min_blocksize before the last")
+        elif seen + nsamp < total and nsamp != max_bs:
             raise ValueError("flac: short frame before the last")
         seen += nsamp
         for s in samples:
-            md5.update((s & 0xFFFF).to_bytes(2, "little"))
-        frames.append(FlacFrame(nsamp, code, tuple(samples), escapes))
+            _md5_pcm(md5, s, bps)
+        frames.append(FlacFrame(nsamp, code, tuple(samples), escapes,
+                                k_fp))
     if seen != total:
         raise ValueError("flac: decoded samples disagree with STREAMINFO")
     return FlacStream(
@@ -906,8 +1001,8 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
         br.pos = 8 * (hdr_end + 1)
         x0 = 1 if mode == "RS" else 0
         x1 = 1 if mode in ("LS", "MS") else 0
-        code0, ch0, esc0 = _decode_subframe(br, nsamp, bps + x0)
-        code1, ch1, esc1 = _decode_subframe(br, nsamp, bps + x1)
+        code0, ch0, esc0, _ = _decode_subframe(br, nsamp, bps + x0)
+        code1, ch1, esc1, _ = _decode_subframe(br, nsamp, bps + x1)
         if br.pos & 7:
             if br.read(8 - (br.pos & 7)):
                 raise ValueError("flac: nonzero frame padding bits")
@@ -978,3 +1073,128 @@ def synth_flac_stereo(clen: int) -> bytes:
         })
         f += 1
     return encode_flac_stereo(frames, sample_rate=8000 + 100 * (clen % 5))
+
+
+def synth_depth_samples(clen: int, total: int, amp: int) -> list[int]:
+    """Depth-scaled PCM closed form (q235/q236 oracles replay it):
+    s_k = ((clen*31 + 7*k*k + 13*k) * m % (2*amp)) - amp with
+    m = max(1, 2*amp // 4096). The multiplier maps the 16-bit
+    corpus's wrap pattern onto the full depth range — without it the
+    quadratic never wraps big amplitudes and FIXED orders 2-4 would
+    predict it exactly (zero residuals, nothing to rice-code)."""
+    m = max(1, (2 * amp) // 4096)
+    return [((clen * 31 + 7 * k * k + 13 * k) * m % (2 * amp)) - amp
+            for k in range(total)]
+
+
+def _depth_amp(bps: int) -> int:
+    """Amplitude for depth-cycled synth streams: 2^min(bps-5, 23).
+    The cap keeps the worst-case FIXED-order-4 residual (16·amp)
+    under 2^27, so raw-escape partitions always fit the 5-bit width
+    field (<= 31 bits) at every depth including 32."""
+    return 1 << min(bps - 5, 23)
+
+
+def synth_flac_depths(clen: int) -> bytes:
+    """Deterministic mono FLAC stream cycling BIT DEPTHS (the q235
+    closed forms — everything the oracle replays):
+
+      bps         = (8, 24, 32)[clen % 3]
+      amp         = 2^min(bps-5, 23)
+      total       = 33 + clen % 71   (2-4 frames of blocksize 32)
+      sample_rate = 8000 + 100 * (clen % 5)
+      samples     = synth_depth_samples (amplitude follows depth)
+      frame f     = code (clen + f) % 6 (FIXED 0-4 / 5 VERBATIM;
+                    short last drops FIXED to 0), po (clen + f) % 2
+                    on full frames, rice 4-bit parameters
+    At 24/32-bit the order 2-4 residuals exceed 2^15 zigzag, so the
+    0b1111 raw-escape path is exercised at widths (24-31 bits) the
+    16-bit corpus never reaches; at 8-bit escapes never fire — both
+    ends bound cross-engine by the same k>=15 rule."""
+    bps = (8, 24, 32)[clen % 3]
+    amp = _depth_amp(bps)
+    total = 33 + clen % 71
+    samples = synth_depth_samples(clen, total, amp)
+    frames: list[dict] = []
+    f = 0
+    for lo in range(0, total, BLOCKSIZE):
+        chunk = samples[lo: lo + BLOCKSIZE]
+        code = (clen + f) % 6
+        full = len(chunk) == BLOCKSIZE
+        if not full and code != VERBATIM_CODE:
+            code = 0
+        po = (clen + f) % 2 if full else 0
+        frames.append({"samples": chunk, "code": code, "po": po})
+        f += 1
+    return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5),
+                       bps=bps)
+
+
+def synth_flac_rice2(clen: int) -> bytes:
+    """Deterministic 24-bit mono FLAC stream MIXING rice (method 00,
+    4-bit parameters) and rice2 (method 01, 5-bit) frames (the q236
+    closed forms):
+
+      bps = 24, amp = 2^19, total/sample_rate/samples as q235
+      frame f: code (clen + f) % 6 (short last -> FIXED 0),
+               po (clen + f) % 2 on full frames,
+               rice2 iff (clen + f) % 3 == 0
+    At this depth the zigzag maxima reach 2^16..2^24: rice frames
+    raw-escape past 2^15 while rice2 frames encode k = 15..23 —
+    parameter values IMPOSSIBLE under 4-bit rice — and never escape
+    (their threshold is 2^31). The oracle replays both rules plus
+    the k fingerprint, so method confusion is hash-caught."""
+    bps = 24
+    amp = _depth_amp(bps)
+    total = 33 + clen % 71
+    samples = synth_depth_samples(clen, total, amp)
+    frames: list[dict] = []
+    f = 0
+    for lo in range(0, total, BLOCKSIZE):
+        chunk = samples[lo: lo + BLOCKSIZE]
+        code = (clen + f) % 6
+        full = len(chunk) == BLOCKSIZE
+        if not full and code != VERBATIM_CODE:
+            code = 0
+        po = (clen + f) % 2 if full else 0
+        frames.append({
+            "samples": chunk, "code": code, "po": po,
+            "rice2": (clen + f) % 3 == 0,
+        })
+        f += 1
+    return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5),
+                       bps=bps)
+
+
+def synth_flac_varblock(clen: int) -> bytes:
+    """Deterministic 16-bit mono VARIABLE-BLOCKING FLAC stream (the
+    q237 closed forms):
+
+      total       = 33 + clen % 71
+      sample_rate = 8000 + 100 * (clen % 5)
+      samples     = synth_samples
+      frame f:    blocksize 16 + 8 * ((clen + f) % 3)  (16/24/32),
+                  last frame = the remainder;
+                  code (clen + f) % 6 (a SHORT last frame drops
+                  FIXED to 0), po (clen + f) % 2 on full frames
+    Frame headers carry the starting SAMPLE number (UTF-8-coded) and
+    STREAMINFO carries the true min/max blocksizes — the variable-
+    blocking surface q225 raised by name."""
+    total = 33 + clen % 71
+    samples = synth_samples(clen, total)
+    frames: list[dict] = []
+    f = 0
+    lo = 0
+    while lo < total:
+        bs = 16 + 8 * ((clen + f) % 3)
+        chunk = samples[lo: lo + bs]
+        full = len(chunk) == bs
+        code = (clen + f) % 6
+        if not full and code != VERBATIM_CODE:
+            code = 0
+        po = (clen + f) % 2 if full else 0
+        frames.append({"samples": chunk, "code": code, "po": po})
+        lo += bs
+        f += 1
+    return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5),
+                       bps=16, variable=True)

@@ -229,8 +229,11 @@ def synth_wav_ima(clen: int) -> bytes:
 # formulation of ITU-T G.711. In-container conformance limits are
 # documented honestly: no reference test vectors ship here, so what
 # the tests pin is (a) ENCODE∘DECODE is the identity on all 256 codes
-# of both laws (a property true G.711 satisfies, and strong enough
-# that a mis-remembered constant breaks it), (b) quantization error
+# of both laws EXCEPT mu-law's negative zero — 0x7F decodes to 0,
+# which canonically re-encodes as 0xFF (the one two-codes-one-value
+# seam in true G.711; the q231 workload and tests pin it by name) —
+# (a property strong enough that a mis-remembered constant breaks
+# it), (b) quantization error
 # is bounded by the segment step size everywhere, and (c) the SQL
 # oracle replays the same algebra independently.
 

@@ -133,3 +133,120 @@ def z_value(cols, bits: int = 16):
                 )
             )
     return reduce(lambda a, b: a + b, terms)
+
+
+# --- deterministic corpus shuffle (epoch-reproducible global permutation) --
+
+# Feistel round constants: public splitmix64/murmur3/xxhash mixing
+# primes (0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1) paired with
+# fixed round offsets; seed/epoch enter every round through the
+# Knuth multiplicative constant 2654435761 and 40503. Nothing here is
+# data-dependent — both engines replay the identical closed form.
+FEISTEL_ROUNDS: tuple[tuple[int, int], ...] = (
+    (0x85EBCA6B, 604171),
+    (0xC2B2AE35, 1208342),
+    (0x27D4EB2F, 1812513),
+    (0x165667B1, 2416684),
+)
+_FEISTEL_S1 = 2654435761  # seed multiplier (Knuth)
+_FEISTEL_S2 = 40503       # epoch multiplier
+
+
+def feistel_key_column(idx, *, seed: int, epoch: int, bits: int = 40):
+    """Closed-form bijective permutation of [0, 2^bits) as a Spark
+    Column — the shuffle key behind `corpus_shuffle`.
+
+    A balanced Feistel network (4 rounds, xor-folded multiply round
+    function) over the dense global row index: every epoch/seed pair
+    yields a DIFFERENT uniform-quality permutation, every engine that
+    replays the integer algebra gets the SAME one (the differential
+    oracle replays it via `feistel_key_sql`). Pure +/*/>>/xor/& on
+    BIGINT — whole-stage-codegen'd, no UDF, no data pass.
+
+    Overflow safety: `bits` must be even and <= 40 (half-words <=
+    2^20; the round multiply then peaks below 2^52) and seed/epoch
+    must sit in [0, 2^20) so the additive term stays below 2^52.
+    bits=40 covers ~1.1e12 rows — a 100 TB corpus of 100-byte rows.
+    """
+    from pyspark.sql import functions as F
+
+    _feistel_check(seed, epoch, bits)
+    half = bits // 2
+    mask = (1 << half) - 1
+    x = (F.col(idx) if isinstance(idx, str) else idx).cast("bigint")
+    L = F.shiftright(x, half)
+    R = x.bitwiseAND(F.lit(mask))
+    for m, c in FEISTEL_ROUNDS:
+        t = R * F.lit(m) + F.lit(seed * _FEISTEL_S1 + epoch * _FEISTEL_S2 + c)
+        f = F.shiftright(t, half).bitwiseXOR(t).bitwiseAND(F.lit(mask))
+        L, R = R, L.bitwiseXOR(f)
+    return F.shiftleft(L, half) + R
+
+
+def feistel_key_sql(expr: str, *, seed: int, epoch: int, bits: int = 40) -> str:
+    """The identical permutation as an ANSI/DuckDB SQL expression over
+    `expr` (a BIGINT column or expression) — used by differential
+    oracles so the engine and the oracle derive the shuffle key from
+    the same constants (this module is the single source of truth)."""
+    _feistel_check(seed, epoch, bits)
+    half = bits // 2
+    mask = (1 << half) - 1
+    L = f"(({expr}) >> {half})"
+    R = f"(({expr}) & {mask})"
+    for m, c in FEISTEL_ROUNDS:
+        t = f"({R} * {m} + {seed * _FEISTEL_S1 + epoch * _FEISTEL_S2 + c})"
+        f = f"(xor(({t} >> {half}), {t}) & {mask})"
+        L, R = R, f"xor({L}, {f})"
+    return f"(({L} << {half}) + {R})"
+
+
+def _feistel_check(seed: int, epoch: int, bits: int) -> None:
+    if bits % 2 or not 2 <= bits <= 40:
+        raise ValueError("feistel bits must be even and in [2, 40]")
+    if not 0 <= seed < (1 << 20) or not 0 <= epoch < (1 << 20):
+        raise ValueError("feistel seed/epoch must be in [0, 2^20)")
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    idx_col: str,
+    *,
+    seed: int = 0,
+    epoch: int = 0,
+    key_col: str = "shuffle_key",
+    pos_col: str = "epoch_pos",
+    bits: int = 40,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch-reproducible corpus shuffle — the one
+    data-ordering operator every pretraining pipeline runs per epoch.
+
+    `idx_col` is a dense nonnegative global row index (< 2^bits; pair
+    with `with_global_index` if the data lacks one). The operator adds
+
+      * `key_col`: the Feistel-permuted index — closed-form integer
+        math, so the SAME (seed, epoch) reproduces the SAME global
+        permutation across runs, engines, and cluster sizes, and a
+        different epoch yields an independent-looking order with no
+        state carried between epochs;
+      * `pos_col`: the dense 0-based position of the row in the
+        shuffled order (key rank — ranks are dense because the
+        permutation is a bijection, so key order == shuffle order).
+
+    and returns rows physically range-partitioned + sorted by
+    `key_col`. Cost model at 100 TB: the key is whole-stage-codegen'd
+    column math (no data pass of its own) and the reorder is ONE
+    range exchange plus a metadata-count prefix sum (the
+    `with_global_index` machinery) — never a single-partition window,
+    never a driver-side sort. Reshuffling for the next epoch is the
+    same single exchange with a new closed-form key.
+    """
+    if key_col in df.columns or pos_col in df.columns:
+        raise ValueError("key/pos column already exists")
+    keyed = df.withColumn(
+        key_col,
+        feistel_key_column(idx_col, seed=seed, epoch=epoch, bits=bits),
+    )
+    return with_global_index(
+        keyed, [key_col], index_col=pos_col, num_partitions=num_partitions
+    )

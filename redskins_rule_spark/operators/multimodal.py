@@ -4040,3 +4040,131 @@ def decode_qoi_stats(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def _with_synth_payload(df, synth, src_col, id_col, out):
+    """Shared Arrow-batched payload materializer: synth(len(text))
+    per row, payloads never touch the driver."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[src_col]:
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    payloads.append(None)
+                    continue
+                payloads.append(synth(len(str(text))))
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: payloads})
+
+    return df.select(id_col, src_col).mapInPandas(run, out_schema)
+
+
+def with_flac_depths_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize bit-depth-cycling FLAC payloads (8/24/32-bit mono;
+    functions/flac.py `synth_flac_depths` closed forms)."""
+    from redskins_rule_spark.functions.flac import synth_flac_depths
+
+    return _with_synth_payload(df, synth_flac_depths, src_col, id_col, out)
+
+
+def with_flac_rice2_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize 24-bit FLAC payloads mixing rice (method 00) and
+    rice2 (method 01, 5-bit parameters) frames (functions/flac.py
+    `synth_flac_rice2` closed forms)."""
+    from redskins_rule_spark.functions.flac import synth_flac_rice2
+
+    return _with_synth_payload(df, synth_flac_rice2, src_col, id_col, out)
+
+
+def with_flac_varblock_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize VARIABLE-BLOCKING FLAC payloads (16/24/32-sample
+    frames, sample-number headers; functions/flac.py
+    `synth_flac_varblock` closed forms)."""
+    from redskins_rule_spark.functions.flac import synth_flac_varblock
+
+    return _with_synth_payload(df, synth_flac_varblock, src_col, id_col, out)
+
+
+def decode_flac_stats_ext(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """decode_flac_stats plus the round-12 breadth fingerprints: bps
+    (STREAMINFO bit depth), bs_fp = Σ (f+1)·blocksize_f (pins the
+    variable-blocking frame layout), and k_fp = Σ (f+1)·frame_k_fp
+    where frame_k_fp = Σ (p+1)·k over non-escape rice partitions —
+    the rice/rice2 parameter-choice fingerprint (rice2 k reaches
+    15-30, impossible under 4-bit rice, so coding-method confusion is
+    hash-caught cross-engine). Same MD5 losslessness proof."""
+    from redskins_rule_spark.functions.flac import parse_flac
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("bps", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("last_sample", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_fp", T.LongType()),
+            T.StructField("order_fp", T.LongType()),
+            T.StructField("bs_fp", T.LongType()),
+            T.StructField("k_fp", T.LongType()),
+            T.StructField("n_escapes", T.LongType()),
+            T.StructField("md5_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 12)
+                    continue
+                st = parse_flac(bytes(b))
+                samples = [s for fr in st.frames for s in fr.samples]
+                rows.append(
+                    (
+                        st.sample_rate,
+                        st.bits_per_sample,
+                        st.total_samples,
+                        len(st.frames),
+                        samples[-1],
+                        sum(samples),
+                        sum((k + 1) * s for k, s in enumerate(samples)),
+                        sum((f + 1) * fr.subframe_code
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * fr.blocksize
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * fr.k_fp
+                            for f, fr in enumerate(st.frames)),
+                        sum(fr.n_escapes for fr in st.frames),
+                        st.md5_ok,
+                    )
+                )
+            cols = ["sr", "bps", "n_samples", "n_frames", "last_sample",
+                    "sample_sum", "sample_fp", "order_fp", "bs_fp",
+                    "k_fp", "n_escapes", "md5_ok"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["sr"] = pd.array(meta_df["sr"], dtype="Int32")
+            meta_df["bps"] = pd.array(meta_df["bps"], dtype="Int32")
+            for c in cols[2:-1]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df["md5_ok"] = pd.array(meta_df["md5_ok"],
+                                         dtype="boolean")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -513,24 +513,15 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- new in round 11 (never driver-verified): registrations go
+    # --- new in round 12 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
-    "q221_model_quality", "q222_avc_cavlc", "q223_mp3_reservoir",
-    "q224_aac_short_windows", "q225_flac_decode", "q226_flac_lpc",
-    "q227_flac_stereo", "q228_sq8_ann", "q229_tiff_packbits",
-    "q230_hll_distinct", "q231_wav_g711", "q232_qoi",
-    "q233_stream_hll_replay",
-    # --- round-11 TOUCHED: the AAC short-window extension touches
-    #     q214's parse path ---
-    "q214_aac_sce",
-    # --- round-11 TOUCHED: the MP3 encoder/parser refactor behind
-    #     q223 (shared _render_frame/_read_frame_main) touches q210/
-    #     q213's code path ---
-    "q210_mp3_count1", "q213_mp3_bigvalues",
-    # --- round-11 TOUCHED: the ID3 duplicate-frame-ID fix (ADVICE
-    #     r10) changed decode_id3v24_stats/decode_id3_stats counting
-    #     and _parse_id3_frames now rejects padding-with-footer ---
-    "q219_id3v24_tags", "q208_id3_tags",
+    "q234_corpus_shuffle", "q235_flac_depths", "q236_flac_rice2",
+    "q237_flac_varblock",
+    # --- round-12 TOUCHED: q80 scoped its cteRecursionRowLimit
+    #     override (eager localCheckpoint + conf restore, ADVICE r11);
+    #     q174/q175 oracle SQL gained the SCALE-BOUNDED tag prefix ---
+    "q80_transitive_closure", "q174_srp_lsh_pairs",
+    "q175_knn_label_noise",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -539,25 +530,26 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- back-catalog rotating sample: the r10-promised
-    #     q44-q56 slice plus the q58-q90 peers not driver re-checked
-    #     since r01 (r6 cycled q110-q146, r7 q26-q160, r8 q02-q09 +
-    #     q108-q160 canaries, r10 q13-q33) ---
-    "q44_cube", "q45_merge_upsert", "q47_edit_distance",
-    "q48_multi_distinct", "q49_monthly_revenue", "q51_grouping_sets",
-    "q52_array_hof", "q53_asof_nearest", "q55_exists_priority",
-    "q56_small_qty_revenue",
-    "q58_snapshot_diff", "q59_interval_overlap", "q60_stratified_sample",
-    "q61_regression_agg", "q62_inverted_index", "q64_gap_fill",
-    "q65_repetition", "q66_decontamination", "q67_funnel",
+    # --- back-catalog rotating sample: the slice longest out of the
+    #     driver window (VERDICT r11) — q68-q79 (displaced one-by-one
+    #     by r11 registrations) and the q100s (not driver re-checked
+    #     since r01; r6 cycled q110-q146, r7 q26-q160, r8 q02-q09 +
+    #     q108-q160 canaries, r10 q13-q33, r11 q44-q67) ---
+    "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
+    "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
+    "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
+    "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
+    "q100_hopping_windows", "q101_checksums", "q102_bitwise_flags",
+    "q103_relational_division", "q104_bpe_segment", "q105_array_setops",
+    "q106_ignore_nulls", "q107_redskins_golden", "q108_sessionize",
+    "q109_jaccard_capped",
+    # --- next-oldest fill to 50: q110s-q122 (last cycled r6) ---
+    "q110_cdc_merge", "q112_url_parse", "q113_percentile_suite",
+    "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
+    "q117_hash_split", "q118_entropy_quality",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
-    # on registration day; drop tail entries to stay at 50
-    # (q83_minhash_estimate dropped for q221, q82_bigram_pmi for q222,
-    # q80/q81 for q223 + the q210/q213 touched re-checks; q76_pagerank
-    # dropped for q225 — its oracle fix is already covered by the full
-    # sf10 differential this round; q73_conjunctive_search for q228,
-    # q72_rolling_revenue for q229, q71_quantize for q230, q70_group_zscore for q231, q69_fuzzy_pairs for q232, q68_retention for q233).
+    # on registration day; drop tail entries to stay at 50.
 ]
 
 
@@ -590,6 +582,24 @@ _ORACLE_BOUND_TAGS: dict[str, str] = {
         "-- workload.oracle_bounds()['q185_ann_label_noise'](spark, sf_dir)\n"
         "-- before running this differential on any other fixture.\n"
     ),
+    "q174_srp_lsh_pairs": (
+        "-- SCALE-BOUNDED ORACLE: replays the FIXED 8-bit-band SRP face;\n"
+        "-- at n_embeddings > 64k the 8*C(n,2)/256 expected random\n"
+        "-- collisions exceed the engine's 64M candidate budget and the\n"
+        "-- engine guard refuses by design (the auto-tapered faces\n"
+        "-- q184/q185 are the scale path). Consult\n"
+        "-- workload.oracle_bounds()['q174_srp_lsh_pairs'] before running\n"
+        "-- this differential on bigger fixtures.\n"
+    ),
+    "q175_knn_label_noise": (
+        "-- SCALE-BOUNDED ORACLE: exact all-pairs kNN in SQL is O(n^2)\n"
+        "-- interpreted list dot products with no sargable prefilter\n"
+        "-- (the same wall as q22); valid in practice for\n"
+        "-- n_embeddings <= 60k. The ENGINE side (blocked matmul) is\n"
+        "-- fixture-agnostic and verified at the decade. Consult\n"
+        "-- workload.oracle_bounds()['q175_knn_label_noise'] before\n"
+        "-- running this differential on bigger fixtures.\n"
+    ),
 }
 
 
@@ -598,7 +608,7 @@ def oracles() -> dict[str, str]:
     return {k: _ORACLE_BOUND_TAGS.get(k, "") + v for k, v in reg.items()}
 
 
-def _q22_bound_reason(n: int) -> str | None:
+def _q22_bound_reason(n: int, qname: str = "q22") -> str | None:
     """q22's SQL oracle is the one inherently QUADRATIC oracle in the
     registry: exact all-pairs cosine has no sargable prefilter, so
     DuckDB evaluates n²/2 interpreted 64-term list dot products. The
@@ -611,7 +621,7 @@ def _q22_bound_reason(n: int) -> str | None:
     the weaker rows-only check BY NAME instead of wedging."""
     if n > 60_000:
         return (
-            f"q22 oracle is O(n^2) interpreted list-dots; n={n} > 60k "
+            f"{qname} oracle is O(n^2) interpreted list-dots; n={n} > 60k "
             "(engine-side blocked matmul is fine — verified hash-green "
             "through sf1; the oracle is the scale wall)"
         )
@@ -655,7 +665,9 @@ def oracle_bounds() -> dict:
         # same wall as q22: the oracle's exact all-pairs join is
         # O(n^2) interpreted 64-term list dots (the ENGINE's blocked
         # matmul is fine at the decade)
-        return _q22_bound_reason(table(spark, sf_dir, "embeddings").count())
+        return _q22_bound_reason(
+            table(spark, sf_dir, "embeddings").count(), qname="q175"
+        )
 
     def q174(spark, sf_dir: str):
         n = table(spark, sf_dir, "embeddings").count()
@@ -3315,8 +3327,26 @@ def q80_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the closure is ~7 levels x |part| (sf10: 2M parts -> ~14M chain
     # rows), so raise the ROW limit — the LEVEL limit (100) still
     # bounds runaway recursion, which is the failure the guardrail
-    # actually exists for.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
+    # actually exists for. The override is SCOPED (ADVICE r11): the
+    # recursion is materialized eagerly under the raised limit via
+    # localCheckpoint, then the prior value is restored so later
+    # queries in the same session keep the guardrail.
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(500_000_000))
+    try:
+        return _q80_chain(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def _q80_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy WITH RECURSIVE plan itself — split out so the plan
+    gate (tests/test_plans.py) can assert the UnionLoop node before
+    q80's eager localCheckpoint truncates the lineage."""
     table(spark, sf_dir, "part").createOrReplaceTempView("__q80_part")
     return spark.sql(
         """
@@ -11977,3 +12007,407 @@ def q233_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_harmonic_scaled(F.col("hll"), p=6).alias("harmonic_scaled"),
         hll_estimate(F.col("hll"), p=6).alias("approx_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: deterministic corpus shuffle — the data-ordering operator
+# every pretraining pipeline runs once per epoch. A 4-round Feistel
+# bijection over the dense global row index gives each (seed, epoch)
+# pair a uniform-quality global permutation that is (a) closed-form
+# integer math — whole-stage-codegen'd, zero data passes of its own,
+# reproducible across runs/engines/cluster sizes — and (b) physically
+# realized with ONE range exchange + a metadata prefix sum (the
+# with_global_index machinery), never a single-partition window.
+# key_next (the NEXT epoch's key, epoch+1) rides along as pure column
+# math to pin epoch-dependence cross-engine: the oracle replays the
+# identical algebra via feistel_key_sql (operators/indexing.py is the
+# single source of the round constants). Reference parity: the
+# reference pipeline has no ordering op — extension tier (training-
+# data pipeline operators, SURVEY §2 extension rows).
+# ---------------------------------------------------------------------------
+
+def _q234_oracle() -> str:
+    from redskins_rule_spark.operators.indexing import feistel_key_sql
+
+    k3 = feistel_key_sql("idx", seed=7, epoch=3)
+    k4 = feistel_key_sql("idx", seed=7, epoch=4)
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY doc_id) - 1 AS idx
+               FROM documents),
+    k AS (SELECT doc_id,
+                 {k3} AS shuffle_key,
+                 {k4} AS key_next
+          FROM d)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT)
+             AS epoch_pos,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           CAST(key_next AS BIGINT) AS key_next
+    FROM k
+    """
+
+
+@query("q234_corpus_shuffle", oracle=_q234_oracle())
+def q234_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.indexing import (
+        corpus_shuffle,
+        feistel_key_column,
+        with_global_index,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    indexed = with_global_index(docs, ["doc_id"], index_col="idx")
+    shuffled = corpus_shuffle(indexed, "idx", seed=7, epoch=3)
+    return shuffled.select(
+        "doc_id",
+        F.col("epoch_pos").cast("long").alias("epoch_pos"),
+        F.col("shuffle_key").cast("long").alias("shuffle_key"),
+        feistel_key_column("idx", seed=7, epoch=4)
+        .cast("long")
+        .alias("key_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235: FLAC bit depths — the depth seam q226 named, CLOSED for every
+# byte-aligned depth (8/24/32; 16 is the q225-q227 corpus). Depth
+# changes four real things the oracle binds cross-engine: the
+# STREAMINFO/frame-header sample-size codes, the warmup/verbatim
+# sample width, the MD5 PCM packing (1/3/4 bytes little-endian), and
+# the residual MAGNITUDE regime — at 24/32-bit the raw-escape
+# partitions run at widths (24-31 bits) the 16-bit corpus never
+# reaches, and at 8-bit they never fire. The oracle replays the
+# depth-scaled sample closed form, the k>=15 escape rule, AND the
+# rice parameter choice itself (k = bitlength(max_u)-1 via DuckDB
+# bin()), fingerprinted as Σ (f+1)(p+1)k. 12/20-bit stay named
+# ValueErrors (non-byte-aligned PCM makes the MD5 packing ambiguous).
+# ---------------------------------------------------------------------------
+
+_FLAC_EXT_SELECT = """
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.bps AS INTEGER) AS bps,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(a.nf AS BIGINT) AS n_frames,
+           CAST(a.last_sample AS BIGINT) AS last_sample,
+           CAST(a.sample_sum AS BIGINT) AS sample_sum,
+           CAST(a.sample_fp AS BIGINT) AS sample_fp,
+           CAST(o.order_fp AS BIGINT) AS order_fp,
+           CAST(o.bs_fp AS BIGINT) AS bs_fp,
+           CAST(COALESCE(e.k_fp, 0) AS BIGINT) AS k_fp,
+           CAST(COALESCE(e.n_escapes, 0) AS BIGINT) AS n_escapes,
+           TRUE AS md5_ok
+    FROM agg a
+    JOIN ofp o ON o.doc_id = a.doc_id
+    LEFT JOIN esc e ON e.doc_id = a.doc_id
+"""
+
+
+@query(
+    "q235_flac_depths",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cfg0 AS (SELECT doc_id, clen,
+                    CASE clen % 3 WHEN 0 THEN 8 WHEN 1 THEN 24
+                         ELSE 32 END AS bps,
+                    33 + clen % 71 AS total,
+                    (33 + clen % 71 + 31) // 32 AS nf
+             FROM d),
+    cfg AS (SELECT *,
+                   CASE bps WHEN 8 THEN 8 WHEN 24 THEN 524288
+                        ELSE 8388608 END AS amp,
+                   CASE bps WHEN 8 THEN 1 WHEN 24 THEN 256
+                        ELSE 4096 END AS m
+            FROM cfg0),
+    s AS (SELECT doc_id, clen, bps, total, nf, amp, m,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM cfg),
+    sv AS (SELECT doc_id, clen, bps, total, nf, k,
+                  k // 32 AS f, k % 32 AS i,
+                  ((clen * 31 + 7 * k * k + 13 * k) * m % (2 * amp)) - amp
+                    AS samp
+           FROM s),
+    cd AS (SELECT *,
+                  CASE WHEN (f < nf - 1 OR total % 32 = 0)
+                            OR (clen + f) % 6 = 5
+                       THEN (clen + f) % 6 ELSE 0 END AS code,
+                  CASE WHEN f < nf - 1 OR total % 32 = 0
+                       THEN (clen + f) % 2 ELSE 0 END AS po,
+                  CASE WHEN f < nf - 1 OR total % 32 = 0
+                       THEN 32 ELSE total - 32 * (nf - 1) END AS bs
+           FROM sv),
+    r AS (SELECT doc_id, f, i, code, po, bs,
+                 samp - CASE code
+                   WHEN 1 THEN lag(samp, 1) OVER w
+                   WHEN 2 THEN 2 * lag(samp, 1) OVER w
+                               - lag(samp, 2) OVER w
+                   WHEN 3 THEN 3 * lag(samp, 1) OVER w
+                               - 3 * lag(samp, 2) OVER w
+                               + lag(samp, 3) OVER w
+                   WHEN 4 THEN 4 * lag(samp, 1) OVER w
+                               - 6 * lag(samp, 2) OVER w
+                               + 4 * lag(samp, 3) OVER w
+                               - lag(samp, 4) OVER w
+                   ELSE 0 END AS resid
+          FROM cd
+          WINDOW w AS (PARTITION BY doc_id, f ORDER BY i)),
+    parts AS (SELECT doc_id, f,
+                     CASE WHEN po = 1 THEN i // (bs // 2) ELSE 0 END AS part,
+                     MAX(CASE WHEN resid >= 0 THEN 2 * resid
+                              ELSE -2 * resid - 1 END) AS max_u
+              FROM r
+              WHERE code <= 4 AND i >= code
+              GROUP BY doc_id, f,
+                       CASE WHEN po = 1 THEN i // (bs // 2) ELSE 0 END),
+    esc AS (SELECT doc_id,
+                   SUM(CASE WHEN max_u >= 32768 THEN 1 ELSE 0 END)
+                     AS n_escapes,
+                   SUM(CASE WHEN max_u >= 32768 THEN 0
+                            ELSE (f + 1) * (part + 1)
+                                 * (length(bin(max_u)) - 1) END) AS k_fp
+            FROM parts GROUP BY doc_id),
+    ofp AS (SELECT doc_id, SUM((f + 1) * code) AS order_fp,
+                   SUM((f + 1) * bs) AS bs_fp
+            FROM (SELECT DISTINCT doc_id, f, code, bs FROM cd)
+            GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen,
+                   MAX(bps) AS bps,
+                   MAX(total) AS total,
+                   MAX(nf) AS nf,
+                   MAX(CASE WHEN k = total - 1 THEN samp END)
+                     AS last_sample,
+                   SUM(samp) AS sample_sum,
+                   SUM((k + 1) * samp) AS sample_fp
+            FROM sv GROUP BY doc_id)
+    """ + _FLAC_EXT_SELECT,
+)
+def q235_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stats_ext,
+        with_flac_depths_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_depths_payload(docs, "text", "doc_id")
+    return decode_flac_stats_ext(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q236: FLAC rice2 (coding method 01, 5-bit parameters) — the last
+# entropy-coding seam in the format, CLOSED. The corpus mixes rice
+# and rice2 frames in one 24-bit stream: rice frames raw-escape past
+# zigzag 2^15 while rice2 frames encode k = 15..23 — parameter values
+# IMPOSSIBLE under 4-bit rice — and never escape (their threshold is
+# 2^31). The oracle replays BOTH per-frame escape rules and the
+# k-choice fingerprint, so any coding-method or parameter-width
+# confusion is hash-caught. With this, FLAC entropy coding is
+# complete: rice, rice2, and the raw-escape path all oracle-bound.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q236_flac_rice2",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    cfg AS (SELECT doc_id, clen,
+                   33 + clen % 71 AS total,
+                   (33 + clen % 71 + 31) // 32 AS nf
+            FROM d),
+    s AS (SELECT doc_id, clen, total, nf,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM cfg),
+    sv AS (SELECT doc_id, clen, total, nf, k,
+                  k // 32 AS f, k % 32 AS i,
+                  ((clen * 31 + 7 * k * k + 13 * k) * 256 % 1048576)
+                    - 524288 AS samp
+           FROM s),
+    cd AS (SELECT *,
+                  CASE WHEN (f < nf - 1 OR total % 32 = 0)
+                            OR (clen + f) % 6 = 5
+                       THEN (clen + f) % 6 ELSE 0 END AS code,
+                  CASE WHEN f < nf - 1 OR total % 32 = 0
+                       THEN (clen + f) % 2 ELSE 0 END AS po,
+                  CASE WHEN f < nf - 1 OR total % 32 = 0
+                       THEN 32 ELSE total - 32 * (nf - 1) END AS bs,
+                  (clen + f) % 3 = 0 AS r2
+           FROM sv),
+    r AS (SELECT doc_id, f, i, code, po, bs, r2,
+                 samp - CASE code
+                   WHEN 1 THEN lag(samp, 1) OVER w
+                   WHEN 2 THEN 2 * lag(samp, 1) OVER w
+                               - lag(samp, 2) OVER w
+                   WHEN 3 THEN 3 * lag(samp, 1) OVER w
+                               - 3 * lag(samp, 2) OVER w
+                               + lag(samp, 3) OVER w
+                   WHEN 4 THEN 4 * lag(samp, 1) OVER w
+                               - 6 * lag(samp, 2) OVER w
+                               + 4 * lag(samp, 3) OVER w
+                               - lag(samp, 4) OVER w
+                   ELSE 0 END AS resid
+          FROM cd
+          WINDOW w AS (PARTITION BY doc_id, f ORDER BY i)),
+    parts AS (SELECT doc_id, f, r2,
+                     CASE WHEN po = 1 THEN i // (bs // 2) ELSE 0 END AS part,
+                     MAX(CASE WHEN resid >= 0 THEN 2 * resid
+                              ELSE -2 * resid - 1 END) AS max_u
+              FROM r
+              WHERE code <= 4 AND i >= code
+              GROUP BY doc_id, f, r2,
+                       CASE WHEN po = 1 THEN i // (bs // 2) ELSE 0 END),
+    pk AS (SELECT doc_id, f, part, max_u,
+                  CASE WHEN r2 THEN max_u >= 2147483648
+                       ELSE max_u >= 32768 END AS esc
+           FROM parts),
+    esc AS (SELECT doc_id,
+                   SUM(CASE WHEN esc THEN 1 ELSE 0 END) AS n_escapes,
+                   SUM(CASE WHEN esc THEN 0
+                            ELSE (f + 1) * (part + 1)
+                                 * (length(bin(max_u)) - 1) END) AS k_fp
+            FROM pk GROUP BY doc_id),
+    ofp AS (SELECT doc_id, SUM((f + 1) * code) AS order_fp,
+                   SUM((f + 1) * bs) AS bs_fp
+            FROM (SELECT DISTINCT doc_id, f, code, bs FROM cd)
+            GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen,
+                   24 AS bps,
+                   MAX(total) AS total,
+                   MAX(nf) AS nf,
+                   MAX(CASE WHEN k = total - 1 THEN samp END)
+                     AS last_sample,
+                   SUM(samp) AS sample_sum,
+                   SUM((k + 1) * samp) AS sample_fp
+            FROM sv GROUP BY doc_id)
+    """ + _FLAC_EXT_SELECT,
+)
+def q236_flac_rice2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stats_ext,
+        with_flac_rice2_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_rice2_payload(docs, "text", "doc_id")
+    return decode_flac_stats_ext(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q237: FLAC variable blocking — the last structural seam in the
+# mono format, CLOSED. Variable streams change three header-level
+# facts the oracle binds: the blocking-strategy bit, the coded
+# number (the frame's starting SAMPLE index instead of the frame
+# index — the decoder checks it is cumulative), and STREAMINFO's
+# true min/max blocksizes. The corpus cycles 16/24/32-sample frames
+# with a remainder tail; bs_fp = Σ (f+1)·blocksize pins the frame
+# layout, and the shared residual/escape machinery (rice, k>=15)
+# runs across the varying partition widths. With q225-q227 + q235 +
+# q236 + this, every named FLAC seam except >2-channel layouts is
+# oracle-verified end to end.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q237_flac_varblock",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen, 33 + clen % 71 AS total FROM d),
+    fr0 AS (SELECT doc_id, clen, total,
+                   unnest(generate_series(0, 10)) AS f
+            FROM p),
+    fr1 AS (SELECT *, 16 + 8 * ((clen + f) % 3) AS bsz FROM fr0),
+    fr2 AS (SELECT *,
+                   CAST(COALESCE(SUM(bsz) OVER (PARTITION BY doc_id
+                            ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS fstart
+            FROM fr1),
+    fr AS (SELECT doc_id, clen, total, f, fstart,
+                  LEAST(bsz, total - fstart) AS want,
+                  (total - fstart) >= bsz AS isfull
+           FROM fr2 WHERE fstart < total),
+    cd AS (SELECT *,
+                  CASE WHEN isfull OR (clen + f) % 6 = 5
+                       THEN (clen + f) % 6 ELSE 0 END AS code,
+                  CASE WHEN isfull THEN (clen + f) % 2 ELSE 0 END AS po
+           FROM fr),
+    s AS (SELECT doc_id, clen, total, f, fstart, want, code, po,
+                 unnest(generate_series(0, want - 1)) AS i
+          FROM cd),
+    sv AS (SELECT doc_id, clen, total, f, want, code, po, i,
+                  fstart + i AS k,
+                  ((clen * 31 + 7 * (fstart + i) * (fstart + i)
+                    + 13 * (fstart + i)) % 4096) - 2048 AS samp
+           FROM s),
+    r AS (SELECT doc_id, f, i, code, po, want,
+                 samp - CASE code
+                   WHEN 1 THEN lag(samp, 1) OVER w
+                   WHEN 2 THEN 2 * lag(samp, 1) OVER w
+                               - lag(samp, 2) OVER w
+                   WHEN 3 THEN 3 * lag(samp, 1) OVER w
+                               - 3 * lag(samp, 2) OVER w
+                               + lag(samp, 3) OVER w
+                   WHEN 4 THEN 4 * lag(samp, 1) OVER w
+                               - 6 * lag(samp, 2) OVER w
+                               + 4 * lag(samp, 3) OVER w
+                               - lag(samp, 4) OVER w
+                   ELSE 0 END AS resid
+          FROM sv
+          WINDOW w AS (PARTITION BY doc_id, f ORDER BY i)),
+    parts AS (SELECT doc_id, f,
+                     CASE WHEN po = 1 THEN i // (want // 2)
+                          ELSE 0 END AS part,
+                     MAX(CASE WHEN resid >= 0 THEN 2 * resid
+                              ELSE -2 * resid - 1 END) AS max_u
+              FROM r
+              WHERE code <= 4 AND i >= code
+              GROUP BY doc_id, f,
+                       CASE WHEN po = 1 THEN i // (want // 2) ELSE 0 END),
+    esc AS (SELECT doc_id,
+                   SUM(CASE WHEN max_u >= 32768 THEN 1 ELSE 0 END)
+                     AS n_escapes,
+                   SUM(CASE WHEN max_u >= 32768 THEN 0
+                            ELSE (f + 1) * (part + 1)
+                                 * (length(bin(max_u)) - 1) END) AS k_fp
+            FROM parts GROUP BY doc_id),
+    ofp AS (SELECT doc_id, SUM((f + 1) * code) AS order_fp,
+                   SUM((f + 1) * want) AS bs_fp,
+                   COUNT(*) AS nf
+            FROM cd GROUP BY doc_id),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen,
+                   16 AS bps,
+                   MAX(total) AS total,
+                   MAX(CASE WHEN k = total - 1 THEN samp END)
+                     AS last_sample,
+                   SUM(samp) AS sample_sum,
+                   SUM((k + 1) * samp) AS sample_fp
+            FROM sv GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.bps AS INTEGER) AS bps,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(o.nf AS BIGINT) AS n_frames,
+           CAST(a.last_sample AS BIGINT) AS last_sample,
+           CAST(a.sample_sum AS BIGINT) AS sample_sum,
+           CAST(a.sample_fp AS BIGINT) AS sample_fp,
+           CAST(o.order_fp AS BIGINT) AS order_fp,
+           CAST(o.bs_fp AS BIGINT) AS bs_fp,
+           CAST(COALESCE(e.k_fp, 0) AS BIGINT) AS k_fp,
+           CAST(COALESCE(e.n_escapes, 0) AS BIGINT) AS n_escapes,
+           TRUE AS md5_ok
+    FROM agg a
+    JOIN ofp o ON o.doc_id = a.doc_id
+    LEFT JOIN esc e ON e.doc_id = a.doc_id
+    """,
+)
+def q237_flac_varblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stats_ext,
+        with_flac_varblock_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_varblock_payload(docs, "text", "doc_id")
+    return decode_flac_stats_ext(payloads, "payload", "doc_id")

@@ -4647,3 +4647,161 @@ def test_qoi_stats_op_matches_closed_forms(spark):
         row = got[doc_id]
         assert row["n_px"] == len(px) and row["px_fp"] == fp
         assert row["n_rgb"] == clen % 13 + 3 and row["n_index"] == 0
+
+
+# --- FLAC round-12 breadth: depths, rice2, variable blocking ----------------
+
+def test_flac_depths_roundtrip_and_md5_packing():
+    from redskins_rule_spark.functions.flac import encode_flac, parse_flac
+
+    for bps in (8, 16, 24, 32):
+        amp = 1 << min(bps - 5, 23)  # keeps escape widths <= 31 bits
+        samples = [((31 * k * k + 5 * k) * max(1, amp // 2048)
+                    % (2 * amp)) - amp for k in range(32)]
+        data = encode_flac([{"samples": samples, "code": 2, "po": 1}],
+                           sample_rate=8000, bps=bps)
+        st = parse_flac(data)
+        assert st.bits_per_sample == bps
+        assert st.md5_ok
+        assert list(st.frames[0].samples) == samples
+    # 12/20-bit: named refusal (MD5 packing ambiguity), both directions
+    import pytest as _pytest
+    for bad in (12, 20):
+        with _pytest.raises(ValueError, match="byte-aligned"):
+            encode_flac([{"samples": [0] * 32, "code": 0, "po": 0}],
+                        bps=bad)
+    with _pytest.raises(ValueError, match="8/12/16/20/24/32"):
+        encode_flac([{"samples": [0] * 32, "code": 0, "po": 0}], bps=17)
+
+
+def test_flac_depth_range_guard_and_ss_code_gate():
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.flac import encode_flac, parse_flac
+
+    with _pytest.raises(ValueError, match="8-bit range"):
+        encode_flac([{"samples": [200], "code": 0, "po": 0}], bps=8)
+    # frame ss_code must agree with STREAMINFO: flip the STREAMINFO
+    # depth (byte 12 carries channels/bps bits) and the decoder
+    # must refuse rather than misread sample widths
+    data = bytearray(
+        encode_flac([{"samples": [50] * 32, "code": 1, "po": 0}], bps=8)
+    )
+    # STREAMINFO body starts at stream byte 8; its byte 12 ends with
+    # the bps-1 high bit (bit 103). Flipping it turns 8-bit (00111)
+    # into 24-bit (10111) — a VALID depth, so the decoder reaches the
+    # per-frame consistency check instead of the depth gate
+    data[8 + 12] ^= 0b00000001
+    with _pytest.raises(ValueError, match="sample-size code disagrees"):
+        parse_flac(bytes(data))
+
+
+def test_flac_rice2_k_values_beyond_rice_range():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac,
+        synth_flac_rice2,
+    )
+
+    # rice2 frames carry k in 15..30 (impossible under 4-bit rice) and
+    # never escape; rice frames escape instead. Scan a corpus window
+    # and require both behaviors to occur.
+    saw_big_k = saw_escape = False
+    for clen in range(1, 120):
+        st = parse_flac(synth_flac_rice2(clen))
+        assert st.md5_ok, clen
+        for f, fr in enumerate(st.frames):
+            if (clen + f) % 3 == 0 and fr.k_fp >= 15:
+                saw_big_k = True
+            if (clen + f) % 3 != 0 and fr.n_escapes:
+                saw_escape = True
+    assert saw_big_k and saw_escape
+
+
+def test_flac_rice2_explicit_roundtrip():
+    from redskins_rule_spark.functions.flac import encode_flac, parse_flac
+
+    samples = [((31 * k * k + 5 * k) * 256 % (1 << 20)) - (1 << 19)
+               for k in range(32)]
+    data = encode_flac(
+        [{"samples": samples, "code": 3, "po": 1, "rice2": True}],
+        sample_rate=8000, bps=24,
+    )
+    st = parse_flac(data)
+    assert st.md5_ok
+    assert list(st.frames[0].samples) == samples
+    assert st.frames[0].n_escapes == 0
+    assert st.frames[0].k_fp >= 15  # a parameter rice can't express
+
+
+def test_flac_variable_blocking_roundtrip_and_sample_numbers():
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.flac import (
+        encode_flac,
+        parse_flac,
+        synth_flac_varblock,
+    )
+
+    for clen in range(1, 120):
+        st = parse_flac(synth_flac_varblock(clen))
+        assert st.md5_ok, clen
+        sizes = [fr.blocksize for fr in st.frames]
+        want = []
+        total, f, lo = 33 + clen % 71, 0, 0
+        while lo < total:
+            bs = 16 + 8 * ((clen + f) % 3)
+            want.append(min(bs, total - lo))
+            lo += bs
+            f += 1
+        assert sizes == want, clen
+    # a variable stream whose second frame's sample number is wrong
+    # must be refused: re-encode with frames swapped sizes mismatch
+    data = encode_flac(
+        [{"samples": [1] * 16, "code": 0, "po": 0},
+         {"samples": [2] * 24, "code": 0, "po": 0}],
+        variable=True,
+    )
+    st = parse_flac(data)
+    assert [fr.blocksize for fr in st.frames] == [16, 24]
+    # corrupting the second frame's coded sample number (byte after
+    # its 4-byte header) must break the cumulative check before CRC
+    # even matters — rebuild with a lying start via manual splice is
+    # equivalent to flipping its UTF-8 number byte + fixing CRC8;
+    # simpler: fixed-blocking parse of a variable stream must refuse
+    mono_fixed = encode_flac([{"samples": [1] * 16, "code": 0, "po": 0}])
+    assert parse_flac(mono_fixed).md5_ok
+    mixed = bytearray(data)
+    # flip the blocking-strategy bit of frame 2's header: byte offset
+    # of second frame = len(header+frame1); find second sync by scan
+    first_sync = mixed.index(b"\xff\xf9", 4)
+    second_sync = mixed.index(b"\xff", first_sync + 2)
+    while not (mixed[second_sync] == 0xFF
+               and (mixed[second_sync + 1] & 0xFC) == 0xF8):
+        second_sync = mixed.index(b"\xff", second_sync + 1)
+    mixed[second_sync + 1] &= 0xFE  # variable -> fixed mid-stream
+    with _pytest.raises(ValueError):
+        parse_flac(bytes(mixed))
+
+
+def test_flac_wide_blocksize_field():
+    from redskins_rule_spark.functions.flac import encode_flac, parse_flac
+
+    # >256-sample frames take the 16-bit blocksize-at-end code path
+    samples = [((31 * k * k + 5 * k) % 4096) - 2048 for k in range(300)]
+    data = encode_flac([{"samples": samples, "code": 2, "po": 0}],
+                       variable=True)
+    st = parse_flac(data)
+    assert st.md5_ok and st.frames[0].blocksize == 300
+
+
+def test_flac_escape_width_overflow_raises_by_name():
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.flac import encode_flac
+
+    # order-1 residuals of alternating ±2^30 need 32-bit raw escape
+    # words — past the 5-bit width field; the encoder must refuse by
+    # name instead of silently clamping
+    samples = [(1 << 30) * (1 if k % 2 == 0 else -1) for k in range(32)]
+    with _pytest.raises(ValueError, match="more than 31 bits"):
+        encode_flac([{"samples": samples, "code": 1, "po": 0}], bps=32)

@@ -244,8 +244,13 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
 
 def test_recursive_cte_is_union_loop(spark):
     # WITH RECURSIVE must run as Catalyst's UnionLoop (in-engine
-    # recursion), not an unrolled/driver-side expansion.
-    plan = _plan(spark, "q80_transitive_closure")
+    # recursion), not an unrolled/driver-side expansion. Inspect the
+    # lazy recursion helper directly: the registered q80 eagerly
+    # localCheckpoints (to scope its cteRecursionRowLimit override),
+    # which truncates the lineage the plan assert needs.
+    from redskins_rule_spark.workload import _q80_chain
+
+    plan = formatted_plan(_q80_chain(spark, SF))
     assert "UnionLoop" in plan
 
 

@@ -141,13 +141,28 @@ def checksum_duck(con, sql: str, cols: list[str]) -> tuple[int, int, int]:
     return int(n), int(s1), int(s2)
 
 
+# For each bounds-listed query whose ENGINE side can legitimately
+# refuse past its documented domain, the substring its guard message
+# must contain. An exception that does NOT match is an unrelated
+# engine regression and must fall through to [FAIL] (ADVICE r11) —
+# queries absent here have no engine-side guard at all (their bound
+# is oracle-side only), so any engine exception is a real failure.
+_ENGINE_GUARD_TEXT = {
+    "q174_srp_lsh_pairs": "exceeds candidate_budget",
+}
+
+
 def _bounded_engine_skip(name, bounds, spark, sf_dir, e) -> bool:
     """An engine-side guard raising INSIDE a documented oracle bound
     is designed behavior (e.g. q174's fixed 8-bit SRP bands refusing
     200k vectors), not a differential failure: record it as a named
     skip so scale fixtures distinguish 'out of validity domain' from
-    'broken'."""
+    'broken'. The exception must MATCH the documented guard text —
+    an unrelated engine error inside the bound still FAILs."""
     if name not in bounds:
+        return False
+    guard_text = _ENGINE_GUARD_TEXT.get(name)
+    if guard_text is None or guard_text not in str(e):
         return False
     try:
         reason = bounds[name](spark, sf_dir)

@@ -29,7 +29,7 @@ deliberate hot spot per operator family, deterministically:
   * region/nation/customer/supplier/part — copied verbatim.
 
 Probe: tools/scale_report.py --base /root/testdata/sf0.1 \
-    --scaled .claude-scale-dir --factor 1 --max-ratio R --only ...
+    --scaled .scale/skew-dir --factor 1 --max-ratio R --only ...
 (factor 1: the fixture is the SAME nominal size — the wall ratio vs
 the uniform fixture isolates the cost of the distribution, not of
 volume. Pair emitters legitimately grow with the true pair count the
