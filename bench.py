@@ -34,6 +34,11 @@ def main() -> None:
     # warmup: run one light query to spin up the JVM / codegen paths
     qs["q01_pricing_summary"](spark, WARMUP_SF).count()
 
+    # host-contention witness (VERDICT r11: the driver-run uniform
+    # 1.37× was contention, diagnosable only by re-timing): record
+    # the 1/5/15-min load averages at start AND end so a contended
+    # bench is readable from the artifact alone
+    load_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
@@ -48,12 +53,16 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    loadavg = {"start": load_start,
+               "end": [round(x, 2) for x in os.getloadavg()],
+               "cpus": os.cpu_count()}
     detail = {
         "metric": "workload_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "loadavg": loadavg,
     }
     if errors:
         detail["errors"] = errors
@@ -78,6 +87,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(times),
         "n_errors": len(errors),
+        "loadavg": loadavg,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)

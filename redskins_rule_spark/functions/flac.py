@@ -11,19 +11,17 @@ decodes bit-exactly with zero carried spec tables — unlike the MP3
 (Table B.7 pair tables 2-31) and AAC (spectral codebooks) seams.
 
 Profile (documented, enforced by named ValueErrors, not silent):
-mono at depths 8/16/24/32 with fixed OR variable blocking, stereo
-(all four channel assignments incl. left/side, right/side,
-mid/side) at 16-bit fixed blocking; ALL four subframe types —
-CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders 1-32
-(verbatim-coded quantized coefficients + arithmetic-shift
-prediction, §9.2.5). BOTH residual coding methods — rice (00,
-4-bit parameters) and rice2 (01, 5-bit) — including the all-ones
-escape to raw binary; partition orders 0+. Wasted-bits flag
-parsed, must be 0. Within this profile the decode is COMPLETE;
-what remains is raised by name: 12/20-bit depths (non-byte-aligned
-PCM makes the MD5 packing ambiguous), >2-channel layouts, and
-depth/blocking breadth on the STEREO walk (the mono walk carries
-them; the stereo corpus is q227's 16-bit fixed profile).
+mono AND stereo (all four channel assignments incl. left/side,
+right/side, mid/side) at depths 8/16/24/32 with fixed OR variable
+blocking; ALL four subframe types — CONSTANT, VERBATIM, FIXED
+orders 0-4, and LPC orders 1-32 (verbatim-coded quantized
+coefficients + arithmetic-shift prediction, §9.2.5). BOTH residual
+coding methods — rice (00, 4-bit parameters) and rice2 (01, 5-bit)
+— including the all-ones escape to raw binary; partition orders
+0+. Wasted-bits flag parsed, must be 0. Within this profile the
+decode is COMPLETE; what remains is raised by name: 12/20-bit
+depths (non-byte-aligned PCM makes the MD5 packing ambiguous) and
+>2-channel layouts.
 
 Reference parity: the reference pipeline (nfl-elec-transform-v2.py)
 has no media path at all — this module is extension surface for the
@@ -801,6 +799,7 @@ class FlacStereoStream:
     total_samples: int  # inter-channel samples (per-channel count)
     frames: tuple[FlacStereoFrame, ...]
     md5_ok: bool
+    bits_per_sample: int = 16
 
 
 def _decorrelate(
@@ -846,26 +845,43 @@ def encode_flac_stereo(
     frames: list[dict],
     sample_rate: int = 44100,
     bps: int = 16,
+    variable: bool = False,
 ) -> bytes:
-    """Stereo fixed-blocking FLAC stream with per-frame channel
-    decorrelation. Each frames[i]: 'left'/'right' (equal-length
-    signed sample lists), 'mode' in STEREO_MODES, 'code' (FIXED
-    order / VERBATIM_CODE applied to both stored channels), 'po'.
-    STREAMINFO's MD5 covers the channel-interleaved little-endian
-    PCM, so the decoder's losslessness proof spans BOTH channels and
-    every decorrelation mode."""
+    """Stereo FLAC stream with per-frame channel decorrelation. Each
+    frames[i]: 'left'/'right' (equal-length signed sample lists),
+    'mode' in STEREO_MODES, 'code' (FIXED order / VERBATIM_CODE
+    applied to both stored channels), 'po', optional 'rice2'. Depths
+    8/16/24/32 (byte-aligned MD5); `variable=True` allows any
+    per-frame blocksize with starting-sample-number headers — the
+    same breadth as the mono encoder. STREAMINFO's MD5 covers the
+    channel-interleaved little-endian PCM, so the decoder's
+    losslessness proof spans BOTH channels and every mode."""
     if not frames:
         raise ValueError("flac: at least one frame")
-    bs0 = len(frames[0]["left"])
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
     for fr in frames:
         if len(fr["left"]) != len(fr["right"]):
             raise ValueError("flac: channel length mismatch")
-    for fr in frames[:-1]:
-        if len(fr["left"]) != bs0:
-            raise ValueError("flac: fixed blocking needs constant blocksize"
-                             " (only the last frame may be short)")
-    if len(frames[-1]["left"]) > bs0:
-        raise ValueError("flac: last frame exceeds the stream blocksize")
+    sizes = [len(fr["left"]) for fr in frames]
+    if variable:
+        min_bs, max_bs = min(sizes), max(sizes)
+    else:
+        bs0 = sizes[0]
+        for n in sizes[:-1]:
+            if n != bs0:
+                raise ValueError(
+                    "flac: fixed blocking needs constant blocksize"
+                    " (only the last frame may be short)"
+                )
+        if sizes[-1] > bs0:
+            raise ValueError("flac: last frame exceeds the stream blocksize")
+        min_bs = max_bs = bs0
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     md5 = hashlib.md5()
     total = 0
@@ -873,12 +889,12 @@ def encode_flac_stereo(
         for a, b in zip(fr["left"], fr["right"]):
             if not (lo <= a <= hi and lo <= b <= hi):
                 raise ValueError(f"flac: sample exceeds {bps}-bit range")
-            md5.update((a & 0xFFFF).to_bytes(2, "little"))
-            md5.update((b & 0xFFFF).to_bytes(2, "little"))
+            _md5_pcm(md5, a, bps)
+            _md5_pcm(md5, b, bps)
         total += len(fr["left"])
     info = _BitsOut()
-    info.write(bs0, 16)
-    info.write(bs0, 16)
+    info.write(min_bs, 16)
+    info.write(max_bs, 16)
     info.write(0, 24)
     info.write(0, 24)
     info.write(sample_rate, 20)
@@ -888,8 +904,10 @@ def encode_flac_stereo(
     streaminfo = bytes(info.buf) + md5.digest()
     out = bytearray(b"fLaC")
     out += bytes([0x80, 0, 0, 34]) + streaminfo
+    start = 0
     for n, fr in enumerate(frames):
         nsamp = len(fr["left"])
+        wide_bs = nsamp > 256
         mode = fr["mode"]
         ch0, ch1, x0, x1 = _decorrelate(
             list(fr["left"]), list(fr["right"]), mode
@@ -897,21 +915,27 @@ def encode_flac_stereo(
         hdr = _BitsOut()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)
-        hdr.write(0, 1)
-        hdr.write(0b0110, 4)
+        hdr.write(1 if variable else 0, 1)
+        hdr.write(0b0111 if wide_bs else 0b0110, 4)
         hdr.write(0b0000, 4)
         hdr.write(_CH_CODE[mode], 4)
-        hdr.write(0b100, 3)
+        hdr.write(_SS_CODES[bps], 3)
         hdr.write(0, 1)
         hdr.pad_to_byte()
-        head = bytes(hdr.buf) + _utf8_number(n) + bytes([nsamp - 1])
+        coded = _utf8_number(start if variable else n)
+        bs_field = ((nsamp - 1).to_bytes(2, "big") if wide_bs
+                    else bytes([nsamp - 1]))
+        head = bytes(hdr.buf) + coded + bs_field
         head += bytes([crc8(head)])
         body = _BitsOut()
-        _encode_subframe(body, ch0, fr["code"], bps + x0, fr.get("po", 0))
-        _encode_subframe(body, ch1, fr["code"], bps + x1, fr.get("po", 0))
+        _encode_subframe(body, ch0, fr["code"], bps + x0, fr.get("po", 0),
+                         rice2=fr.get("rice2", False))
+        _encode_subframe(body, ch1, fr["code"], bps + x1, fr.get("po", 0),
+                         rice2=fr.get("rice2", False))
         body.pad_to_byte()
         frame = head + bytes(body.buf)
         out += frame + crc16(frame).to_bytes(2, "big")
+        start += nsamp
     return bytes(out)
 
 
@@ -952,15 +976,20 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
     total = si.read(36)
     md5_declared = streaminfo[18:34]
     if channels != 2:
-        raise ValueError("flac: this walk decodes stereo streams")
-    if bps != 16:
-        raise ValueError("flac: profile is 16-bit")
-    if min_bs != max_bs:
-        raise ValueError("flac: fixed blocking needs one blocksize")
+        raise ValueError("flac: this walk decodes stereo streams "
+                         "(>2-channel layouts are outside the profile)")
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
     frames: list[FlacStereoFrame] = []
     md5 = hashlib.md5()
     seen = 0
     n_expected = 0
+    blocking: int | None = None
     while pos < len(data):
         frame_start = pos
         br = _Bits(data)
@@ -969,9 +998,16 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
             raise ValueError("flac: lost frame sync")
         if br.read(1):
             raise ValueError("flac: frame header reserved bit set")
-        if br.read(1):
-            raise ValueError("flac: variable blocking outside fixed-"
-                             "blocking profile")
+        strat = br.read(1)
+        if blocking is None:
+            blocking = strat
+            if blocking == 0 and min_bs != max_bs:
+                raise ValueError(
+                    "flac: fixed blocking needs one STREAMINFO blocksize"
+                )
+        elif strat != blocking:
+            raise ValueError("flac: blocking strategy must not change "
+                             "mid-stream")
         bs_code = br.read(4)
         sr_code = br.read(4)
         ch_code = br.read(4)
@@ -984,17 +1020,32 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
                 "(independent) and 1000-1010 (decorrelated)"
             )
         mode = _CH_MODE[ch_code]
-        if ss_code != 0b100:
-            raise ValueError("flac: profile is 16-bit")
+        if ss_code != _SS_CODES[bps]:
+            raise ValueError("flac: frame sample-size code disagrees "
+                             "with STREAMINFO")
         if sr_code != 0:
             raise ValueError("flac: sample rate must defer to STREAMINFO")
         fno = _read_utf8_number(br)
-        if fno != n_expected:
-            raise ValueError("flac: frame numbers must be sequential")
+        if blocking == 1:
+            if fno != seen:
+                raise ValueError("flac: frame sample numbers must be "
+                                 "cumulative")
+        else:
+            if fno != n_expected:
+                raise ValueError("flac: frame numbers must be sequential")
         n_expected += 1
-        if bs_code != 0b0110:
-            raise ValueError("flac: stereo synth writes 8-bit blocksizes")
-        nsamp = br.read(8) + 1
+        if bs_code == 0b0110:
+            nsamp = br.read(8) + 1
+        elif bs_code == 0b0111:
+            nsamp = br.read(16) + 1
+        elif bs_code == 0b0001:
+            nsamp = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            nsamp = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            nsamp = 256 << (bs_code - 8)
+        else:
+            raise ValueError("flac: reserved blocksize code")
         hdr_end = br.pos >> 3
         if crc8(data[frame_start:hdr_end]) != data[hdr_end]:
             raise ValueError("flac: frame header CRC-8 mismatch")
@@ -1011,13 +1062,20 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
         if crc16(data[frame_start:crc_at]) != declared:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = crc_at + 2
-        if seen + nsamp < total and nsamp != max_bs:
+        if blocking == 1:
+            if nsamp > max_bs:
+                raise ValueError("flac: frame exceeds STREAMINFO "
+                                 "max_blocksize")
+            if nsamp < min_bs and seen + nsamp < total:
+                raise ValueError("flac: frame below STREAMINFO "
+                                 "min_blocksize before the last")
+        elif seen + nsamp < total and nsamp != max_bs:
             raise ValueError("flac: short frame before the last")
         seen += nsamp
         left, right = _recorrelate(ch0, ch1, mode)
         for a, b in zip(left, right):
-            md5.update((a & 0xFFFF).to_bytes(2, "little"))
-            md5.update((b & 0xFFFF).to_bytes(2, "little"))
+            _md5_pcm(md5, a, bps)
+            _md5_pcm(md5, b, bps)
         frames.append(
             FlacStereoFrame(nsamp, mode, (code0, code1), tuple(left),
                             tuple(right), esc0 + esc1)
@@ -1029,6 +1087,7 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
         total_samples=total,
         frames=tuple(frames),
         md5_ok=md5.digest() == md5_declared,
+        bits_per_sample=bps,
     )
 
 
@@ -1198,3 +1257,54 @@ def synth_flac_varblock(clen: int) -> bytes:
         f += 1
     return encode_flac(frames, sample_rate=8000 + 100 * (clen % 5),
                        bps=16, variable=True)
+
+
+def synth_flac_stereo_ext(clen: int) -> bytes:
+    """Deterministic STEREO stream exercising the round-12 breadth on
+    the stereo walk — depth cycle, variable blocking, rice2 — in one
+    corpus (the q238 closed forms):
+
+      bps         = (8, 24)[clen % 2], amp = 2^min(bps-5, 23),
+                    m = max(1, 2*amp // 4096)
+      total       = 33 + clen % 71
+      sample_rate = 8000 + 100 * (clen % 5)
+      left_k      = ((clen*31 + 7k² + 13k) * m % (2*amp)) - amp
+      right_k     = ((clen*17 + 5k² + 3k) * m % (2*amp)) - amp
+      frame f:    blocksize 16 + 8 * ((clen + f) % 3), remainder
+                  tail; mode STEREO_MODES[(clen + f) % 4];
+                  code (clen + f) % 5 (short frame: drop to 0 when
+                  the order doesn't fit); po (clen + f) % 2 on full
+                  frames; rice2 iff (clen + f) % 3 == 0
+    Side channels ride at bps+1 bits; the MD5 proof covers the
+    interleaved reconstruction at the stream depth."""
+    bps = (8, 24)[clen % 2]
+    amp = _depth_amp(bps)
+    m = max(1, (2 * amp) // 4096)
+    total = 33 + clen % 71
+    left = [((clen * 31 + 7 * k * k + 13 * k) * m % (2 * amp)) - amp
+            for k in range(total)]
+    right = [((clen * 17 + 5 * k * k + 3 * k) * m % (2 * amp)) - amp
+             for k in range(total)]
+    frames: list[dict] = []
+    f = 0
+    lo = 0
+    while lo < total:
+        bs = 16 + 8 * ((clen + f) % 3)
+        lchunk = left[lo: lo + bs]
+        rchunk = right[lo: lo + bs]
+        full = len(lchunk) == bs
+        code = (clen + f) % 5
+        if not full and code >= len(lchunk):
+            code = 0
+        frames.append({
+            "left": lchunk,
+            "right": rchunk,
+            "mode": STEREO_MODES[(clen + f) % 4],
+            "code": code,
+            "po": (clen + f) % 2 if full else 0,
+            "rice2": (clen + f) % 3 == 0,
+        })
+        lo += bs
+        f += 1
+    return encode_flac_stereo(frames, sample_rate=8000 + 100 * (clen % 5),
+                              bps=bps, variable=True)

@@ -4168,3 +4168,97 @@ def decode_flac_stats_ext(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_flac_stereo_ext_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize stereo FLAC payloads exercising the round-12
+    breadth on the stereo walk — depth cycle (8/24-bit), variable
+    blocking, mixed rice/rice2 frames, all four channel assignments
+    (functions/flac.py `synth_flac_stereo_ext` closed forms)."""
+    from redskins_rule_spark.functions.flac import synth_flac_stereo_ext
+
+    return _with_synth_payload(df, synth_flac_stereo_ext, src_col, id_col,
+                               out)
+
+
+def decode_flac_stereo_stats_ext(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """decode_flac_stereo_stats plus the breadth fingerprints: bps
+    (STREAMINFO depth — binds the sample-size codes and the MD5 byte
+    packing at 1/3 bytes per sample per channel) and bs_fp =
+    Σ (f+1)·blocksize (binds the variable-blocking frame layout and
+    the cumulative sample-number headers). Entropy-method semantics
+    (rice vs rice2) are bound by the mono q236 face over the SAME
+    shared decoder; here a misread shows up as md5_ok=False."""
+    from redskins_rule_spark.functions.flac import (
+        STEREO_MODES,
+        parse_flac_stereo,
+    )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("bps", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("left_sum", T.LongType()),
+            T.StructField("right_sum", T.LongType()),
+            T.StructField("left_fp", T.LongType()),
+            T.StructField("right_fp", T.LongType()),
+            T.StructField("mode_fp", T.LongType()),
+            T.StructField("code_fp", T.LongType()),
+            T.StructField("bs_fp", T.LongType()),
+            T.StructField("md5_ok", T.BooleanType()),
+        ]
+    )
+    mode_idx = {m: i for i, m in enumerate(STEREO_MODES)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 12)
+                    continue
+                st = parse_flac_stereo(bytes(b))
+                left = [s for fr in st.frames for s in fr.left]
+                right = [s for fr in st.frames for s in fr.right]
+                rows.append(
+                    (
+                        st.sample_rate,
+                        st.bits_per_sample,
+                        st.total_samples,
+                        len(st.frames),
+                        sum(left),
+                        sum(right),
+                        sum((k + 1) * s for k, s in enumerate(left)),
+                        sum((k + 1) * s for k, s in enumerate(right)),
+                        sum((f + 1) * mode_idx[fr.mode]
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * (fr.codes[0] + fr.codes[1])
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * fr.blocksize
+                            for f, fr in enumerate(st.frames)),
+                        st.md5_ok,
+                    )
+                )
+            cols = ["sr", "bps", "n_samples", "n_frames", "left_sum",
+                    "right_sum", "left_fp", "right_fp", "mode_fp",
+                    "code_fp", "bs_fp", "md5_ok"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            meta_df["sr"] = pd.array(meta_df["sr"], dtype="Int32")
+            meta_df["bps"] = pd.array(meta_df["bps"], dtype="Int32")
+            for c in cols[2:-1]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df["md5_ok"] = pd.array(meta_df["md5_ok"],
+                                         dtype="boolean")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -516,7 +516,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 12 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q234_corpus_shuffle", "q235_flac_depths", "q236_flac_rice2",
-    "q237_flac_varblock",
+    "q237_flac_varblock", "q238_flac_stereo_ext",
     # --- round-12 TOUCHED: q80 scoped its cteRecursionRowLimit
     #     override (eager localCheckpoint + conf restore, ADVICE r11);
     #     q174/q175 oracle SQL gained the SCALE-BOUNDED tag prefix ---
@@ -546,7 +546,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- next-oldest fill to 50: q110s-q122 (last cycled r6) ---
     "q110_cdc_merge", "q112_url_parse", "q113_percentile_suite",
     "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
-    "q117_hash_split", "q118_entropy_quality",
+    "q117_hash_split",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50.
@@ -12411,3 +12411,97 @@ def q237_flac_varblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = with_flac_varblock_payload(docs, "text", "doc_id")
     return decode_flac_stats_ext(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q238: stereo FLAC breadth — the q235/q236/q237 surfaces exercised
+# through the STEREO walk in one corpus: depth cycle (8/24-bit, with
+# side channels riding at bps+1), VARIABLE blocking with cumulative
+# sample-number headers, mixed rice/rice2 frames, and all four
+# channel assignments cycling per frame. With this the flac.py
+# profile guards narrow to exactly two named seams: 12/20-bit depths
+# (non-byte-aligned MD5 packing) and >2-channel layouts. The oracle
+# replays both channels' closed forms plus the frame-layout, mode,
+# and code fingerprints; the MD5 proof covers the interleaved
+# reconstruction at the stream depth, so a wrong decorrelation
+# inverse, depth unpack, or rice2 read fails every stream.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q238_flac_stereo_ext",
+    oracle="""
+    WITH d AS (SELECT doc_id, length(text) AS clen
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, clen,
+                 33 + clen % 71 AS total,
+                 CASE clen % 2 WHEN 0 THEN 8 ELSE 24 END AS bps,
+                 CASE clen % 2 WHEN 0 THEN 8 ELSE 524288 END AS amp,
+                 CASE clen % 2 WHEN 0 THEN 1 ELSE 256 END AS m
+          FROM d),
+    fr0 AS (SELECT doc_id, clen, total, bps, amp, m,
+                   unnest(generate_series(0, 10)) AS f
+            FROM p),
+    fr1 AS (SELECT *, 16 + 8 * ((clen + f) % 3) AS bsz FROM fr0),
+    fr2 AS (SELECT *,
+                   CAST(COALESCE(SUM(bsz) OVER (PARTITION BY doc_id
+                            ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS fstart
+            FROM fr1),
+    fr AS (SELECT doc_id, clen, total, bps, amp, m, f, fstart,
+                  LEAST(bsz, total - fstart) AS want,
+                  (total - fstart) >= bsz AS isfull
+           FROM fr2 WHERE fstart < total),
+    cd AS (SELECT *,
+                  CASE WHEN isfull THEN (clen + f) % 5
+                       WHEN (clen + f) % 5 >= want THEN 0
+                       ELSE (clen + f) % 5 END AS code,
+                  (clen + f) % 4 AS mode
+           FROM fr),
+    fx AS (SELECT doc_id,
+                  COUNT(*) AS nf,
+                  SUM((f + 1) * mode) AS mode_fp,
+                  SUM((f + 1) * 2 * code) AS code_fp,
+                  SUM((f + 1) * want) AS bs_fp
+           FROM cd GROUP BY doc_id),
+    s AS (SELECT doc_id, clen, total, bps, amp, m,
+                 unnest(generate_series(0, total - 1)) AS k
+          FROM p),
+    sv AS (SELECT doc_id, clen, total, k,
+                  ((clen * 31 + 7 * k * k + 13 * k) * m % (2 * amp))
+                    - amp AS l,
+                  ((clen * 17 + 5 * k * k + 3 * k) * m % (2 * amp))
+                    - amp AS r,
+                  bps
+           FROM s),
+    agg AS (SELECT doc_id,
+                   MAX(clen) AS clen, MAX(bps) AS bps,
+                   MAX(total) AS total,
+                   SUM(l) AS left_sum, SUM(r) AS right_sum,
+                   SUM((k + 1) * l) AS left_fp,
+                   SUM((k + 1) * r) AS right_fp
+            FROM sv GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(8000 + 100 * (a.clen % 5) AS INTEGER) AS sr,
+           CAST(a.bps AS INTEGER) AS bps,
+           CAST(a.total AS BIGINT) AS n_samples,
+           CAST(x.nf AS BIGINT) AS n_frames,
+           CAST(a.left_sum AS BIGINT) AS left_sum,
+           CAST(a.right_sum AS BIGINT) AS right_sum,
+           CAST(a.left_fp AS BIGINT) AS left_fp,
+           CAST(a.right_fp AS BIGINT) AS right_fp,
+           CAST(x.mode_fp AS BIGINT) AS mode_fp,
+           CAST(x.code_fp AS BIGINT) AS code_fp,
+           CAST(x.bs_fp AS BIGINT) AS bs_fp,
+           TRUE AS md5_ok
+    FROM agg a JOIN fx x ON x.doc_id = a.doc_id
+    """,
+)
+def q238_flac_stereo_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.multimodal import (
+        decode_flac_stereo_stats_ext,
+        with_flac_stereo_ext_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    payloads = with_flac_stereo_ext_payload(docs, "text", "doc_id")
+    return decode_flac_stereo_stats_ext(payloads, "payload", "doc_id")

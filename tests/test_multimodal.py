@@ -4805,3 +4805,75 @@ def test_flac_escape_width_overflow_raises_by_name():
     samples = [(1 << 30) * (1 if k % 2 == 0 else -1) for k in range(32)]
     with _pytest.raises(ValueError, match="more than 31 bits"):
         encode_flac([{"samples": samples, "code": 1, "po": 0}], bps=32)
+
+
+def test_flac_stereo_ext_depths_varblock_rice2():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac_stereo,
+        synth_flac_stereo_ext,
+    )
+
+    saw8 = saw24 = saw_var_tail = False
+    for clen in range(1, 150):
+        st = parse_flac_stereo(synth_flac_stereo_ext(clen))
+        assert st.md5_ok, clen
+        if st.bits_per_sample == 8:
+            saw8 = True
+        if st.bits_per_sample == 24:
+            saw24 = True
+        sizes = [fr.blocksize for fr in st.frames]
+        if len(set(sizes)) > 1:
+            saw_var_tail = True
+        assert sum(sizes) == st.total_samples
+    assert saw8 and saw24 and saw_var_tail
+
+
+def test_flac_stereo_ext_explicit_depth_and_rice2_roundtrip():
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_stereo,
+        parse_flac_stereo,
+    )
+
+    left = [((31 * k * k + 5 * k) * 256 % (1 << 20)) - (1 << 19)
+            for k in range(24)]
+    right = [((17 * k * k + 3 * k) * 256 % (1 << 20)) - (1 << 19)
+             for k in range(24)]
+    for mode in ("LR", "LS", "RS", "MS"):
+        data = encode_flac_stereo(
+            [{"left": left, "right": right, "mode": mode, "code": 2,
+              "po": 1, "rice2": True},
+             {"left": left[:10], "right": right[:10], "mode": mode,
+              "code": 0, "po": 0}],
+            bps=24, variable=True,
+        )
+        st = parse_flac_stereo(data)
+        assert st.md5_ok, mode
+        assert st.bits_per_sample == 24
+        assert [fr.blocksize for fr in st.frames] == [24, 10]
+        assert list(st.frames[0].left) == left
+        assert list(st.frames[0].right) == right
+
+
+def test_flac_stereo_ext_guards():
+    import pytest as _pytest
+
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_stereo,
+        parse_flac_stereo,
+    )
+
+    with _pytest.raises(ValueError, match="byte-aligned"):
+        encode_flac_stereo(
+            [{"left": [0] * 8, "right": [0] * 8, "mode": "LR",
+              "code": 0, "po": 0}], bps=12)
+    # >2ch refusal stays: flip STREAMINFO channels field (3 bits
+    # before bps; byte 12 bit 0x10 side) on a valid stereo stream
+    data = bytearray(encode_flac_stereo(
+        [{"left": [5] * 16, "right": [3] * 16, "mode": "LR",
+          "code": 0, "po": 0}]))
+    # STREAMINFO bits 100-102 are channels-1; within body byte 12
+    # (bits 96-103) they sit at masks 0b1000/0b0100/0b0010. Flip bit
+    # 101: channels-1 001 -> 011 (4 channels)
+    data[8 + 12] ^= 0b00000100
+    with _pytest.raises(ValueError, match="stereo"):
+        parse_flac_stereo(bytes(data))
