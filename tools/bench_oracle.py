@@ -10,6 +10,7 @@ Prints one JSON line: {"total_sec": ..., "queries": {...}}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -30,9 +31,13 @@ def main() -> None:
     only = set(sys.argv[2:]) or None
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # scale fixtures are Spark-written DIRECTORIES of part files;
+        # driver testdata tables are single files — glob accordingly
+        # (same handling as tools/check_correctness.py)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     times: dict[str, float] = {}
     for name, sql in workload.oracles().items():
         if only and name not in only:
