@@ -600,6 +600,18 @@ _ORACLE_BOUND_TAGS: dict[str, str] = {
         "-- workload.oracle_bounds()['q175_knn_label_noise'] before\n"
         "-- running this differential on bigger fixtures.\n"
     ),
+    "q37b_packing_xengine": (
+        "-- SCALE-BOUNDED ORACLE: the recursive CTE replays the greedy\n"
+        "-- pack fold ROW BY ROW (depth = docs per group), and each\n"
+        "-- iteration rescans t — O(depth x n) work that is the fold's\n"
+        "-- SEMANTICS, not an implementation accident (next-fit state\n"
+        "-- has no closed form in plain SQL). 447 s at 50k docs (sf1,\n"
+        "-- hash-green); hours at 500k. Valid for n_documents <= 60k;\n"
+        "-- the ENGINE side (linear applyInPandas fold) is\n"
+        "-- fixture-agnostic. Consult\n"
+        "-- workload.oracle_bounds()['q37b_packing_xengine'] before\n"
+        "-- running this differential on bigger fixtures.\n"
+    ),
 }
 
 
@@ -669,6 +681,17 @@ def oracle_bounds() -> dict:
             table(spark, sf_dir, "embeddings").count(), qname="q175"
         )
 
+    def q37b(spark, sf_dir: str):
+        n = table(spark, sf_dir, "documents").count()
+        if n > 60_000:
+            return (
+                f"q37b oracle replays the pack fold as a recursive CTE "
+                f"(O(depth x n) — the sequential fold IS the semantics); "
+                f"n_documents={n} > 60k (engine-side linear fold is "
+                "fixture-agnostic; hash-green through sf1)"
+            )
+        return None
+
     def q174(spark, sf_dir: str):
         n = table(spark, sf_dir, "embeddings").count()
         # fixed 8-bit bands: 8·C(n,2)/256 expected random collisions
@@ -690,6 +713,7 @@ def oracle_bounds() -> dict:
         "q22_embedding_dups": q22,
         "q174_srp_lsh_pairs": q174,
         "q175_knn_label_noise": q175,
+        "q37b_packing_xengine": q37b,
     }
 
 
