@@ -600,6 +600,15 @@ _ORACLE_BOUND_TAGS: dict[str, str] = {
         "-- workload.oracle_bounds()['q175_knn_label_noise'] before\n"
         "-- running this differential on bigger fixtures.\n"
     ),
+    "q179_embedding_curation": (
+        "-- SCALE-BOUNDED ORACLE: exact all-pairs cosine kNN in SQL is\n"
+        "-- O(n^2) interpreted list dot products with no sargable\n"
+        "-- prefilter (the q22/q175 wall; 119 s at 20k embeddings,\n"
+        "-- ~3 h at 200k); valid in practice for n_embeddings <= 60k.\n"
+        "-- The ENGINE side (blocked matmul kNN) is fixture-agnostic.\n"
+        "-- Consult workload.oracle_bounds()['q179_embedding_curation']\n"
+        "-- before running this differential on bigger fixtures.\n"
+    ),
     "q37b_packing_xengine": (
         "-- SCALE-BOUNDED ORACLE: the recursive CTE replays the greedy\n"
         "-- pack fold ROW BY ROW (depth = docs per group), and each\n"
@@ -692,6 +701,11 @@ def oracle_bounds() -> dict:
             )
         return None
 
+    def q179(spark, sf_dir: str):
+        return _q22_bound_reason(
+            table(spark, sf_dir, "embeddings").count(), qname="q179"
+        )
+
     def q174(spark, sf_dir: str):
         n = table(spark, sf_dir, "embeddings").count()
         # fixed 8-bit bands: 8·C(n,2)/256 expected random collisions
@@ -714,6 +728,7 @@ def oracle_bounds() -> dict:
         "q174_srp_lsh_pairs": q174,
         "q175_knn_label_noise": q175,
         "q37b_packing_xengine": q37b,
+        "q179_embedding_curation": q179,
     }
 
 
