@@ -609,6 +609,16 @@ _ORACLE_BOUND_TAGS: dict[str, str] = {
         "-- Consult workload.oracle_bounds()['q179_embedding_curation']\n"
         "-- before running this differential on bigger fixtures.\n"
     ),
+    "q194_semdedup": (
+        "-- SCALE-BOUNDED ORACLE: the SQL replays SemDeDup with only 4\n"
+        "-- closed-form cells, so its within-cell candidate join is\n"
+        "-- ~n^2/8 interpreted list dot products (15 s at 22.8k\n"
+        "-- embeddings, hours at 230k); valid in practice for\n"
+        "-- n_embeddings <= 60k. The ENGINE side (k-means cells +\n"
+        "-- bucketed pairs) is fixture-agnostic. Consult\n"
+        "-- workload.oracle_bounds()['q194_semdedup'] before running\n"
+        "-- this differential on bigger fixtures.\n"
+    ),
     "q37b_packing_xengine": (
         "-- SCALE-BOUNDED ORACLE: the recursive CTE replays the greedy\n"
         "-- pack fold ROW BY ROW (depth = docs per group), and each\n"
@@ -706,6 +716,16 @@ def oracle_bounds() -> dict:
             table(spark, sf_dir, "embeddings").count(), qname="q179"
         )
 
+    def q194(spark, sf_dir: str):
+        n = table(spark, sf_dir, "embeddings").count()
+        if n > 60_000:
+            return (
+                f"q194 oracle buckets into only 4 closed-form cells — "
+                f"~n^2/8 interpreted list dots; n={n} > 60k (engine-side "
+                "k-means-bucketed pairs are fixture-agnostic)"
+            )
+        return None
+
     def q174(spark, sf_dir: str):
         n = table(spark, sf_dir, "embeddings").count()
         # fixed 8-bit bands: 8·C(n,2)/256 expected random collisions
@@ -729,6 +749,7 @@ def oracle_bounds() -> dict:
         "q175_knn_label_noise": q175,
         "q37b_packing_xengine": q37b,
         "q179_embedding_curation": q179,
+        "q194_semdedup": q194,
     }
 
 
