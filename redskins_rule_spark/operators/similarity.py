@@ -1055,24 +1055,31 @@ def srp_plane_weight(j: int, i: int, dim: int, seed: int = 0) -> int:
 def srp_signature_bits(
     vec: Column, n_planes: int, dim: int, seed: int = 0
 ) -> Column:
-    """Array of n_planes booleans: bit j = (v · w_j) >= 0. The plane
-    matrix is ONE literal array-of-arrays walked by a single
-    transform lambda (compact plan even at 64×64 literals); each dot
+    """Array of n_planes booleans: bit j = (v · w_j) >= 0. Each dot
     is an ORDERED left fold (zip_with + aggregate), so both engines
     sum the same doubles in the same order and near-zero dots land on
-    the same side of the threshold."""
+    the same side of the threshold.
+
+    The plane matrix is ONE literal array-of-arrays rendered as a
+    single SQL string — NOT n_planes·dim `F.lit` calls: the
+    per-element formulation cost ~6 s of py4j round-trips PER QUERY
+    CONSTRUCTION at 128×64 (the q184 driver-side wall, SURVEY
+    §11.89/§11.90), where one parsed string builds in ~0.4 s. (The
+    tempting third shape — generating weights in-engine via
+    transform(sequence...) — is WORSE: higher-order functions are
+    interpreted and not constant-folded, so 8k weights re-derive per
+    ROW, ~7 s at 20k rows.) The doubles are identical either way, so
+    signatures — and every differential hash built on them — are
+    bit-unchanged."""
     v = vec.cast("array<double>")
-    planes = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(float(srp_plane_weight(j, i, dim, seed)))
-                    for i in range(dim)
-                ]
-            )
-            for j in range(n_planes)
-        ]
+    rows = ",".join(
+        "array(" + ",".join(
+            f"{float(srp_plane_weight(j, i, dim, seed))}D"
+            for i in range(dim)
+        ) + ")"
+        for j in range(n_planes)
     )
+    planes = F.expr(f"array({rows})")
     return F.transform(
         planes,
         lambda w: F.aggregate(
