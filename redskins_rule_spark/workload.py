@@ -519,9 +519,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q237_flac_varblock", "q238_flac_stereo_ext",
     # --- round-12 TOUCHED: q80 scoped its cteRecursionRowLimit
     #     override (eager localCheckpoint + conf restore, ADVICE r11);
-    #     q174/q175 oracle SQL gained the SCALE-BOUNDED tag prefix ---
+    #     q174/q175 oracle SQL gained the SCALE-BOUNDED tag prefix;
+    #     q184/q185 ride the srp_signature_bits literal-rendering
+    #     change (hash-identical by design, re-checked anyway) ---
     "q80_transitive_closure", "q174_srp_lsh_pairs",
-    "q175_knn_label_noise",
+    "q175_knn_label_noise", "q184_srp_wide", "q185_ann_label_noise",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -543,10 +545,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q103_relational_division", "q104_bpe_segment", "q105_array_setops",
     "q106_ignore_nulls", "q107_redskins_golden", "q108_sessionize",
     "q109_jaccard_capped",
-    # --- next-oldest fill to 50: q110s-q122 (last cycled r6) ---
+    # --- next-oldest fill to 50: q110s (last cycled r6) ---
     "q110_cdc_merge", "q112_url_parse", "q113_percentile_suite",
-    "q114_cooccurrence_topk", "q115_passage_dedup", "q116_range_bin_join",
-    "q117_hash_split",
+    "q114_cooccurrence_topk", "q115_passage_dedup",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50.
