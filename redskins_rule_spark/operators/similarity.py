@@ -438,10 +438,22 @@ def assign_ivf_cells(
     """Assign each vector to its nearest centroid (max cosine).
     Centroids ship as literals (they're small by construction) — the
     assignment is row-local, partition-preserving; write the result
-    partitioned by cell for IVF-pruned scans."""
+    partitioned by cell for IVF-pruned scans.
+
+    Each centroid vector is rendered as ONE parsed SQL array literal
+    rather than dim `F.lit` calls (the srp_signature_bits lesson,
+    SURVEY §11.90): k-means training calls this PER ITERATION, so
+    k·dim py4j round-trips per call compound. Python float repr
+    round-trips exactly and Spark parses decimal doubles to the
+    nearest double, so the shipped values are bit-identical."""
+    def lit_vec(c: list[float]) -> Column:
+        return F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        )
+
     sims = F.array(*[
         F.struct(
-            F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])), 6).alias("s"),
+            F.round(cosine(F.col(vec_col), lit_vec(c)), 6).alias("s"),
             F.lit(i).alias("i"),
         )
         for i, c in enumerate(centroids)
