@@ -513,17 +513,16 @@ _DRIVER_PRIORITY: list[str] = [
     # The driver's correctness gate records only the FIRST 50 entries of
     # queries(); this list keeps never-driver-verified queries at the head
     # and rotates hash-green ones to the tail each round.
-    # --- new in round 12 (never driver-verified): registrations go
+    # RULE (VERDICT r12 item 1): rows-only faces (q25/q37/q43/q97/q104)
+    # NEVER occupy window slots — their hashed b-siblings stand in, so
+    # the driver's hard signal contains zero `no_oracle` rows.
+    # --- new in round 13 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
-    "q234_corpus_shuffle", "q235_flac_depths", "q236_flac_rice2",
-    "q237_flac_varblock", "q238_flac_stereo_ext",
-    # --- round-12 TOUCHED: q80 scoped its cteRecursionRowLimit
-    #     override (eager localCheckpoint + conf restore, ADVICE r11);
-    #     q174/q175 oracle SQL gained the SCALE-BOUNDED tag prefix;
-    #     q184/q185 ride the srp_signature_bits literal-rendering
-    #     change (hash-identical by design, re-checked anyway) ---
-    "q80_transitive_closure", "q174_srp_lsh_pairs",
-    "q175_knn_label_noise", "q184_srp_wide", "q185_ann_label_noise",
+    "q239_flac_multichannel", "q240_bm25_rank", "q241_fingerprint_dedup",
+    # --- round-13 TOUCHED: q234 rides the feistel_key domain-guard
+    #     change (ADVICE r12 — behavior identical in-domain,
+    #     re-checked anyway) ---
+    "q234_corpus_shuffle",
     # --- hash-sensitive sentinel back-fill (the round-1 cross-engine
     #     hash-fail family + the expensive distributed-formulation
     #     queries): re-verified each round to catch engine drift ---
@@ -532,22 +531,26 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_ngram_jaccard", "q20_minhash_lsh", "q54_dedup_clusters",
     "q85_scd2_build", "q91_incremental_view", "q92_intradoc_dedup",
     "q96_skew_distinct", "q98_gif_meta", "q99_gif_frames",
-    # --- back-catalog rotating sample: the slice longest out of the
-    #     driver window (VERDICT r11) — q68-q79 (displaced one-by-one
-    #     by r11 registrations) and the q100s (not driver re-checked
-    #     since r01; r6 cycled q110-q146, r7 q26-q160, r8 q02-q09 +
-    #     q108-q160 canaries, r10 q13-q33, r11 q44-q67) ---
-    "q68_retention", "q69_fuzzy_pairs", "q70_group_zscore",
-    "q71_quantize", "q72_rolling_revenue", "q73_conjunctive_search",
-    "q74_packing_quantized", "q75_tfidf_top_term", "q76_pagerank",
-    "q77_multiset_ops", "q78_posexplode", "q79_vocab_prune",
-    "q100_hopping_windows", "q101_checksums", "q102_bitwise_flags",
-    "q103_relational_division", "q104_bpe_segment", "q105_array_setops",
-    "q106_ignore_nulls", "q107_redskins_golden", "q108_sessionize",
-    "q109_jaccard_capped",
-    # --- next-oldest fill to 50: q110s (last cycled r6) ---
-    "q110_cdc_merge", "q112_url_parse", "q113_percentile_suite",
-    "q114_cooccurrence_topk", "q115_passage_dedup",
+    # --- back-catalog rotation: the slice longest out of the driver
+    #     window — last driver-checked in ROUND 2 per the judge's
+    #     cross-round tally (VERDICT r12 item 1): q11, q23b/q25b/q43b,
+    #     q34-q36, q39-q42, q81, q82 ---
+    "q11_part_strings", "q23b_bmp_decode", "q25b_simhash_xengine",
+    "q34_map_props", "q35_percentiles", "q36_semi_anti",
+    "q39_unpivot", "q40_stats_agg", "q41_word_explode",
+    "q42_band_join", "q43b_kmv_distinct", "q81_lateral_topn",
+    "q82_bigram_pmi",
+    # --- q104's hashed sibling replaces the rows-only face that
+    #     burned an r12 slot on `err: no_oracle` ---
+    "q104b_bpe_xengine",
+    # --- next-oldest fill to 50: q116-q135 (last cycled r6) ---
+    "q116_range_bin_join", "q117_hash_split", "q118_entropy_quality",
+    "q120_crosslingual_mix", "q121_record_linkage", "q122_containment",
+    "q123_png_decode", "q124_bigram_lm", "q125_gaps_islands",
+    "q126_twap", "q127_mad_outliers", "q128_oov_rate",
+    "q129_dedup_keep_best", "q130_price_histogram", "q131_seq_pattern",
+    "q132_corr_matrix", "q133_curation_funnel", "q134_pii_scrub",
+    "q135_pit_join",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50.
