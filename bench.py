@@ -1,9 +1,21 @@
 """Benchmark runner (driver contract).
 
-Runs the workload's headline queries at ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Runs the workload's queries at a scale-factor directory on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}.
+
+Usage: python bench.py [sf_dir] [query ...]
+  * no args            — full 242-query suite at $SPARK_GRAFT_SF_DIR
+                         (default /root/testdata/sf0.1); per-query
+                         detail goes to BENCH_DETAIL.json (the driver
+                         contract path — this is the ONLY invocation
+                         that writes it).
+  * sf_dir             — full suite at that directory; detail goes to
+                         tools/logs/BENCH_DETAIL_<tag>_<ts>.json.
+  * sf_dir query ...   — only the named queries (unknown names are an
+                         error, not a silent full run — VERDICT r12
+                         witnessed the old behavior ignoring argv and
+                         clobbering the driver's detail file).
 
 Each query is fully executed (collect-to-count via a cheap action that
 still materializes the result) and timed wall-clock; a warmup pass on
@@ -23,16 +35,41 @@ from redskins_rule_spark import workload  # noqa: E402
 from redskins_rule_spark.session import get_spark  # noqa: E402
 
 WARMUP_SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _parse_argv(argv: list[str], registry: dict) -> tuple[str | None, list[str]]:
+    """Return (sf_dir_or_None, subset). Flags are rejected; a first
+    positional that is neither a directory nor a registered query name
+    is rejected by name (a typo'd sf_dir must not become a full run)."""
+    bad = [a for a in argv if a.startswith("-")]
+    if bad:
+        raise SystemExit(f"bench.py takes no flags (got {bad}); "
+                         "usage: python bench.py [sf_dir] [query ...]")
+    if not argv:
+        return None, []
+    sf_dir, rest = argv[0], argv[1:]
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"bench.py: sf_dir {sf_dir!r} is not a directory; "
+                         "usage: python bench.py [sf_dir] [query ...]")
+    unknown = [q for q in rest if q not in registry]
+    if unknown:
+        raise SystemExit(f"bench.py: unknown queries {unknown}; "
+                         f"registry has {len(registry)} names")
+    return sf_dir, rest
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qs = workload.queries()
+    sf_arg, subset = _parse_argv(sys.argv[1:], qs)
+    sf_dir = sf_arg or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if subset:
+        qs = {k: qs[k] for k in subset}
     spark = get_spark("bench")
 
-    qs = workload.queries()
     # warmup: run one light query to spin up the JVM / codegen paths
-    qs["q01_pricing_summary"](spark, WARMUP_SF).count()
+    workload.queries()["q01_pricing_summary"](spark, WARMUP_SF).count()
 
     # host-contention witness (VERDICT r11: the driver-run uniform
     # 1.37× was contention, diagnosable only by re-timing): record
@@ -62,13 +99,23 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "sf_dir": sf_dir,
         "loadavg": loadavg,
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # Detail path (VERDICT r12 item 2): ONLY the driver's invocation
+    # (no argv) owns BENCH_DETAIL.json; any parameterized run writes a
+    # uniquely named file under tools/logs/ so it can never clobber
+    # the driver's artifact.
+    if sf_arg is None and not subset:
+        detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    else:
+        tag = os.path.basename(sf_dir.rstrip("/")) + ("_subset" if subset else "")
+        ts = time.strftime("%Y%m%dT%H%M%S")
+        detail_path = os.path.join(REPO, "tools", "logs",
+                                   f"BENCH_DETAIL_{tag}_{ts}.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
@@ -77,7 +124,7 @@ def main() -> None:
 
     # The driver captures only the last ~2000 bytes of stdout; the final
     # line must stay well under that, so print only the slowest queries
-    # inline and point at BENCH_DETAIL.json for the full per-query dict.
+    # inline and point at the detail file for the full per-query dict.
     top = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
     out = {
         "metric": "workload_total_time",
@@ -88,7 +135,7 @@ def main() -> None:
         "n_queries": len(times),
         "n_errors": len(errors),
         "loadavg": loadavg,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.relpath(detail_path, REPO),
     }
     line = json.dumps(out)
     while len(line) > 1500 and out["queries"]:

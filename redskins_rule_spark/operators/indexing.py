@@ -167,6 +167,14 @@ def feistel_key_column(idx, *, seed: int, epoch: int, bits: int = 40):
     2^20; the round multiply then peaks below 2^52) and seed/epoch
     must sit in [0, 2^20) so the additive term stays below 2^52.
     bits=40 covers ~1.1e12 rows — a 100 TB corpus of 100-byte rows.
+
+    Domain guard (ADVICE r12): an index outside [0, 2^bits) would
+    silently break the bijection (duplicate shuffle keys → arbitrary
+    tie-broken epoch_pos diverging from the oracle), so out-of-domain
+    rows raise BY NAME at execution time via a conditional
+    `raise_error` branch — one codegen'd comparison per row, no extra
+    pass. `feistel_key_sql` documents (rather than guards) the same
+    domain: the oracle replays the engine's already-validated keys.
     """
     from pyspark.sql import functions as F
 
@@ -174,6 +182,15 @@ def feistel_key_column(idx, *, seed: int, epoch: int, bits: int = 40):
     half = bits // 2
     mask = (1 << half) - 1
     x = (F.col(idx) if isinstance(idx, str) else idx).cast("bigint")
+    x = F.when(
+        (x < 0) | (x >= F.lit(1 << bits)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"feistel index out of domain [0, 2^{bits}): "),
+                x.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(x)
     L = F.shiftright(x, half)
     R = x.bitwiseAND(F.lit(mask))
     for m, c in FEISTEL_ROUNDS:
@@ -187,7 +204,13 @@ def feistel_key_sql(expr: str, *, seed: int, epoch: int, bits: int = 40) -> str:
     """The identical permutation as an ANSI/DuckDB SQL expression over
     `expr` (a BIGINT column or expression) — used by differential
     oracles so the engine and the oracle derive the shuffle key from
-    the same constants (this module is the single source of truth)."""
+    the same constants (this module is the single source of truth).
+
+    Domain: `expr` must land in [0, 2^bits). The Spark side
+    (`feistel_key_column`) raises by name on out-of-domain rows; the
+    oracle replays keys the engine already validated, so no SQL-side
+    guard is added (it would perturb the differential's plan, not its
+    results)."""
     _feistel_check(seed, epoch, bits)
     half = bits // 2
     mask = (1 << half) - 1

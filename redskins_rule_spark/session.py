@@ -63,6 +63,16 @@ def get_spark(
         # reader; read as long and convert at the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Run-time litter stays OUT of the repo root (VERDICT r12
+        # item 7): the SQL warehouse dir and Derby's home (which owns
+        # derby.log) default to the JVM's cwd — point both at /tmp.
+        # Production overrides via extra_conf; nothing in the engine
+        # reads these paths.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark_graft_derby",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # big-fixture differentials collect multi-GB results through
         # toPandas; the 1g default aborts the job at sf10 (q59).

@@ -167,6 +167,26 @@ def test_feistel_sql_parity_duckdb(spark):
         assert k == _feistel_ref(i, 7, 3), i
 
 
+def test_feistel_out_of_domain_index_raises_by_name(spark):
+    # ADVICE r12: an index >= 2^bits (or negative) would silently
+    # break the bijection — it must raise BY NAME at execution time,
+    # not produce a duplicate shuffle key.
+    import pytest
+
+    from redskins_rule_spark.operators.indexing import feistel_key_column
+
+    for bad in (1 << 40, -1):
+        df = spark.createDataFrame([(bad,)], "idx long")
+        with pytest.raises(Exception, match="feistel index out of domain"):
+            df.select(feistel_key_column("idx", seed=1, epoch=0)).collect()
+    # boundary values stay in-domain and guarded-path results match
+    # the unguarded reference algebra
+    ok = spark.createDataFrame([(0,), ((1 << 40) - 1,)], "idx long")
+    got = {r.idx: r.k for r in ok.withColumn(
+        "k", feistel_key_column("idx", seed=1, epoch=0)).collect()}
+    assert got == {i: _feistel_ref(i, 1, 0) for i in (0, (1 << 40) - 1)}
+
+
 def test_corpus_shuffle_positions_dense_and_epoch_dependent(spark):
     from redskins_rule_spark.operators.indexing import corpus_shuffle
 

@@ -28,12 +28,23 @@ def fetch(url: str):
 
 
 def main() -> int:
+    # CLI guard (ADVICE r12): no bare IndexError/ValueError — print
+    # the documented usage and exit 2 on malformed invocations.
+    if len(sys.argv) < 2:
+        print(__doc__.strip(), file=sys.stderr)
+        return 2
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
         else "/root/testdata/sf0.1"
-    runs = 2 if "--runs" not in sys.argv else int(
-        sys.argv[sys.argv.index("--runs") + 1]
-    )
+    runs = 2
+    if "--runs" in sys.argv:
+        i = sys.argv.index("--runs")
+        try:
+            runs = int(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            print("stage_report_query: --runs requires an integer "
+                  f"(got {sys.argv[i + 1:i + 2] or 'nothing'})", file=sys.stderr)
+            return 2
 
     from redskins_rule_spark import workload
     from redskins_rule_spark.session import get_spark
@@ -44,7 +55,12 @@ def main() -> int:
     sc = spark.sparkContext
     base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
 
-    fn = workload.queries()[name]
+    reg = workload.queries()
+    if name not in reg:
+        print(f"stage_report_query: unknown query {name!r} "
+              f"(registry has {len(reg)} names)", file=sys.stderr)
+        return 2
+    fn = reg[name]
     for run in range(runs):
         seen_before = {s["stageId"] for s in fetch(f"{base}/stages")}
         t0 = time.perf_counter()
