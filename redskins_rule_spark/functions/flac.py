@@ -11,17 +11,18 @@ decodes bit-exactly with zero carried spec tables — unlike the MP3
 (Table B.7 pair tables 2-31) and AAC (spectral codebooks) seams.
 
 Profile (documented, enforced by named ValueErrors, not silent):
-mono AND stereo (all four channel assignments incl. left/side,
-right/side, mid/side) at depths 8/16/24/32 with fixed OR variable
-blocking; ALL four subframe types — CONSTANT, VERBATIM, FIXED
-orders 0-4, and LPC orders 1-32 (verbatim-coded quantized
-coefficients + arithmetic-shift prediction, §9.2.5). BOTH residual
-coding methods — rice (00, 4-bit parameters) and rice2 (01, 5-bit)
-— including the all-ones escape to raw binary; partition orders
-0+. Wasted-bits flag parsed, must be 0. Within this profile the
-decode is COMPLETE; what remains is raised by name: 12/20-bit
-depths (non-byte-aligned PCM makes the MD5 packing ambiguous) and
->2-channel layouts.
+EVERY channel layout the format defines — mono, stereo (all four
+channel assignments incl. left/side, right/side, mid/side), and
+3-8 channel independent-coding streams — at depths 8/16/24/32 with
+fixed OR variable blocking; ALL four subframe types — CONSTANT,
+VERBATIM, FIXED orders 0-4, and LPC orders 1-32 (verbatim-coded
+quantized coefficients + arithmetic-shift prediction, §9.2.5).
+BOTH residual coding methods — rice (00, 4-bit parameters) and
+rice2 (01, 5-bit) — including the all-ones escape to raw binary;
+partition orders 0+. Wasted-bits flag parsed, must be 0. Within
+this profile the decode is COMPLETE; the ONE remaining refusal is
+raised by name: 12/20-bit depths (non-byte-aligned PCM makes the
+MD5 packing ambiguous — a correct refusal).
 
 Reference parity: the reference pipeline (nfl-elec-transform-v2.py)
 has no media path at all — this module is extension surface for the
@@ -574,7 +575,8 @@ def parse_flac(data: bytes) -> FlacStream:
     md5_declared = streaminfo[18:34]
     if channels != 1:
         raise ValueError("flac: this walk decodes mono streams "
-                         "(parse_flac_stereo handles 2ch)")
+                         "(parse_flac_stereo handles 2ch, "
+                         "parse_flac_multichannel 3-8ch)")
     if bps not in _SS_CODES:
         raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
     if bps not in MD5_DEPTHS:
@@ -977,7 +979,8 @@ def parse_flac_stereo(data: bytes) -> FlacStereoStream:
     md5_declared = streaminfo[18:34]
     if channels != 2:
         raise ValueError("flac: this walk decodes stereo streams "
-                         "(>2-channel layouts are outside the profile)")
+                         "(use parse_flac for mono, "
+                         "parse_flac_multichannel for 3-8 channels)")
     if bps not in _SS_CODES:
         raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
     if bps not in MD5_DEPTHS:
@@ -1308,3 +1311,353 @@ def synth_flac_stereo_ext(clen: int) -> bytes:
         f += 1
     return encode_flac_stereo(frames, sample_rate=8000 + 100 * (clen % 5),
                               bps=bps, variable=True)
+
+
+# --- multichannel (3-8ch) layouts (RFC 9639 §9.1.3 codes 0b0010-0b0111) ----
+#
+# Above two channels FLAC has NO inter-channel decorrelation: every
+# layout 3ch-8ch stores each channel as an independent subframe at the
+# stream bit depth (the decorrelated assignments 1000-1010 are defined
+# for exactly two channels). That makes the >2ch seam purely
+# algorithmic — the same subframe walk repeated channels-per-frame
+# times with the MD5 proof over the channel-interleaved PCM — and
+# closes the last layout guard this container can verify (VERDICT r12
+# item 4). 12/20-bit depths remain refused by name everywhere.
+
+@dataclass(frozen=True)
+class FlacMultiFrame:
+    blocksize: int
+    codes: tuple[int, ...]       # per-channel subframe fingerprint codes
+    channels: tuple[tuple[int, ...], ...]
+    n_escapes: int
+
+
+@dataclass(frozen=True)
+class FlacMultiStream:
+    sample_rate: int
+    total_samples: int           # inter-channel samples (per-channel)
+    n_channels: int
+    frames: tuple[FlacMultiFrame, ...]
+    md5_ok: bool
+    bits_per_sample: int = 16
+
+
+def encode_flac_multichannel(
+    frames: list[dict],
+    sample_rate: int = 44100,
+    bps: int = 16,
+    variable: bool = False,
+) -> bytes:
+    """3-8 channel FLAC stream, independent coding. Each frames[i]:
+    'channels' (list of 3-8 equal-length signed sample lists — the
+    count is fixed across the stream, STREAMINFO carries it once),
+    'code' (FIXED order 0-4 / VERBATIM_CODE, applied to every
+    channel), 'po', optional 'rice2'. Depths 8/16/24/32; fixed or
+    variable blocking, same rules as the mono/stereo encoders. The
+    STREAMINFO MD5 covers channel-interleaved little-endian PCM
+    (sample k of ch0, ch1, ... chN-1), so the losslessness proof
+    spans every channel. Mono/stereo have dedicated walks
+    (encode_flac / encode_flac_stereo) — counts outside 3-8 raise."""
+    if not frames:
+        raise ValueError("flac: at least one frame")
+    nch = len(frames[0]["channels"])
+    if not 3 <= nch <= 8:
+        raise ValueError(
+            "flac: multichannel walk takes 3-8 channels (mono/stereo "
+            "have dedicated walks; >8 has no STREAMINFO encoding)"
+        )
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
+    for fr in frames:
+        chans = fr["channels"]
+        if len(chans) != nch:
+            raise ValueError("flac: channel count must not change "
+                             "mid-stream")
+        if len({len(c) for c in chans}) != 1:
+            raise ValueError("flac: channel length mismatch")
+    sizes = [len(fr["channels"][0]) for fr in frames]
+    if variable:
+        min_bs, max_bs = min(sizes), max(sizes)
+    else:
+        bs0 = sizes[0]
+        for n in sizes[:-1]:
+            if n != bs0:
+                raise ValueError(
+                    "flac: fixed blocking needs constant blocksize"
+                    " (only the last frame may be short)"
+                )
+        if sizes[-1] > bs0:
+            raise ValueError("flac: last frame exceeds the stream blocksize")
+        min_bs = max_bs = bs0
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    md5 = hashlib.md5()
+    total = 0
+    for fr in frames:
+        chans = fr["channels"]
+        for k in range(len(chans[0])):
+            for c in chans:
+                if not lo <= c[k] <= hi:
+                    raise ValueError(f"flac: sample exceeds {bps}-bit range")
+                _md5_pcm(md5, c[k], bps)
+        total += len(chans[0])
+    info = _BitsOut()
+    info.write(min_bs, 16)
+    info.write(max_bs, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(nch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(total, 36)
+    streaminfo = bytes(info.buf) + md5.digest()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo
+    start = 0
+    for n, fr in enumerate(frames):
+        nsamp = len(fr["channels"][0])
+        wide_bs = nsamp > 256
+        hdr = _BitsOut()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(1 if variable else 0, 1)
+        hdr.write(0b0111 if wide_bs else 0b0110, 4)
+        hdr.write(0b0000, 4)
+        hdr.write(nch - 1, 4)        # independent layout: code = N-1
+        hdr.write(_SS_CODES[bps], 3)
+        hdr.write(0, 1)
+        hdr.pad_to_byte()
+        coded = _utf8_number(start if variable else n)
+        bs_field = ((nsamp - 1).to_bytes(2, "big") if wide_bs
+                    else bytes([nsamp - 1]))
+        head = bytes(hdr.buf) + coded + bs_field
+        head += bytes([crc8(head)])
+        body = _BitsOut()
+        for ch in fr["channels"]:
+            _encode_subframe(body, list(ch), fr["code"], bps,
+                             fr.get("po", 0), rice2=fr.get("rice2", False))
+        body.pad_to_byte()
+        frame = head + bytes(body.buf)
+        out += frame + crc16(frame).to_bytes(2, "big")
+        start += nsamp
+    return bytes(out)
+
+
+def parse_flac_multichannel(data: bytes) -> FlacMultiStream:
+    """REAL 3-8 channel decode: the mono subframe walk repeated
+    channels-per-frame times (independent coding is the ONLY layout
+    above two channels, RFC 9639 §9.1.3). CRC-8/CRC-16 per frame; MD5
+    proof over the channel-interleaved reconstruction."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: missing fLaC stream marker")
+    pos = 4
+    streaminfo: bytes | None = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata block header")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1: pos + 4], "big")
+        if len(data) < pos + 4 + blen:
+            raise ValueError("flac: truncated metadata block body")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            streaminfo = data[pos + 4: pos + 38]
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: STREAMINFO block is mandatory")
+    si = _Bits(streaminfo)
+    min_bs = si.read(16)
+    max_bs = si.read(16)
+    si.read(24), si.read(24)
+    sample_rate = si.read(20)
+    nch = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_declared = streaminfo[18:34]
+    if not 3 <= nch <= 8:
+        raise ValueError(
+            "flac: multichannel walk decodes 3-8 channel streams "
+            "(mono/stereo have dedicated walks: parse_flac / "
+            "parse_flac_stereo)"
+        )
+    if bps not in _SS_CODES:
+        raise ValueError("flac: bits-per-sample must be 8/12/16/20/24/32")
+    if bps not in MD5_DEPTHS:
+        raise ValueError(
+            "flac: 12/20-bit PCM is not byte-aligned — MD5 packing is "
+            "ambiguous; depths 8/16/24/32 are supported"
+        )
+    frames: list[FlacMultiFrame] = []
+    md5 = hashlib.md5()
+    seen = 0
+    n_expected = 0
+    blocking: int | None = None
+    while pos < len(data):
+        frame_start = pos
+        br = _Bits(data)
+        br.pos = 8 * pos
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        strat = br.read(1)
+        if blocking is None:
+            blocking = strat
+            if blocking == 0 and min_bs != max_bs:
+                raise ValueError(
+                    "flac: fixed blocking needs one STREAMINFO blocksize"
+                )
+        elif strat != blocking:
+            raise ValueError("flac: blocking strategy must not change "
+                             "mid-stream")
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("flac: frame header reserved bit set")
+        if ch_code != nch - 1:
+            raise ValueError(
+                "flac: >2-channel frames must use the independent "
+                "layout matching STREAMINFO (decorrelated assignments "
+                "1000-1010 are defined for exactly two channels)"
+            )
+        if ss_code != _SS_CODES[bps]:
+            raise ValueError("flac: frame sample-size code disagrees "
+                             "with STREAMINFO")
+        if sr_code != 0:
+            raise ValueError("flac: sample rate must defer to STREAMINFO")
+        fno = _read_utf8_number(br)
+        if blocking == 1:
+            if fno != seen:
+                raise ValueError("flac: frame sample numbers must be "
+                                 "cumulative")
+        else:
+            if fno != n_expected:
+                raise ValueError("flac: frame numbers must be sequential")
+        n_expected += 1
+        if bs_code == 0b0110:
+            nsamp = br.read(8) + 1
+        elif bs_code == 0b0111:
+            nsamp = br.read(16) + 1
+        elif bs_code == 0b0001:
+            nsamp = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            nsamp = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            nsamp = 256 << (bs_code - 8)
+        else:
+            raise ValueError("flac: reserved blocksize code")
+        hdr_end = br.pos >> 3
+        if crc8(data[frame_start:hdr_end]) != data[hdr_end]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        br.pos = 8 * (hdr_end + 1)
+        codes: list[int] = []
+        chans: list[list[int]] = []
+        escapes = 0
+        for _ in range(nch):
+            code, ch, esc, _ = _decode_subframe(br, nsamp, bps)
+            codes.append(code)
+            chans.append(ch)
+            escapes += esc
+        if br.pos & 7:
+            if br.read(8 - (br.pos & 7)):
+                raise ValueError("flac: nonzero frame padding bits")
+        crc_at = br.pos >> 3
+        declared = int.from_bytes(data[crc_at: crc_at + 2], "big")
+        if crc16(data[frame_start:crc_at]) != declared:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = crc_at + 2
+        if blocking == 1:
+            if nsamp > max_bs:
+                raise ValueError("flac: frame exceeds STREAMINFO "
+                                 "max_blocksize")
+            if nsamp < min_bs and seen + nsamp < total:
+                raise ValueError("flac: frame below STREAMINFO "
+                                 "min_blocksize before the last")
+        elif seen + nsamp < total and nsamp != max_bs:
+            raise ValueError("flac: short frame before the last")
+        seen += nsamp
+        for k in range(nsamp):
+            for ch in chans:
+                _md5_pcm(md5, ch[k], bps)
+        frames.append(
+            FlacMultiFrame(nsamp, tuple(codes),
+                           tuple(tuple(c) for c in chans), escapes)
+        )
+    if seen != total:
+        raise ValueError("flac: decoded samples disagree with STREAMINFO")
+    return FlacMultiStream(
+        sample_rate=sample_rate,
+        total_samples=total,
+        n_channels=nch,
+        frames=tuple(frames),
+        md5_ok=md5.digest() == md5_declared,
+        bits_per_sample=bps,
+    )
+
+
+def synth_multi_sample(clen: int, c: int, k: int, m: int, amp: int) -> int:
+    """Per-channel PCM closed form (the q239 oracle replays it):
+    s(c,k) = ((clen*(13+2c) + (3+c)k² + (5+2c)k) * m % (2·amp)) - amp.
+    Every operand is nonnegative, so Python % and SQL % agree."""
+    return ((clen * (13 + 2 * c) + (3 + c) * k * k + (5 + 2 * c) * k)
+            * m % (2 * amp)) - amp
+
+
+def synth_flac_multichannel(clen: int) -> bytes:
+    """Deterministic 3-8 channel FLAC stream (the q239 closed forms —
+    everything the oracle replays):
+
+      nch         = 3 + clen % 6                 (3-8 channels)
+      bps         = (8, 16, 24)[clen % 3]
+      amp         = 2^min(bps-5, 23), m = max(1, 2*amp // 4096)
+      total       = 33 + clen % 71
+      sample_rate = 8000 + 100 * (clen % 5)
+      channel c   = synth_multi_sample(clen, c, k, m, amp)
+      frame f:    blocksize 16 + 8 * ((clen + f) % 3) (variable
+                  blocking, remainder tail); code (clen + f) % 6
+                  (FIXED 0-4 / 5 VERBATIM, every channel; short last
+                  drops FIXED to 0); po (clen + f) % 2 on full
+                  frames; rice2 iff (clen + f) % 3 == 0
+    The depth cycle pushes 24-bit frames through the raw-escape path
+    across ALL channels; the MD5 proof covers the channel-interleaved
+    reconstruction, so a wrong channel order, depth unpack, or
+    entropy read fails every stream."""
+    nch = 3 + clen % 6
+    bps = (8, 16, 24)[clen % 3]
+    amp = _depth_amp(bps)
+    m = max(1, (2 * amp) // 4096)
+    total = 33 + clen % 71
+    chans = [[synth_multi_sample(clen, c, k, m, amp) for k in range(total)]
+             for c in range(nch)]
+    frames: list[dict] = []
+    f = 0
+    lo = 0
+    while lo < total:
+        bs = 16 + 8 * ((clen + f) % 3)
+        chunk = [c[lo: lo + bs] for c in chans]
+        full = len(chunk[0]) == bs
+        code = (clen + f) % 6
+        if not full and code != VERBATIM_CODE:
+            code = 0
+        frames.append({
+            "channels": chunk,
+            "code": code,
+            "po": (clen + f) % 2 if full else 0,
+            "rice2": (clen + f) % 3 == 0,
+        })
+        lo += bs
+        f += 1
+    return encode_flac_multichannel(
+        frames, sample_rate=8000 + 100 * (clen % 5), bps=bps,
+        variable=True,
+    )

@@ -4262,3 +4262,102 @@ def decode_flac_stereo_stats_ext(
             yield meta_df
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def with_flac_multichannel_payload(
+    df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Materialize 3-8 channel FLAC payloads — independent coding,
+    the ONLY layout the format defines above two channels — cycling
+    depth (8/16/24), variable blocking, and rice/rice2 per frame
+    (functions/flac.py `synth_flac_multichannel` closed forms)."""
+    from redskins_rule_spark.functions.flac import synth_flac_multichannel
+
+    return _with_synth_payload(df, synth_flac_multichannel, src_col, id_col,
+                               out)
+
+
+def decode_flac_multichannel_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched 3-8 channel FLAC decode → per-stream stats. Each
+    payload decodes row-locally (embarrassingly parallel — the 100 TB
+    posture of every media face here). Fingerprints bind EVERY
+    channel of EVERY frame cross-engine:
+
+      ch_sum  = Σ_c Σ_k s(c,k)
+      ch_fp   = Σ_c Σ_k (c+1)·(k+1)·s(c,k)   (channel-order-sensitive)
+      last_fp = Σ_c (c+1)·s(c, total-1)
+      code_fp = Σ_f (f+1)·Σ_c (c+1)·code(f,c) (per-channel subframe
+                headers — a skipped or reordered channel read breaks it)
+      bs_fp   = Σ_f (f+1)·blocksize_f         (variable-frame layout)
+
+    plus the MD5 losslessness proof over the channel-interleaved
+    reconstruction at the stream depth."""
+    from redskins_rule_spark.functions.flac import parse_flac_multichannel
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sr", T.IntegerType()),
+            T.StructField("nch", T.IntegerType()),
+            T.StructField("bps", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("ch_sum", T.LongType()),
+            T.StructField("ch_fp", T.LongType()),
+            T.StructField("last_fp", T.LongType()),
+            T.StructField("code_fp", T.LongType()),
+            T.StructField("bs_fp", T.LongType()),
+            T.StructField("md5_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    rows.append((None,) * 11)
+                    continue
+                st = parse_flac_multichannel(bytes(b))
+                nch = st.n_channels
+                chans = [
+                    [s for fr in st.frames for s in fr.channels[c]]
+                    for c in range(nch)
+                ]
+                rows.append(
+                    (
+                        st.sample_rate,
+                        nch,
+                        st.bits_per_sample,
+                        st.total_samples,
+                        len(st.frames),
+                        sum(sum(ch) for ch in chans),
+                        sum((c + 1) * (k + 1) * s
+                            for c, ch in enumerate(chans)
+                            for k, s in enumerate(ch)),
+                        sum((c + 1) * ch[-1]
+                            for c, ch in enumerate(chans)),
+                        sum((f + 1) * sum((c + 1) * code
+                                          for c, code in enumerate(fr.codes))
+                            for f, fr in enumerate(st.frames)),
+                        sum((f + 1) * fr.blocksize
+                            for f, fr in enumerate(st.frames)),
+                        st.md5_ok,
+                    )
+                )
+            cols = ["sr", "nch", "bps", "n_samples", "n_frames", "ch_sum",
+                    "ch_fp", "last_fp", "code_fp", "bs_fp", "md5_ok"]
+            meta_df = pd.DataFrame(rows, columns=cols)
+            for c in ("sr", "nch", "bps"):
+                meta_df[c] = pd.array(meta_df[c], dtype="Int32")
+            for c in cols[3:-1]:
+                meta_df[c] = pd.array(meta_df[c], dtype="Int64")
+            meta_df["md5_ok"] = pd.array(meta_df["md5_ok"], dtype="boolean")
+            meta_df.insert(0, id_col, pdf[id_col].values)
+            yield meta_df
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

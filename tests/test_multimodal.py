@@ -4877,3 +4877,106 @@ def test_flac_stereo_ext_guards():
     data[8 + 12] ^= 0b00000100
     with _pytest.raises(ValueError, match="stereo"):
         parse_flac_stereo(bytes(data))
+
+
+def test_flac_multichannel_roundtrip_all_counts_and_depths():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac_multichannel,
+        synth_flac_multichannel,
+        synth_multi_sample,
+        _depth_amp,
+    )
+
+    # clens chosen to hit every channel count 3-8 and every depth
+    for clen in range(6, 24):
+        st = parse_flac_multichannel(synth_flac_multichannel(clen))
+        assert st.md5_ok, clen
+        nch = 3 + clen % 6
+        bps = (8, 16, 24)[clen % 3]
+        assert st.n_channels == nch
+        assert st.bits_per_sample == bps
+        assert st.total_samples == 33 + clen % 71
+        assert st.sample_rate == 8000 + 100 * (clen % 5)
+        amp = _depth_amp(bps)
+        m = max(1, (2 * amp) // 4096)
+        for c in range(nch):
+            got = [s for fr in st.frames for s in fr.channels[c]]
+            want = [synth_multi_sample(clen, c, k, m, amp)
+                    for k in range(st.total_samples)]
+            assert got == want, (clen, c)
+
+
+def test_flac_multichannel_explicit_encode_decode():
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_multichannel,
+        parse_flac_multichannel,
+    )
+
+    chans = [[(7 * c + 3 * k * k - 40) % 2001 - 1000 for k in range(48)]
+             for c in range(5)]
+    frames = [
+        {"channels": [c[:32] for c in chans], "code": 3, "po": 1,
+         "rice2": True},
+        {"channels": [c[32:] for c in chans], "code": 2, "po": 0},
+    ]
+    st = parse_flac_multichannel(
+        encode_flac_multichannel(frames, sample_rate=32000, bps=16)
+    )
+    assert st.md5_ok and st.n_channels == 5 and st.total_samples == 48
+    assert [fr.codes for fr in st.frames] == [(3,) * 5, (2,) * 5]
+    for c in range(5):
+        assert [s for fr in st.frames for s in fr.channels[c]] == chans[c]
+
+
+def test_flac_multichannel_guards():
+    import pytest
+
+    from redskins_rule_spark.functions.flac import (
+        encode_flac_multichannel,
+        parse_flac,
+        parse_flac_multichannel,
+        parse_flac_stereo,
+        synth_flac,
+        synth_flac_multichannel,
+        synth_flac_stereo,
+    )
+
+    with pytest.raises(ValueError, match="3-8 channels"):
+        encode_flac_multichannel(
+            [{"channels": [[0] * 8, [0] * 8], "code": 0, "po": 0}]
+        )
+    with pytest.raises(ValueError, match="channel length mismatch"):
+        encode_flac_multichannel(
+            [{"channels": [[0] * 8, [0] * 8, [0] * 7], "code": 0, "po": 0}]
+        )
+    with pytest.raises(ValueError, match="12/20-bit"):
+        encode_flac_multichannel(
+            [{"channels": [[0] * 8] * 3, "code": 0, "po": 0}], bps=12
+        )
+    # walk routing: each parser names the right walk for other layouts
+    with pytest.raises(ValueError, match="3-8 channel streams"):
+        parse_flac_multichannel(synth_flac(10))
+    with pytest.raises(ValueError, match="parse_flac_multichannel"):
+        parse_flac(synth_flac_multichannel(10))
+    with pytest.raises(ValueError, match="parse_flac_multichannel"):
+        parse_flac_stereo(synth_flac_multichannel(10))
+    with pytest.raises(ValueError, match="3-8 channel streams"):
+        parse_flac_multichannel(synth_flac_stereo(10))
+
+
+def test_flac_multichannel_crc_and_md5_detect_corruption():
+    from redskins_rule_spark.functions.flac import (
+        parse_flac_multichannel,
+        synth_flac_multichannel,
+    )
+    import pytest
+
+    data = bytearray(synth_flac_multichannel(9))
+    # flip the last frame's trailing CRC-16 byte: mismatch, by name
+    data[-1] ^= 0x10
+    with pytest.raises(ValueError, match="CRC-16"):
+        parse_flac_multichannel(bytes(data))
+    # flip a bit in the STREAMINFO MD5: stream decodes, proof fails
+    data = bytearray(synth_flac_multichannel(9))
+    data[8 + 18] ^= 0x01
+    assert parse_flac_multichannel(bytes(data)).md5_ok is False

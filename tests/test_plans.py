@@ -371,3 +371,27 @@ def test_negative_samples_joins_on_the_index_key(spark):
     plan = _plan(spark, "q152_negative_samples")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_rank_index_join_only(spark):
+    # VERDICT r12 item 5 'plan assert': no cartesian anywhere; the
+    # only nested-loop is the 1-row (N, avgdl) scalar attach; term
+    # semijoin + df + query fan-out ride broadcast hash joins.
+    plan = _plan(spark, "q240_bm25_rank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # formatted plans list each node twice (tree + detail): count
+    # node headers, not substring occurrences
+    import re
+
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj_nodes) <= 1  # the 1-row (N, avgdl) scalar attach
+
+
+def test_fingerprint_dedup_no_cartesian_no_global_sort(spark):
+    # stride-1 fingerprints: one fp-grain agg + join back, per-doc
+    # windows — never an all-pairs join, never a global Sort outside
+    # window locals
+    plan = _plan(spark, "q241_fingerprint_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1743,3 +1743,170 @@ def test_sq_topk_integer_distance_and_pinned_ties(spark):
     dists = [r["sq_dist"] for r in out]
     assert dists == sorted(dists)
     assert all(isinstance(d, int) for d in dists)
+
+
+def test_bm25_rank_matches_python_reference_per_query(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from redskins_rule_spark.operators.text import bm25_rank
+
+    corpus = [
+        (1, "spark table spark window"),
+        (2, "table only here"),
+        (3, "no relevant words at all"),
+        (4, "window window window table spark"),
+        (5, "merge merge join join hash"),
+    ]
+    queries = [("qa", "spark table window"), ("qb", "hash join"),
+               ("qc", "table table")]  # duplicate term counts ONCE
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    qdf = spark.createDataFrame(queries, "qid string, qtext string")
+    got = [(r.qid, r.doc_id, r.rank, r.score, r.n_terms_hit) for r in
+           bm25_rank(docs, "doc_id", "text", qdf, k=3)
+           .orderBy("qid", "rank").collect()]
+
+    toks = {i: re.findall(r"[a-z]+", s.lower()) for i, s in corpus}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    want = []
+    for qid, qtext in queries:
+        qterms = set(re.findall(r"[a-z]+", qtext.lower()))
+        tf = {i: Counter(w for w in ws if w in qterms)
+              for i, ws in toks.items()}
+        # df over the union of ALL query vocabularies == corpus df
+        dfreq = {t: sum(1 for ws in toks.values() if t in ws)
+                 for t in qterms}
+        rows = []
+        for i in toks:
+            if not tf[i]:
+                continue
+            s = sum(
+                math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+                * f / (f + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl))
+                for t, f in tf[i].items()
+            )
+            rows.append((i, round(s, 4), len(tf[i])))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        want += [(qid, i, r + 1, s, h)
+                 for r, (i, s, h) in enumerate(rows[:3])]
+    assert got == want
+
+
+def test_bm25_rank_empty_query_and_no_hits(spark):
+    from redskins_rule_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id int, text string"
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "zzz qqq"), ("q2", "")], "qid string, qtext string"
+    )
+    # no term matches anywhere -> empty result, schema intact
+    out = bm25_rank(docs, "doc_id", "text", qdf, k=5)
+    assert out.columns == ["qid", "doc_id", "rank", "score", "n_terms_hit"]
+    assert out.count() == 0
+
+
+def test_rolling_fingerprint_dedup_catches_unaligned_passage(spark):
+    from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
+
+    shared = "one two three four five six"  # 6 tokens, k=4 -> 3 windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail alpha beta"),
+            # same passage OFFSET BY ONE token — invisible to aligned
+            # block dedup, caught at stride 1
+            (2, f"pad {shared} gamma delta"),
+            (3, "wholly novel words here again ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           rolling_fingerprint_dedup(docs, "doc_id", "text", k=4).collect()}
+    # doc 1 is the first occurrence everywhere -> nothing marked
+    assert got[1].n_dup_pos == 0 and got[1].cover_tokens == 0
+    assert got[1].kept_tokens == got[1].n_tokens == 9
+    # doc 2: shared windows at positions 1,2,3 (after 'pad') -> one
+    # run, cover = (3-1)+4 = 6 tokens
+    assert got[2].n_dup_pos == 3
+    assert got[2].n_runs == 1
+    assert got[2].cover_tokens == 6
+    assert got[2].max_run_cover == 6
+    assert got[2].kept_tokens == got[2].n_tokens - 6
+    assert got[3].n_dup_pos == 0 and got[3].n_runs == 0
+
+
+def test_rolling_fingerprint_dedup_interval_merge_rule(spark):
+    from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
+
+    # two dup positions with a gap of exactly k merge (windows touch);
+    # a gap of k+1 does not
+    a = "a b c"       # k=3 window w1
+    b = "x y z"       # k=3 window w2
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),
+            # positions: w1 at 0, w2 at 3 -> gap 3 == k -> ONE run
+            (2, f"{a} {b} novel1 novel2"),
+            # positions: w1 at 0, w2 at 4 -> gap 4 > k -> TWO runs
+            (3, f"{a} pad {b} other tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           rolling_fingerprint_dedup(docs, "doc_id", "text", k=3).collect()}
+    two = got[2]
+    # doc2 shares doc1's whole prefix "a b c x y z": dup positions
+    # 0-3 (including the seam windows) -> one merged interval of
+    # (3 - 0) + 3 = 6 tokens
+    assert two.n_runs == 1
+    assert two.cover_tokens == (3 - 0) + 3  # merged interval
+    three = got[3]
+    assert three.n_runs == 2
+    assert three.cover_tokens == 3 + 3
+    assert three.max_run_cover == 3
+
+
+def test_rolling_fingerprint_dedup_boilerplate_budget(spark):
+    from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
+
+    boiler = "the same header text"  # k=4: one window per doc
+    rows = [(i, f"{boiler} body{i} junk{i} word{i}") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the header window occurs 4 times > max_df=2 -> boilerplate:
+    # counted, NOT removed
+    got = {r.doc_id: r for r in
+           rolling_fingerprint_dedup(
+               docs, "doc_id", "text", k=4, max_df=2).collect()}
+    for i in range(1, 5):
+        assert got[i].n_boiler == 1, i
+        assert got[i].n_dup_pos == 0, i
+        assert got[i].cover_tokens == 0, i
+    # without the budget the later 3 occurrences are removed
+    got2 = {r.doc_id: r for r in
+            rolling_fingerprint_dedup(docs, "doc_id", "text", k=4).collect()}
+    assert got2[1].n_dup_pos == 0
+    for i in range(2, 5):
+        assert got2[i].n_dup_pos == 1 and got2[i].cover_tokens == 4, i
+
+
+def test_rolling_fingerprint_dedup_short_docs_and_guards(spark):
+    import pytest
+
+    from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           rolling_fingerprint_dedup(docs, "doc_id", "text", k=4).collect()}
+    assert got[1].n_windows == 0 and got[1].kept_tokens == 3
+    assert got[2].n_windows == 2
+    with pytest.raises(ValueError, match="k must be"):
+        rolling_fingerprint_dedup(docs, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="max_df"):
+        rolling_fingerprint_dedup(docs, "doc_id", "text", k=4, max_df=0)

@@ -20,8 +20,9 @@ scales linearly:
     permutation — norms and intra-replica cosine geometry preserved,
     cross-replica cosines scrambled to ~random.
 
-Usage: python tools/make_scale.py [src_sf_dir] [out_dir] [factor]
-Defaults: /root/testdata/sf0.1  /root/repo/.scale/sf1  10
+Usage: python tools/make_scale.py [src_sf_dir] [out_dir] [factor] [tables]
+Defaults: /root/testdata/sf0.1  /root/repo/.scale/sf1  10  (all facts;
+pass a comma list like "documents,events" to scale a subset)
 """
 
 from __future__ import annotations
@@ -78,31 +79,47 @@ def _perm(dim: int, seed: int) -> list[int]:
 
 
 def replicate(
-    spark: SparkSession, src: str, out: str, factor: int
+    spark: SparkSession, src: str, out: str, factor: int,
+    tables: list[str] | None = None,
 ) -> None:
-    frames = {t: table(spark, src, t) for t in DIMS + FACTS}
+    """`tables` restricts which FACT tables are scaled (dims always
+    copy verbatim) — the sf100 probe fixture carries only the tables
+    its engine-only invariant families read (documents, events), so a
+    ×100 decade doesn't pay for 600M lineitem rows no probe scans."""
+    facts = FACTS if tables is None else [t for t in FACTS if t in tables]
+    unknown = set(tables or []) - set(FACTS)
+    if unknown:
+        raise ValueError(f"unknown fact tables: {sorted(unknown)}")
+    frames = {t: table(spark, src, t) for t in DIMS + facts}
 
-    # one stride per key space, from the data (metadata-only aggregates)
+    # one stride per key space, from the data (metadata-only
+    # aggregates); key spaces touching unselected tables are skipped
     strides: dict[str, int] = {}
     for space, cols in KEY_SPACES.items():
+        live = [(t, c) for t, c in cols if t in frames]
+        if not live:
+            continue
         mx = max(
-            frames[t].agg(F.max(c)).collect()[0][0] or 0 for t, c in cols
+            frames[t].agg(F.max(c)).collect()[0][0] or 0 for t, c in live
         )
         strides[space] = int(mx) + 1
 
     col_stride: dict[tuple[str, str], int] = {
         (t, c): strides[space]
         for space, cols in KEY_SPACES.items()
+        if space in strides
         for t, c in cols
+        if t in frames
     }
 
-    emb_dim = len(frames["embeddings"].select("embedding").first()[0])
+    emb_dim = (len(frames["embeddings"].select("embedding").first()[0])
+               if "embeddings" in frames else 0)
 
     for t in DIMS:
         write_parquet(frames[t], f"{out}/{t}.parquet")
         print(f"[dim] {t}: copied verbatim")
 
-    for t in FACTS:
+    for t in facts:
         base = frames[t]
         parts: list[DataFrame] = []
         for i in range(factor):
@@ -134,8 +151,9 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     spark = get_spark("make_scale")
-    replicate(spark, src, out, factor)
+    replicate(spark, src, out, factor, tables=tables)
     spark.stop()
 
 

@@ -52,6 +52,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q191_dsir_weights": "false positive: windows partition by hash bucket; the SinglePartition exchange is the 1-row corpus-totals aggregate",
         "q139_budget_mix": "waterfill cumsum over the source-grain relation (one row per source)",
         "q153_rrf_fusion": "rank windows over top-20 lists (k-bounded by the limit beneath)",
+        "q240_bm25_rank": "false positive: the top-k window partitions by query id; the SinglePartition exchange is the 1-row (N, avgdl) corpus-statistics aggregate",
     },
     "nested_loop_join": {
         "q59_interval_overlap": "interval overlap: right side is 10 literal rows (broadcast), bounded",
@@ -82,6 +83,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "q179_embedding_curation": "block-pair join over B=16 collected blocks (B^2-bounded, via q22's operator inside the k-NN stage)",
         "q171_char_ngram_lm": "cross join with the 1-row corpus trigram total",
         "q172_doc_subsample": "cross join with the 1-row (Z, T) weight-normalizer aggregate (language grain upstream)",
+        "q240_bm25_rank": "cross join with the 1-row (N, avgdl) corpus-statistics aggregate (q144's pattern at query-table grain)",
     },
     "cartesian": {},
     "python_udf_rowwise": {},
