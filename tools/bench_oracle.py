@@ -4,7 +4,9 @@ reference numbers, so the same-relation DuckDB implementations on the
 same parquet are the operative single-node baseline).
 
 Usage: python tools/bench_oracle.py [sf_dir] [query ...]
-Prints one JSON line: {"total_sec": ..., "queries": {...}}.
+Prints one JSON line: {"total_sec": ..., "queries": {...}} and writes
+a full per-query detail file (loadavg-witnessed, VERDICT r12 item 2)
+to tools/logs/BENCH_ORACLE_<tag>_<ts>.json.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ def main() -> None:
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    load_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
     for name, sql in workload.oracles().items():
         if only and name not in only:
@@ -52,8 +55,29 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"[t] {name} {times[name]}", file=sys.stderr, flush=True)
     total = round(sum(v for v in times.values() if v > 0), 3)
+    # Full detail artifact (same contract as bench.py's parameterized
+    # runs): loadavg at start AND end so a contended run is readable
+    # from the artifact alone.
+    detail = {
+        "metric": "oracle_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf_dir": sf_dir,
+        "loadavg": {"start": load_start,
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                    "cpus": os.cpu_count()},
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) + ("_subset" if only else "")
+    ts = time.strftime("%Y%m%dT%H%M%S")
+    detail_path = os.path.join("/root/repo", "tools", "logs",
+                               f"BENCH_ORACLE_{tag}_{ts}.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps({"total_sec": total, "n": len(times),
-                      "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])}))
+                      "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
+                      "detail": detail_path}))
 
 
 if __name__ == "__main__":
