@@ -519,6 +519,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 13 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q239_flac_multichannel", "q240_bm25_rank", "q241_fingerprint_dedup",
+    "q242_shuffled_shards",
     # --- round-13 TOUCHED: q234 rides the feistel_key domain-guard
     #     change (ADVICE r12 — behavior identical in-domain,
     #     re-checked anyway) ---
@@ -550,7 +551,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q126_twap", "q127_mad_outliers", "q128_oov_rate",
     "q129_dedup_keep_best", "q130_price_histogram", "q131_seq_pattern",
     "q132_corr_matrix", "q133_curation_funnel", "q134_pii_scrub",
-    "q135_pit_join",
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50.
@@ -12825,3 +12825,88 @@ def q241_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return rolling_fingerprint_dedup(docs, "doc_id", "text", k=12, max_df=2)
+
+
+# ---------------------------------------------------------------------------
+# q242: shuffled-shard SINK audit — write_shuffled_shards is the step
+# a training run actually consumes (q151 verifies the permutation
+# algebra IN FLIGHT; this verifies the FILES): the engine writes the
+# seeded shuffle as shard-partitioned parquet, reads the directory
+# back, and aggregates per shard from the READ-BACK rows — shard
+# routing and the pos<->doc pairing via the same order-sensitive
+# Σ(h·pos) checksum the oracle recomputes from pure algebra, plus a
+# physically-measured file-order column: pos must ascend in on-disk
+# row order within every scan split (capture spark_partition_id +
+# monotonically_increasing_id AT SCAN TIME, before any shuffle, then
+# count inversions per split). The oracle states the invariant's
+# expected value (0 inversions — the sink sorted each shard by pos
+# before writing); the engine MEASURES it from the files, so a sink
+# that routes a row to the wrong shard=N dir, mispairs pos, or writes
+# rows out of order each flips a different hashed column. Scale: the
+# audit is one read-back scan + two keyed shuffles (split-window +
+# shard agg) — O(corpus) like any post-write validation pass; the
+# write itself is seeded_shuffle's single rank shuffle with
+# n_shards >> executor count.
+# ---------------------------------------------------------------------------
+
+_Q242_ROLL = _sql_roll_of("('11:' || CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q242_shuffled_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (1103515245 * {_Q242_ROLL} + 12345) % 2147483647 AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h, CAST(h % 8 AS INTEGER) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM((h * pos) % 2147483647) % 2147483647 AS BIGINT)
+             AS checksum,
+           CAST(0 AS BIGINT) AS n_order_inversions
+    FROM s GROUP BY shard
+    """,
+)
+def q242_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from redskins_rule_spark.operators.sampling import (
+        shuffle_hash,
+        write_shuffled_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    root = tempfile.mkdtemp(prefix=f"q242_{uuid.uuid4().hex[:8]}_")
+    out = os.path.join(root, "shards")
+    write_shuffled_shards(docs, "doc_id", out, seed=11, n_shards=8)
+
+    # Scan-time capture: both columns are evaluated in the scan stage
+    # projection (before the window shuffle), so __fid ascends in
+    # on-disk row order within each (__pid) split.
+    rb = (
+        spark.read.parquet(out)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__fid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("__pid", "shard").orderBy("__fid")
+    inv = F.when(F.lag("pos").over(w) >= F.col("pos"), 1).otherwise(0)
+    rb = rb.withColumn("__inv", inv)
+
+    h = shuffle_hash("doc_id", 11)
+    m = 2147483647
+    return (
+        rb.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            ((F.sum((h * F.col("pos")) % m)) % m).cast("long").alias("checksum"),
+            F.sum("__inv").cast("long").alias("n_order_inversions"),
+        )
+        .withColumn("shard", F.col("shard").cast("int"))
+    )

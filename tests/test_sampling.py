@@ -238,6 +238,20 @@ def test_write_shuffled_shards_roundtrip_order(spark, tmp_path):
     assert poss == sorted(poss)
 
 
+def test_q242_sink_audit_measures_order_from_files(spark):
+    """The q242 face must MEASURE file order (not restate pos): its
+    inversion column is 0 on the real sink output, and its checksum
+    groups by the read-back shard partition column."""
+    from redskins_rule_spark.workload import QUERIES
+
+    rows = QUERIES["q242_shuffled_shards"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8  # every shard non-empty at 500 docs
+    assert all(r.n_order_inversions == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == 500
+
+
 def test_stratified_negatives_stay_in_stratum(spark):
     from redskins_rule_spark.operators.sampling import (
         stratified_negative_samples,
