@@ -1245,3 +1245,101 @@ def hashed_logistic_quality(
             (F.col("score") >= 0).alias("keep"),
         )
     )
+
+
+def positional_postings(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocabulary: list[str] | None = None,
+):
+    """(id, pos, token) positional postings. Positions index the
+    FILTERED token sequence (empty split fragments removed BEFORE
+    numbering), so an oracle that filters-then-enumerates the same
+    lowercase alpha-run split numbers every token identically.
+
+    `vocabulary` pushes a term whitelist below the explode — for a
+    targeted lookup (phrase search over 3 terms) the exploded stream
+    carries only those terms' occurrences, never the corpus's.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: x != F.lit(""),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    )
+    if vocabulary is not None:
+        out = out.where(F.col("token").isin(list(vocabulary)))
+    return out.select(id_col, F.col("pos").cast("long").alias("pos"), "token")
+
+
+def phrase_search(
+    df,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact-phrase search via positional postings and offset voting —
+    one scan, one explode, ONE shuffle, no self-joins.
+
+    Each occurrence of phrase term t at position p votes for every
+    candidate phrase start p - j where j ranges over t's offsets in
+    the phrase (a repeated term votes once per offset). A start is a
+    match iff it collects all len(phrase) DISTINCT offsets — the
+    grouped HAVING replaces the classic k-1 posting-list adjacency
+    self-joins, so the corpus is scanned once and nothing is joined.
+
+    SCALE: the exploded stream is filtered to the phrase's terms at
+    the scan (positional_postings vocabulary pushdown), so shuffle
+    volume is the sum of those terms' occurrence counts — a hot stop
+    term in the phrase costs its own postings, never a cartesian or a
+    rescan; the (id, start) vote key is finer than id, so no skew
+    pileup on long documents. Overlapping matches are counted
+    (text 'a b a b a', phrase 'a b a' -> starts 0 and 2).
+
+    Output: (id_col, n_matches, first_pos) for matching docs only.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms]
+    if len(terms) < 2:
+        raise ValueError(
+            f"phrase_search needs >= 2 terms, got {terms!r} "
+            "(single-term lookup is build_inverted_index's job)"
+        )
+    offsets: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        offsets.setdefault(t, []).append(j)
+    # token -> array<offset> as one literal map (bounded: len(phrase))
+    map_args: list[Column] = []
+    for t, js in offsets.items():
+        map_args.append(F.lit(t))
+        map_args.append(F.array(*[F.lit(j) for j in js]))
+    off_map = F.create_map(*map_args)
+
+    post = positional_postings(
+        df, id_col, text_col, vocabulary=sorted(offsets)
+    )
+    votes = post.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.explode(off_map[F.col("token")]).alias("j"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos") - F.col("j")).cast("long").alias("start"),
+        "j",
+    ).where(F.col("start") >= 0)
+    # votes are UNIQUE by construction — offset j belongs to exactly
+    # one term, and a term occupies a position at most once, so
+    # (id, start, j) never repeats and a plain COUNT equals the
+    # distinct-offset count (one exchange cheaper than countDistinct;
+    # the oracle still votes COUNT(DISTINCT j) as defense in depth)
+    hits = (
+        votes.groupBy(id_col, "start")
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .where(F.col("nj") == len(terms))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )

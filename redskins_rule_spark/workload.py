@@ -519,7 +519,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 13 (never driver-verified): registrations go
     #     here ON REGISTRATION DAY; drop tail entries to stay at 50 ---
     "q239_flac_multichannel", "q240_bm25_rank", "q241_fingerprint_dedup",
-    "q242_shuffled_shards",
+    "q242_shuffled_shards", "q243_phrase_search",
     # --- round-13 TOUCHED: q234 rides the feistel_key domain-guard
     #     change (ADVICE r12 — behavior identical in-domain,
     #     re-checked anyway) ---
@@ -550,7 +550,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q123_png_decode", "q124_bigram_lm", "q125_gaps_islands",
     "q126_twap", "q127_mad_outliers", "q128_oov_rate",
     "q129_dedup_keep_best", "q130_price_histogram", "q131_seq_pattern",
-    "q132_corr_matrix", "q133_curation_funnel", "q134_pii_scrub",
+    "q132_corr_matrix", "q133_curation_funnel",
+    # (q134 rotated out for q243 — driver-verified r6, next cycle)
     # exactly 50 explicit entries — new registrations + touched +
     # 13 sentinels + fresh back-catalog. Registrations go at the HEAD
     # on registration day; drop tail entries to stay at 50.
@@ -12910,3 +12911,66 @@ def q242_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("shard", F.col("shard").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: exact-phrase search over positional postings — the retrieval
+# face q73 (doc-level conjunctive) and q240 (BM25 bag-of-words) both
+# skip: term ORDER and ADJACENCY. Implemented as offset voting: each
+# occurrence of phrase term t at position p votes for candidate start
+# p - j (one vote per offset j of t in the phrase); a start with all
+# k distinct offsets is a match. One corpus scan, one explode
+# filtered to the phrase's terms, ONE shuffle on the fine-grained
+# (doc, start) key — no posting-list self-joins, no cartesian, no
+# rescan per term. Overlapping matches count (phrase 'a b a' in
+# 'a b a b a' -> 2). Two phrases (a 25-doc bigram and a 1-doc
+# trigram at sf0.001) exercise both the dense and sparse paths; the
+# oracle replays the identical filtered-split positional numbering
+# and vote/HAVING algebra from a VALUES offset table.
+# ---------------------------------------------------------------------------
+
+PHRASES: list[str] = ["big data", "data the filter"]
+
+
+@query(
+    "q243_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS l
+      FROM documents),
+    post AS (
+      SELECT doc_id, unnest(l) AS token,
+             CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos
+      FROM toks),
+    off(phrase, term, j, k) AS (VALUES
+      ('big data', 'big', 0, 2),
+      ('big data', 'data', 1, 2),
+      ('data the filter', 'data', 0, 3),
+      ('data the filter', 'the', 1, 3),
+      ('data the filter', 'filter', 2, 3)),
+    votes AS (
+      SELECT o.phrase, p.doc_id, p.pos - o.j AS start, o.j, o.k
+      FROM post p JOIN off o ON p.token = o.term
+      WHERE p.pos - o.j >= 0),
+    hits AS (
+      SELECT phrase, doc_id, start
+      FROM votes GROUP BY phrase, doc_id, start, k
+      HAVING COUNT(DISTINCT j) = k)
+    SELECT phrase, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def q243_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from redskins_rule_spark.operators.text import phrase_search
+
+    docs = table(spark, sf_dir, "documents")
+    out = None
+    for ph in PHRASES:
+        hit = phrase_search(docs, ph).select(
+            F.lit(ph).alias("phrase"), "doc_id", "n_matches", "first_pos"
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

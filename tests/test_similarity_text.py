@@ -1910,3 +1910,73 @@ def test_rolling_fingerprint_dedup_short_docs_and_guards(spark):
         rolling_fingerprint_dedup(docs, "doc_id", "text", k=0)
     with pytest.raises(ValueError, match="max_df"):
         rolling_fingerprint_dedup(docs, "doc_id", "text", k=4, max_df=0)
+
+
+# --- phrase_search (q243) -------------------------------------------------
+
+def test_phrase_search_overlapping_matches(spark):
+    from redskins_rule_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x a b y"), (3, "b a")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "a b a").collect()
+    }
+    # 'a b a b a' contains 'a b a' at starts 0 AND 2 (overlap counts)
+    assert got == {1: (2, 0)}
+
+
+def test_phrase_search_repeated_term_phrase(spark):
+    from redskins_rule_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "the big the end"), (2, "the big big the")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "the big the").collect()
+    }
+    # doc 2 has 'the big' and 'big the' but never 'the big the'
+    assert got == {1: (1, 0)}
+
+
+def test_phrase_search_positions_index_filtered_tokens(spark):
+    from redskins_rule_spark.operators.text import phrase_search
+
+    # punctuation/digit runs collapse; positions number the FILTERED
+    # sequence, so 'big data' sits at start 1, not 2
+    df = spark.createDataFrame(
+        [(1, "!! so... big DATA 99 ok")], "doc_id bigint, text string"
+    )
+    r = phrase_search(df, "big data").collect()
+    assert [(x["doc_id"], x["n_matches"], x["first_pos"]) for x in r] == [(1, 1, 1)]
+
+
+def test_phrase_search_single_term_refused(spark):
+    import pytest
+
+    from redskins_rule_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="phrase_search needs >= 2 terms"):
+        phrase_search(df, "solo")
+
+
+def test_phrase_search_plan_no_join_one_scan(spark):
+    from redskins_rule_spark.operators.text import phrase_search
+    from redskins_rule_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = formatted_plan(phrase_search(df, "a b c"))
+    # offset voting has NO join of any kind and exactly one scan of
+    # the input — the whole phrase match is explode + two aggregates
+    # (vote uniqueness makes the distinct-offset count a plain COUNT,
+    # so exactly two exchanges: (id, start) votes, then (id) rollup)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD (") == 1  # tree renders once
+    assert plan.count("+- Exchange") == 2
