@@ -38,6 +38,28 @@ WARMUP_SF = "/root/testdata/sf0.001"
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(busy_jiffies, steal_jiffies) from /proc/stat, or None off-Linux."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    # user nice system idle iowait irq softirq steal
+    busy = v[0] + v[1] + v[2] + v[5] + v[6] + (v[7] if len(v) > 7 else 0)
+    return busy, (v[7] if len(v) > 7 else 0)
+
+
+def _steal_pct(a, b) -> float | None:
+    """Hypervisor steal as % of BUSY cpu over the run — the witness
+    loadavg can't give: this VM shows multi-minute steal bursts that
+    inflate whatever query is running 3-10x while the host looks idle
+    (round-13 forensics; loadavg alone said 'quiet' for those runs)."""
+    if not a or not b:
+        return None
+    busy, steal = b[0] - a[0], b[1] - a[1]
+    return round(100.0 * steal / busy, 2) if busy > 0 else None
+
+
 def _parse_argv(argv: list[str], registry: dict) -> tuple[str | None, list[str]]:
     """Return (sf_dir_or_None, subset). Flags are rejected; a first
     positional that is neither a directory nor a registered query name
@@ -76,6 +98,7 @@ def main() -> None:
     # the 1/5/15-min load averages at start AND end so a contended
     # bench is readable from the artifact alone
     load_start = [round(x, 2) for x in os.getloadavg()]
+    stat_start = _cpu_stat()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
@@ -93,6 +116,7 @@ def main() -> None:
     loadavg = {"start": load_start,
                "end": [round(x, 2) for x in os.getloadavg()],
                "cpus": os.cpu_count()}
+    steal = _steal_pct(stat_start, _cpu_stat())
     detail = {
         "metric": "workload_total_time",
         "value": total,
@@ -101,6 +125,7 @@ def main() -> None:
         "sf": sf_val,
         "sf_dir": sf_dir,
         "loadavg": loadavg,
+        "steal_pct_of_busy": steal,
     }
     if errors:
         detail["errors"] = errors
@@ -135,6 +160,7 @@ def main() -> None:
         "n_queries": len(times),
         "n_errors": len(errors),
         "loadavg": loadavg,
+        "steal_pct_of_busy": steal,
         "detail": os.path.relpath(detail_path, REPO),
     }
     line = json.dumps(out)

@@ -41,6 +41,8 @@ def main() -> None:
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     load_start = [round(x, 2) for x in os.getloadavg()]
+    from bench import _cpu_stat, _steal_pct  # repo root on sys.path above
+    stat_start = _cpu_stat()
     times: dict[str, float] = {}
     for name, sql in workload.oracles().items():
         if only and name not in only:
@@ -67,6 +69,7 @@ def main() -> None:
         "loadavg": {"start": load_start,
                     "end": [round(x, 2) for x in os.getloadavg()],
                     "cpus": os.cpu_count()},
+        "steal_pct_of_busy": _steal_pct(stat_start, _cpu_stat()),
     }
     tag = os.path.basename(sf_dir.rstrip("/")) + ("_subset" if only else "")
     ts = time.strftime("%Y%m%dT%H%M%S")
@@ -77,6 +80,7 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(json.dumps({"total_sec": total, "n": len(times),
                       "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
+                      "steal_pct_of_busy": detail["steal_pct_of_busy"],
                       "detail": detail_path}))
 
 

@@ -24,6 +24,19 @@ recipe), so this decade is verified by INVARIANT, not by differential:
   * intradoc dedup linearity — row-local q92 face: one output row per
     input doc, kept <= total tokens.
 
+Round-13 additions (the round's registrations at the decade):
+
+  * bm25 — q240 ranked retrieval over 5M docs: 4 queries x dense
+    ranks 1..10, scores non-increasing;
+  * fingerprint — q241 rolling-fingerprint dedup (~250M windows, one
+    fp-partitioned window pass): one row per doc AND the replica-0
+    slice equals the sf10 run row-for-row (ciphers preserve
+    within-replica equality; cross-replica fp collisions would need
+    two 12-token strings to coincide across different substitution
+    alphabets);
+  * phrase — q243 offset-vote phrase search: replica-0 match slice
+    equals the sf10 match set exactly.
+
 Each probe records wall seconds and (where a shuffle materializes) a
 partition-skew ratio (max/mean rows per output partition). Results go
 to tools/logs/sf100_probe.json and the SURVEY §11 sf100 table.
@@ -220,6 +233,94 @@ def probe_intradoc(spark, sf_dir: str, _sf10: str) -> dict:
     return {"rows": n_docs, "docs": expect, "ok": bool(ok)}
 
 
+def probe_bm25(spark, sf_dir: str, _sf10: str) -> dict:
+    """q240 at the decade: ranked retrieval over 5M docs. Invariants:
+    every query fills its top-10 (the corpus dwarfs k), ranks are the
+    dense 1..10 per query, and scores are non-increasing down each
+    ranking — the contract a consumer of the ranking relies on."""
+    from redskins_rule_spark import workload
+
+    rows = workload.QUERIES["q240_bm25_rank"](spark, sf_dir).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    ok = len(rows) == 40 and all(
+        sorted(r.rank for r in rs) == list(range(1, 11))
+        and all(a.score >= b.score for a, b in
+                zip(sorted(rs, key=lambda r: r.rank),
+                    sorted(rs, key=lambda r: r.rank)[1:]))
+        for rs in by_q.values()
+    )
+    return {"rows": len(rows), "n_queries": len(by_q), "ok": bool(ok)}
+
+
+def _replica0_equal(sf100_df, sf10_df, keys: list[str]) -> dict:
+    """Exact replica-0 embedding check: make_scale keeps replica 0's
+    doc_ids verbatim (shift 0), so the sf100 result restricted to
+    sf10's id range must equal the sf10 result ROW FOR ROW. Cross-
+    replica interference would need two 12-token (or whole-phrase)
+    strings to coincide across different substitution ciphers —
+    vanishingly unlikely, and this check would catch it by name."""
+    max10 = sf10_df.agg(F.max("doc_id")).collect()[0][0]
+    r0 = sf100_df.where(F.col("doc_id") <= max10)
+    n10, n0 = sf10_df.count(), r0.count()
+    missing = sf10_df.join(r0, keys, "left_anti").count()
+    extra = r0.join(sf10_df, keys, "left_anti").count()
+    return {
+        "rows_sf10": n10, "rows_sf100_replica0": n0,
+        "missing_vs_sf10": missing, "extra_vs_sf10": extra,
+        "ok": bool(n10 == n0 and missing == 0 and extra == 0),
+    }
+
+
+def probe_fingerprint(spark, sf_dir: str, sf10_dir: str) -> dict:
+    """q241 at the decade: 5M docs x ~50 windows = ~250M rolling
+    fingerprints through one fp-partitioned window. Invariants: one
+    output row per non-null doc, and the replica-0 slice equals the
+    sf10 run row-for-row (substitution ciphers preserve within-replica
+    window equality and make cross-replica fp collisions impossible in
+    practice, so dup/boiler classifications must not drift)."""
+    from redskins_rule_spark import workload
+    from redskins_rule_spark.sources.io import table
+
+    out100 = workload.QUERIES["q241_fingerprint_dedup"](spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).count()
+    n_rows = out100.count()
+    cmp = _replica0_equal(
+        out100, workload.QUERIES["q241_fingerprint_dedup"](spark, sf10_dir),
+        keys=["doc_id", "n_tokens", "n_windows", "n_dup_pos", "n_boiler",
+              "n_runs", "cover_tokens", "max_run_cover", "kept_tokens"],
+    )
+    return {
+        "rows": n_rows, "docs": n_docs,
+        **cmp,
+        "ok": bool(n_rows == n_docs and cmp["ok"]),
+    }
+
+
+def probe_phrase(spark, sf_dir: str, sf10_dir: str) -> dict:
+    """q243 at the decade: offset-vote phrase search over 5M docs —
+    shuffle volume is the phrase terms' postings only. Invariant: the
+    replica-0 slice of the match set equals the sf10 match set exactly
+    (matches are row-local to a doc; ciphered replicas can only add
+    docs with REMAPPED ids)."""
+    from redskins_rule_spark.operators.text import phrase_search
+    from redskins_rule_spark.sources.io import table
+
+    d100 = table(spark, sf_dir, "documents")
+    d10 = table(spark, sf10_dir, "documents")
+    m100 = phrase_search(d100, "big data")
+    m10 = phrase_search(d10, "big data")
+    cmp = _replica0_equal(
+        m100, m10, keys=["doc_id", "n_matches", "first_pos"]
+    )
+    total = m100.count()
+    return {"matched_docs_sf100": total, **cmp,
+            "ok": bool(cmp["ok"] and total >= cmp["rows_sf10"])}
+
+
 PROBES = {
     "corpus_shuffle": probe_corpus_shuffle,
     "hll_merge": probe_hll_merge,
@@ -227,6 +328,9 @@ PROBES = {
     "cc_stability": probe_cc_stability,
     "sessions": probe_sessions,
     "intradoc": probe_intradoc,
+    "bm25": probe_bm25,
+    "fingerprint": probe_fingerprint,
+    "phrase": probe_phrase,
 }
 
 
