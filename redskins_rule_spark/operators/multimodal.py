@@ -4062,6 +4062,80 @@ def _with_synth_payload(df, synth, src_col, id_col, out):
     return df.select(id_col, src_col).mapInPandas(run, out_schema)
 
 
+def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
+    """Per-doc media stats via the DISTINCT-LENGTH dictionary.
+
+    Every synth in this module derives its payload from the character
+    length (some: the utf-8 byte length) of ``src_col`` alone — plus,
+    for the dispatching fronts, a small residue of the id — so every
+    downstream decode stat is a pure function of that tuple. Instead
+    of synthesizing + decoding once per document (O(rows)
+    Python-boundary work), run ``stats_fn`` over ONE row per distinct
+    (char_len, byte_len[, id % id_mod]) key — bounded by the corpus
+    length distribution, independent of corpus size — and
+    broadcast-join the stats back onto the id stream. Per-doc results
+    are bit-identical because stats_fn is deterministic in the key.
+
+    ``stats_fn(dict_docs)`` receives a frame whose ``id_col`` holds
+    the PACKED KEY ``(char_len·2^32 + byte_len)·id_mod + id%id_mod``
+    (long) and whose ``src_col`` is a synthetic string with exactly
+    that character AND byte length, and must return stat rows keyed by
+    ``id_col`` (one or many per input row) — i.e. the existing
+    payload+decode operators, unchanged, with the key standing in for
+    the doc id. Because the key is ≡ id (mod id_mod), operators that
+    dispatch on ``id % id_mod`` (mixed-media's %9 class picker,
+    quarantine's %7 corruption) see the original residue. Bounds:
+    char_len < 2^31 and non-negative ids — far above any synthesized
+    media here and checked by the packing staying positive.
+
+    ``how``: the default left join yields one all-NULL stats row for a
+    doc whose key joins nothing (NULL text) — the single-row decoders'
+    exact contract. MULTI-row decoders (frame samplers, deltas) emit
+    ZERO rows for an empty decode, so their callers must pass
+    ``how="inner"`` or a zero-frame doc gains a phantom NULL row.
+    """
+    key = (
+        F.length(F.col(src_col)).cast("long") * F.lit(4294967296).cast("long")
+        + F.octet_length(F.col(src_col)).cast("long")
+    )
+    if id_mod > 1:
+        key = key * F.lit(id_mod).cast("long") + F.pmod(
+            F.col(id_col).cast("long"), F.lit(id_mod).cast("long")
+        )
+    lens = docs.select(id_col, key.alias("__lkey"))
+    packed = f"(`{id_col}` div {id_mod})" if id_mod > 1 else f"`{id_col}`"
+    clen = F.expr(f"{packed} div 4294967296")
+    blen = F.expr(f"{packed} % 4294967296")
+    # rebuild a string with that exact (char, byte) length: k extra
+    # bytes from 4-byte chars (3 extra each) plus one 2/3-byte char
+    # for the remainder; all-ASCII corpora take the pure-'x' path
+    extra = blen - clen
+    n4 = (extra / 3).cast("long")  # exact: extra < 2^33 << 2^52
+    rem = extra % 3
+    synth_src = F.concat(
+        F.repeat(F.lit("\U00010348"), n4.cast("int")),
+        F.when(rem == 1, F.lit("é"))
+        .when(rem == 2, F.lit("€"))
+        .otherwise(F.lit("")),
+        F.repeat(
+            F.lit("x"),
+            (clen - n4 - F.when(rem > 0, 1).otherwise(0)).cast("int"),
+        ),
+    )
+    dict_docs = (
+        lens.where(F.col("__lkey").isNotNull())
+        .select(F.col("__lkey").alias(id_col))
+        .distinct()
+        .withColumn(src_col, synth_src)
+    )
+    stats = stats_fn(dict_docs)
+    stat_cols = [c for c in stats.columns if c != id_col]
+    stats = stats.withColumnRenamed(id_col, "__lkey")
+    return lens.join(F.broadcast(stats), "__lkey", how).select(
+        id_col, *stat_cols
+    )
+
+
 def with_flac_depths_payload(
     df: DataFrame, src_col: str, id_col: str = "doc_id", out: str = "payload"
 ) -> DataFrame:

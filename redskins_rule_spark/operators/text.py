@@ -616,28 +616,31 @@ def bm25_topk(
     mining. Okapi form: score(d) = Σ_t idf(t)·tf/(tf + k1·(1−b+b·|d|/avg)),
     idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
 
-    Plan shape: tokenize once → per-doc length (hash agg) → tf rows
-    filtered to the query terms BEFORE any shuffle (the per-term tf
-    relation is |terms|-bounded per doc); df and the (N, avgdl)
-    scalars ride as broadcast aggregates. Top-k orders by the ROUNDED
-    score with an id tiebreak, so the rank boundary is cross-engine
-    stable. Returns (id, score, n_terms_hit).
+    Plan shape: per-doc length dl = size(token array) rides the tf
+    shuffle as part of the group key (r13: no separate doclen
+    aggregation or shuffle-join); tf rows filtered to the query terms
+    BEFORE any shuffle (the per-term tf relation is |terms|-bounded
+    per doc); df and the (N, avgdl) scalars ride as broadcast
+    aggregates. Top-k orders by the ROUNDED score with an id tiebreak,
+    so the rank boundary is cross-engine stable. Returns
+    (id, score, n_terms_hit).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
+    tok_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    scalars = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # materialize the array column first — size()+explode() in one
+    # select re-tokenizes per token row (see bm25_rank note)
+    base = df.select(F.col(id_col), tok_arr.alias("toks"))
+    toks = base.select(
+        F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    )
+    scalars = (
+        base.select(F.size("toks").alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
     qt = toks.where(F.col("tok").isin(list(terms)))
-    tf = qt.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = qt.groupBy(id_col, "tok", "dl").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -648,7 +651,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(doclen, id_col)
         .join(F.broadcast(scalars))
         .groupBy(id_col)
         .agg(
@@ -679,8 +681,11 @@ def bm25_rank(
     query terms.
 
     Plan shape (the inverted-index join, no cartesian anywhere):
-      1. tokenize the corpus ONCE; per-doc length + (N, avgdl) as
-         broadcast aggregates;
+      1. per-doc length dl = size(token array) rides the tf shuffle as
+         part of the group key — no separate tokenize-explode pass, no
+         doclen aggregation, and no doclen shuffle-join back into the
+         scored relation (r13 optimization: was a 2nd corpus pass + a
+         3rd shuffle); (N, avgdl) is one agg over the size() column;
       2. the union of all query terms (tiny — |queries|·|terms|) is
          BROADCAST-semijoined into the token stream BEFORE the tf
          aggregation, so the shuffled tf relation is bounded by
@@ -698,18 +703,24 @@ def bm25_rank(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
+    tok_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    scalars = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # dl = size(tok_arr) equals the exploded per-doc token count;
+    # docs with zero tokens have no exploded rows, so the scalar agg
+    # filters dl > 0 to keep (N, avgdl) identical to the exploded
+    # form. The array is materialized as a column FIRST: size() and
+    # explode() in one select would place the Generate below the
+    # projection and re-tokenize the document once per token row
+    # (O(L²) — the char_ngrams lesson).
+    base = docs.select(F.col(id_col), tok_arr.alias("toks"))
+    toks = base.select(
+        F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    )
+    scalars = (
+        base.select(F.size("toks").alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
     qtok = queries.select(
         F.col(query_id_col),
@@ -723,7 +734,7 @@ def bm25_rank(
     terms = qtok.select("tok").distinct()
     tf = (
         toks.join(F.broadcast(terms), "tok")
-        .groupBy(id_col, "tok")
+        .groupBy(id_col, "tok", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -736,7 +747,6 @@ def bm25_rank(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(doclen, id_col)
         .join(F.broadcast(scalars))
         .join(F.broadcast(qtok), "tok")
         .groupBy(query_id_col, id_col)

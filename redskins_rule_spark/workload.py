@@ -777,6 +777,7 @@ from redskins_rule_spark.operators.dedup import (  # noqa: E402
 )
 from redskins_rule_spark.operators.multimodal import (  # noqa: E402
     decode_image_meta,
+    length_dict_stats,
     with_binary_payload,
     with_bmp_payload,
 )
@@ -1110,8 +1111,19 @@ def q22_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    payloads = with_binary_payload(docs, "text")
-    return decode_image_meta(payloads, "payload", "doc_id", decode_backend="fake")
+    # dictionary fan-out (guide §8): the fake decode is a pure
+    # function of the payload byte length = utf-8 length of text
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_image_meta(
+            with_binary_payload(d, "text"),
+            "payload",
+            "doc_id",
+            decode_backend="fake",
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1138,8 +1150,17 @@ def q23_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23b_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    payloads = with_bmp_payload(docs, "text", "doc_id")
-    return decode_image_meta(payloads, "payload", "doc_id", decode_backend="bmp")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_image_meta(
+            with_bmp_payload(d, "text", "doc_id"), "payload", "doc_id", decode_backend="bmp"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3631,8 +3652,17 @@ def q83_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q84_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    wav = with_wav_payload(docs, "text", "doc_id")
-    return decode_audio_meta(wav, "payload", "doc_id", decode_backend="wav")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_audio_meta(
+            with_wav_payload(d, "text", "doc_id"), "payload", "doc_id", decode_backend="wav"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4303,10 +4333,15 @@ from redskins_rule_spark.operators.multimodal import (  # noqa: E402
 )
 def q98_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    gif = with_gif_payload(docs, "text", "doc_id")
-    return decode_video_meta(gif, "payload", "doc_id").select(
-        "doc_id", "width", "height", "n_frames", "duration_cs"
-    )
+    # dictionary fan-out (guide §8): decode once per distinct length
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_video_meta(
+            with_gif_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    ).select("doc_id", "width", "height", "n_frames", "duration_cs")
 
 
 @query(
@@ -4331,8 +4366,18 @@ def q98_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q99_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    gif = with_gif_payload(docs, "text", "doc_id")
-    return sample_gif_frames(gif, "payload", "doc_id", stride=2)
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: sample_gif_frames(
+            with_gif_payload(d, "text", "doc_id"), "payload", "doc_id", stride=2
+        ),
+        how="inner",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5318,8 +5363,17 @@ def q123_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    png = with_png_payload(docs, "text", "doc_id")
-    return decode_png_stats(png, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_png_stats(
+            with_png_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ===========================================================================
@@ -6374,8 +6428,18 @@ from redskins_rule_spark.operators.multimodal import (  # noqa: E402
 )
 def q142_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    wav = with_wav_payload(docs, "text", "doc_id")
-    return audio_frame_features(wav, "payload", "doc_id", frame_len=64)
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: audio_frame_features(
+            with_wav_payload(d, "text", "doc_id"), "payload", "doc_id", frame_len=64
+        ),
+        how="inner",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6437,8 +6501,18 @@ from redskins_rule_spark.operators.multimodal import image_patches  # noqa: E402
 )
 def q143_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    bmp = with_bmp_payload(docs, "text", "doc_id")
-    return image_patches(bmp, "payload", "doc_id", patch=8)
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: image_patches(
+            with_bmp_payload(d, "text", "doc_id"), "payload", "doc_id", patch=8
+        ),
+        how="inner",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7245,10 +7319,15 @@ from redskins_rule_spark.operators.multimodal import frame_deltas  # noqa: E402
 )
 def q158_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    payloads = with_gif_payload(docs, "text")
-    return frame_deltas(payloads).select(
-        "doc_id", "f", F.round("mad", 4).alias("mad")
-    )
+    # dictionary fan-out (guide §8): frame deltas once per distinct
+    # length; multi-row join-back keeps the per-(doc, f) shape
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: frame_deltas(with_gif_payload(d, "text")),
+        how="inner",
+    ).select("doc_id", "f", F.round("mad", 4).alias("mad"))
 
 
 # ---------------------------------------------------------------------------
@@ -7295,8 +7374,20 @@ _Q159_T = 400_000_000
 )
 def q159_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    wav = with_wav_payload(docs, "text", "doc_id")
-    feats = audio_frame_features(wav, "payload", "doc_id", frame_len=64)
+    # dictionary fan-out (guide §8): frame features once per distinct
+    # length; the VAD threshold + islands run on the fanned-out rows
+    feats = length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: audio_frame_features(
+            with_wav_payload(d, "text", "doc_id"),
+            "payload",
+            "doc_id",
+            frame_len=64,
+        ),
+        how="inner",
+    )
     hot = feats.where(
         F.col("sum_sq") >= F.lit(_Q159_T) * F.col("n_in_frame").cast("long")
     )
@@ -7356,8 +7447,17 @@ def q160_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-text docs are excluded on BOTH sides (the oracle's WHERE);
     # without the filter Spark would emit null-hash rows the oracle drops
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_bmp_payload(docs, "text", "doc_id")
-    return image_dhash(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: image_dhash(
+            with_bmp_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7718,8 +7818,17 @@ def q165_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    jpg = with_jpeg_payload(docs, "text", "doc_id")
-    return decode_jpeg_stats(jpg, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_jpeg_stats(
+            with_jpeg_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8650,8 +8759,17 @@ def q180_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    jpg = with_jpeg_color_payload(docs, "text", "doc_id")
-    return decode_jpeg_color_stats(jpg, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_jpeg_color_stats(
+            with_jpeg_color_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8760,15 +8878,23 @@ def q182_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    jpg = with_jpeg_payload(docs, "text", "doc_id")
-    corrupted = jpg.withColumn(
-        "payload",
-        F.when(
-            (F.col("doc_id") % 7) == 0,
-            F.expr("substring(payload, 1, CAST(length(payload)/2 AS INT))"),
-        ).otherwise(F.col("payload")),
-    )
-    stats = decode_stats_tolerant(corrupted, "jpeg", "payload", "doc_id")
+
+    # dictionary fan-out (guide §8) with id_mod=7: the corruption
+    # trigger is doc_id % 7 == 0 and the packed key preserves the
+    # residue mod 7, so the dictionary corrupts exactly the keys whose
+    # docs would have been corrupted
+    def _pipeline(d: DataFrame) -> DataFrame:
+        jpg = with_jpeg_payload(d, "text", "doc_id")
+        corrupted = jpg.withColumn(
+            "payload",
+            F.when(
+                (F.col("doc_id") % 7) == 0,
+                F.expr("substring(payload, 1, CAST(length(payload)/2 AS INT))"),
+            ).otherwise(F.col("payload")),
+        )
+        return decode_stats_tolerant(corrupted, "jpeg", "payload", "doc_id")
+
+    stats = length_dict_stats(docs, "text", "doc_id", _pipeline, id_mod=7)
     return stats.select(
         "doc_id",
         F.col("decode_error").isNotNull().alias("is_quarantined"),
@@ -9025,8 +9151,17 @@ def q186_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    jpg = with_jpeg_progressive_payload(docs, "text", "doc_id")
-    return decode_jpeg_progressive_stats(jpg, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_jpeg_progressive_stats(
+            with_jpeg_progressive_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9080,8 +9215,17 @@ def q187_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp4 = with_mp4_payload(docs, "text", "doc_id")
-    return decode_mp4_meta(mp4, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp4_meta(
+            with_mp4_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 @query(
@@ -9108,8 +9252,18 @@ def q188_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp4 = with_mp4_payload(docs, "text", "doc_id")
-    return sample_mp4_frames(mp4, "payload", "doc_id", handler="vide", stride=2)
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: sample_mp4_frames(
+            with_mp4_payload(d, "text", "doc_id"), "payload", "doc_id", handler="vide", stride=2
+        ),
+        how="inner",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9163,8 +9317,17 @@ def q189_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp3 = with_mp3_payload(docs, "text", "doc_id")
-    return decode_mp3_stats(mp3, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp3_stats(
+            with_mp3_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 @query(
@@ -9197,8 +9360,18 @@ def q190_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp3 = with_mp3_payload(docs, "text", "doc_id")
-    return sample_mp3_frames(mp3, "payload", "doc_id", stride=3)
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: sample_mp3_frames(
+            with_mp3_payload(d, "text", "doc_id"), "payload", "doc_id", stride=3
+        ),
+        how="inner",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9863,8 +10036,18 @@ def q200_media_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mixed = with_mixed_media_payload(docs, "text", "doc_id")
-    return sniff_media_stats(mixed, "payload", "doc_id")
+    # dictionary fan-out (guide §8) with id_mod=9: the class picker is
+    # doc_id % 9, so the dictionary keys on (lengths, id residue) and
+    # the packed key preserves the residue mod 9
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: sniff_media_stats(
+            with_mixed_media_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+        id_mod=9,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9970,8 +10153,17 @@ def q202_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    jpg = with_jpeg_progressive_color_payload(docs, "text", "doc_id")
-    return decode_jpeg_progressive_color_stats(jpg, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_jpeg_progressive_color_stats(
+            with_jpeg_progressive_color_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10060,8 +10252,17 @@ def q203_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp3 = with_mp3_granule_payload(docs, "text", "doc_id")
-    return decode_mp3_sideinfo_stats(mp3, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp3_sideinfo_stats(
+            with_mp3_granule_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10103,8 +10304,17 @@ def q204_avc_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp4 = with_mp4_avc_payload(docs, "text", "doc_id")
-    return decode_avc_stats(mp4, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_avc_stats(
+            with_mp4_avc_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10158,8 +10368,17 @@ def q205_adts_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    aac = with_adts_payload(docs, "text", "doc_id")
-    return decode_adts_stats(aac, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_adts_stats(
+            with_adts_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10201,8 +10420,17 @@ def q206_avcc_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp4 = with_mp4_avcc_payload(docs, "text", "doc_id")
-    return decode_avcc_stats(mp4, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_avcc_stats(
+            with_mp4_avcc_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10245,8 +10473,17 @@ def q207_esds_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp4 = with_mp4_aac_payload(docs, "text", "doc_id")
-    return decode_mp4_aac_stats(mp4, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp4_aac_stats(
+            with_mp4_aac_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10281,8 +10518,17 @@ def q208_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp3 = with_tagged_mp3_payload(docs, "text", "doc_id")
-    return decode_id3_stats(mp3, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_id3_stats(
+            with_tagged_mp3_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10396,8 +10642,17 @@ def q209_avc_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_avc_ipcm_payload(docs, "text", "doc_id")
-    return decode_avc_ipcm_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_avc_ipcm_stats(
+            with_avc_ipcm_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10453,8 +10708,17 @@ def q210_mp3_count1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_mp3_count1_payload(docs, "text", "doc_id")
-    return decode_mp3_count1_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp3_count1_stats(
+            with_mp3_count1_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10594,8 +10858,17 @@ def q212_mp4_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_mp4_ipcm_payload(docs, "text", "doc_id")
-    return decode_mp4_ipcm_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp4_ipcm_stats(
+            with_mp4_ipcm_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10662,8 +10935,17 @@ def q213_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_mp3_bigv_payload(docs, "text", "doc_id")
-    return decode_mp3_bigv_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp3_bigv_stats(
+            with_mp3_bigv_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10705,8 +10987,17 @@ def q214_aac_sce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_adts_silent_payload(docs, "text", "doc_id")
-    return decode_aac_sce_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_aac_sce_stats(
+            with_adts_silent_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10751,8 +11042,17 @@ def q215_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    png = with_png_interlaced_payload(docs, "text", "doc_id")
-    return decode_png_fp_stats(png, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_png_fp_stats(
+            with_png_interlaced_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10797,8 +11097,17 @@ def q216_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    gif = with_gif_interlaced_payload(docs, "text", "doc_id")
-    return decode_gif_fp_stats(gif, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_gif_fp_stats(
+            with_gif_interlaced_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10872,8 +11181,17 @@ def q217_wav_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_wav_ima_payload(docs, "text", "doc_id")
-    return decode_wav_ima_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_wav_ima_stats(
+            with_wav_ima_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10915,8 +11233,17 @@ def q218_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_exif_jpeg_payload(docs, "text", "doc_id")
-    return decode_exif_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_exif_stats(
+            with_exif_jpeg_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10952,8 +11279,17 @@ def q219_id3v24_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    mp3 = with_tagged24_mp3_payload(docs, "text", "doc_id")
-    return decode_id3v24_stats(mp3, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_id3v24_stats(
+            with_tagged24_mp3_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10997,8 +11333,17 @@ def q220_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_bmp_rle8_payload(docs, "text", "doc_id")
-    return decode_bmp_rle8_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_bmp_rle8_stats(
+            with_bmp_rle8_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11128,8 +11473,17 @@ def q222_avc_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_avc_i16dc_payload(docs, "text", "doc_id")
-    return decode_avc_i16dc_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_avc_i16dc_stats(
+            with_avc_i16dc_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11182,8 +11536,17 @@ def q223_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_mp3_reservoir_payload(docs, "text", "doc_id")
-    return decode_mp3_reservoir_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_mp3_reservoir_stats(
+            with_mp3_reservoir_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11237,8 +11600,17 @@ def q224_aac_short_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_adts_short_payload(docs, "text", "doc_id")
-    return decode_aac_short_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_aac_short_stats(
+            with_adts_short_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11345,8 +11717,17 @@ def q225_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_payload(docs, "text", "doc_id")
-    return decode_flac_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stats(
+            with_flac_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11453,8 +11834,17 @@ def q226_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_lpc_payload(docs, "text", "doc_id")
-    return decode_flac_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stats(
+            with_flac_lpc_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11526,8 +11916,17 @@ def q227_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_stereo_payload(docs, "text", "doc_id")
-    return decode_flac_stereo_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stereo_stats(
+            with_flac_stereo_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11653,8 +12052,17 @@ def q229_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_tiff_payload(docs, "text", "doc_id")
-    return decode_tiff_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_tiff_stats(
+            with_tiff_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11872,8 +12280,17 @@ def q231_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_wav_g711_payload(docs, "text", "doc_id")
-    return decode_wav_g711_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_wav_g711_stats(
+            with_wav_g711_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11960,8 +12377,17 @@ def q232_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_qoi_payload(docs, "text", "doc_id")
-    return decode_qoi_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_qoi_stats(
+            with_qoi_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12256,8 +12682,17 @@ def q235_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_depths_payload(docs, "text", "doc_id")
-    return decode_flac_stats_ext(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stats_ext(
+            with_flac_depths_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12355,8 +12790,17 @@ def q236_flac_rice2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_rice2_payload(docs, "text", "doc_id")
-    return decode_flac_stats_ext(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stats_ext(
+            with_flac_rice2_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12474,8 +12918,17 @@ def q237_flac_varblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_varblock_payload(docs, "text", "doc_id")
-    return decode_flac_stats_ext(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stats_ext(
+            with_flac_varblock_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12568,8 +13021,17 @@ def q238_flac_stereo_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_stereo_ext_payload(docs, "text", "doc_id")
-    return decode_flac_stereo_stats_ext(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length, broadcast the stats back onto the doc ids — the
+    # Python decode cost stops scaling with corpus row count
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_stereo_stats_ext(
+            with_flac_stereo_ext_payload(d, "text", "doc_id"), "payload", "doc_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12660,12 +13122,24 @@ def q238_flac_stereo_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q239_flac_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.multimodal import (
         decode_flac_multichannel_stats,
+        length_dict_stats,
         with_flac_multichannel_payload,
     )
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    payloads = with_flac_multichannel_payload(docs, "text", "doc_id")
-    return decode_flac_multichannel_stats(payloads, "payload", "doc_id")
+    # dictionary fan-out (guide §8): synth+decode once per DISTINCT
+    # text length (a few hundred rows at any corpus size), broadcast
+    # the stats back — the Python decode cost stops scaling with rows
+    return length_dict_stats(
+        docs,
+        "text",
+        "doc_id",
+        lambda d: decode_flac_multichannel_stats(
+            with_flac_multichannel_payload(d, "text", "doc_id"),
+            "payload",
+            "doc_id",
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
