@@ -144,7 +144,7 @@ def stratified_sample_exact(
         T.StructType(
             [keyed.schema[stratum_col], T.StructField("__k", T.LongType())]
         ),
-    )
+    ).coalesce(1)  # tiny local table: don't pay a default-parallelism stage
     cand_agg = candidates.groupBy(stratum_col).agg(
         F.array_sort(F.collect_list(F.struct("__h", id_col))).alias("__cand")
     )

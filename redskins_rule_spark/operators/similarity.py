@@ -670,7 +670,7 @@ def train_pq_codebooks(
         bdf = spark.createDataFrame(
             [(s, i, books[s][i]) for s in range(m) for i in range(k)],
             "s int, i int, cent array<double>",
-        )
+        ).coalesce(1)  # m*k rows; one partition per training iteration
         dist = F.round(_l2_sq(F.col("v"), F.col("cent")), 9)
         assigned = (
             sub_exploded.join(F.broadcast(bdf), "s")

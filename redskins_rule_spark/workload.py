@@ -863,7 +863,7 @@ _SQL_EN_STOPS = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
     """,
 )
 def q16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -905,7 +905,7 @@ _LANG_CASE = " ".join(
     """,
 )
 def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
@@ -961,7 +961,7 @@ def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df=64: inert at test SFs (max gram df is 25 at sf0.1) but the
     # df-cut path is exercised and bounds hot-gram fan-out at scale.
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs_exact(
         docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
     )
@@ -1006,7 +1006,7 @@ _SQL_SIG = "[" + ", ".join(
     """,
 )
 def q20_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     grams = F.array_distinct(word_shingles("text", 3))
     base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
     sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
@@ -1190,7 +1190,7 @@ def q24_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q25_simhash_pairs")
 def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -1247,7 +1247,7 @@ _SQL_SIM_SIG = " + ".join(
     """,
 )
 def q25b_simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_pairs(
         docs, "doc_id", "text", max_hamming=3,
         bits=62, hash_expr=simhash_token_hash_xengine,
@@ -2407,7 +2407,7 @@ from redskins_rule_spark.operators.graph import dedup_clusters  # noqa: E402
     """,
 )
 def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # max_df=64 on BOTH sides (inert below sf1 — max gram df at sf0.1
     # is 25 — and the scale-correct stop-gram semantic above it)
     pairs = ngram_jaccard_pairs_exact(
@@ -2447,7 +2447,7 @@ from redskins_rule_spark.operators.sketch import heavy_hitters  # noqa: E402
     """,
 )
 def q57_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", spread=True)
     return heavy_hitters(ev, "user_id", 0.008, count_col="item_count")
 
 
@@ -2837,7 +2837,7 @@ from redskins_rule_spark.operators.text import contamination_pairs, repetition_s
     """,
 )
 def q65_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(table(spark, sf_dir, "documents"))
+    return repetition_stats(table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
@@ -2861,7 +2861,7 @@ def q65_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     return contamination_pairs(corpus, bench).select(
@@ -3114,7 +3114,7 @@ def q72_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q73_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     idx = build_inverted_index(
         docs, "doc_id", "text", min_df=1, vocabulary=["dup", "the"]
     )
@@ -3191,7 +3191,7 @@ def q74_packing_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q75_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
@@ -3433,7 +3433,7 @@ def _q80_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy WITH RECURSIVE plan itself — split out so the plan
     gate (tests/test_plans.py) can assert the UnionLoop node before
     q80's eager localCheckpoint truncates the lineage."""
-    table(spark, sf_dir, "part").createOrReplaceTempView("__q80_part")
+    table(spark, sf_dir, "part", spread=True).createOrReplaceTempView("__q80_part")
     return spark.sql(
         """
         WITH RECURSIVE chain(node, up, depth) AS (
@@ -3595,7 +3595,7 @@ def q82_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q83_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     grams = F.array_distinct(word_shingles("text", 3))
     base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
     sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
@@ -4036,7 +4036,7 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     grams = word_shingles("text", 3)
     base = docs.select("doc_id", grams.alias("gs")).where(F.size("gs") >= 1)
     exploded = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
@@ -4752,8 +4752,8 @@ def q107_redskins_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_num long, year string, candidate string, political_party string, "
         "electoral_votes long, popular_votes string, popular_percentage string"
     )
-    nfl_raw = spark.createDataFrame(NFL_ROWS, nfl_schema)
-    elec_raw = spark.createDataFrame(ELEC_ROWS, elec_schema)
+    nfl_raw = spark.createDataFrame(NFL_ROWS, nfl_schema).coalesce(1)
+    elec_raw = spark.createDataFrame(ELEC_ROWS, elec_schema).coalesce(1)
     out = rr.run(spark, nfl_raw, elec_raw)
     # dates as strings and counts as bigint for cross-engine hashing
     date_cols = {"elec_date", "game_date", "p_elec_date"}
@@ -4846,7 +4846,7 @@ def q108_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q109_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs_exact(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=4
     )
@@ -5048,7 +5048,7 @@ def q114_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # BIND the token array in a projection before the per-window
     # lambda references it: closing the lambda over the raw split()
     # expression re-evaluates the split per window — O(L²) per doc,
@@ -5110,7 +5110,9 @@ def q116_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit bin = floor(value/10) capped at 10: every dim range maps to a
     # FINITE bin set (the open tail lives entirely in bin 10)
     cap = 10
-    dim = spark.createDataFrame(_Q116_BINS, "label string, lo double, hi double")
+    dim = spark.createDataFrame(
+        _Q116_BINS, "label string, lo double, hi double"
+    ).coalesce(1)
     bins = F.sequence(
         F.least(F.floor(F.col("lo") / 10).cast("int"), F.lit(cap)),
         F.least(F.ceil(F.col("hi") / 10).cast("int") - 1, F.lit(cap)),
@@ -5321,7 +5323,7 @@ def q121_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.dedup import ngram_containment_pairs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_df=64
     )
@@ -5433,7 +5435,7 @@ from redskins_rule_spark.operators.text import bigram_lm_nll  # noqa: E402
     """,
 )
 def q124_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return bigram_lm_nll(docs, "doc_id", "text")
 
 
@@ -5684,7 +5686,7 @@ def q128_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q129_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # max_df=64 on BOTH sides (the q19/q54 stop-gram semantic —
     # inert below sf1, the scale contract above it)
     pairs = ngram_jaccard_pairs_exact(
@@ -6181,7 +6183,7 @@ from redskins_rule_spark.operators.graph import triangle_count  # noqa: E402
     """,
 )
 def q138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # max_df=64 (the q19 contract): inert at gate SFs, but the sf1 run
     # proved the UNCUT gram universe explodes posting-list pair volume
     # at 50k docs — the round-5 failure class, reachable through any
@@ -6555,7 +6557,7 @@ from redskins_rule_spark.operators.text import bm25_topk  # noqa: E402
     """,
 )
 def q144_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return bm25_topk(
         docs, "doc_id", "text", terms=["spark", "table", "window"], k=10
     )
@@ -6678,7 +6680,7 @@ from redskins_rule_spark.operators.graph import kcore  # noqa: E402
     """,
 )
 def q146_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     edges = li.select(
         F.col("l_partkey").alias("src"),
         (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
@@ -6726,7 +6728,7 @@ from redskins_rule_spark.operators.text import block_dedup  # noqa: E402
     """,
 )
 def q147_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return block_dedup(docs, "doc_id", "text", block_tokens=8)
 
 
@@ -7516,7 +7518,7 @@ _Q161_CASE = """CASE WHEN u < 0.36787944117144233 THEN 0
     """,
 )
 def q161_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", spread=True)
     out = bootstrap_ci(
         orders.select(
             F.col("o_orderpriority").alias("grp"),
@@ -8136,7 +8138,7 @@ def q170_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q171_char_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     t = docs.select(
         "doc_id", F.lower(F.col("text")).alias("lt")
     ).where(F.length("text") >= 3)
@@ -8401,7 +8403,7 @@ _Q174_FOLD = (
     """,
 )
 def q174_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return srp_lsh_pairs(
         emb, "vec_id", "embedding", dim=_Q174_DIM,
         n_planes=_Q174_PLANES, bands=_Q174_BANDS, threshold=0.4,
@@ -8459,7 +8461,7 @@ _Q175_COS = (
 def q175_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.similarity import knn_label_consistency
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return knn_label_consistency(emb, "vec_id", "embedding", "label", k=5)
 
 
@@ -9036,7 +9038,7 @@ def _srp_oracle(planes: int, bands: int, dim: int, threshold: float) -> str:
 
 @query("q184_srp_wide", oracle=_srp_oracle(128, 8, 64, 0.4))
 def q184_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return srp_lsh_pairs(
         emb, "vec_id", "embedding", dim=64,
         n_planes=128, bands=8, threshold=0.4,
@@ -9102,7 +9104,7 @@ def q185_ann_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_label_consistency,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     pairs = srp_lsh_pairs(
         emb, "vec_id", "embedding", dim=64,
         n_planes=None, bands=8, threshold=0.1,
@@ -9421,7 +9423,7 @@ _Q191_ROLL = _sql_roll_of("('7:' || g)")
 def q191_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import dsir_importance
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return dsir_importance(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256, seed=7
     )
@@ -10793,8 +10795,8 @@ def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     waves = (
         ev.where(F.col("ts") < F.lit(cut)),
         ev.where(F.col("ts") >= F.lit(cut)),
-        spark.createDataFrame([sentinels[0]], schema),
-        spark.createDataFrame([sentinels[1]], schema),
+        spark.createDataFrame([sentinels[0]], schema).coalesce(1),
+        spark.createDataFrame([sentinels[1]], schema).coalesce(1),
     )
     for wave in waves:
         wave.write.mode("append").parquet(land)
@@ -11410,7 +11412,7 @@ _Q221_HEX = " + ".join(
 def q221_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import hashed_logistic_quality
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return hashed_logistic_quality(docs, "text", "doc_id")
 
 
@@ -11989,7 +11991,7 @@ def q228_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_sq_bounds,
     )
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     bounds = train_sq_bounds(emb, "embedding", dim=64)
@@ -12547,7 +12549,7 @@ def q234_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_index,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = table(spark, sf_dir, "documents", spread=True).select("doc_id")
     indexed = with_global_index(docs, ["doc_id"], index_col="idx")
     shuffled = corpus_shuffle(indexed, "idx", seed=7, epoch=3)
     return shuffled.select(
@@ -13212,8 +13214,14 @@ BM25_QUERIES: list[tuple[str, str]] = [
 def q240_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import bm25_rank
 
-    docs = table(spark, sf_dir, "documents")
-    queries_df = spark.createDataFrame(BM25_QUERIES, "qid string, qtext string")
+    docs = table(spark, sf_dir, "documents", spread=True)
+    # coalesce(1): createDataFrame parallelizes 4 rows across the
+    # default parallelism, so every broadcast subquery over the query
+    # table paid a 32-task stage of empty tasks (stage report: 2×32
+    # tasks, ~0 cpu) — one partition for 4 rows
+    queries_df = spark.createDataFrame(
+        BM25_QUERIES, "qid string, qtext string"
+    ).coalesce(1)
     out = bm25_rank(docs, "doc_id", "text", queries_df, "qid", "qtext", k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -13298,7 +13306,7 @@ def q240_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q241_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
 
-    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = table(spark, sf_dir, "documents", spread=True).where(F.col("text").isNotNull())
     return rolling_fingerprint_dedup(docs, "doc_id", "text", k=12, max_df=2)
 
 
@@ -13440,7 +13448,7 @@ PHRASES: list[str] = ["big data", "data the filter"]
 def q243_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import phrase_search
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     out = None
     for ph in PHRASES:
         hit = phrase_search(docs, ph).select(
