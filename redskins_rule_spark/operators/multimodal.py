@@ -4126,6 +4126,14 @@ def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
         lens.where(F.col("__lkey").isNotNull())
         .select(F.col("__lkey").alias(id_col))
         .distinct()
+        # the distinct's post-shuffle output is a few hundred tiny rows,
+        # so AQE coalesces it to ONE partition and the Python
+        # synth+decode below runs serially on one core. Round-robin the
+        # bounded dictionary across the session's cores — a ~530-row
+        # exchange at ANY corpus scale (the dictionary is bounded by
+        # the length distribution, not the corpus), and per-key stats
+        # are deterministic so placement cannot change results.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .withColumn(src_col, synth_src)
     )
     stats = stats_fn(dict_docs)
