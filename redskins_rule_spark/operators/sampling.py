@@ -144,7 +144,8 @@ def stratified_sample_exact(
         T.StructType(
             [keyed.schema[stratum_col], T.StructField("__k", T.LongType())]
         ),
-    ).coalesce(1)  # tiny local table: don't pay a default-parallelism stage
+    )  # NOT coalesce(1): merging pickled partitions pays a Python-
+    # worker round-trip per parent partition (see train_pq_codebooks)
     cand_agg = candidates.groupBy(stratum_col).agg(
         F.array_sort(F.collect_list(F.struct("__h", id_col))).alias("__cand")
     )

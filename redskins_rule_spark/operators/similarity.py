@@ -667,10 +667,23 @@ def train_pq_codebooks(
     ).select("e.s", "e.id", "e.v").localCheckpoint(eager=True)
 
     for _ in range(iters):
-        bdf = spark.createDataFrame(
-            [(s, i, books[s][i]) for s in range(m) for i in range(k)],
-            "s int, i int, cent array<double>",
-        ).coalesce(1)  # m*k rows; one partition per training iteration
+        # the m·k-row codebook frame as a parsed VALUES relation (the
+        # SRP-literal pattern): a LocalRelation needs NO job to
+        # broadcast. createDataFrame(py_rows) parallelizes across the
+        # default parallelism — an empty-task stage per iteration —
+        # and .coalesce(1) is WORSE: the merged task computes every
+        # pickled parent partition serially, each paying its own
+        # Python-worker round-trip (measured 6 s per iteration for 64
+        # rows). `{float}D` literals round-trip doubles exactly, so
+        # the trained centroids are bit-identical.
+        rows_sql = ", ".join(
+            f"({s}, {i}, array("
+            + ",".join(f"{float(x)}D" for x in books[s][i])
+            + "))"
+            for s in range(m)
+            for i in range(k)
+        )
+        bdf = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS t(s, i, cent)")
         dist = F.round(_l2_sq(F.col("v"), F.col("cent")), 9)
         assigned = (
             sub_exploded.join(F.broadcast(bdf), "s")

@@ -4752,8 +4752,8 @@ def q107_redskins_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_num long, year string, candidate string, political_party string, "
         "electoral_votes long, popular_votes string, popular_percentage string"
     )
-    nfl_raw = spark.createDataFrame(NFL_ROWS, nfl_schema).coalesce(1)
-    elec_raw = spark.createDataFrame(ELEC_ROWS, elec_schema).coalesce(1)
+    nfl_raw = spark.createDataFrame(NFL_ROWS, nfl_schema)
+    elec_raw = spark.createDataFrame(ELEC_ROWS, elec_schema)
     out = rr.run(spark, nfl_raw, elec_raw)
     # dates as strings and counts as bigint for cross-engine hashing
     date_cols = {"elec_date", "game_date", "p_elec_date"}
@@ -5110,9 +5110,17 @@ def q116_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit bin = floor(value/10) capped at 10: every dim range maps to a
     # FINITE bin set (the open tail lives entirely in bin 10)
     cap = 10
-    dim = spark.createDataFrame(
-        _Q116_BINS, "label string, lo double, hi double"
-    ).coalesce(1)
+    # 5-row dim as a parsed VALUES relation (LocalRelation, no job;
+    # coalesce(1) on a pickled createDataFrame pays a Python-worker
+    # round-trip per merged parent partition — see train_pq_codebooks)
+    dim = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{lbl}', {float(lo)}D, {float(hi)}D)"
+            for lbl, lo, hi in _Q116_BINS
+        )
+        + ") AS t(label, lo, hi)"
+    )
     bins = F.sequence(
         F.least(F.floor(F.col("lo") / 10).cast("int"), F.lit(cap)),
         F.least(F.ceil(F.col("hi") / 10).cast("int") - 1, F.lit(cap)),
@@ -10792,11 +10800,24 @@ def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     out = os.path.join(root, "sessions")
     schema = "event_id long, ts timestamp, user_id long"
+    # sentinel rows as one-row SELECTs (LocalRelation, no job):
+    # createDataFrame slices even ONE row across the default
+    # parallelism (31 empty pickled partitions), and .coalesce(1) was
+    # worse still — the merged task pays a Python-worker round-trip
+    # per parent partition. TIMESTAMP literals parse in the session tz
+    # (UTC), exactly how createDataFrame bound the naive datetimes.
+    def _sentinel(row):
+        eid, ts, uid = row
+        return spark.sql(
+            f"SELECT CAST({eid} AS BIGINT) AS event_id, "
+            f"TIMESTAMP '{ts}' AS ts, CAST({uid} AS BIGINT) AS user_id"
+        )
+
     waves = (
         ev.where(F.col("ts") < F.lit(cut)),
         ev.where(F.col("ts") >= F.lit(cut)),
-        spark.createDataFrame([sentinels[0]], schema).coalesce(1),
-        spark.createDataFrame([sentinels[1]], schema).coalesce(1),
+        _sentinel(sentinels[0]),
+        _sentinel(sentinels[1]),
     )
     for wave in waves:
         wave.write.mode("append").parquet(land)
@@ -13215,13 +13236,13 @@ def q240_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import bm25_rank
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    # coalesce(1): createDataFrame parallelizes 4 rows across the
-    # default parallelism, so every broadcast subquery over the query
-    # table paid a 32-task stage of empty tasks (stage report: 2×32
-    # tasks, ~0 cpu) — one partition for 4 rows
-    queries_df = spark.createDataFrame(
-        BM25_QUERIES, "qid string, qtext string"
-    ).coalesce(1)
+    # the 4-row query table as a parsed VALUES relation (LocalRelation):
+    # createDataFrame parallelizes it across the default parallelism, so
+    # every broadcast subquery over it paid a 32-task stage of empty
+    # tasks — and .coalesce(1) is worse (the merged task pays one
+    # Python-worker round-trip per pickled parent partition, ~6 s)
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    queries_df = spark.sql(f"SELECT * FROM (VALUES {vals}) AS t(qid, qtext)")
     out = bm25_rank(docs, "doc_id", "text", queries_df, "qid", "qtext", k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
