@@ -30,6 +30,28 @@ from redskins_rule_spark.operators.sampling import budget_waterfill, knuth_hash
 from redskins_rule_spark.operators.text import contamination_pairs
 
 
+class _LazyFaces(dict):
+    """Curation output mapping whose expensive faces build on FIRST
+    ACCESS. `with_global_index` runs its partition-pinning count jobs
+    at CONSTRUCTION time (documented there), so building `kept`
+    eagerly taxes callers that only consume `report` — q145 paid the
+    full survivor pipeline plus a range shuffle for a frame it never
+    touched. Plain dict semantics otherwise; thunk values are built
+    once and cached."""
+
+    def __init__(self, thunks=None):
+        super().__init__()
+        self._thunks = dict(thunks or {})
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._thunks:
+            self[key] = self._thunks.pop(key)()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._thunks
+
+
 @dataclass
 class CurationConfig:
     id_col: str = "doc_id"
@@ -111,7 +133,7 @@ def curate_corpus(
     else:
         stage5 = stage4
 
-    out: dict[str, DataFrame] = {}
+    out: dict[str, DataFrame] = _LazyFaces()
     if cfg.budget_frac is not None:
         toks = stage5.select(
             cfg.source_col,
@@ -135,10 +157,12 @@ def curate_corpus(
     else:
         final = stage5
 
-    kept = with_global_index(
+    # LAZY face: with_global_index is eager (partition-pinning count
+    # jobs at construction) — defer it to first access so report-only
+    # consumers never run the survivor pipeline for it
+    out._thunks["kept"] = lambda: with_global_index(
         final, [cfg.source_col, i], index_col="shard_idx"
     )
-    out["kept"] = kept
 
     stages = [
         ("total", stage0), ("len_ok", stage1), ("lang_ok", stage2),

@@ -6641,7 +6641,11 @@ from redskins_rule_spark.pipelines.curation import (  # noqa: E402
     """,
 )
 def q145_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread-safe: the report path is all integer-exact work (stage
+    # counts, exact content-hash dedup, integer-ratio jaccard with a
+    # deterministic per-pair threshold) — no FP aggregate above the
+    # scan, so row order cannot move the oracle hash
+    docs = table(spark, sf_dir, "documents", spread=True)
     out = curate_corpus(docs, CurationConfig())
     return out["report"]
 
