@@ -15,6 +15,7 @@ from __future__ import annotations
 
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -297,6 +298,64 @@ def stateful_cdc_latest(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+_STATE_BYTES_PER_PART = 64 << 20  # env-overridable; see scaled_state_partitions
+
+
+@contextmanager
+def scaled_state_partitions(spark: SparkSession, *landing_paths: str, floor: int = 4):
+    """Size `spark.sql.shuffle.partitions` — which pins a NEW streaming
+    query's state-store partition count at its first micro-batch — from
+    the LANDING INPUT SIZE, for the duration of a drain.
+
+    Why: state-store setup cost is per (partition × store × query
+    start), and it is SERIALIZED — thread dumps during a q199 drain
+    show 30/32 task threads blocked in `StateStore$.getStateStoreProvider`
+    (one global `loadedProviders` lock around provider init + checkpoint
+    dir fs ops), then all 32 parked in the synchronous state-store
+    coordinator RPC. A stream-stream join opens 4 stores per partition,
+    so 32 partitions = 128 serialized provider inits PER DRAIN for a
+    few MB of state (measured: q199 drains [15.9, 10.5] s at default 32
+    → [4.1, 2.5] s at 4, quiet host).
+
+    Scale-adaptive, not a local constant: n = clamp(ceil(bytes /
+    SPARK_GRAFT_STATE_BYTES_PER_PART), floor, session shuffle
+    partitions). Production waves (≫ partitions × 64 MiB) hit the cap
+    and the setting is a no-op; only tiny landings shrink. Restart
+    safety: Spark pins the state partition count in the checkpoint's
+    offset metadata at the first batch, so later drains of the SAME
+    checkpoint keep the pinned count regardless of this conf — results
+    are partition-count-independent (keyed aggregations / joins), only
+    setup cost changes.
+    """
+    import math
+    import os as _os
+
+    total = 0
+    for p in landing_paths:
+        try:
+            if _os.path.isdir(p):
+                total += sum(
+                    e.stat().st_size
+                    for e in _os.scandir(p)
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                )
+            elif _os.path.exists(p):
+                total += _os.path.getsize(p)
+        except OSError:
+            pass
+    per = int(
+        _os.environ.get("SPARK_GRAFT_STATE_BYTES_PER_PART", _STATE_BYTES_PER_PART)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = int(old)
+    n = max(min(floor, cap), min(cap, math.ceil(total / per) if total else 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def run_available_now(

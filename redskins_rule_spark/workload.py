@@ -9540,6 +9540,7 @@ def q193_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_to_files,
+        scaled_state_partitions,
         stream_from_files,
         streaming_dedup,
     )
@@ -9564,16 +9565,17 @@ def q193_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         wave2,
     ):
         wave.write.mode("append").parquet(land)
-        run_available_now_to_files(
-            streaming_dedup(
-                stream_from_files(spark, land, schema),
-                ["event_id"],
-                ts_col="ts",
-                watermark="99999 days",
-            ),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, land):
+            run_available_now_to_files(
+                streaming_dedup(
+                    stream_from_files(spark, land, schema),
+                    ["event_id"],
+                    ts_col="ts",
+                    watermark="99999 days",
+                ),
+                ckpt,
+                out,
+            )
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -9722,6 +9724,7 @@ def q196_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_update_appends,
+        scaled_state_partitions,
         stateful_cdc_latest,
         stream_from_files,
     )
@@ -9747,11 +9750,12 @@ def q196_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for wave in waves:
         wave.write.mode("append").parquet(land)
-        run_available_now_update_appends(
-            stateful_cdc_latest(stream_from_files(spark, land, schema)),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, land):
+            run_available_now_update_appends(
+                stateful_cdc_latest(stream_from_files(spark, land, schema)),
+                ckpt,
+                out,
+            )
     log = spark.read.parquet(out)
     # latest upsert per key IS the snapshot: n_changes is monotone
     return log.groupBy("user_id").agg(
@@ -9807,6 +9811,7 @@ def q197_stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_to_files,
+        scaled_state_partitions,
         stateful_pit_enrich,
         stream_from_files,
     )
@@ -9830,14 +9835,15 @@ def q197_stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-16").cast("timestamp")
     for wave_filter in (F.col("ts") < cut, F.col("ts") >= cut):
         ev.where(wave_filter).write.mode("append").parquet(land)
-        run_available_now_to_files(
-            stateful_pit_enrich(
-                stream_from_files(spark, land, schema),
-                max_versions=1_000_000,
-            ),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, land):
+            run_available_now_to_files(
+                stateful_pit_enrich(
+                    stream_from_files(spark, land, schema),
+                    max_versions=1_000_000,
+                ),
+                ckpt,
+                out,
+            )
     return spark.read.parquet(out).select(
         "user_id",
         "event_id",
@@ -9877,6 +9883,7 @@ def q198_stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_update_appends,
+        scaled_state_partitions,
         stateful_running_totals,
         stream_from_files,
     )
@@ -9894,11 +9901,12 @@ def q198_stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "user_id long, event_id long, value double"
     for wave_filter in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
         ev.where(wave_filter).write.mode("append").parquet(land)
-        run_available_now_update_appends(
-            stateful_running_totals(stream_from_files(spark, land, schema)),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, land):
+            run_available_now_update_appends(
+                stateful_running_totals(stream_from_files(spark, land, schema)),
+                ckpt,
+                out,
+            )
     log = spark.read.parquet(out)
     return log.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -9940,6 +9948,7 @@ def q199_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_to_files,
+        scaled_state_partitions,
         stream_from_files,
         stream_stream_join,
     )
@@ -9976,17 +9985,18 @@ def q199_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for wave_filter in (F.col("ts") < cut, F.col("ts") >= cut):
         clicks.where(wave_filter).write.mode("append").parquet(lland)
         buys.where(wave_filter).write.mode("append").parquet(rland)
-        run_available_now_to_files(
-            stream_stream_join(
-                stream_from_files(spark, lland, schema),
-                stream_from_files(spark, rland, schema),
-                key_cols=("user_id",),
-                within="1 hour",
-                watermark="3650 days",
-            ),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, lland, rland):
+            run_available_now_to_files(
+                stream_stream_join(
+                    stream_from_files(spark, lland, schema),
+                    stream_from_files(spark, rland, schema),
+                    key_cols=("user_id",),
+                    within="1 hour",
+                    watermark="3650 days",
+                ),
+                ckpt,
+                out,
+            )
     return spark.read.parquet(out).select(
         "user_id",
         "event_id",
@@ -10785,6 +10795,7 @@ def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redskins_rule_spark.streaming.ops import (
         run_available_now_to_files,
+        scaled_state_partitions,
         sessionized_counts,
         stream_from_files,
     )
@@ -10825,15 +10836,16 @@ def q211_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for wave in waves:
         wave.write.mode("append").parquet(land)
-        run_available_now_to_files(
-            sessionized_counts(
-                stream_from_files(spark, land, schema),
-                gap=gap,
-                watermark=delay,
-            ),
-            ckpt,
-            out,
-        )
+        with scaled_state_partitions(spark, land):
+            run_available_now_to_files(
+                sessionized_counts(
+                    stream_from_files(spark, land, schema),
+                    gap=gap,
+                    watermark=delay,
+                ),
+                ckpt,
+                out,
+            )
     emitted = spark.read.parquet(out).where(F.col("user_id") >= 0)
     return emitted.select(
         "user_id",

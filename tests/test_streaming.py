@@ -1173,3 +1173,55 @@ def test_session_windows_merge_across_restarts(spark, tmp_path):
         (2, t0, 1),
         (2, t0 + 2 * gap, 1),
     }
+
+
+def test_scaled_state_partitions_sizes_and_restores(spark, tmp_path):
+    """The drain-scope state-partition sizing: n = clamp(ceil(bytes /
+    per-part), floor, session cap), conf restored on exit (even on
+    error), and a drain under it produces the same rows as one at the
+    session default."""
+    import os
+
+    from redskins_rule_spark.streaming.ops import scaled_state_partitions
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny landing -> floor (bounded by cap)
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "a.parquet").write_bytes(b"x" * 1024)
+    with scaled_state_partitions(spark, str(small)) as n:
+        assert n == min(4, cap)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(cap)
+    # big landing -> capped at the session value (production no-op)
+    os.environ["SPARK_GRAFT_STATE_BYTES_PER_PART"] = "1"
+    try:
+        with scaled_state_partitions(spark, str(small)) as n:
+            assert n == cap
+    finally:
+        del os.environ["SPARK_GRAFT_STATE_BYTES_PER_PART"]
+    # conf restored when the body raises
+    try:
+        with scaled_state_partitions(spark, str(small)):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(cap)
+    # result parity: dedup drain under scaled partitions == batch dedup
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = table(spark, SF_DIR, "events").select("event_id", "ts").limit(200)
+    ev.unionAll(ev).write.mode("append").parquet(land)
+    schema = "event_id long, ts timestamp"
+    with scaled_state_partitions(spark, land):
+        run_available_now_to_files(
+            streaming_dedup(
+                stream_from_files(spark, land, schema),
+                ["event_id"], ts_col="ts", watermark="99999 days",
+            ),
+            ckpt, out,
+        )
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.event_id for r in ev.dropDuplicates(["event_id"]).collect())
+    assert got == want
