@@ -863,7 +863,7 @@ _SQL_EN_STOPS = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
     """,
 )
 def q16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -905,7 +905,7 @@ _LANG_CASE = " ".join(
     """,
 )
 def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
@@ -2447,7 +2447,7 @@ from redskins_rule_spark.operators.sketch import heavy_hitters  # noqa: E402
     """,
 )
 def q57_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events", spread=True)
+    ev = table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", 0.008, count_col="item_count")
 
 
@@ -2837,7 +2837,7 @@ from redskins_rule_spark.operators.text import contamination_pairs, repetition_s
     """,
 )
 def q65_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(table(spark, sf_dir, "documents", spread=True))
+    return repetition_stats(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -3114,7 +3114,7 @@ def q72_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q73_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     idx = build_inverted_index(
         docs, "doc_id", "text", min_df=1, vocabulary=["dup", "the"]
     )
@@ -3191,7 +3191,7 @@ def q74_packing_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q75_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
@@ -3433,7 +3433,7 @@ def _q80_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy WITH RECURSIVE plan itself — split out so the plan
     gate (tests/test_plans.py) can assert the UnionLoop node before
     q80's eager localCheckpoint truncates the lineage."""
-    table(spark, sf_dir, "part", spread=True).createOrReplaceTempView("__q80_part")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__q80_part")
     return spark.sql(
         """
         WITH RECURSIVE chain(node, up, depth) AS (
@@ -5048,7 +5048,7 @@ def q114_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     # BIND the token array in a projection before the per-window
     # lambda references it: closing the lambda over the raw split()
     # expression re-evaluates the split per window — O(L²) per doc,
@@ -6565,7 +6565,7 @@ from redskins_rule_spark.operators.text import bm25_topk  # noqa: E402
     """,
 )
 def q144_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, "doc_id", "text", terms=["spark", "table", "window"], k=10
     )
@@ -6641,11 +6641,11 @@ from redskins_rule_spark.pipelines.curation import (  # noqa: E402
     """,
 )
 def q145_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread-safe: the report path is all integer-exact work (stage
-    # counts, exact content-hash dedup, integer-ratio jaccard with a
-    # deterministic per-pair threshold) — no FP aggregate above the
-    # scan, so row order cannot move the oracle hash
-    docs = table(spark, sf_dir, "documents", spread=True)
+    # spread would be SAFE here (the report path is all integer-exact
+    # work) but measured neutral-to-negative (A/B min-of-2: 5.83 s off
+    # vs 6.07 s on — the 7 count branches re-pay the exchange), so the
+    # scan stays unspread; the q145 win is the lazy 'kept' face
+    docs = table(spark, sf_dir, "documents")
     out = curate_corpus(docs, CurationConfig())
     return out["report"]
 
@@ -11449,7 +11449,7 @@ _Q221_HEX = " + ".join(
 def q221_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import hashed_logistic_quality
 
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     return hashed_logistic_quality(docs, "text", "doc_id")
 
 
@@ -12028,7 +12028,7 @@ def q228_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_sq_bounds,
     )
 
-    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+    emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     bounds = train_sq_bounds(emb, "embedding", dim=64)
@@ -13343,7 +13343,7 @@ def q240_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q241_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import rolling_fingerprint_dedup
 
-    docs = table(spark, sf_dir, "documents", spread=True).where(F.col("text").isNotNull())
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return rolling_fingerprint_dedup(docs, "doc_id", "text", k=12, max_df=2)
 
 
@@ -13485,7 +13485,7 @@ PHRASES: list[str] = ["big data", "data the filter"]
 def q243_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redskins_rule_spark.operators.text import phrase_search
 
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     out = None
     for ph in PHRASES:
         hit = phrase_search(docs, ph).select(
