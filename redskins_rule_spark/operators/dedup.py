@@ -402,9 +402,29 @@ def _gram_intersections(df, id_col, text_col, n, max_df):
             .agg(F.count(F.lit(1)).alias("__ninter"))
         )
     else:
-        sizes = base.select(F.col(id_col), F.size("__g").alias("__n"))
+        # derive BOTH pair counts and doc set sizes from the SAME
+        # posting-list aggregate: the two consumers' plans are identical
+        # up to the gram exchange, so Spark's ReusedExchange evaluates
+        # the gram pipeline (tokenize + shingle + distinct + explode —
+        # the dominant per-row CPU of this family) and its shuffle ONCE.
+        # The previous shape re-evaluated `base` for sizes and again per
+        # join side: three full-corpus gram passes (r13, guide §2.4).
+        # sizes equivalence: each of a doc's distinct grams lands in
+        # exactly one posting list, so counting the doc's posting-list
+        # memberships IS size(__g).
+        posts = inv.groupBy("gram").agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("__ids")
+        )
+        sizes = (
+            posts.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        pair = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
         inter = (
-            pairs_from_posting_lists(inv, ["gram"], id_col)
+            _pairs_within_lists(
+                posts.where(F.size("__ids") > 1), pair, ["p.id_a", "p.id_b"]
+            )
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__ninter"))
         )

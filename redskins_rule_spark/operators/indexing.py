@@ -14,9 +14,13 @@ scalable idiom (TeraSort-style) implemented here:
 2. count rows per partition (tiny N-row job over the persisted
    frame; this is also what materializes the cache);
 3. prefix-sum those counts on the driver (N integers, not data) and
-   ship the offsets back in the task closure;
-4. one Arrow-batched pass assigns idx = partition_offset + local_pos
-   via ``mapInPandas`` — partition-preserving, no further shuffle.
+   ship the offsets back as one parsed map literal;
+4. idx = offsets[spark_partition_id()] + intra-partition position
+   (read off ``monotonically_increasing_id()``'s documented
+   ``(pid << 33) + local_pos`` layout) — pure JVM column math,
+   partition-preserving, no further shuffle, and no Arrow/Python
+   boundary pass over the data (r13; previously a ``mapInPandas``
+   pass shipped every row through Python to add one long).
 
 Total cost: ONE data shuffle + one metadata job, vs the single-
 partition window's all-to-one collapse.
@@ -83,23 +87,32 @@ def with_global_index(
         offsets[pid] = acc
         acc += counts.get(pid, 0)
 
-    # fresh StructType — .add would MUTATE the frame's cached schema
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(ranged.schema.fields) + [StructField(index_col, LongType(), False)]
+    # Index assignment is pure JVM column math (r13, guide §4: the
+    # previous mapInPandas pass shipped EVERY row through the
+    # Arrow/Python boundary just to add one long). Spark's
+    # monotonically_increasing_id() is, by its documented contract,
+    # (partition_id << 33) + intra-partition row position — so the
+    # local position is mid - (pid << 33), and the global index is
+    # offsets[pid] + local position. Both expressions read the SAME
+    # persisted partitioning the offsets were computed on, so the
+    # assignment is identical to the Python pass; the offsets ship as
+    # one parsed map literal (n_parts entries of metadata, the same
+    # payload the task closure used to carry). Partition-preserving,
+    # no shuffle, whole-stage-codegen'd.
+    local_pos = F.monotonically_increasing_id() - F.shiftleft(
+        F.spark_partition_id().cast("long"), 33
     )
-
-    def assign(batches):
-        from pyspark import TaskContext
-
-        pos = offsets[TaskContext.get().partitionId()]
-        for pdf in batches:
-            pdf[index_col] = range(pos, pos + len(pdf))
-            pos += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(assign, out_schema)
+    offsets_map = F.expr(
+        "map("
+        + ",".join(f"{pid}, {offsets[pid]}L" for pid in range(n_parts))
+        + ")"
+    )
+    return ranged.withColumn(
+        index_col,
+        (F.element_at(offsets_map, F.spark_partition_id()) + local_pos).cast(
+            "long"
+        ),
+    )
 
 
 def z_value(cols, bits: int = 16):

@@ -625,11 +625,13 @@ def train_pq_codebooks(
     first, ADC scan over PQ codes second, exact re-rank of the short
     candidate list last.
     """
-    # materialize the training projection once: every iteration (and
-    # the init collect) otherwise re-runs the upstream scan + cast.
-    # Contract: the caller passes a SAMPLE for large corpora (codebooks
-    # need thousands of vectors, not billions), so this is bounded.
-    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    # Only the (subspace, id, subvector) explosion below is
+    # materialized — the dim probe and the init collect are one cheap
+    # narrow scan each, so a separate checkpoint of the raw projection
+    # bought nothing but its own eager job (r13). Contract: the caller
+    # passes a SAMPLE for large corpora (codebooks need thousands of
+    # vectors, not billions), so this is bounded.
+    df = df.select(id_col, vec_col)
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -643,16 +645,10 @@ def train_pq_codebooks(
         for s in range(m)
     ]
 
-    # Assignment runs as a broadcast JOIN against the m·k-row codebook
-    # frame, not as a k-way literal expression: embedding m·k centroid
-    # arrays as literals re-plans a thousands-of-nodes interpreted HOF
-    # tree every iteration (measured: plan+eval dominated training 5x
-    # over the actual arithmetic). The join keeps the plan tiny and
-    # IDENTICAL in shape across iterations; the explode side is also
-    # built once. min_by picks the nearest cell per (vector, subspace);
-    # per-(subspace, cell) means are w native sum aggregations — the
-    # whole loop is JVM-side, no Python workers, no literal blow-up.
-    spark = df.sparkSession
+    # The (subspace, id, subvector) explosion is the one relation the
+    # loop touches; materialize it once. The whole loop is JVM-side —
+    # no Python workers, no per-element literal blow-up (see the
+    # parsed-SQL argmin note below).
     sub_exploded = df.select(
         F.explode(
             F.array(*[
@@ -666,39 +662,54 @@ def train_pq_codebooks(
         ).alias("e")
     ).select("e.s", "e.id", "e.v").localCheckpoint(eager=True)
 
-    for _ in range(iters):
-        # the m·k-row codebook frame as a parsed VALUES relation (the
-        # SRP-literal pattern): a LocalRelation needs NO job to
-        # broadcast. createDataFrame(py_rows) parallelizes across the
-        # default parallelism — an empty-task stage per iteration —
-        # and .coalesce(1) is WORSE: the merged task computes every
-        # pickled parent partition serially, each paying its own
-        # Python-worker round-trip (measured 6 s per iteration for 64
-        # rows). `{float}D` literals round-trip doubles exactly, so
-        # the trained centroids are bit-identical.
-        rows_sql = ", ".join(
-            f"({s}, {i}, array("
-            + ",".join(f"{float(x)}D" for x in books[s][i])
-            + "))"
-            for s in range(m)
-            for i in range(k)
+    # aggregation columns are iteration-independent — build once
+    agg_cols = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.col("v")[i]).alias(f"c{i}") for i in range(w)
+    ]
+
+    def _argmin_sql(book: list[list[float]]) -> str:
+        # the k-way (round(l2², 9), i) argmin as ONE parsed SQL string
+        # (the pq_encode shape): aggregate/zip_with replay `_l2_sq`'s
+        # fold exactly, repr(float) `D` literals round-trip doubles
+        entries = ", ".join(
+            "named_struct('d', round(aggregate(zip_with(v, array("
+            + ",".join(f"{float(c)!r}D" for c in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d), 9), 'i', "
+            + str(i)
+            + ")"
+            for i, cent in enumerate(book)
         )
-        bdf = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS t(s, i, cent)")
-        dist = F.round(_l2_sq(F.col("v"), F.col("cent")), 9)
-        assigned = (
-            sub_exploded.join(F.broadcast(bdf), "s")
-            .groupBy("s", "id")
-            .agg(
-                F.min_by(F.col("i"), F.struct(dist.alias("d"), F.col("i"))).alias("cell"),
-                F.any_value(F.col("v")).alias("v"),
+        return f"array_min(array({entries})).i"
+
+    for _ in range(iters):
+        # Assignment as a row-local argmin rendered as ONE parsed SQL
+        # CASE over the m subspaces (r13; previously a broadcast join
+        # against a VALUES codebook frame + a groupBy(s, id) min_by to
+        # undo the k-way fan-out + a second shuffled aggregation —
+        # measured 0.8-1 s of driver orchestration per iteration for
+        # ~0.2 s of task work). Building the argmin via Column ops
+        # would cost ~3 s of py4j per iteration (the srp/IVF literal
+        # lesson one level up — that IS the 'literal blow-up' the old
+        # join shape was avoiding); the parsed-SQL form is one py4j
+        # call and analyzes in ms. Each iteration is now one narrow
+        # job: checkpoint scan → argmin project → per-(s, cell)
+        # count+sum aggregation → k·m-row collect. The per-(s, cell)
+        # float sums accumulate in a different physical order than the
+        # old two-step shape — trained means can drift in the last
+        # ulp, inside the ROUND(·, 9)/(·, 6) contracts downstream
+        # (q97 is rows-only by design; the hashed sibling q97b pins
+        # the encode/ADC path with FIXED codebooks).
+        case_sql = (
+            "CASE "
+            + " ".join(
+                f"WHEN s = {s} THEN {_argmin_sql(books[s])}" for s in range(m)
             )
+            + " END"
         )
         new = (
-            assigned.groupBy("s", "cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[i]).alias(f"c{i}") for i in range(w)],
-            )
+            sub_exploded.select("s", "v", F.expr(case_sql).alias("cell"))
+            .groupBy("s", "cell")
+            .agg(*agg_cols)
             .collect()
         )
         got = {
@@ -745,20 +756,29 @@ def pq_encode(
     deployment persists and scans)."""
     m = len(codebooks)
     w = len(codebooks[0][0])
+    # The whole m·k-way argmin renders as ONE parsed SQL expression —
+    # not m·k·w Column ops through py4j (the srp/IVF literal lesson,
+    # SURVEY §11.90, one level up: measured 3.0 s of driver-side
+    # expression BUILDING per call at m=4, k=16, w=16). The SQL text
+    # parses to the identical tree the Column form built: slice+cast =
+    # `_sub`, aggregate(zip_with(...), 0.0D, ...) = `_l2_sq` (same
+    # fold), named_struct/array_min = the (d, i) tie-break, and
+    # repr(float) `D` literals round-trip doubles exactly.
     parts = []
     for s, book in enumerate(codebooks):
-        dists = F.array(*[
-            F.struct(
-                F.round(
-                    _l2_sq(_sub(vec_col, s * w, w), F.array(*[F.lit(c) for c in cent])),
-                    9,
-                ).alias("d"),
-                F.lit(i).alias("i"),
-            )
+        sub = f"slice(cast({vec_col} as array<double>), {s * w + 1}, {w})"
+        entries = ", ".join(
+            "named_struct('d', round(aggregate(zip_with("
+            + sub
+            + ", array("
+            + ",".join(f"{float(c)!r}D" for c in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d), 9), 'i', "
+            + str(i)
+            + ")"
             for i, cent in enumerate(book)
-        ])
-        parts.append(F.array_min(dists)["i"])
-    return df.withColumn(out, F.array(*parts))
+        )
+        parts.append(f"array_min(array({entries})).i")
+    return df.withColumn(out, F.expr("array(" + ", ".join(parts) + ")"))
 
 
 def pq_topk(
@@ -1000,7 +1020,14 @@ def ivf_topk_batch(
     sims = F.array(*[
         F.struct(
             F.round(
-                cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in c])), 6
+                # one parsed array literal per centroid (srp/IVF lesson)
+                cosine(
+                    F.col("_qv"),
+                    F.expr(
+                        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                    ),
+                ),
+                6,
             ).alias("s"),
             F.lit(i).alias("i"),
         )
