@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os as _os
 import struct
 
 import pandas as pd
@@ -4129,11 +4130,24 @@ def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
         # the distinct's post-shuffle output is a few hundred tiny rows,
         # so AQE coalesces it to ONE partition and the Python
         # synth+decode below runs serially on one core. Round-robin the
-        # bounded dictionary across the session's cores — a ~530-row
-        # exchange at ANY corpus scale (the dictionary is bounded by
-        # the length distribution, not the corpus), and per-key stats
-        # are deterministic so placement cannot change results.
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # bounded dictionary across a FIXED small task count — a
+        # ~530-row exchange at ANY corpus scale (the dictionary is
+        # bounded by the length distribution, not the corpus), and
+        # per-key stats are deterministic so placement cannot change
+        # results. NOT the session parallelism: the dictionary's total
+        # Python work is a bounded few seconds, and each task pays a
+        # Python-worker round-trip (measured: 32 tasks = 0.75 s/task
+        # blocked warm, ~5 s cold; 16 tasks halve the churn and still
+        # spread the decode — 9.3→2.1 s cold, 1.9→1.1 s warm at
+        # sf0.1). Worker churn grows with task count at EVERY scale,
+        # so the cap is scale-independent, env-tunable for clusters
+        # whose worker spin-up is cheaper.
+        .repartition(
+            min(
+                int(_os.environ.get("SPARK_GRAFT_DICT_PARTS", "16")),
+                docs.sparkSession.sparkContext.defaultParallelism,
+            )
+        )
         .withColumn(src_col, synth_src)
     )
     stats = stats_fn(dict_docs)
