@@ -363,6 +363,66 @@ def ngram_containment_pairs(
     )
 
 
+def distinct_word_ngram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram) rows — one row per DISTINCT word-n-gram per doc —
+    as an Arrow-batched map, replacing the expression pipeline
+    `explode(array_distinct(word_shingles(text)))`.
+
+    Why Python here (guide §4.2): every piece of the expression form
+    (`zip_with` chain, `transform`, `array_distinct` over per-row
+    arrays) is a Catalyst higher-order function, which is interpreted
+    per ELEMENT — never whole-stage-codegen'd. Stage-level measurement
+    (q19, sf0.1): the tokenize+shingle+distinct+explode scan stage
+    burned 18.2 s of task CPU for 5 000 docs (~3.6 ms/doc). The same
+    work as CPython string ops over Arrow batches is C-level
+    split/join (~10 µs/doc). Row-local, embarrassingly parallel,
+    cardinality-changing — exactly the `mapInPandas` contract.
+
+    Tokenization is BIT-IDENTICAL to `word_shingles` + the oracle's
+    `_SQL_TOKENS` (equivalence-tested on the corpus at three SFs):
+      * `F.trim` strips 0x20 only         → `text.strip(' ')`
+      * Java-regex `\\s+` split, limit −1 → `re.split` with
+        `re.ASCII` (`\\s` = [ \\t\\n\\x0B\\f\\r] in BOTH engines;
+        leading/trailing empty tokens survive identically)
+      * k-grams joined with one space; per-doc de-dup (row SET —
+        downstream consumers aggregate, so emission order is free)
+      * NULL text / <n tokens → zero rows (callers that need the
+        empty-gram guard get it for free: such docs emit nothing)
+    """
+    import re
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("gram", T.StringType())]
+    )
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            grams: list[str] = []
+            for i, text in zip(pdf[id_col].values, pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                toks = ws.split(str(text).strip(" "))
+                if len(toks) < n:
+                    continue
+                seen = {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }
+                ids.extend([i] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({id_col: ids, "gram": grams})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def _gram_intersections(df, id_col, text_col, n, max_df):
     """Shared core of the exact set-overlap dedup family: ->
     (inter DF[id_a, id_b, __ninter], sizes DF[id, __n]) over the
@@ -373,9 +433,7 @@ def _gram_intersections(df, id_col, text_col, n, max_df):
     need to re-join the full gram arrays per candidate or run
     array_intersect. Candidates come from per-gram posting lists
     (one shuffle, gram pipeline evaluated once)."""
-    grams = F.array_distinct(word_shingles(text_col, n))
-    base = df.select(F.col(id_col), grams.alias("__g")).where(F.size("__g") > 0)
-    inv = base.select(id_col, F.explode("__g").alias("gram"))
+    inv = distinct_word_ngram_rows(df, id_col, text_col, n)
     if max_df is not None:
         if max_df < 2:
             raise ValueError(f"max_df must be >= 2, got {max_df}")

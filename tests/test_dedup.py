@@ -405,3 +405,42 @@ def test_lsh_max_postings_cap_fires_and_recall_contract_holds(spark):
     }
     assert len(uncapped) == 52 * 51 // 2  # full quadratic set without the cap
     assert (100, 101) in uncapped
+
+
+from redskins_rule_spark.functions.hashing import word_shingles  # noqa: E402
+from redskins_rule_spark.operators.dedup import distinct_word_ngram_rows  # noqa: E402
+
+
+def test_arrow_gram_rows_match_expression_pipeline(spark):
+    """distinct_word_ngram_rows (the Arrow tokenizer that replaced the
+    interpreted-HOF gram pipeline inside _gram_intersections, r13 opt)
+    must emit the EXACT row set of
+    explode(array_distinct(word_shingles(text, n))) — including the
+    Java-regex \\s+ edge cases: leading/trailing non-space whitespace
+    produces empty tokens on both paths, trim strips 0x20 only, NULL
+    and <n-token docs emit nothing."""
+    rows = [
+        (1, "a b c d"),
+        (2, None),
+        (3, ""),
+        (4, "  x  y\tz  w "),
+        (5, "\ta b c"),
+        (6, "a b c\n"),
+        (7, "one two"),
+        (8, "a b c a b c a b c"),
+        (9, "é € \U00010348 x y"),
+        (10, "a\x0bb c d"),
+        (11, " "),
+        (12, "tok " * 50),
+        (13, " x y z w "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        old = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+        )
+        new = distinct_word_ngram_rows(docs, "doc_id", "text", n)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        assert old.count() == new.count()
