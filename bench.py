@@ -100,8 +100,13 @@ def main() -> None:
     load_start = [round(x, 2) for x in os.getloadavg()]
     stat_start = _cpu_stat()
     times: dict[str, float] = {}
+    # per-query steal witness (r13 forensics: this VM's multi-minute
+    # steal bursts inflate whichever queries they overlap 3-10x; the
+    # run-level number can't say WHICH — the detail artifact now can)
+    q_steal: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
+        q_stat0 = _cpu_stat()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -111,6 +116,9 @@ def main() -> None:
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             continue
         times[name] = round(time.perf_counter() - t0, 3)
+        s = _steal_pct(q_stat0, _cpu_stat())
+        if s is not None:
+            q_steal[name] = s
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     loadavg = {"start": load_start,
@@ -127,6 +135,8 @@ def main() -> None:
         "loadavg": loadavg,
         "steal_pct_of_busy": steal,
     }
+    if q_steal:
+        detail["query_steal_pct_of_busy"] = q_steal
     if errors:
         detail["errors"] = errors
     # Detail path (VERDICT r12 item 2): ONLY the driver's invocation
