@@ -203,3 +203,108 @@ def char_fingerprint(col: Column | str, modulus: int = MERSENNE_31) -> Column:
     return (
         F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x) % modulus
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python ports of the two SimHash token-hash families, for the
+# Arrow-batched signature path (operators.dedup.with_simhash). Each is
+# equivalence-tested against its JVM expression on the real corpus and
+# adversarial unicode (tests/test_dedup_vectorized.py) — the port is a
+# PERFORMANCE twin, never an alternative definition: the JVM
+# expression stays the contract.
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xx_round(acc: int, x: int) -> int:
+    return (_rotl64((acc + x * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def xxh64_int_py(value: int, seed: int) -> int:
+    """Spark `XXH64.hashInt` (catalyst xxhash64 over an INT field)."""
+    h = (seed + _XXP5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+    return _xx_fmix(h)
+
+
+def xxh64_bytes_py(data: bytes, seed: int) -> int:
+    """Spark `XXH64.hashUnsafeBytes` (catalyst xxhash64 over a STRING
+    field's UTF-8 bytes; little-endian word reads, the JVM layout)."""
+    length = len(data)
+    off, end = 0, length
+    if length >= 32:
+        limit = end - 32
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while True:
+            v1 = _xx_round(v1, int.from_bytes(data[off:off + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[off + 8:off + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[off + 16:off + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[off + 24:off + 32], "little"))
+            off += 32
+            if off > limit:
+                break
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + length) & _M64
+    while off + 8 <= end:
+        h ^= _xx_round(0, int.from_bytes(data[off:off + 8], "little"))
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        off += 8
+    if off + 4 <= end:
+        h ^= (int.from_bytes(data[off:off + 4], "little") * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        off += 4
+    while off < end:
+        h ^= (data[off] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        off += 1
+    return _xx_fmix(h)
+
+
+def hashed_py(token: str, seed: int) -> int:
+    """Pure-Python twin of `hashed(col, seed)` =
+    `F.xxhash64(F.lit(seed), col)`: catalyst chains fields with the
+    running hash as the next field's seed, starting at 42."""
+    h = xxh64_int_py(seed, 42)
+    h = xxh64_bytes_py(token.encode("utf-8"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h  # as signed long
+
+
+def simhash_token_hash_xengine_py(token: str) -> int:
+    """Pure-Python twin of `simhash_token_hash_xengine`: the same two
+    rolling-hash folds over the token's code points. Spark's
+    `split(c, '')` yields one code point per element and `ascii`
+    returns its code point, which is exactly Python `ord`."""
+    a = b = 0
+    for ch in token:
+        cp = ord(ch)
+        a = (a * 257 + cp) % MERSENNE_31
+        b = (b * 131 + cp) % MERSENNE_31
+    return a + (b << 31)

@@ -26,9 +26,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from redskins_rule_spark.functions.hashing import (
+    _M64,
     hashed,
+    hashed_py,
     minhash_signature,
     shingles,
+    simhash_token_hash_xengine,
+    simhash_token_hash_xengine_py,
     word_shingles,
 )
 
@@ -596,8 +600,16 @@ def with_simhash(
     `functions.hashing.char_fingerprint`, 31 bits) with a matching
     `bits` to make signatures reproducible by a SQL oracle.
     """
+    token_hash_py = None
     if hash_expr is None:
+        token_hash_py = lambda t: hashed_py(t, 7)  # noqa: E731
         hash_expr = lambda t: hashed(t, 7)  # noqa: E731
+    elif hash_expr is simhash_token_hash_xengine:
+        token_hash_py = simhash_token_hash_xengine_py
+    if token_hash_py is not None:
+        return _simhash_arrow(df, id_col, text_col, out, bits, token_hash_py)
+    # unknown hash family: the expression pipeline (explode + per-bit
+    # SUM votes) stays the general path
     c = F.col(text_col)
     toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
     ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
@@ -619,6 +631,89 @@ def with_simhash(
     ]
     sig = reduce(lambda x, y: x.bitwiseOR(y), terms)
     return votes.select(F.col(id_col), sig.alias(out))
+
+
+def _simhash_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str,
+    bits: int,
+    token_hash_py,
+) -> DataFrame:
+    """Arrow-batched SimHash signatures: per doc, tokenize + hash +
+    the `bits` majority votes in one `mapInPandas` pass (guide §4.2 —
+    the expression form pays interpreted HOFs for tokenize/distinct
+    plus a token-explode shuffle into a 65-column vote aggregate; this
+    computes the identical signature row-locally with NumPy bit math
+    and REMOVES that shuffle: one less Exchange in the plan).
+
+    Signature-equivalence contract (tests/test_dedup_vectorized.py
+    pins it on the corpus + adversarial unicode):
+      * tokens: `trim(' ')` then Java-regex `\\s+` split limit −1 →
+        `re.split(r"\\s+", s.strip(' '))` with `re.ASCII`; the DISTINCT
+        token set votes (array_distinct semantics);
+      * token hash: `hashed_py` / `simhash_token_hash_xengine_py`, the
+        equivalence-tested pure-Python twins of the JVM families —
+        memoized per task (vocabulary-bounded; bursty corpora reuse
+        tokens heavily);
+      * bit j of the signature set iff 2·(votes for bit j) > n_tokens,
+        packed exactly like the expression's shiftleft/bitwiseOR fold
+        (uint64 wraparound = the JVM's signed-long overflow);
+      * NULL text emits nothing (the explode semantics).
+    """
+    import re
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.LongType())]
+    )
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                if len(memo) > 1_000_000:  # vocabulary safety valve
+                    memo.clear()
+                # store the UNSIGNED bit pattern: np.uint64 arrays
+                # reject negative Python ints, and only bits matter
+                v = memo[t] = token_hash_py(t) & _M64
+            return v
+
+        for pdf in batches:
+            ids, counts, flat = [], [], []
+            for i, text in zip(pdf[id_col].values, pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                toks = set(ws.split(str(text).strip(" ")))
+                ids.append(i)
+                counts.append(len(toks))
+                flat.extend(h(t) for t in toks)
+            if not ids:
+                yield pd.DataFrame({id_col: [], out: []})
+                continue
+            harr = np.array(flat, dtype=np.uint64)
+            bitmat = ((harr[:, None] >> shifts) & np.uint64(1)).astype(
+                np.int64
+            )
+            offsets = np.concatenate(
+                ([0], np.cumsum(counts[:-1], dtype=np.int64))
+            )
+            votes = np.add.reduceat(bitmat, offsets, axis=0)
+            n = np.asarray(counts, dtype=np.int64)[:, None]
+            major = (votes * 2 > n).astype(np.uint64)
+            sig = (major << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({id_col: ids, out: sig.view(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -444,3 +444,79 @@ def test_arrow_gram_rows_match_expression_pipeline(spark):
         assert old.exceptAll(new).count() == 0
         assert new.exceptAll(old).count() == 0
         assert old.count() == new.count()
+
+
+def test_arrow_simhash_matches_expression_pipeline(spark):
+    """_simhash_arrow (the Arrow signature path behind with_simhash,
+    r13 opt) must emit the EXACT (id, sig) row set of the expression
+    pipeline — explode(array_distinct(split)) + per-bit SUM votes —
+    for BOTH known hash families (xxhash64 seed-7 via the pure-Python
+    XXH64 port; the xengine dual rolling hash), including NULL text
+    (dropped), empty/whitespace-only text (token '' votes), unicode
+    code points (split('')/ascii = ord), and ≥32-byte tokens (the
+    XXH64 stripe loop)."""
+    from functools import reduce
+
+    from redskins_rule_spark.functions.hashing import (
+        hashed,
+        simhash_token_hash_xengine,
+    )
+    from redskins_rule_spark.operators.dedup import with_simhash
+
+    rows = [
+        (1, "a b c d"),
+        (2, None),
+        (3, ""),
+        (4, "  x  y\tz  w "),
+        (5, "é € \U00010348 mix"),
+        (6, "a"),
+        (7, "a a a b"),
+        (8, "x" * 200),
+        (9, "y" * 32 + " " + "z" * 33),
+        (10, " lead trail "),
+        (11, "tok " * 50),
+        (12, "\t\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def expr_sig(hash_expr, bits):
+        c = F.col("text")
+        toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
+        ex = docs.select(F.col("doc_id"), F.explode(toks).alias("__t")).select(
+            "doc_id", hash_expr(F.col("__t")).alias("__h")
+        )
+        votes = ex.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))
+                ).alias(f"__b{j}")
+                for j in range(bits)
+            ],
+        )
+        terms = [
+            F.when(
+                F.col(f"__b{j}") * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ]
+        sig = reduce(lambda x, y: x.bitwiseOR(y), terms)
+        return votes.select(F.col("doc_id"), sig.alias("__sim"))
+
+    for fam_expr, bits in [
+        (None, 64),
+        (simhash_token_hash_xengine, 62),
+    ]:
+        ref = expr_sig(
+            fam_expr if fam_expr is not None else (lambda t: hashed(t, 7)),
+            bits,
+        )
+        got = with_simhash(
+            docs, "doc_id", "text", out="__sim", bits=bits, hash_expr=fam_expr
+        )
+        # the arrow path must actually be in play (no silent fallback)
+        assert "MapInPandas" in got._jdf.queryExecution().executedPlan().toString()
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+        assert got.count() == ref.count() == 11  # NULL row dropped
