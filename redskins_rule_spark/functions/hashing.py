@@ -308,3 +308,14 @@ def simhash_token_hash_xengine_py(token: str) -> int:
         a = (a * 257 + cp) % MERSENNE_31
         b = (b * 131 + cp) % MERSENNE_31
     return a + (b << 31)
+
+
+def poly_hash_py(s: str, modulus: int = MERSENNE_31) -> int:
+    """Pure-Python twin of `poly_hash` / `char_fingerprint`:
+    sum_i ord(s[i]) * (1 + (i % 64)), i 0-based (the two-arg transform
+    index), mod at the END (the JVM aggregate folds unreduced — longs
+    cannot overflow below ~2^37 chars)."""
+    acc = 0
+    for i, ch in enumerate(s):
+        acc += ord(ch) * (1 + (i & 63))
+    return acc % modulus

@@ -367,6 +367,110 @@ def ngram_containment_pairs(
     )
 
 
+def word_ngram_minhash_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 8,
+) -> DataFrame:
+    """(id, g, sig) per doc — the distinct word-n-gram array plus its
+    x-engine MinHash signature — as ONE Arrow-batched map, replacing
+    the expression pipeline
+    `array_distinct(word_shingles(text, n))` +
+    `minhash_signature_xengine(g, num_perm)` (guide §4.2: the
+    zip_with shingle chain, per-CHAR poly_hash fold and per-shingle
+    affine-min aggregate are all interpreted HOFs; here they are
+    C-level split/join, a memoized integer fold, and one NumPy
+    (num_perm × grams) affine-min).
+
+    Emission contract (equivalence-tested vs the expression pipeline,
+    tests/test_dedup.py):
+      * tokens/grams exactly as `distinct_word_ngram_rows` (trim 0x20,
+        Java-regex \\s+ → re.ASCII split, first-occurrence-order
+        distinct n-grams);
+      * `poly_hash_py` per gram (memoized — gram space is
+        vocabulary-bounded), sig[k] = min over grams of
+        (a_k·h + b_k) mod M31 (`MINHASH_AFFINE`);
+      * docs with NULL text or < n tokens emit NOTHING — the callers'
+        `where(size(g) > 0)` guard, folded in.
+    """
+    import re
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from redskins_rule_spark.functions.hashing import (
+        MERSENNE_31,
+        MINHASH_AFFINE,
+        poly_hash_py,
+    )
+
+    if num_perm > len(MINHASH_AFFINE):
+        raise ValueError(
+            f"num_perm ≤ {len(MINHASH_AFFINE)} for the x-engine family"
+        )
+    a_vec = np.array([a for a, _ in MINHASH_AFFINE[:num_perm]], dtype=np.int64)
+    b_vec = np.array([b for _, b in MINHASH_AFFINE[:num_perm]], dtype=np.int64)
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("g", T.ArrayType(T.StringType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def ph(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                if len(memo) > 1_000_000:  # vocabulary safety valve
+                    memo.clear()
+                v = memo[g] = poly_hash_py(g)
+            return v
+
+        for pdf in batches:
+            ids, gs, sigs = [], [], []
+            for i, text in zip(pdf[id_col].values, pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                toks = ws.split(str(text).strip(" "))
+                if len(toks) < n:
+                    continue
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[j : j + n])
+                        for j in range(len(toks) - n + 1)
+                    )
+                )
+                h = np.fromiter(
+                    (ph(g) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                sig = (
+                    (a_vec[:, None] * h[None, :] + b_vec[:, None])
+                    % MERSENNE_31
+                ).min(axis=1)
+                ids.append(i)
+                gs.append(grams)
+                sigs.append(sig.tolist())
+            if not ids:  # empty frame: pandas guesses float64 columns,
+                continue  # which Arrow can't cast to list<string>
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "g": pd.Series(gs, dtype=object),
+                    "sig": pd.Series(sigs, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def distinct_word_ngram_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -697,8 +801,7 @@ def _simhash_arrow(
                 ids.append(i)
                 counts.append(len(toks))
                 flat.extend(h(t) for t in toks)
-            if not ids:
-                yield pd.DataFrame({id_col: [], out: []})
+            if not ids:  # yielding nothing is cheaper and dtype-safe
                 continue
             harr = np.array(flat, dtype=np.uint64)
             bitmat = ((harr[:, None] >> shifts) & np.uint64(1)).astype(
@@ -979,19 +1082,17 @@ def incremental_dedup_lsh(
     best_sim (null when novel), n_matches. New docs with empty
     shingle sets are novel by definition.
     """
-    from redskins_rule_spark.functions.hashing import (
-        minhash_signature_xengine,
-        word_shingles,
-    )
-
     def bands(df: DataFrame, out_id: str) -> DataFrame:
-        grams = F.array_distinct(word_shingles(text_col, 3))
-        base = df.select(
-            F.col(id_col).alias(out_id), grams.alias(f"_g_{out_id}")
-        ).where(F.size(f"_g_{out_id}") > 0)
-        sigs = base.withColumn(
-            "_sig", minhash_signature_xengine(F.col(f"_g_{out_id}"), num_perm)
+        # grams + x-engine signature in ONE Arrow pass (r13 opt; the
+        # expression pipeline is interpreted per element — see
+        # word_ngram_minhash_rows)
+        rows = word_ngram_minhash_rows(df, id_col, text_col, 3, num_perm)
+        sigs = rows.select(
+            F.col(id_col).alias(out_id),
+            F.col("g").alias(f"_g_{out_id}"),
+            F.col("sig").alias("_sig"),
         )
+        base = sigs.select(out_id, f"_g_{out_id}")
         return base, sigs.select(
             out_id,
             F.explode(

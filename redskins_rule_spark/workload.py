@@ -764,7 +764,6 @@ def oracle_bounds() -> dict:
 
 from redskins_rule_spark.functions.hashing import (  # noqa: E402
     MINHASH_AFFINE,
-    minhash_signature_xengine,
     simhash_token_hash_xengine,
     word_shingles,
 )
@@ -774,6 +773,7 @@ from redskins_rule_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs_exact,
     pairs_from_posting_lists,
     simhash_pairs,
+    word_ngram_minhash_rows,
 )
 from redskins_rule_spark.operators.multimodal import (  # noqa: E402
     decode_image_meta,
@@ -1007,9 +1007,11 @@ _SQL_SIG = "[" + ", ".join(
 )
 def q20_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
-    grams = F.array_distinct(word_shingles("text", 3))
-    base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
-    sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
+    # grams + x-engine signature in ONE Arrow pass (r13 opt; the
+    # expression pipeline — zip_with shingles, per-char poly_hash,
+    # per-shingle affine-min aggregate — is interpreted per element)
+    sigs = word_ngram_minhash_rows(docs, "doc_id", "text", 3, 8)
+    base = sigs.select("doc_id", "g")
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -3596,9 +3598,9 @@ def q82_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q83_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
-    grams = F.array_distinct(word_shingles("text", 3))
-    base = docs.select("doc_id", grams.alias("g")).where(F.size("g") > 0)
-    sigs = base.withColumn("sig", minhash_signature_xengine(F.col("g"), 8))
+    # grams + x-engine signature in ONE Arrow pass (r13 opt, see q20)
+    sigs = word_ngram_minhash_rows(docs, "doc_id", "text", 3, 8)
+    base = sigs.select("doc_id", "g")
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -520,3 +520,42 @@ def test_arrow_simhash_matches_expression_pipeline(spark):
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
         assert got.count() == ref.count() == 11  # NULL row dropped
+
+
+def test_arrow_minhash_rows_match_expression_pipeline(spark):
+    """word_ngram_minhash_rows (the Arrow grams+signature pass behind
+    q20/q83/q140, r13 opt) must emit the EXACT (id, g, sig) row set —
+    gram-array order included — of
+    array_distinct(word_shingles(text, n)) +
+    minhash_signature_xengine(g, k), and drop NULL/<n-token docs the
+    way the callers' where(size(g) > 0) did."""
+    from redskins_rule_spark.functions.hashing import (
+        minhash_signature_xengine,
+        word_shingles,
+    )
+    from redskins_rule_spark.operators.dedup import word_ngram_minhash_rows
+
+    rows = [
+        (1, "a b c d e"),
+        (2, None),
+        (3, ""),
+        (4, "one two"),          # < 3 tokens -> dropped at n=3
+        (5, "  x  y\tz  w "),
+        (6, "é € \U00010348 p q r"),
+        (7, "tok " * 50),
+        (8, " lead mid trail "),
+        (9, "a\x0bb c d e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n, k in [(3, 8), (2, 4)]:
+        grams = F.array_distinct(word_shingles("text", n))
+        ref = (
+            docs.select("doc_id", grams.alias("g"))
+            .where(F.size("g") > 0)
+            .withColumn("sig", minhash_signature_xengine(F.col("g"), k))
+        )
+        got = word_ngram_minhash_rows(docs, "doc_id", "text", n, k)
+        assert "MapInPandas" in got._jdf.queryExecution().executedPlan().toString()
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+        assert got.count() == ref.count()
