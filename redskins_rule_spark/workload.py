@@ -4039,23 +4039,68 @@ def q91_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q92_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
-    grams = word_shingles("text", 3)
-    base = docs.select("doc_id", grams.alias("gs")).where(F.size("gs") >= 1)
-    exploded = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
-    # first occurrence via MIN/GROUP BY (map-side partial agg), rank
-    # via one sort-based window per doc, fingerprint row-local per
-    # gram — no per-doc string/array ever materializes
-    firsts = exploded.groupBy("doc_id", "g").agg(F.min("pos").alias("pos"))
-    ranked = firsts.withColumn(
-        "k", F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    # The whole query is PER-DOC: first-occurrence ranks of distinct
+    # grams, then an integer checksum over (rank, gram fingerprint).
+    # One Arrow pass computes it row-locally (r13 opt, guide §4.2/§2.4)
+    # — the previous shape paid interpreted word_shingles +
+    # char_fingerprint HOFs, a gram explode, TWO shuffles (groupBy
+    # (doc_id, gram) + the rank window) and a final re-aggregation, all
+    # to reassemble per-doc state that never needed to leave the row.
+    # Exact-integer arithmetic (poly-hash < 2^31, weights < 998, docs
+    # < 2^9 grams -> sums < 2^51): bit-identical to the expression
+    # form; the oracle hash pins it.
+    import re
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from redskins_rule_spark.functions.hashing import poly_hash_py
+
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = T.StructType(
+        [
+            docs.schema["doc_id"],
+            T.StructField("n_unique_grams", T.LongType()),
+            T.StructField("kept_fp", T.LongType()),
+        ]
     )
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_unique_grams"),
-        (
-            F.sum(((F.col("k") % 997) + 1) * char_fingerprint("g"))
-            % F.lit(2147483647)
-        ).cast("long").alias("kept_fp"),
-    )
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def fp(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                v = memo[g] = poly_hash_py(g)
+            return v
+
+        for pdf in batches:
+            ids, ns, fps = [], [], []
+            for i, text in zip(pdf["doc_id"].values, pdf["text"]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                toks = ws.split(str(text).strip(" "))
+                if len(toks) < 3:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                )
+                acc = 0
+                for k, g in enumerate(grams, start=1):
+                    acc += ((k % 997) + 1) * fp(g)
+                ids.append(i)
+                ns.append(len(grams))
+                fps.append(acc % 2147483647)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_unique_grams": ns, "kept_fp": fps}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------
