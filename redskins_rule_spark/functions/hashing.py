@@ -9,6 +9,14 @@ Two families:
     but defined purely in arithmetic both Spark AND other SQL engines
     can evaluate identically, used where a cross-engine-deterministic
     fingerprint is required (differential testing).
+
+Spark-version dependency (ADVICE r13): the pure-Python twins below
+(`xxh64_*_py`, `hashed_py`, and the split/ascii semantics they bake
+in — `split(c, '')` yielding no trailing empty element, `ascii()` =
+code point, Spark's XXH64 tail/length handling) replicate the pinned
+Spark 4.1.2 behavior bit-for-bit. A Spark version bump could silently
+diverge on inputs outside the test corpus: the JVM-equivalence tests
+in tests/test_dedup.py are a MANDATORY gate for any upgrade.
 """
 
 from __future__ import annotations
@@ -209,7 +217,7 @@ def char_fingerprint(col: Column | str, modulus: int = MERSENNE_31) -> Column:
 # Pure-Python ports of the two SimHash token-hash families, for the
 # Arrow-batched signature path (operators.dedup.with_simhash). Each is
 # equivalence-tested against its JVM expression on the real corpus and
-# adversarial unicode (tests/test_dedup_vectorized.py) — the port is a
+# adversarial unicode (tests/test_dedup.py) — the port is a
 # PERFORMANCE twin, never an alternative definition: the JVM
 # expression stays the contract.
 # ---------------------------------------------------------------------------

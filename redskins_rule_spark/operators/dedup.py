@@ -752,7 +752,7 @@ def _simhash_arrow(
     computes the identical signature row-locally with NumPy bit math
     and REMOVES that shuffle: one less Exchange in the plan).
 
-    Signature-equivalence contract (tests/test_dedup_vectorized.py
+    Signature-equivalence contract (tests/test_dedup.py
     pins it on the corpus + adversarial unicode):
       * tokens: `trim(' ')` then Java-regex `\\s+` split limit −1 →
         `re.split(r"\\s+", s.strip(' '))` with `re.ASCII`; the DISTINCT

@@ -35,6 +35,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _env_int(name: str, default: int) -> int:
+    """Env-tunable positive int: non-numeric or < 1 values fall back to
+    the default instead of reaching repartition()/comparisons with an
+    opaque error (ADVICE r13)."""
+    try:
+        v = int(_os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+    return v if v >= 1 else default
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("byte_len", T.LongType()),
@@ -4094,6 +4105,20 @@ def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
     exact contract. MULTI-row decoders (frame samplers, deltas) emit
     ZERO rows for an empty decode, so their callers must pass
     ``how="inner"`` or a zero-frame doc gains a phantom NULL row.
+
+    CONTRACT — bounded dictionary: this fan-out is only sound when the
+    distinct-key count is dictionary-sized (it is broadcast and decoded
+    once per key). That boundedness is a property of THIS engine's
+    declared data model — media payloads are synthesized from a
+    bounded text-length distribution (FIXTURES.md: ~44..577 chars at
+    every SF), giving ≤ ~530·id_mod keys regardless of corpus row
+    count — NOT a property of arbitrary data. A guard enforces it at
+    runtime: the dictionary is counted (single-partition window over
+    the post-distinct keys, a few-hundred-row exchange, no extra
+    action) and the query fails with a contract-naming error before
+    any Python decode or broadcast if it exceeds
+    ``SPARK_GRAFT_DICT_MAX_KEYS`` (default 1,000,000 — far above any
+    valid corpus, far below the 512M-row broadcast hard cap).
     """
     key = (
         F.length(F.col(src_col)).cast("long") * F.lit(4294967296).cast("long")
@@ -4123,10 +4148,38 @@ def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
             (clen - n4 - F.when(rem > 0, 1).otherwise(0)).cast("int"),
         ),
     )
+    from pyspark.sql.window import Window
+
+    max_keys = _env_int("SPARK_GRAFT_DICT_MAX_KEYS", 1_000_000)
     dict_docs = (
         lens.where(F.col("__lkey").isNotNull())
         .select(F.col("__lkey").alias(id_col))
         .distinct()
+        # bounded-dictionary guard (see contract above): count the keys
+        # in-plan (single-partition window — the dict is exchange-tiny
+        # when the contract holds) and fail BEFORE the Python decode /
+        # broadcast if the length distribution ever widens past it. The
+        # filter consumes the window column, so neither can be pruned.
+        .withColumn(
+            "__dict_n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .where(
+            F.assert_true(
+                F.col("__dict_n") <= max_keys,
+                F.concat(
+                    F.lit(
+                        "length_dict_stats: distinct-key dictionary has "
+                    ),
+                    F.col("__dict_n").cast("string"),
+                    F.lit(
+                        f" keys > SPARK_GRAFT_DICT_MAX_KEYS={max_keys}; "
+                        "the bounded-length contract does not hold for "
+                        "this input — decode per document instead"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__dict_n")
         # the distinct's post-shuffle output is a few hundred tiny rows,
         # so AQE coalesces it to ONE partition and the Python
         # synth+decode below runs serially on one core. Round-robin the
@@ -4144,7 +4197,7 @@ def length_dict_stats(docs, src_col, id_col, stats_fn, id_mod=1, how="left"):
         # whose worker spin-up is cheaper.
         .repartition(
             min(
-                int(_os.environ.get("SPARK_GRAFT_DICT_PARTS", "16")),
+                _env_int("SPARK_GRAFT_DICT_PARTS", 16),
                 docs.sparkSession.sparkContext.defaultParallelism,
             )
         )

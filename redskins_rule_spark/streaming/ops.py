@@ -304,10 +304,30 @@ _STATE_BYTES_PER_PART = 64 << 20  # env-overridable; see scaled_state_partitions
 
 
 @contextmanager
-def scaled_state_partitions(spark: SparkSession, *landing_paths: str, floor: int = 4):
-    """Size `spark.sql.shuffle.partitions` — which pins a NEW streaming
-    query's state-store partition count at its first micro-batch — from
-    the LANDING INPUT SIZE, for the duration of a drain.
+def scaled_state_partitions(
+    spark: SparkSession,
+    *landing_paths: str,
+    floor: int = 4,
+    flush_no_data: bool = False,
+):
+    """Drain-scoped conf: size `spark.sql.shuffle.partitions` — which
+    pins a NEW streaming query's state-store partition count at its
+    first micro-batch — from the LANDING INPUT SIZE, and (by default)
+    skip the trailing no-data micro-batch, for the duration of a drain.
+
+    No-data batches (`spark.sql.streaming.noDataMicroBatches.enabled`,
+    default on): after the data batch, a WATERMARKED stateful query
+    runs one extra empty batch so the advanced watermark can flush
+    results/state immediately. An AvailableNow replay drain does not
+    need it — emission happens either in the data batch itself
+    (joins, update-mode stateful ops) or at the NEXT drain's data
+    batch once later waves advance the watermark (the sentinel-wave
+    design) — so the empty batch is pure fixed cost: one more offset
+    WAL entry, state-provider reload and commit per drain (measured,
+    interleaved quiet-host A/B: q199 4.46→3.27 s, q211 5.01→3.52 s;
+    non-watermarked q197/q198 unaffected — they never ran one).
+    Callers whose drain DOES rely on the trailing flush (final-window
+    emission with no later wave) pass ``flush_no_data=True``.
 
     Why: state-store setup cost is per (partition × store × query
     start), and it is SERIALIZED — thread dumps during a q199 drain
@@ -351,11 +371,16 @@ def scaled_state_partitions(spark: SparkSession, *landing_paths: str, floor: int
     old = spark.conf.get("spark.sql.shuffle.partitions")
     cap = int(old)
     n = max(min(floor, cap), min(cap, math.ceil(total / per) if total else 1))
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if not flush_no_data:
+        spark.conf.set(nodata_key, "false")
     try:
         yield n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(nodata_key, old_nodata)
 
 
 def run_available_now(

@@ -4980,3 +4980,41 @@ def test_flac_multichannel_crc_and_md5_detect_corruption():
     data = bytearray(synth_flac_multichannel(9))
     data[8 + 18] ^= 0x01
     assert parse_flac_multichannel(bytes(data)).md5_ok is False
+
+
+def test_length_dict_guard_bounded_contract(spark, monkeypatch):
+    """r14 item 10: length_dict_stats' bounded-dictionary contract is
+    enforced in-plan — a cap below the true distinct-key count fails
+    with the contract-naming error BEFORE decode/broadcast, a normal
+    cap passes with identical results, and junk env values fall back."""
+    import pandas as pd
+
+    from redskins_rule_spark.operators.multimodal import length_dict_stats
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (40 + i % 5)) for i in range(20)] + [(99, None)],
+        "doc_id long, text string",
+    )
+
+    def stats_fn(d):
+        # trivial per-key stat: the key's synthetic char length
+        from pyspark.sql import functions as F
+        return d.select("doc_id", F.length("text").alias("clen"))
+
+    base = length_dict_stats(docs, "text", "doc_id", stats_fn)
+    rows = {r.doc_id: r.clen for r in base.collect()}
+    assert rows[0] == 40 and rows[4] == 44 and rows[99] is None
+
+    # cap below the 5 distinct keys -> contract-naming failure
+    monkeypatch.setenv("SPARK_GRAFT_DICT_MAX_KEYS", "3")
+    with pytest.raises(Exception, match="SPARK_GRAFT_DICT_MAX_KEYS"):
+        length_dict_stats(docs, "text", "doc_id", stats_fn).collect()
+
+    # junk / non-positive values fall back to the default (no raise)
+    for junk in ("banana", "0", "-7"):
+        monkeypatch.setenv("SPARK_GRAFT_DICT_MAX_KEYS", junk)
+        got = {
+            r.doc_id: r.clen
+            for r in length_dict_stats(docs, "text", "doc_id", stats_fn).collect()
+        }
+        assert got == rows

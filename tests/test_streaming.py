@@ -1185,14 +1185,24 @@ def test_scaled_state_partitions_sizes_and_restores(spark, tmp_path):
     from redskins_rule_spark.streaming.ops import scaled_state_partitions
 
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # tiny landing -> floor (bounded by cap)
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nodata_default = spark.conf.get(nodata_key, "true")
+    # tiny landing -> floor (bounded by cap); no-data batches skipped
+    # for the drain scope (r14: the trailing empty batch is pure fixed
+    # cost for replay drains) and RESTORED after
     small = tmp_path / "small"
     small.mkdir()
     (small / "a.parquet").write_bytes(b"x" * 1024)
     with scaled_state_partitions(spark, str(small)) as n:
         assert n == min(4, cap)
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+        assert spark.conf.get(nodata_key) == "false"
     assert spark.conf.get("spark.sql.shuffle.partitions") == str(cap)
+    assert spark.conf.get(nodata_key) == nodata_default
+    # opt-out: a drain that relies on the trailing flush keeps it
+    with scaled_state_partitions(spark, str(small), flush_no_data=True):
+        assert spark.conf.get(nodata_key) == nodata_default
+    assert spark.conf.get(nodata_key) == nodata_default
     # big landing -> capped at the session value (production no-op)
     os.environ["SPARK_GRAFT_STATE_BYTES_PER_PART"] = "1"
     try:
